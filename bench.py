@@ -1,0 +1,77 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a count-style action (write-free but
+fully materializing: agg over all output columns would change plans, so we
+use ``df.write.format("noop")`` — executes the whole plan, discards rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineering_spark import registry  # noqa: E402
+from data_engineering_spark import queries_llm, queries_relational  # noqa: E402,F401
+from data_engineering_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_serving_index",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "a1_listagg_distinct",
+    "a5_last_wins_merge",
+    "a13_grouped_pivot",
+    "w1_rank_in_group",
+    "j6_asof_join",
+    "dedup_exact",
+    "dedup_minhash",
+    "sim_cosine_topk",
+    "text_stats",
+    "explode_top_tokens",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing once so timings measure query execution,
+    # not first-touch classloading.
+    registry.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Warehouse catalog: parquet directories as tables, temp views for SQL.
+
+The reference's "warehouse" is Redshift tiers t0-t5 reached over JDBC
+(``Talent_Opportunity_Platform/AWS_GLUE_ETL.py:100-106``, table names like
+``hrtpr.t3_emp_feature`` at ``Elastic_indexing.py:131``). Here the warehouse
+IS Spark + Parquet: a table is a parquet path, a "Redshift query" is
+``spark.sql`` over registered views (SURVEY §1.1).
+
+Scale note: at 100 TB these would be date-partitioned parquet/iceberg
+directories; ``load_tables`` reads whole tables only because the driver's
+testdata ships one file per table. All downstream operators filter/project
+through Catalyst so partition pruning + predicate pushdown engage as soon
+as the storage layout provides them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+__all__ = ["TABLES", "DEFAULT_SF_DIR", "table_path", "load_table", "load_tables", "register_views"]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table.
+
+    ``events.parquet`` is written with nanosecond timestamps, which Spark's
+    parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long
+    (legacy conf) and rebuild a microsecond TimestampType with integer
+    ``div 1000`` — the same floor-truncation DuckDB applies when it casts
+    TIMESTAMP_NS → TIMESTAMP, so both engines see identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (the reference's
+    ``createOrReplaceTempView`` pattern, ``Keyword.py:135-174``)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

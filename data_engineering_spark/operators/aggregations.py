@@ -1,0 +1,90 @@
+"""Aggregation operators (SURVEY §2.4, A1-A8).
+
+The headline rewrite is A5: the reference streams 300k-doc batches through a
+driver-side ``defaultdict`` hash-agg (``Talent_Opportunity_Platform/
+Elastic_indexing.py:226-333``) — scalars last-write-wins, arrays extend,
+8 floats appended into a dense vector. Here that whole loop is ONE
+distributed ``groupBy``: partial aggregation happens map-side, the merge is
+Tungsten's hash aggregate, and spill-to-disk replaces the manual 300k
+flushes. That is the difference between "fits on the driver" and "works at
+100 TB".
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import listagg_distinct
+
+__all__ = [
+    "listagg_distinct_by",
+    "last_wins_merge",
+    "assemble_vector",
+    "distinct_sorted",
+    "grouped_pivot",
+]
+
+
+def listagg_distinct_by(
+    df: DataFrame, keys: Sequence[str], value: str, out: str, sep: str = ","
+) -> DataFrame:
+    """A1 — ``listagg(distinct value, sep) group by keys`` (reference
+    ``Elastic_indexing.py:133-147``). Map-side partial collect_set keeps
+    shuffle payload to the distinct sets, not the raw rows."""
+    return df.groupBy(*keys).agg(listagg_distinct(value, sep).alias(out))
+
+
+def last_wins_merge(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    scalar_cols: Sequence[str],
+    array_csv_cols: Sequence[str] = (),
+    sep: str = ",",
+) -> DataFrame:
+    """A5 — the driver-loop hash-agg as a distributed groupBy.
+
+    Reference semantics (``Elastic_indexing.py:262-328``): per key, scalar
+    fields take the *last seen* value (file line order), CSV-array fields
+    concatenate-and-extend. File order is not reproducible in a distributed
+    read, so we make the tiebreaker explicit: ``max_by(col, order_col)``
+    (SURVEY §7 risk 3). Array fields become
+    flatten(collect_list(split(csv))) with a deterministic sort.
+    """
+    aggs: list[Column] = [F.max_by(F.col(c), F.col(order_col)).alias(c) for c in scalar_cols]
+    for c in array_csv_cols:
+        aggs.append(
+            F.array_sort(F.flatten(F.collect_list(F.split(F.col(c), sep)))).alias(c)
+        )
+    return df.groupBy(key).agg(*aggs)
+
+
+def assemble_vector(cols: Sequence[str], default: float = 0.0) -> Column:
+    """A6 — dense-vector assembly: f01..f08 scores (NULL → 0.0) into an
+    8-dim array (reference ``Elastic_indexing.py:257-258,274-313``).
+    Pure column expression — codegen'd, no UDF."""
+    return F.array(*[F.coalesce(F.col(c), F.lit(default)) for c in cols])
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """A7 — distinct values, ordered (reference collects date folders into a
+    ``set`` then ``sorted(list(...))``, ``BkupRs.py:66,183-189``)."""
+    return df.select(col).distinct().orderBy(col)
+
+
+def grouped_pivot(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    pivot_values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """U1 idiomatic collapse — the reference computes per-branch group-bys
+    and glues them with UNION ALL + downstream merge
+    (``Elastic_indexing.py:133-147``); a single ``groupBy().pivot()`` does
+    it in one shuffle. Explicit ``pivot_values`` avoids the extra
+    distinct-values job at scale."""
+    return df.groupBy(key).pivot(pivot_col, list(pivot_values)).agg(agg)

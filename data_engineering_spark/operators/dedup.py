@@ -1,0 +1,247 @@
+"""Deduplication operators over ``documents`` (SURVEY §2.10 north-star:
+exact, MinHash+LSH, SimHash, n-gram Jaccard).
+
+Design for 100 TB:
+
+- **exact_dedup** is a single hash-aggregate on a 128-bit fingerprint —
+  the shuffle carries (fingerprint, doc_id) pairs only, never the text.
+- **minhash_near_dedup** is the standard shingle → K minhashes → banded
+  LSH pipeline. Candidate generation never compares all pairs: docs
+  collide only within (band_id, band_hash) buckets, so the self-join is
+  per-bucket. The verify step computes true Jaccard only for candidates.
+- **simhash_near_dedup** reduces each doc to a 64-bit signature via one
+  groupBy (map-side partial agg), then blocks on 16-bit sub-bands —
+  Hamming-distance ≤ d pairs must agree on ≥1 of 4 bands.
+
+All stages are DataFrame ops (explode / groupBy / join); no driver-side
+loops, no UDFs. Hash functions are xxhash64 (JVM, codegen'd) — these ops
+are rows-only checked by the driver since DuckDB lacks xxhash64; semantics
+are unit-tested with planted near-duplicates instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, tokens
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_near_dedup",
+    "simhash_signature",
+    "simhash_near_dedup",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per normalized-text fingerprint.
+
+    groupBy(md5) with min(id) — one shuffle of (hash, id). The reference's
+    nearest analog is its set-based dedup accumulation
+    (``Talent_Opportunity_Platform/BkupRs.py:66,183-189``), done here
+    distributed."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles as strings ('a b c')."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32, n: int = 3
+) -> DataFrame:
+    """MinHash signature: per doc, min over shingles of xxhash64(seed_i,
+    shingle) for each of ``num_hashes`` seeded hash functions.
+
+    explode(shingles) → groupBy(doc) with K min() aggs. Partial aggregation
+    makes the shuffle carry one K-vector per doc per partition."""
+    ex = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash + banded LSH near-dedup → (id_a, id_b, jaccard) pairs.
+
+    bands=8 × rows=4 over 32 hashes ⇒ collision prob ≈ 1-(1-s⁴)⁸ — steep
+    around s≈0.6. Verified candidates only (true shingle Jaccard via
+    array_intersect/union on the candidate pair's shingle sets).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(df, text_col, id_col, num_hashes, n)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "bh"
+            ),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("shset"))
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per token hash, bit i votes +1/-1; sign of the sum
+    is bit i of the signature. One explode + one groupBy (partial-agg
+    friendly)."""
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
+        F.col(id_col), F.xxhash64(F.col("tok")).alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    sig_terms = [
+        F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(bits - 1)  # skip sign bit to stay in signed-long range
+    ]
+    sig = sig_terms[0]
+    for term in sig_terms[1:]:
+        sig = sig.bitwiseOR(term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dedup: block on 16-bit sub-bands (pigeonhole: hamming ≤ 3
+    ⇒ at least one of 4 bands identical), verify with bit_count(a XOR b)."""
+    sig = simhash_signature(df, text_col, id_col)
+    bands = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block_tokens: int = 2,
+) -> DataFrame:
+    """n-gram Jaccard near-dup with cheap blocking: docs sharing any of
+    their first ``block_tokens`` sorted tokens become candidates (bounded
+    fan-out), then true Jaccard filters. For corpora where minhash's
+    probabilistic recall is unacceptable."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("shset"), tokens(text_col).alias("tk"))
+    keyed = sh.select(
+        id_col, "shset", F.explode(F.slice(F.array_sort(F.array_distinct("tk")), 1, block_tokens)).alias("blk")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.shset").alias("sh_a"),
+            F.col("b.shset").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators over the ``documents`` table (SURVEY §2.10
+north-star: text_stats / language-ID / quality scoring / token counting /
+fingerprinting).
+
+Grounded in the reference's NLP surface — the tokenize→clean→score pipeline
+of ``Talent_Opportunity_Platform/Keyword.py:192-228`` and the pynori
+analyzer demo (``pynori_test.py:4-27``) — but re-expressed as pure
+JVM-side column expressions: no UDF, no collect, whole-stage codegen end to
+end. Every op is embarrassingly parallel (per-row), so it scales linearly
+with input splits at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count_regex",
+    "text_stats",
+    "fingerprint",
+    "lang_id",
+    "quality_score",
+]
+
+# BPE-ish pre-tokenizer: word pieces or single non-space symbols.
+# Same regex is used verbatim in the DuckDB oracle (both engines use
+# RE2-compatible syntax for this subset).
+TOKEN_REGEX = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Marker words for the n-gram language-ID heuristic. On real corpora these
+# would be per-language stopword lists; the heuristic structure (count
+# marker hits → argmax) is the operator under test.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "value", "fast"),
+    "und": (),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text (the reference's
+    CountVectorizer input shape, ``Keyword.py:82-89``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count_regex(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """Token counting with a BPE-ish regex (words + punctuation symbols)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: token count, distinct tokens, type-token ratio,
+    average token length, char count. One projection — no shuffle."""
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("type_token_ratio"),
+        F.round(
+            (F.length(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")))
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+
+    md5 is bit-identical across Spark and DuckDB, which makes the
+    fingerprint oracle-checkable (unlike xxhash64). Used as the exact-dedup
+    grouping key in ``operators/dedup.py``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def _marker_hits(text: Column, word: str) -> Column:
+    # occurrences of ` word ` as a standalone token; padded ends so edge
+    # tokens count too. length-delta trick is portable to the oracle.
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    return (F.length(padded) - F.length(F.regexp_replace(padded, needle, " "))) / (
+        len(needle) - 1
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Language-ID heuristic: marker-token hit rate → threshold.
+
+    Shape of a real n-gram lang-ID (count class-marker n-grams, argmax)
+    with a deterministic, oracle-expressible scorer. Per-row only — scales
+    with splits.
+    """
+    text = F.col(text_col)
+    en_hits = sum(
+        (_marker_hits(text, w) for w in LANG_MARKERS["en"]),
+        F.lit(0.0),
+    )
+    n_toks = F.size(tokens(text))
+    score = F.round(en_hits / n_toks, 6)
+    return df.select(
+        F.col(id_col),
+        score.alias("en_marker_ratio"),
+        F.when(score >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document quality scoring à la pretraining-data filters: combines
+    length, mean token length, and lexical diversity into one bounded
+    score. Weights are illustrative; the operator contract is the
+    deterministic per-row projection."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    score = F.round(0.5 * ttr + 0.5 * len_score, 6)
+    return df.select(
+        F.col(id_col),
+        F.col(text_col),
+        score.alias("quality"),
+        (score >= 0.3).alias("keep"),
+    )

@@ -1,0 +1,216 @@
+"""LLM-data-pipeline query pack (SURVEY §2.10 north-star): dedup,
+similarity search, text analysis over the ``documents`` / ``embeddings``
+tables. Probabilistic ops (minhash/simhash/LSH) register without an oracle
+→ driver records rows-only; their semantics are unit-tested with planted
+duplicates in ``tests/test_dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators.dedup import (
+    exact_dedup,
+    minhash_near_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dedup,
+)
+from .operators.similarity import cosine_near_pairs, cosine_topk, lsh_topk
+from .operators.text import (
+    TOKEN_REGEX,
+    fingerprint,
+    lang_id,
+    quality_score,
+    text_stats,
+    token_count_regex,
+)
+from .registry import query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    """SELECT doc_id,
+              CAST(length(text) AS INTEGER) AS n_chars_calc,
+              CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS INTEGER) AS n_tokens,
+              CAST(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS INTEGER) AS n_distinct_tokens,
+              round(len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                    / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS type_token_ratio,
+              round(length(regexp_replace(lower(text), '\\s+', '', 'g'))
+                    / len(string_split_regex(trim(lower(text)), '\\s+')), 6) AS avg_token_len
+       FROM documents""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats (operators/text.py:text_stats) — pure projection."""
+    return text_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "text_token_count",
+    f"""SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INTEGER) AS n_bpe_tokens
+        FROM documents""",
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (operators/text.py:token_count_regex)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count_regex("text").alias("n_bpe_tokens")
+    )
+
+
+@query(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+       FROM documents""",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 document fingerprint (operators/text.py:fingerprint) —
+    bit-identical across engines, the exact-dedup key."""
+    return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
+
+
+@query(
+    "text_lang_id",
+    """WITH x AS (
+         SELECT doc_id,
+                concat(' ', lower(text), ' ') AS padded,
+                len(string_split_regex(trim(lower(text)), '\\s+')) AS n_toks
+         FROM documents)
+       SELECT doc_id, en_marker_ratio,
+              CASE WHEN en_marker_ratio >= 0.05 THEN 'en' ELSE 'und' END AS lang_pred
+       FROM (
+         SELECT doc_id,
+                round(((length(padded) - length(regexp_replace(padded, ' the ', ' ', 'g'))) / 4.0
+                     + (length(padded) - length(regexp_replace(padded, ' a ', ' ', 'g'))) / 2.0
+                     + (length(padded) - length(regexp_replace(padded, ' value ', ' ', 'g'))) / 6.0
+                     + (length(padded) - length(regexp_replace(padded, ' fast ', ' ', 'g'))) / 5.0
+                     ) / n_toks, 6) AS en_marker_ratio
+         FROM x) s""",
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (operators/text.py:lang_id)."""
+    return lang_id(_docs(spark, sf_dir))
+
+
+@query(
+    "text_quality",
+    """WITH t AS (
+         SELECT doc_id, text,
+                string_split_regex(trim(lower(text)), '\\s+') AS toks
+         FROM documents)
+       SELECT doc_id, text,
+              round(0.5 * (len(list_distinct(toks)) / len(toks))
+                  + 0.5 * least(len(toks) / 200.0, 1.0), 6) AS quality,
+              (round(0.5 * (len(list_distinct(toks)) / len(toks))
+                   + 0.5 * least(len(toks) / 200.0, 1.0), 6) >= 0.3) AS keep
+       FROM t""",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-style quality scoring (operators/text.py:quality_score)."""
+    return quality_score(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+              CAST(min(doc_id) AS BIGINT) AS doc_id,
+              CAST(count(*) AS BIGINT) AS dup_count
+       FROM documents GROUP BY 1""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: min-id per md5 fingerprint (operators/dedup.py)."""
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+@query("dedup_minhash")  # rows-only: xxhash64 signatures are Spark-specific
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (operators/dedup.py:minhash_near_dedup):
+    shingle → 32 minhashes → 8 banded buckets → verified Jaccard ≥ 0.6."""
+    return minhash_near_dedup(_docs(spark, sf_dir))
+
+
+@query("dedup_simhash")  # rows-only: xxhash64-based bits
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures, banded
+    blocking)."""
+    return simhash_near_dedup(_docs(spark, sf_dir))
+
+
+@query("dedup_ngram_jaccard")  # rows-only: blocking heuristic has no SQL twin
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup (threshold 0.5)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_EXPR = """
+        list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
+
+
+@query(
+    "sim_cosine_topk",
+    f"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round({_COSINE_EXPR}, 6) AS sim
+           FROM embeddings c, q WHERE q.vec_id <> c.vec_id)
+       SELECT query_id, neighbor_id, sim,
+              CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rnk
+             FROM scored) t
+       WHERE rnk <= 5""",
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors
+    (operators/similarity.py:cosine_topk — broadcast queries, fold-based
+    double dot product)."""
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
+    "sim_cosine_near_pairs",
+    f"""SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+               round({_COSINE_EXPR}, 6) AS sim
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < c.vec_id
+          AND round({_COSINE_EXPR}, 6) >= 0.6""",
+)
+def q_sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.6)."""
+    return cosine_near_pairs(_emb(spark, sf_dir), threshold=0.6)
+
+
+@query("sim_lsh_topk")  # rows-only: approximate recall, no SQL twin
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (random hyperplanes) — the scale
+    path: only same-bucket pairs are scored."""
+    emb = _emb(spark, sf_dir)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)

@@ -1,0 +1,965 @@
+"""Relational query pack — SURVEY §2.1-§2.8 inventory, one named query per
+row, re-targeted from the reference's HR warehouse onto the driver's TPC-H
+style tables per FIXTURES.md §5 (t3_emp_feature→lineitem,
+t1_emp_trng→orders, 2-col lookup dims→customer/nation, log export→events).
+
+Each query is the *operator under test* wrapped in the thinnest possible
+binding; reference file:line cites sit on the operator helpers in
+``operators/`` and ``functions/``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.scalar import (
+    case_like_normalize,
+    listagg_distinct,
+    listagg_ordered,
+    nvl,
+    rebuild_timestamp,
+    scrub_to_null,
+    to_char_yyyymmdd,
+)
+from .operators.aggregations import assemble_vector, distinct_sorted, grouped_pivot, last_wins_merge
+from .operators.joins import anti_join, asof_join, broadcast_lookup_join, left_join_chain, semi_join
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship — SURVEY §3.3 serving-index build (Elastic_indexing.py:103-166):
+# fact + 3 left joins + listagg(distinct) branches + UNION ALL merge + nvl
+# defaults + to_char date key, in ONE distributed pipeline.
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_ORACLE = """
+WITH t_y AS (
+    SELECT o_custkey AS cust_key,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_open,
+           '' AS prio_closed
+    FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+), t_f AS (
+    SELECT o_custkey AS cust_key,
+           '' AS prio_open,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_closed
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+), t AS (
+    SELECT cust_key, max(prio_open) AS prio_open, max(prio_closed) AS prio_closed
+    FROM (SELECT * FROM t_y UNION ALL SELECT * FROM t_f) u GROUP BY cust_key
+)
+SELECT concat(l.l_orderkey, '-', l.l_linenumber) AS dre_cd,
+       strftime(l.l_shipdate, '%Y%m%d')          AS ship_dt,
+       coalesce(c.c_mktsegment, '')              AS segment,
+       coalesce(t.prio_open, '')                 AS prio_open,
+       coalesce(t.prio_closed, '')               AS prio_closed,
+       round(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax), 2) AS score,
+       l.l_quantity                              AS qty
+FROM lineitem l
+LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+LEFT JOIN t          ON o.o_custkey = t.cust_key
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@query("flagship_serving_index", FLAGSHIP_ORACLE)
+def flagship_serving_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 end-to-end slice. Scale shape: lineitem⋈orders is the only
+    fact-fact shuffle (bucketing both on orderkey makes it co-located);
+    the aggregated priority table and the customer 2-col projection are
+    broadcast — the fact crosses the network at most once."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def branch(status: str, open_: bool) -> DataFrame:
+        agg = (
+            orders.filter(F.col("o_orderstatus") == status)
+            .groupBy(F.col("o_custkey").alias("cust_key"))
+            .agg(listagg_distinct("o_orderpriority").alias("val"))
+        )
+        if open_:
+            return agg.select("cust_key", F.col("val").alias("prio_open"), F.lit("").alias("prio_closed"))
+        return agg.select("cust_key", F.lit("").alias("prio_open"), F.col("val").alias("prio_closed"))
+
+    t = (
+        branch("O", True)
+        .unionByName(branch("F", False))
+        .groupBy("cust_key")
+        .agg(F.max("prio_open").alias("prio_open"), F.max("prio_closed").alias("prio_closed"))
+    )
+
+    joined = left_join_chain(
+        lineitem,
+        [
+            (orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"), False),
+            (t, F.col("o_custkey") == F.col("cust_key"), True),
+            (customer, F.col("o_custkey") == F.col("c_custkey"), True),
+        ],
+    )
+    return joined.select(
+        F.concat(F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("dre_cd"),
+        to_char_yyyymmdd("l_shipdate").alias("ship_dt"),
+        nvl("c_mktsegment", "").alias("segment"),
+        nvl("prio_open", "").alias("prio_open"),
+        nvl("prio_closed", "").alias("prio_closed"),
+        # round(x*100)/100 mirrors DuckDB's double rounding bit-for-bit on
+        # per-row money math (plain F.round can differ by a cent at .005
+        # boundaries — BigDecimal HALF_UP vs scaled std::round).
+        (
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100)
+            / 100
+        ).alias("score"),
+        F.col("l_quantity").alias("qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_projection_alias",
+    """SELECT o_orderkey AS order_id, o_custkey AS cust_id, o_orderstatus AS status,
+              round(o_totalprice, 2) AS total
+       FROM orders""",
+)
+def p1_projection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — aliased column projection (Elastic_indexing.py:108-130 selects
+    23 aliased columns). Column pruning reaches the parquet scan."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
+
+
+@query(
+    "p2_literal_plus_star",
+    "SELECT '20240101' AS bkup_dt, * FROM region",
+)
+def p2_literal_plus_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — ``select '{date}' as bkup_dt, *`` (BkupRs.py:234-239)."""
+    return _t(spark, sf_dir, "region").select(F.lit("20240101").alias("bkup_dt"), "*")
+
+
+@query(
+    "p4_computed_interval_column",
+    """SELECT event_id, ts, ts + INTERVAL 9 HOUR AS kst_ts FROM events""",
+)
+def p4_computed_interval_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/F11 — withColumn with INTERVAL arithmetic (AWS_GLUE_ETL.py:119
+    ``current_timestamp()+INTERVAL 9 HOURS``; anchored on the event ts so
+    the result is deterministic)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("kst_ts", F.col("ts") + F.expr("INTERVAL 9 HOURS"))
+        .select("event_id", "ts", "kst_ts")
+    )
+
+
+@query(
+    "p5_rename_drop",
+    """SELECT c_custkey AS KYWR_CUST_NO, c_name, c_nationkey FROM customer""",
+)
+def p5_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — withColumnRenamed + drop (Keyword.py:239, BkupRs.py:138)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumnRenamed("c_custkey", "KYWR_CUST_NO")
+        .drop("c_acctbal", "c_mktsegment")
+    )
+
+
+@query(
+    "p6_like_filter",
+    """SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%PLATED%'""",
+)
+def p6_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — LIKE predicate (Keyword.py:161-162 ``ath_role_cd like
+    '%R04%'``). String-contains predicates stay in the codegen'd filter;
+    parquet row-group stats can't prune LIKE, so selectivity comes from
+    column pruning."""
+    return _t(spark, sf_dir, "part").filter(F.col("p_type").like("%PLATED%")).select(
+        "p_partkey", "p_type"
+    )
+
+
+@query(
+    "p7_date_string_filter",
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS od
+       FROM orders WHERE strftime(o_orderdate, '%Y%m%d') >= '20010101'""",
+)
+def p7_date_string_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — date-as-string predicate (BkupRs.py:238). SURVEY §4 notes the
+    reference's to_char filter defeats partition pruning; kept here for
+    parity, while ``p8`` shows the prunable form."""
+    df = _t(spark, sf_dir, "orders")
+    od = to_char_yyyymmdd("o_orderdate")
+    return df.filter(od >= "20010101").select("o_orderkey", od.alias("od"))
+
+
+@query(
+    "p8_retention_cutoff_filter",
+    """SELECT o_orderkey, o_orderdate FROM orders
+       WHERE o_orderdate < TIMESTAMP '2001-08-01' - INTERVAL 90 DAY""",
+)
+def p8_retention_cutoff_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — retention cutoff: rows older than (anchor − N days)
+    (BkupRs.py:246). Native timestamp comparison → parquet min/max pruning
+    works, unlike the reference's string compare."""
+    cutoff = F.expr("TIMESTAMP '2001-08-01' - INTERVAL 90 DAYS")
+    return _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+@query(
+    "p9_boolean_compound_filter",
+    """SELECT event_id, event_type, value FROM events
+       WHERE event_type IN ('click','view') AND value > 50.0
+         AND NOT (user_id = 0)""",
+)
+def p9_boolean_compound_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 — ES bool must/must_not compound (log_screen.py:136-162) as one
+    conjunctive filter; all three conjuncts reach PushedFilters."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "view")
+            & (F.col("value") > 50.0)
+            & ~(F.col("user_id") == 0)
+        )
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "p10_value_scrub",
+    """SELECT event_id,
+              CASE WHEN event_type IN ('error', '') THEN NULL ELSE event_type END AS event_type_clean
+       FROM events""",
+)
+def p10_value_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 — sentinel→NULL scrub (log_screen.py:186-198 maps '-' to NULL)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        scrub_to_null("event_type", "error", "").alias("event_type_clean"),
+    )
+
+
+@query(
+    "p12_concat_projection",
+    """SELECT c_custkey, concat_ws(', ', c_name, c_mktsegment) AS address_line FROM customer""",
+)
+def p12_concat_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — ABAP per-row CONCATENATE (ETL.abap:14-24) as a vectorized
+    concat_ws projection — the row loop disappears."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.concat_ws(", ", "c_name", "c_mktsegment").alias("address_line")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j2_inner_join_filter",
+    """SELECT DISTINCT c.c_custkey, c.c_name
+       FROM customer c INNER JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE n.n_name LIKE '%a%'""",
+)
+def j2_inner_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — inner equi-join + LIKE filter + distinct (Keyword.py:156-163)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").like("%a%"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+        .select("c_custkey", "c_name")
+        .distinct()
+    )
+
+
+@query(
+    "j3_semi_join",
+    """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders o
+       WHERE EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""",
+)
+def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — membership-only join as left_semi (Keyword.py:175-181; SURVEY
+    flags the idiomatic upgrade). Right side reduced to the key column
+    before the broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    members = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return semi_join(o, F.broadcast(members), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "j4_broadcast_lookup_join",
+    """SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+       FROM supplier s
+       LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+       LEFT JOIN region r ON n.n_regionkey = r.r_regionkey""",
+)
+def j4_broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — the per-row client-side index lookup
+    (openai_elasticsearch.py:224-292) as broadcast hash joins."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        broadcast_lookup_join(s, n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@query(
+    "j5_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+)
+def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] anti join — customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return anti_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select("c_custkey", "c_name")
+
+
+@query(
+    "j6_asof_join",
+    """SELECT e.event_id, e.user_id, e.ts, p.r_ts AS r_ts, p.r_value AS r_value
+       FROM (SELECT * FROM events WHERE event_type = 'click') e
+       ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value AS r_value
+                       FROM events WHERE event_type = 'purchase') p
+       ON e.user_id = p.user_id AND e.ts >= p.r_ts""",
+)
+def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] as-of join: for each click, the latest
+    purchase by the same user at-or-before the click (operators/joins.py
+    asof_join: range join + window top-1, one shuffle on user_id)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    out = asof_join(clicks, purchases, key="user_id", left_ts="ts", right_ts="p_ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("r_p_ts").alias("r_ts"),
+        F.col("r_p_value").alias("r_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_listagg_distinct",
+    """SELECT o_custkey AS cust_key,
+              string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prio_list
+       FROM orders GROUP BY o_custkey""",
+)
+def a1_listagg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — listagg(distinct) (Elastic_indexing.py:135,144), canonical
+    sorted form. Partial collect_set keeps the shuffle small."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(listagg_distinct("o_orderpriority").alias("prio_list"))
+    )
+
+
+@query(
+    "a2_collect_list_sorted",
+    """SELECT o_custkey AS cust_key, string_agg(status_date, ', ' ORDER BY status_date) AS history
+       FROM (SELECT o_custkey, concat(o_orderstatus, ':', strftime(o_orderdate, '%Y%m%d')) AS status_date
+             FROM orders) t
+       GROUP BY o_custkey""",
+)
+def a2_collect_list_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — ordered collect_list + array_join (Keyword.py:178)."""
+    df = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.concat(F.col("o_orderstatus"), F.lit(":"), to_char_yyyymmdd("o_orderdate")).alias(
+            "status_date"
+        ),
+    )
+    return df.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        listagg_ordered("status_date").alias("history")
+    )
+
+
+@query("a3_distinct_projection", "SELECT DISTINCT c_mktsegment FROM customer")
+def a3_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — distinct projection (Keyword.py:157)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "a4_count_audit",
+    "SELECT CAST(count(*) AS BIGINT) AS cretn_cnt FROM lineitem",
+)
+def a4_count_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the post-write audit count (AWS_GLUE_ETL.py:154 et al.)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cretn_cnt"))
+
+
+@query(
+    "a5_last_wins_merge",
+    """SELECT user_id,
+              arg_max(event_type, event_id) AS event_type,
+              arg_max(value, event_id) AS value
+       FROM events GROUP BY user_id""",
+)
+def a5_last_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — the driver-side last-value-wins hash agg
+    (Elastic_indexing.py:262-328) as a distributed groupBy with an
+    explicit tiebreaker (max_by on event_id — SURVEY §7 risk 3)."""
+    return last_wins_merge(
+        _t(spark, sf_dir, "events"),
+        key="user_id",
+        order_col="event_id",
+        scalar_cols=["event_type", "value"],
+    )
+
+
+@query(
+    "a6_vector_assembly",
+    """SELECT concat(l_orderkey, '-', l_linenumber) AS dre_cd,
+              [round(l_quantity, 2), round(l_extendedprice, 2),
+               round(l_discount, 2), round(l_tax, 2)] AS feature_vector
+       FROM lineitem""",
+)
+def a6_vector_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — dense-vector assembly with NULL→0.0 defaults
+    (Elastic_indexing.py:257-258,274-313): pure array() expression."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        F.concat(F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("dre_cd"),
+        F.round("l_quantity", 2).alias("v1"),
+        F.round("l_extendedprice", 2).alias("v2"),
+        F.round("l_discount", 2).alias("v3"),
+        F.round("l_tax", 2).alias("v4"),
+    )
+    return df.select("dre_cd", assemble_vector(["v1", "v2", "v3", "v4"]).alias("feature_vector"))
+
+
+@query(
+    "a7_distinct_sorted_dates",
+    """SELECT DISTINCT strftime(o_orderdate, '%Y%m') AS ym FROM orders ORDER BY ym""",
+)
+def a7_distinct_sorted_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — sorted distinct date partitions (BkupRs.py:66,183-189)."""
+    df = _t(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyyMM").alias("ym")
+    )
+    return distinct_sorted(df, "ym")
+
+
+@query(
+    "a8_group_minmax",
+    """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+              round(min(c_acctbal), 2) AS min_bal,
+              round(max(c_acctbal), 2) AS max_bal,
+              round(avg(c_acctbal), 4) AS avg_bal
+       FROM customer GROUP BY c_nationkey""",
+)
+def a8_group_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — group stats (index_counts.ipynb max-per-series, generalized)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@query(
+    "a9_rollup",
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+              CAST(count(*) AS BIGINT) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] ROLLUP — Spark built-in (SURVEY §2.4 note)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "a10_cube",
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+)
+def a10_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] CUBE — Spark built-in."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "a11_distinct_count",
+    """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+              CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+       FROM orders""",
+)
+def a11_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts; the approx variant (approx_count_distinct /
+    HLL) is exposed as ``a12_approx_distinct`` with a rows-only check since
+    sketch estimates differ across engines."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+    )
+
+
+@query("a12_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] approx_count_distinct (HLL++) — the scale path
+    for distinct counts: constant memory, no shuffle of the key universe."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_n_cust")
+    )
+
+
+@query(
+    "a13_grouped_pivot",
+    """SELECT o_custkey AS cust_key,
+              round(coalesce(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 0), 2) AS "O",
+              round(coalesce(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 0), 2) AS "F",
+              round(coalesce(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 0), 2) AS "P"
+       FROM orders GROUP BY o_custkey""",
+)
+def a13_grouped_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 idiomatic collapse — the reference's two-branch UNION ALL + merge
+    (Elastic_indexing.py:133-147) as one groupBy().pivot() with explicit
+    values (no extra distinct job)."""
+    out = grouped_pivot(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        pivot_col="o_orderstatus",
+        pivot_values=["O", "F", "P"],
+        agg=F.sum("o_totalprice"),
+    )
+    return out.select(
+        F.col("o_custkey").alias("cust_key"),
+        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(s) for s in ("O", "F", "P")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Windows (absent in reference — exposed natively per SURVEY)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_rank_in_group",
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal,
+              CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn,
+              CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC) AS BIGINT) AS rnk
+       FROM customer""",
+)
+def w1_rank_in_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — generates the precomputed rank columns the reference consumes
+    (dre_dty_rnk / dre_dty_part_rnk, Elastic_indexing.py:115-116). One
+    shuffle on the partition key; rows sorted within partitions only."""
+    w_rn = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w_rk = Window.partitionBy("c_nationkey").orderBy(F.round("c_acctbal", 2).desc())
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.row_number().over(w_rn).alias("rn"),
+        F.rank().over(w_rk).alias("rnk"),
+    )
+
+
+@query(
+    "w2_moving_avg",
+    """WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day, round(sum(value), 2) AS revenue
+         FROM events WHERE event_type = 'purchase' GROUP BY 1)
+       SELECT day, revenue,
+              round(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+       FROM daily""",
+)
+def w2_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — 7-row moving average over daily counts (the monitoring
+    use case implied by index_counts.ipynb). Global window over ~30 day
+    rows — fine; at scale the partitionBy would be the series key."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select("day", "revenue", F.round(F.avg("revenue").over(w), 4).alias("ma7"))
+
+
+@query(
+    "w3_lag_delta",
+    """WITH daily AS (
+         SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1)
+       SELECT day, cnt,
+              CAST(cnt - lag(cnt) OVER (ORDER BY day) AS BIGINT) AS delta
+       FROM daily""",
+)
+def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — lag(): day-over-day delta of the daily index counts the
+    reference only eyeballs in a notebook."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    return daily.select("day", "cnt", (F.col("cnt") - F.lag("cnt").over(w)).alias("delta"))
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_limit_probe",
+    """SELECT * FROM nation ORDER BY n_nationkey LIMIT 1""",
+)
+def o1_limit_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — ``limit 1`` schema probe (BkupRs.py:133-134); ordered so the
+    probe row is deterministic."""
+    return _t(spark, sf_dir, "nation").orderBy("n_nationkey").limit(1)
+
+
+@query(
+    "o3_topk",
+    """SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+       ORDER BY c_acctbal DESC, c_custkey LIMIT 10""",
+)
+def o3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O5 — top-k via sort+limit; Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge, no full sort) — the distributed
+    version of the reference's ``sort(reverse=True); lst[0]``
+    (log_screen.py:119-127)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(10)
+        .select("c_custkey", F.round("c_acctbal", 2).alias("bal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_all",
+    """SELECT o_custkey AS cust_key, 'open' AS bucket FROM orders WHERE o_orderstatus = 'O'
+       UNION ALL
+       SELECT o_custkey AS cust_key, 'closed' AS bucket FROM orders WHERE o_orderstatus = 'F'""",
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — UNION ALL of complementary branches
+    (Elastic_indexing.py:133-147) via unionByName."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("cust_key"), F.lit("open").alias("bucket")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("cust_key"), F.lit("closed").alias("bucket")
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "u3_intersect",
+    """SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
+)
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] INTERSECT — customers with both open and
+    filled orders."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("cust_key"))
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("cust_key"))
+    return a.intersect(b)
+
+
+@query(
+    "u4_except",
+    """SELECT c_custkey AS cust_key FROM customer
+       EXCEPT
+       SELECT o_custkey FROM orders""",
+)
+def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] EXCEPT — set-difference twin of j5."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key"))
+    return c.exceptAll(o).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 Scalar function pack
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f_scalar_pack",
+    """SELECT c_custkey,
+              coalesce(c_name, '') AS name_nvl,
+              concat(c_custkey, '-', c_mktsegment) AS pk,
+              substring(c_name, 1, 8) AS name8,
+              replace(c_mktsegment, 'BUILD', 'BLD') AS seg_repl,
+              trim(lower(c_mktsegment)) AS seg_lower,
+              round(abs(c_acctbal), 1) AS bal_abs
+       FROM customer""",
+)
+def f_scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F7 in one projection (nvl / concat / substring / replace / trim /
+    lower / round / abs) — entirely within one WholeStageCodegen span."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        nvl("c_name", "").alias("name_nvl"),
+        F.concat(F.col("c_custkey"), F.lit("-"), F.col("c_mktsegment")).alias("pk"),
+        F.substring("c_name", 1, 8).alias("name8"),
+        F.replace(F.col("c_mktsegment"), F.lit("BUILD"), F.lit("BLD")).alias("seg_repl"),
+        F.trim(F.lower("c_mktsegment")).alias("seg_lower"),
+        F.round(F.abs("c_acctbal"), 1).alias("bal_abs"),
+    )
+
+
+@query(
+    "f8_case_like_normalizer",
+    """SELECT p_partkey,
+              CASE WHEN p_type LIKE 'PROMO%' THEN 'promotional'
+                   WHEN p_type LIKE '%BRUSHED%' THEN 'brushed'
+                   WHEN p_type LIKE '%PLATED%' THEN 'plated'
+                   WHEN p_type LIKE 'STANDARD%' THEN 'standard'
+                   ELSE 'other' END AS type_norm
+       FROM part""",
+)
+def f8_case_like_normalizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 — the ~20-branch CASE WHEN…LIKE screen-name canonicalizer
+    (log_screen.py:253-291) via the rule-chain builder."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        case_like_normalize(
+            "p_type",
+            [
+                ("PROMO%", "promotional"),
+                ("%BRUSHED%", "brushed"),
+                ("%PLATED%", "plated"),
+                ("STANDARD%", "standard"),
+            ],
+            default="other",
+        ).alias("type_norm"),
+    )
+
+
+@query(
+    "f10_timestamp_rebuild",
+    """SELECT event_id,
+              strptime(concat(strftime(ts, '%Y%m%d'), ' ', strftime(ts, '%H:%M:%S')),
+                       '%Y%m%d %H:%M:%S') AS rebuilt_ts
+       FROM events""",
+)
+def f10_timestamp_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — timestamp round-trip through yyyyMMdd + HH:mm:ss strings
+    (log_screen.py:292's substring-chain, done with one to_timestamp)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        rebuild_timestamp(
+            F.date_format("ts", "yyyyMMdd"), F.date_format("ts", "HH:mm:ss")
+        ).alias("rebuilt_ts"),
+    )
+
+
+@query(
+    "f17_json_extract",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events""",
+)
+def f17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — JSON blob field extraction (the ``props`` column; reference
+    round-trips _source dicts through json.dumps,
+    Elastic_indexing.py:197-201)."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics — headline bench queries (standard shapes a reference user
+# would run; exercise scan+filter+join+agg+sort together)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              round(sum(l_quantity), 2) AS sum_qty,
+              round(sum(l_extendedprice), 2) AS sum_base_price,
+              round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+              round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+              round(avg(l_quantity), 4) AS avg_qty,
+              round(avg(l_extendedprice), 4) AS avg_price,
+              round(avg(l_discount), 4) AS avg_disc,
+              CAST(count(*) AS BIGINT) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over the driver's lineitem. Map-side partial agg on
+    a 6-group key → trivially scalable; the filter pushes to parquet."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """SELECT l.l_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              o.o_orderdate, o.o_orderpriority
+       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-03-15'
+         AND l.l_shipdate > TIMESTAMP '1998-03-15'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY revenue DESC, l_orderkey LIMIT 20""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is broadcast (dim); orders⋈lineitem
+    shuffles on orderkey — the bucketing candidate at 100 TB. Top-20 via
+    TakeOrdered, not a global sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    """SELECT n.n_name,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+       JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey
+       WHERE r.r_name = 'ASIA'
+       GROUP BY n.n_name""",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. All dims broadcast; the only shuffle
+    is lineitem⋈orders. Catalyst reorders the dim joins after the fact
+    join keys are resolved."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+@query(
+    "explode_top_tokens",
+    """SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents) t
+       GROUP BY tok ORDER BY cnt DESC, tok LIMIT 20""",
+)
+def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference as a distributed op] explode + count: corpus
+    token frequencies — the CountVectorizer vocabulary step
+    (Keyword.py:82-89) distributed. explode → partial count → top-k."""
+    from .operators.text import tokens
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(20)
+    )

@@ -1,0 +1,99 @@
+"""Semantic tests for the probabilistic dedup/similarity operators (the
+rows-only checked ones): planted duplicates must be found, non-duplicates
+must not collide."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_dedup,
+    simhash_signature,
+)
+from data_engineering_spark.operators.similarity import cosine_near_pairs, cosine_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden outside"
+    )
+    near = base.replace("lazy", "sleepy")  # one-token change → high jaccard
+    other = (
+        "completely different content about distributed query engines and "
+        "columnar storage with vectorized execution and shuffle services"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, other),
+        (5, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_planted(planted):
+    out = exact_dedup(planted).orderBy("doc_id").collect()
+    # 1&2 collapse to one fingerprint with dup_count 2
+    counts = {r.doc_id: r.dup_count for r in out}
+    assert counts[1] == 2
+    assert 2 not in counts  # kept min id only
+    assert counts[4] == 1
+
+
+def test_minhash_finds_near_dups(planted):
+    pairs = {(r.id_a, r.id_b) for r in minhash_near_dedup(planted, threshold=0.5).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup found
+    assert all({a, b} != {1, 4} and {a, b} != {3, 4} for a, b in pairs)  # no false pair with `other`
+
+
+def test_simhash_near_dups(planted):
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dedup(planted, max_hamming=10).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 0
+    sigs = {r.doc_id: r.simhash for r in simhash_signature(planted).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[4]
+
+
+def test_ngram_jaccard_pairs(planted):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(planted, threshold=0.4).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 1
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_order(vectors):
+    out = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 1), k=4)
+    got = [(r.neighbor_id, r.rnk) for r in out.orderBy("rnk").collect()]
+    assert got[0][0] == 2  # nearest is the near-identical vector
+    assert got[-1][0] == 5  # farthest is the opposite vector
+
+
+def test_cosine_near_pairs_threshold(vectors):
+    pairs = {(r.id_a, r.id_b) for r in cosine_near_pairs(vectors, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_lsh_topk_recall_on_identical_bucket(vectors):
+    # identical/near-identical vectors must share a hyperplane bucket
+    out = lsh_topk(vectors, vectors.filter(F.col("vec_id") == 1), dim=4, k=3, planes=4)
+    neigh = {r.neighbor_id for r in out.collect()}
+    assert 2 in neigh

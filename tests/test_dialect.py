@@ -1,0 +1,50 @@
+"""Dialect shim tests: the reference's Redshift SQL text runs on Spark
+after rewriting (SURVEY §4 — nvl/to_char/listagg/$$ UNLOAD)."""
+
+from __future__ import annotations
+
+from data_engineering_spark.catalog import register_views
+from data_engineering_spark.functions.dialect import parse_unload, rewrite_redshift_sql
+
+
+def test_to_char_rewrite():
+    out = rewrite_redshift_sql("select to_char(f.platform_dt,'YYYYMMDD') as dt from t")
+    assert "date_format(f.platform_dt, 'yyyyMMdd')" in out
+
+
+def test_listagg_rewrite():
+    out = rewrite_redshift_sql("select listagg(distinct trng_dvsn_cd, ',') from t group by k")
+    assert "array_join(array_sort(collect_set(trng_dvsn_cd)), ',')" in out
+
+
+def test_unload_parse():
+    spec = parse_unload(
+        "UNLOAD ($$ select 1 as x $$) TO 's3://bkt/path' json parallel OFF gzip allowoverwrite"
+    )
+    assert spec.sql.strip() == "select 1 as x"
+    assert spec.target == "s3://bkt/path"
+    assert spec.options == {
+        "format": "json",
+        "parallel": "off",
+        "compression": "gzip",
+        "mode": "overwrite",
+    }
+
+
+def test_reference_style_sql_executes(spark, sf_dir):
+    """A reference-shaped Redshift query (Elastic_indexing.py:133-147
+    pattern) runs verbatim through the shim + spark.sql."""
+    register_views(spark, sf_dir)
+    redshift_sql = """
+        select o_custkey,
+               listagg(distinct o_orderpriority, ',') as prio,
+               to_char(max(o_orderdate), 'YYYYMMDD') as last_dt,
+               nvl(max(o_totalprice), 0.0) as max_total
+        from orders
+        where o_orderstatus = 'O'
+        group by o_custkey;
+    """
+    df = spark.sql(rewrite_redshift_sql(redshift_sql))
+    rows = df.limit(5).collect()
+    assert rows
+    assert set(df.columns) == {"o_custkey", "prio", "last_dt", "max_total"}

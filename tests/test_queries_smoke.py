@@ -1,0 +1,38 @@
+"""Smoke: every registered query runs at sf0.001 and yields a stable,
+non-degenerate schema. The driver's DuckDB oracle covers value
+correctness at sf0.01; these tests gate basic executability fast."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_spark import queries_llm, queries_relational  # noqa: F401
+from data_engineering_spark.registry import ORACLE, QUERIES
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.columns, f"{name}: empty schema"
+    assert len(df.columns) == len(set(df.columns)), f"{name}: duplicate column names"
+    n = df.count()
+    assert n >= 0
+
+
+def test_every_oracle_has_query():
+    missing = set(ORACLE) - set(QUERIES)
+    assert not missing, f"oracle without query: {missing}"
+
+
+def test_flagship_nonempty(spark, sf_dir):
+    df = QUERIES["flagship_serving_index"](spark, sf_dir)
+    assert df.count() > 0
+    assert df.columns == [
+        "dre_cd",
+        "ship_dt",
+        "segment",
+        "prio_open",
+        "prio_closed",
+        "score",
+        "qty",
+    ]
