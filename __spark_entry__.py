@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_engineering_spark import registry  # noqa: E402
-from data_engineering_spark import queries_llm, queries_relational  # noqa: E402,F401  (side-effect: register)
+from data_engineering_spark import queries_extra, queries_llm, queries_relational  # noqa: E402,F401  (side-effect: register)
 from data_engineering_spark.session import prepare_session  # noqa: E402
 
 

@@ -1,0 +1,153 @@
+"""UDF/NLP layer (SURVEY §2.10 UD1-UD3, UD5): the reference's
+collect-to-driver NLP re-expressed as Arrow-vectorized executor-side UDFs.
+
+The reference collects all rows to the driver and loops
+(``Talent_Opportunity_Platform/Keyword.py:192-228``) — single process,
+1200s-per-row timeouts. Here:
+
+- UD1 tokenizer → pure-Spark regex pipeline (no UDF at all);
+  a pandas_udf variant shows the Arrow pattern for real analyzers
+  (pynori / any HF tokenizer would slot into ``tokenize_pandas``).
+- UD2 keyword extraction → ``applyInPandas`` grouped-map keyed by the
+  group id: each group is scored on an executor; errors degrade to a
+  (key, None, None) row exactly like the reference's fallback
+  (``Keyword.py:219,224``).
+- UD3 sentence embedding → deterministic hash-based embedding pandas_udf
+  (the SentenceTransformer model isn't in this container — the *operator
+  shape* is what's engine-relevant: text column in, fixed-dim
+  array<float> out, Arrow batches, no driver hop).
+- UD5 doc-shaping → ``to_json(struct(...))``, no UDF needed.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .text import tokens
+
+__all__ = [
+    "tokenize_pandas",
+    "keyword_extract",
+    "embed_text",
+    "doc_to_json",
+    "tfidf_keywords",
+]
+
+_WORD_RE = re.compile(r"[A-Za-z0-9가-힣]+")
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def tokenize_pandas(texts: pd.Series) -> pd.Series:
+    """UD1 — analyzer-shaped tokenizer as an Arrow-batched pandas_udf
+    (stand-in for pynori's ``do_analysis`` term extraction,
+    ``pynori_test.py:4-27``; swap the body for a real morphological
+    analyzer — the Spark plumbing is identical)."""
+    return texts.map(lambda t: _WORD_RE.findall(t.lower()) if isinstance(t, str) else [])
+
+
+_EMBED_DIM = 16
+
+
+@pandas_udf(T.ArrayType(T.FloatType()))
+def embed_text(texts: pd.Series) -> pd.Series:
+    """UD3 — sentence-embedding operator shape (``Keyword.py:25-28``):
+    text → fixed-dim float vector, executed as Arrow batches on
+    executors. Deterministic feature-hashing embedding (no model
+    download): token → bucket via stable hash, L2-normalized counts."""
+
+    def embed(t: str) -> list[float]:
+        vec = [0.0] * _EMBED_DIM
+        if isinstance(t, str):
+            for tok in _WORD_RE.findall(t.lower()):
+                h = hash_token(tok)
+                vec[h % _EMBED_DIM] += 1.0 if (h >> 8) % 2 == 0 else -1.0
+        norm = math.sqrt(sum(x * x for x in vec)) or 1.0
+        return [x / norm for x in vec]
+
+    return texts.map(embed)
+
+
+def hash_token(tok: str) -> int:
+    """Stable (non-PYTHONHASHSEED) token hash — FNV-1a 32-bit."""
+    h = 2166136261
+    for ch in tok.encode("utf-8"):
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+KEYWORD_SCHEMA = T.StructType(
+    [
+        T.StructField("group_id", T.LongType()),
+        T.StructField("keyword", T.StringType()),
+        T.StructField("kw_rank", T.LongType()),
+    ]
+)
+
+
+def keyword_extract(df: DataFrame, group_col: str, text_col: str, top_k: int = 3) -> DataFrame:
+    """UD2 — grouped keyword extraction via ``applyInPandas``
+    (``Keyword.py:192-228``'s collect-and-loop distributed: one Arrow
+    group per key on an executor). TF scoring with a stopword-ish filter;
+    per-group failure degrades to a (key, None, None) row like the
+    reference's error fallback."""
+
+    def extract(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = pdf[group_col].iloc[0]
+        try:
+            counts: Counter = Counter()
+            for t in pdf[text_col]:
+                if isinstance(t, str):
+                    counts.update(w for w in _WORD_RE.findall(t.lower()) if len(w) > 2)
+            top = counts.most_common()
+            top.sort(key=lambda kv: (-kv[1], kv[0]))  # deterministic tie-break
+            rows = [(gid, w, i + 1) for i, (w, _) in enumerate(top[:top_k])]
+            if not rows:
+                rows = [(gid, None, None)]
+        except Exception:  # noqa: BLE001 — mirror reference fallback Keyword.py:219
+            rows = [(gid, None, None)]
+        return pd.DataFrame(rows, columns=["group_id", "keyword", "kw_rank"])
+
+    return df.groupBy(group_col).applyInPandas(extract, schema=KEYWORD_SCHEMA)
+
+
+def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, top_k: int = 3) -> DataFrame:
+    """Pure-DataFrame TF-IDF keyword extraction — the no-UDF twin of
+    ``keyword_extract`` (explode → doc-frequency join → window top-k).
+    Preferable at scale: stays in Tungsten, no Arrow hop."""
+    from pyspark.sql import Window
+
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
+        F.length("tok") > 2
+    )
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.count()
+    dfreq = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    scored = tf.join(dfreq, "tok").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w))
+        .filter(F.col("kw_rank") <= top_k)
+        .select(F.col(id_col), F.col("tok").alias("keyword"), "kw_rank", "tfidf")
+    )
+
+
+def doc_to_json(df: DataFrame, id_col: str, index_name: str) -> DataFrame:
+    """UD5 — the per-row ``{_index,_id,_source}`` doc-shaping generator
+    (``Elastic_indexing.py:194-201``) as ``to_json(struct(*))`` — pure
+    expression, no generator, no driver."""
+    payload_cols = [c for c in df.columns]
+    return df.select(
+        F.lit(index_name).alias("_index"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.to_json(F.struct(*payload_cols)).alias("_source"),
+    )

@@ -1,0 +1,185 @@
+"""Query pack #3: UDF/NLP layer (§2.10 UD1-UD3), streaming-window
+semantics as batch-checkable queries (§2.9), and multimodal plumbing.
+
+Streaming note: ``F.window`` / ``F.session_window`` compute identical
+results in batch mode, so the window operators get full DuckDB oracles
+here; the *incremental* behavior (watermarks, AvailableNow, foreachBatch)
+is exercised in ``tests/test_streaming.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators.multimodal import extract_features, media_metadata, sample_frames, synthetic_media
+from .operators.nlp import embed_text, keyword_extract, tfidf_keywords, tokenize_pandas
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 UDF / NLP
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nlp_tfidf_keywords",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         FROM documents),
+       tf AS (
+         SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         FROM tok WHERE length(tok) > 2 GROUP BY doc_id, tok),
+       dfreq AS (
+         SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+       scored AS (
+         SELECT tf.doc_id, tf.tok, tf.tf,
+                round(tf.tf * ln(((SELECT count(*) FROM documents) + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+         FROM tf JOIN dfreq ON tf.tok = dfreq.tok)
+       SELECT doc_id, tok AS keyword,
+              CAST(kw_rank AS BIGINT) AS kw_rank, tfidf
+       FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tfidf DESC, tok) AS kw_rank
+             FROM scored) t
+       WHERE kw_rank <= 3""",
+)
+def q_nlp_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD2's scoring as pure DataFrame TF-IDF (operators/nlp.py:
+    tfidf_keywords) — no UDF, fully codegen'd."""
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("nlp_keyword_extract")  # rows-only: applyInPandas grouped-map, no SQL twin
+def q_nlp_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD2 — grouped-map keyword extraction keyed by source (the
+    reference's per-employee loop, Keyword.py:192-228, on executors)."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "group_id", F.abs(F.hash("source")).cast("long")
+    )
+    return keyword_extract(docs, "group_id", "text")
+
+
+@query("nlp_embed_text")  # rows-only: hash-embedding is engine-specific
+def q_nlp_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD3 — text → fixed-dim float vector via Arrow pandas_udf."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", embed_text(F.col("text")).alias("embedding")
+    )
+
+
+@query("nlp_tokenize_pandas")  # rows-only: UDF tokenization (UD1 Arrow shape)
+def q_nlp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD1 — analyzer-shaped pandas_udf tokenizer; compare
+    text.tokens() for the no-UDF fast path."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_pandas(F.col("text")).alias("toks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 Streaming window semantics (batch-checkable)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st_tumbling_counts",
+    """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+              CAST(count(*) AS BIGINT) AS cnt
+       FROM events GROUP BY 1, 2""",
+)
+def q_st_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — tumbling 1h window counts (streaming/streams.py:
+    tumbling_counts runs this same groupBy incrementally)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+@query(
+    "st_sliding_value_sum",
+    """WITH buckets AS (
+         SELECT ts, value, event_type,
+                time_bucket(INTERVAL '30 minutes', ts) AS b
+         FROM events),
+       expanded AS (
+         SELECT event_type, value, b AS window_start FROM buckets
+         UNION ALL
+         SELECT event_type, value, b - INTERVAL '30 minutes' AS window_start FROM buckets)
+       SELECT window_start, event_type, round(sum(value), 2) AS total_value
+       FROM expanded GROUP BY 1, 2""",
+)
+def q_st_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — sliding window (1h / 30m) sum; the oracle expands each row
+    into the two windows that contain it."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
+    )
+
+
+@query(
+    "st_session_windows",
+    """WITH ordered AS (
+         SELECT user_id, ts, value,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL '10 minutes'
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       sessions AS (
+         SELECT user_id, ts, value,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM ordered)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+              round(sum(value), 2) AS session_value,
+              min(ts) AS session_start
+       FROM sessions GROUP BY user_id, session_no""",
+)
+def q_st_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — session windows (10 min gap) per user; oracle via
+    gaps-and-islands. session_window end = last_event + gap, so we
+    compare on (user, start, count, sum)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+            F.min("ts").alias("session_start"),
+        )
+        .select("user_id", "n_events", "session_value", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only — no media table in the oracle views)
+# ---------------------------------------------------------------------------
+
+
+@query("mm_media_metadata")
+def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — typed metadata over opaque binary media columns."""
+    return media_metadata(synthetic_media(spark, 64))
+
+
+@query("mm_extract_features")
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — mapInPandas feature extraction over binary payloads
+    (decode stubbed; Arrow batching real)."""
+    return extract_features(synthetic_media(spark, 64))
+
+
+@query("mm_sample_frames")
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — video frame-sampling fan-out (sequence + explode)."""
+    return sample_frames(synthetic_media(spark, 64))

@@ -66,6 +66,9 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     parity, AQE for plan quality).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Partition values stay strings (the reference's bkup_dt yyyyMMdd keys
+    # are strings, BkupRs.py:234-239; inference would coerce them to int).
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

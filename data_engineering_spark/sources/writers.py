@@ -1,0 +1,99 @@
+"""Sinks (SURVEY §2.1 S11-S18) — the reference's Redshift/S3/ES write
+patterns as Parquet-warehouse operations.
+
+Scale stance: every writer is a distributed ``df.write`` — no driver
+staging, no shell subprocesses (the reference moves files with
+``aws s3 mv`` subprocesses, ``Talent_Opportunity_Platform/comlib.py:157-175``).
+Partition-level idempotency uses dynamic partition overwrite, the
+transactional replacement for the reference's ``preactions: delete where
+bkup_dt='{d}'`` pattern.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "truncate_and_load",
+    "partition_overwrite",
+    "full_overwrite",
+    "write_unload",
+    "write_serving_index",
+    "retention_prune",
+]
+
+
+def truncate_and_load(df: DataFrame, table_dir: str) -> int:
+    """S11 — the reference's truncate-then-append
+    (``AWS_GLUE_ETL.py:124-132``: ``preactions: delete from t`` +
+    ``mode("append")``) as an atomic ``mode("overwrite")`` parquet write.
+    Returns the written row count (the audit metric, A4)."""
+    df.write.mode("overwrite").parquet(table_dir)
+    return df.sparkSession.read.parquet(table_dir).count()
+
+
+def partition_overwrite(df: DataFrame, table_dir: str, partition_col: str) -> int:
+    """S12 — replace exactly the date partitions present in ``df``
+    (``BkupRs.py:272-280``: ``delete … where bkup_dt='{d}'`` + append).
+    Dynamic partition overwrite touches only those directories — re-runs
+    are idempotent, other partitions untouched. At 100 TB this is the
+    difference between rewriting a table and rewriting a day."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return df.count()
+
+
+def full_overwrite(df: DataFrame, table_dir: str) -> int:
+    """S13 — plain ``mode("overwrite")`` (``ETL_esrd.py:126-134``)."""
+    df.write.mode("overwrite").parquet(table_dir)
+    return df.sparkSession.read.parquet(table_dir).count()
+
+
+def write_unload(df: DataFrame, path: str, parallel_off: bool = True, compression: str = "gzip") -> None:
+    """S14 — ``UNLOAD … json parallel OFF gzip allowoverwrite``
+    (``Elastic_indexing.py:161-165``): single gzip JSON file.
+
+    ``parallel OFF`` → ``coalesce(1)``. Note for scale: a single output
+    file serializes the write through one task — only do this when a
+    downstream consumer genuinely needs one file (the reference's ES bulk
+    loader did); otherwise leave parallel on."""
+    out = df.coalesce(1) if parallel_off else df
+    out.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def write_serving_index(df: DataFrame, table_dir: str, key_col: str, buckets: int = 0) -> int:
+    """S15 — the ES bulk-index sink re-imagined: the "index" is a
+    materialized, query-optimized parquet table (SURVEY §1.1). The
+    reference batches 300k docs per bulk call (``Elastic_indexing.py:220``)
+    — here partitioning subsumes batching. Optionally sort within
+    partitions by the lookup key so min/max row-group stats prune point
+    lookups."""
+    out = df.sortWithinPartitions(key_col)
+    out.write.mode("overwrite").parquet(table_dir)
+    return df.sparkSession.read.parquet(table_dir).count()
+
+
+def retention_prune(spark: SparkSession, table_dir: str, partition_col: str, cutoff: str) -> list[str]:
+    """S18 — date-prefix retention delete (``BkupRs.py:183-201``,
+    ``S3Delete.py:29-51``): drop partitions with value < cutoff.
+    Operates on partition directories (``col=value``), never row-by-row.
+    Returns the dropped partition values."""
+    dropped: list[str] = []
+    if not os.path.isdir(table_dir):
+        return dropped
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(table_dir)):
+        if entry.startswith(prefix):
+            value = entry[len(prefix):]
+            if value < cutoff:
+                shutil.rmtree(os.path.join(table_dir, entry))
+                dropped.append(value)
+    return dropped

@@ -1,0 +1,179 @@
+"""Structured Streaming layer (SURVEY §2.9, Phase 4).
+
+The reference's streaming is Kafka client code (exactly-once producer
+``Kafka/producer.py:3-7`` / ``transaction/producer.py:6-21``,
+read_committed consumer ``Kafka/consumer.py:4-15``) plus a scheduled
+daily-incremental batch pattern (``Talent_Opportunity_Platform/
+Airflow_week.py:26-29,146-152``). Structured Streaming subsumes all of it:
+
+- exactly-once produce (ST1/ST2) → checkpointed ``writeStream`` — Spark's
+  epoch commit protocol replaces init/begin/commit/abort.
+- read_committed consume (ST3) → ``kafka.isolation.level=read_committed``
+  reader option; offsets live in the checkpoint, not the broker.
+- 300k-doc bulk flush (ST5) → ``foreachBatch``.
+- the daily watermark batch (ST6) → ``Trigger.AvailableNow`` incremental
+  runs over a file source.
+
+The ``events`` table doubles as the replayable stream (FIXTURES.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "events_stream",
+    "tumbling_counts",
+    "sliding_value_sum",
+    "session_windows",
+    "streaming_dedup",
+    "run_available_now",
+    "foreach_batch_parquet_sink",
+    "kafka_source_options",
+    "kafka_sink_options",
+]
+
+# events.parquet carries NANOS timestamps → read ts as long (see
+# catalog.load_table) and rebuild micros in the stream projection.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8-shaped file stream over the events table (one file = one replay;
+    in production this is the Kafka topic, same downstream code)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # basePath must be a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark
+    ([absent] in the reference — SURVEY §2.9 last row)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def sliding_value_sum(
+    stream: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Sliding window sum of ``value`` per event_type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based), the idiomatic replacement for
+    driver-side sessionization."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once-per-key dedup within the watermark horizon —
+    the streaming twin of exact_dedup (state expires with the watermark,
+    bounding memory at scale)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, sink_dir: str
+) -> None:
+    """ST6 — ``Trigger.AvailableNow``: process everything new since the
+    last checkpoint, then stop — the reference's daily `param_date`
+    incremental batch without manual watermark bookkeeping."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", sink_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+
+def foreach_batch_parquet_sink(
+    sink_dir: str, transform: Callable[[DataFrame], DataFrame] | None = None
+) -> Callable[[DataFrame, int], None]:
+    """ST5 — the 300k-doc bulk-flush pattern
+    (``Elastic_indexing.py:220-223``) as a foreachBatch sink: each
+    micro-batch is one atomic, idempotent-by-batch-id write. Swap the body
+    for an ES/JDBC bulk call in production; the batching contract is
+    identical."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform else batch_df
+        out.write.mode("append").parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    return sink
+
+
+def kafka_source_options(
+    bootstrap_servers: str, topic: str, *, read_committed: bool = True, starting: str = "earliest"
+) -> dict[str, str]:
+    """S8/ST3 — reader options matching the reference consumer
+    (``Kafka/consumer.py:4-10``: read_committed isolation, explicit
+    offsets; offset commits live in the checkpoint instead of
+    ``enable.auto.commit=False`` + manual ``commit()``)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting,
+        "kafka.isolation.level": "read_committed" if read_committed else "read_uncommitted",
+        "failOnDataLoss": "true",
+    }
+
+
+def kafka_sink_options(bootstrap_servers: str, topic: str, checkpoint_dir: str) -> dict[str, str]:
+    """S17/ST1/ST2 — writer options for exactly-once-shaped produce: the
+    checkpoint provides idempotent epoch commits (the reference's
+    ``enable.idempotence`` + transactional_id + init/begin/commit/abort,
+    ``Kafka/transaction/producer.py:6-21``, with no user-managed
+    transaction code)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }

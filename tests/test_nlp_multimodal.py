@@ -1,0 +1,103 @@
+"""§2.10 UDF/NLP layer + multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.multimodal import (
+    extract_features,
+    media_metadata,
+    sample_frames,
+    synthetic_media,
+)
+from data_engineering_spark.operators.nlp import (
+    doc_to_json,
+    embed_text,
+    keyword_extract,
+    tfidf_keywords,
+    tokenize_pandas,
+)
+
+
+def test_tokenize_pandas(spark):
+    df = spark.createDataFrame([(1, "Hello World hello")], ["id", "text"])
+    toks = df.select(tokenize_pandas(F.col("text")).alias("t")).collect()[0].t
+    assert toks == ["hello", "world", "hello"]
+
+
+def test_keyword_extract_grouped(spark):
+    rows = [
+        (1, "spark spark spark shuffle shuffle join"),
+        (1, "spark broadcast"),
+        (2, "duckdb duckdb vector"),
+    ]
+    df = spark.createDataFrame(rows, ["group_id", "text"])
+    out = {
+        (r.group_id, r.kw_rank): r.keyword
+        for r in keyword_extract(df, "group_id", "text").collect()
+    }
+    assert out[(1, 1)] == "spark"  # tf=4
+    assert out[(1, 2)] == "shuffle"
+    assert out[(2, 1)] == "duckdb"
+
+
+def test_keyword_extract_empty_group_fallback(spark):
+    df = spark.createDataFrame([(7, "a b")], ["group_id", "text"])  # all tokens ≤2 chars
+    rows = keyword_extract(df, "group_id", "text").collect()
+    assert len(rows) == 1 and rows[0].keyword is None  # reference fallback shape
+
+
+def test_embed_text_deterministic_normalized(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma"), (2, "alpha beta gamma")], ["id", "text"])
+    vecs = [r.v for r in df.select(embed_text(F.col("text")).alias("v")).collect()]
+    assert vecs[0] == vecs[1]  # deterministic across rows/batches
+    assert abs(sum(x * x for x in vecs[0]) - 1.0) < 1e-5  # L2 normalized
+
+
+def test_tfidf_rare_token_beats_common(spark):
+    rows = [
+        (1, "common rare1"),
+        (2, "common rare2"),
+        (3, "common rare3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_keywords(df, "doc_id", "text", top_k=1)
+    top = {r.doc_id: r.keyword for r in out.collect()}
+    assert top == {1: "rare1", 2: "rare2", 3: "rare3"}  # idf downweights 'common'
+
+
+def test_doc_to_json_shape(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "val"])
+    row = doc_to_json(df, "doc_id", "hr_dty_rcmd_emp").collect()[0]
+    assert row._index == "hr_dty_rcmd_emp"
+    assert row._id == "1"
+    assert '"val":"x"' in row._source
+
+
+def test_media_metadata(spark):
+    meta = media_metadata(synthetic_media(spark, 12)).collect()
+    assert len(meta) == 12
+    by_id = {r.media_id: r for r in meta}
+    assert by_id[0].kind == "image" and by_id[0].aspect is not None
+    assert by_id[1].kind == "audio" and by_id[1].aspect is None
+    assert all(r.n_bytes > 0 and len(r.content_md5) == 32 for r in meta)
+
+
+def test_extract_features_shape_and_determinism(spark):
+    f1 = {r.media_id: r.feature for r in extract_features(synthetic_media(spark, 12)).collect()}
+    f2 = {r.media_id: r.feature for r in extract_features(synthetic_media(spark, 12)).collect()}
+    assert all(len(v) == 8 for v in f1.values())
+    assert f1 == f2  # deterministic across runs
+
+
+def test_sample_frames_fanout(spark):
+    frames = sample_frames(synthetic_media(spark, 12), every_ms=5000)
+    rows = frames.collect()
+    assert all(r.frame_ts_ms % 5000 == 0 for r in rows)
+    # every video with duration d gets ceil(d/5000) frames
+    vids = {r.media_id: r.duration_ms for r in synthetic_media(spark, 12).filter(F.col("kind") == "video").collect()}
+    from collections import Counter
+
+    per = Counter(r.media_id for r in rows)
+    for mid, dur in vids.items():
+        assert per[mid] == (dur + 4999) // 5000

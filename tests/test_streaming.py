@@ -1,0 +1,121 @@
+"""§2.9 streaming: incremental runs over the events file-stream must match
+batch results; exactly-once / incremental semantics via checkpoints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.streaming.streams import (
+    events_stream,
+    foreach_batch_parquet_sink,
+    kafka_sink_options,
+    kafka_source_options,
+    run_available_now,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def test_available_now_matches_batch(spark, sf_dir, tmp_path):
+    """ST6 — AvailableNow incremental run of the tumbling agg equals the
+    batch computation (complete parity between the two modes)."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = tumbling_counts(events_stream(spark, sf_dir), watermark="0 seconds")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(sink)
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "event_type", "cnt")
+    )
+    # append mode emits a window only once the watermark passes its end —
+    # the final in-flight window stays open, by design
+    closed = batch.filter(F.col("window_end") <= F.lit(max_ts))
+    assert got.count() == closed.count()
+    assert got.exceptAll(closed).count() == 0
+
+    # second AvailableNow run with same checkpoint: no new input → no new rows
+    q2 = (
+        tumbling_counts(events_stream(spark, sf_dir), watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == closed.count()
+
+
+def test_foreach_batch_sink(spark, sf_dir, tmp_path):
+    """ST5 — foreachBatch bulk-flush: every micro-batch lands as one
+    atomic directory keyed by batch_id."""
+    sink_dir = str(tmp_path / "bulk")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_parquet_sink(sink_dir))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink_dir)
+    expected = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    assert out.count() == expected
+
+
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    """Stateful dedup within watermark: replaying the same file twice in
+    one stream keeps one copy per event_id."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from data_engineering_spark.streaming.streams import EVENTS_RAW_SCHEMA
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(src)
+    stream = streaming_dedup(raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    sink = str(tmp_path / "deduped")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    n_unique = load_table(spark, sf_dir, "events").count()
+    assert spark.read.parquet(sink).count() == n_unique
+
+
+def test_kafka_option_builders():
+    """S8/S17 — config parity with the reference's consumer/producer
+    settings (read_committed isolation, checkpointed exactly-once)."""
+    src = kafka_source_options("broker:9092", "events")
+    assert src["kafka.isolation.level"] == "read_committed"
+    assert src["subscribe"] == "events"
+    sink = kafka_sink_options("broker:9092", "out", "/tmp/ckpt")
+    assert sink["topic"] == "out"
+    assert "checkpointLocation" in sink
