@@ -37,6 +37,19 @@ __all__ = [
 ]
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Fan out CPU-heavy per-row work across all cores.
+
+    Text corpora often arrive as few large files (here: one parquet file
+    per table), so the scan stage gets 1-2 tasks and every downstream
+    projection serializes. A round-robin repartition to the default
+    parallelism makes the shingle/hash stages scale with cores — at
+    cluster scale the input split count usually suffices and AQE coalesces
+    any excess, so this is cheap insurance, not a tax."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the lowest id per normalized-text fingerprint.
 
@@ -68,7 +81,7 @@ def minhash_signature(
 
     explode(shingles) → groupBy(doc) with K min() aggs. Partial aggregation
     makes the shuffle carry one K-vector per doc per partition."""
-    ex = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
+    ex = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(num_hashes)
     ]
@@ -89,9 +102,24 @@ def minhash_near_dedup(
     bands=8 × rows=4 over 32 hashes ⇒ collision prob ≈ 1-(1-s⁴)⁸ — steep
     around s≈0.6. Verified candidates only (true shingle Jaccard via
     array_intersect/union on the candidate pair's shingle sets).
+
+    The shingle-set DataFrame is computed once and persisted (memory+disk):
+    it feeds both the signature build and the verify joins — without the
+    persist Spark recomputes the tokenize+shingle projection three times.
+    At petabyte scale swap the persist for a checkpoint to cluster storage.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(df, text_col, id_col, num_hashes, n)
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), shingles(text_col, n).alias("shset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex = sh.select(F.col(id_col), F.explode(F.col("shset")).alias("sh"))
+    sig = ex.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(num_hashes)]
+    )
 
     band_cols = [
         F.struct(
@@ -117,7 +145,6 @@ def minhash_near_dedup(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("shset"))
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
@@ -141,7 +168,7 @@ def simhash_signature(
     """64-bit SimHash: per token hash, bit i votes +1/-1; sign of the sum
     is bit i of the signature. One explode + one groupBy (partial-agg
     friendly)."""
-    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
+    ex = _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
         F.col(id_col), F.xxhash64(F.col("tok")).alias("h")
     )
     votes = [
@@ -219,7 +246,9 @@ def ngram_jaccard_pairs(
     their first ``block_tokens`` sorted tokens become candidates (bounded
     fan-out), then true Jaccard filters. For corpora where minhash's
     probabilistic recall is unacceptable."""
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("shset"), tokens(text_col).alias("tk"))
+    sh = _spread(df).select(
+        F.col(id_col), shingles(text_col, n).alias("shset"), tokens(text_col).alias("tk")
+    )
     keyed = sh.select(
         id_col, "shset", F.explode(F.slice(F.array_sort(F.array_distinct("tk")), 1, block_tokens)).alias("blk")
     )
