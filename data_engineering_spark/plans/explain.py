@@ -1,0 +1,79 @@
+"""Physical-plan inspection helpers (SURVEY §4).
+
+The reference encodes physical decisions by hand (filters inside
+subqueries, 2-column scans, broadcast-sized dims); Catalyst derives them —
+these helpers make that derivation *testable*: every scale-critical plan
+property (pushdown, pruning, broadcast, partial agg, codegen) is asserted
+in ``tests/test_plans.py`` rather than eyeballed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema_columns",
+    "has_broadcast_join",
+    "shuffle_count",
+    "has_partial_aggregate",
+    "wholestage_codegen_spans",
+    "scan_tables",
+]
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """``explain("formatted")`` output as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan (``PushedFilters: [...]``)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read from each parquet scan (``ReadSchema``) —
+    the check that column pruning reached storage."""
+    cols: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        body = m.group(1)
+        cols.append([c.split(":")[0].strip() for c in body.split(",") if c.strip()])
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of exchange (shuffle) operators in the physical plan."""
+    return len(re.findall(r"\bExchange\b|\bAQEShuffleRead\b(?! local)", formatted_plan(df).split("== Physical Plan ==")[-1].split("=====")[0])) and formatted_plan(df).count("Exchange hashpartitioning")
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Map-side combine present (HashAggregate appears in partial+final
+    pairs around the exchange)."""
+    plan = formatted_plan(df)
+    return plan.count("HashAggregate") >= 2 or "partial_" in plan
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Count of WholeStageCodegen spans — wider/fewer is better (more
+    operators fused into generated code)."""
+    return len(set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))))
+
+
+def scan_tables(df: DataFrame) -> list[str]:
+    """Parquet scans present in the plan (by file path tail)."""
+    return re.findall(r"Scan parquet[^\n]*", formatted_plan(df))

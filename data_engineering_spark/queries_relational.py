@@ -256,6 +256,34 @@ def p10_value_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p11_fulltext_search",
+    """SELECT doc_id,
+              CAST((CASE WHEN regexp_matches(lower(text), '\\bspark\\b')  THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\\bvector\\b') THEN 1 ELSE 0 END
+                  + CASE WHEN regexp_matches(lower(text), '\\bstream\\b') THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_terms
+       FROM documents
+       WHERE regexp_matches(lower(text), '\\b(spark|vector|stream)\\b')""",
+)
+def p11_fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — the ES query_string full-text search
+    (openai_elasticsearch.py:160-170) as tokenized rlike matching with a
+    match-count relevance score. Per-row regex — scales with splits."""
+    text = F.lower(F.col("text"))
+    terms = ["spark", "vector", "stream"]
+    hits = [text.rlike(rf"\b{t}\b").cast("long") for t in terms]
+    n_terms = hits[0]
+    for h in hits[1:]:
+        n_terms = n_terms + h
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("n_terms", n_terms)
+        .filter(F.col("n_terms") > 0)
+        .select("doc_id", "n_terms")
+    )
+
+
+@query(
     "p12_concat_projection",
     """SELECT c_custkey, concat_ws(', ', c_name, c_mktsegment) AS address_line FROM customer""",
 )

@@ -1,0 +1,42 @@
+"""Join-operator semantics: as-of direction, range containment."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from data_engineering_spark.operators.joins import asof_join, range_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_backward_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, 100, _ts(12)), (3, 200, _ts(9))], ["id", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(9), "a"), (100, _ts(11), "b"), (200, _ts(10), "c")], ["k", "rts", "val"]
+    )
+    out = {r.id: r.r_val for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    assert out[1] == "a"  # 10:00 → latest right ≤ 10:00 is 09:00/a
+    assert out[2] == "b"  # 12:00 → 11:00/b
+    assert out[3] is None  # 09:00 → nothing at or before
+
+
+def test_asof_forward(spark):
+    left = spark.createDataFrame([(1, 100, _ts(10))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(100, _ts(9), "past"), (100, _ts(11), "next")], ["k", "rts", "val"]
+    )
+    out = asof_join(left, right, "k", "ts", "rts", direction="forward").collect()
+    assert out[0].r_val == "next"
+
+
+def test_range_join_point_in_interval(spark):
+    points = spark.createDataFrame([(1, 5), (2, 15), (3, 25)], ["id", "v"])
+    intervals = spark.createDataFrame(
+        [(0, 10, "low"), (10, 20, "mid")], ["lo", "hi", "bucket"]
+    )
+    out = {r.id: r.bucket for r in range_join(points, intervals, "v", "lo", "hi").collect()}
+    assert out == {1: "low", 2: "mid"}  # 25 matches nothing → dropped (inner)

@@ -1,0 +1,85 @@
+"""Plan-quality gates (SURVEY §4): the scale-critical physical properties
+are asserted, not eyeballed. If a refactor un-broadcasts a dim join or
+blocks predicate pushdown, these fail before any benchmark notices."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_spark import queries_extra, queries_llm, queries_relational  # noqa: F401
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.plans.explain import (
+    formatted_plan,
+    has_broadcast_join,
+    has_partial_aggregate,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from data_engineering_spark.registry import QUERIES
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    """P9's three conjuncts must appear in PushedFilters on the scan."""
+    df = QUERIES["p9_boolean_compound_filter"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "event_type" in pushed
+    assert "value" in pushed
+    assert "user_id" in pushed
+
+
+def test_column_pruning_reaches_parquet(spark, sf_dir):
+    """A 2-column projection must read 2 columns, not the whole table
+    (SURVEY §4 'column pruning by construction')."""
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = read_schema_columns(df)
+    assert schemas and sorted(schemas[0]) == ["l_orderkey", "l_quantity"]
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    """J4 lookup joins and TPC-H Q3/Q5 dims must plan as broadcast-hash —
+    the fact side must never shuffle for a dimension."""
+    for name in ("j4_broadcast_lookup_join", "tpch_q3_shipping_priority", "tpch_q5_local_supplier"):
+        assert has_broadcast_join(QUERIES[name](spark, sf_dir)), name
+
+
+def test_flagship_broadcasts_derived_dims(spark, sf_dir):
+    df = QUERIES["flagship_serving_index"](spark, sf_dir)
+    assert has_broadcast_join(df)
+
+
+def test_groupby_has_partial_aggregate(spark, sf_dir):
+    """A1/Q1 aggregations must combine map-side (partial + final
+    HashAggregate) so the shuffle carries partial states, not raw rows."""
+    for name in ("a1_listagg_distinct", "tpch_q1_pricing_summary"):
+        assert has_partial_aggregate(QUERIES[name](spark, sf_dir)), name
+
+
+def test_scalar_pack_single_codegen_span(spark, sf_dir):
+    """A pure projection pipeline must fuse into ONE WholeStageCodegen
+    span — no Python, no fence-posts."""
+    df = QUERIES["f_scalar_pack"](spark, sf_dir)
+    assert wholestage_codegen_spans(df) == 1, formatted_plan(df)
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    """O3 must plan TakeOrderedAndProject (per-partition heap), not a
+    global sort."""
+    plan = formatted_plan(QUERIES["o3_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_does_not_materialize_right_columns(spark, sf_dir):
+    """J3 left_semi: right side contributes membership only."""
+    df = QUERIES["j3_semi_join"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert df.columns == ["o_orderkey", "total"]
+
+
+def test_limit_does_not_full_scan(spark, sf_dir):
+    """O1 limit probe plans a (Collect)Limit, not an unbounded sort of
+    everything (nation is tiny but the plan shape is what scales)."""
+    plan = formatted_plan(QUERIES["o1_limit_probe"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan or "Limit" in plan
