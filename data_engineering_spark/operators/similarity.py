@@ -26,7 +26,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["as_double", "dot", "l2_norm", "cosine", "cosine_topk", "cosine_near_pairs", "lsh_topk"]
+__all__ = [
+    "as_double",
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_topk",
+    "cosine_near_pairs",
+    "embedding_near_dedup",
+    "lsh_topk",
+    "ivf_topk",
+]
 
 
 def as_double(col: Column | str) -> Column:
@@ -94,6 +104,38 @@ def cosine_near_pairs(
     )
 
 
+def embedding_near_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate resolution: every vector is assigned
+    the min id among its cosine-≥-threshold neighborhood (itself included,
+    self-sim = 1.0) as ``canonical_id``; rows with ``canonical_id < id``
+    are the near-dups to drop. One pass, no transitive closure — same
+    single-link-depth-1 semantics both engines can express.
+
+    This exact variant verifies all pairs (quadratic) and is the oracle
+    baseline; at corpus scale swap the candidate generator for the
+    ``lsh_bucket``/``ivf_topk`` cell join so only same-bucket pairs are
+    scored."""
+    a = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("other_id"), as_double(vec_col).alias("vb"))
+    pairs = (
+        a.join(b, F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold))
+        .select("vec_id", "other_id")
+    )
+    return (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.min("other_id").alias("canonical_id"),
+            (F.count(F.lit(1)) - 1).alias("n_neighbors"),
+        )
+        .withColumn("is_dup", F.col("canonical_id") < F.col("vec_id"))
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     """Deterministic pseudo-random hyperplane from a seeded LCG — no RNG
     state, reproducible across runs/executors."""
@@ -136,6 +178,82 @@ def lsh_topk(
     qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), dim, planes))
     scored = (
         cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Coarse-quantizer "training": pick ``n_cells`` corpus vectors as
+    centroids, chosen by xxhash64 order of their ids — a deterministic
+    stand-in for k-means seeding (k-means|| without the refinement
+    iterations). The only driver-side transfer is the ``n_cells`` centroid
+    vectors themselves (bounded, tiny — this is the IVF codebook that gets
+    broadcast into every assignment expression)."""
+    rows = (
+        corpus.select(as_double(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_cells)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def _cell_ranking(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (sim, cell) structs sorted best-first against the codebook."""
+    entries = [
+        F.struct(
+            cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return F.sort_array(F.array(*entries), asc=False)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k — the second ANN scale path beside
+    ``lsh_topk``. Corpus vectors are assigned to their nearest-centroid
+    cell (inverted lists = cell-partitioned corpus); each query probes its
+    ``nprobe`` closest cells and scores only those lists. At 100 TB the
+    cell id is the partition key: assignment is an embarrassingly parallel
+    map, the probe join shuffles corpus rows once by cell, and per-cell
+    scoring is a local problem ~``n_cells/nprobe``× smaller than brute
+    force."""
+    cents = ivf_train(corpus, n_cells, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    c = c.withColumn("cell", F.element_at(_cell_ranking(F.col("cv"), cents), 1)["cell"])
+    q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
+    q = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(_cell_ranking(F.col("qv"), cents), 1, nprobe), lambda s: s["cell"]
+            )
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
         .select("query_id", "neighbor_id", "sim")

@@ -17,7 +17,13 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_near_dedup,
 )
-from .operators.similarity import cosine_near_pairs, cosine_topk, lsh_topk
+from .operators.similarity import (
+    cosine_near_pairs,
+    cosine_topk,
+    embedding_near_dedup,
+    ivf_topk,
+    lsh_topk,
+)
 from .operators.text import (
     TOKEN_REGEX,
     fingerprint,
@@ -208,9 +214,38 @@ def q_sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_pairs(_emb(spark, sf_dir), threshold=0.6)
 
 
+@query(
+    "dedup_embedding",
+    f"""WITH pairs AS (
+          SELECT q.vec_id AS vec_id, c.vec_id AS other_id
+          FROM embeddings q, embeddings c
+          WHERE round({_COSINE_EXPR}, 6) >= 0.8)
+        SELECT vec_id,
+               CAST(min(other_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) - 1 AS BIGINT) AS n_neighbors,
+               (min(other_id) < vec_id) AS is_dup
+        FROM pairs GROUP BY vec_id""",
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: canonical (min-id) assignment over the
+    cosine ≥ 0.8 neighborhood (operators/similarity.py:
+    embedding_near_dedup). Exact quadratic baseline; LSH/IVF cells are the
+    candidate generator at scale."""
+    return embedding_near_dedup(_emb(spark, sf_dir), threshold=0.8)
+
+
 @query("sim_lsh_topk")  # rows-only: approximate recall, no SQL twin
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-k (random hyperplanes) — the scale
     path: only same-bucket pairs are scored."""
     emb = _emb(spark, sf_dir)
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+@query("sim_ivf_topk")  # rows-only: approximate recall, no SQL twin
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/similarity.py:ivf_topk): 16-cell
+    coarse quantizer, nprobe=4 — corpus partitioned by cell, only probed
+    cells scored."""
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=16, nprobe=4, k=5)

@@ -97,3 +97,38 @@ def test_lsh_topk_recall_on_identical_bucket(vectors):
     out = lsh_topk(vectors, vectors.filter(F.col("vec_id") == 1), dim=4, k=3, planes=4)
     neigh = {r.neighbor_id for r in out.collect()}
     assert 2 in neigh
+
+
+def test_embedding_near_dedup_canonical(vectors):
+    from data_engineering_spark.operators.similarity import embedding_near_dedup
+
+    out = {r.vec_id: r for r in embedding_near_dedup(vectors, threshold=0.95).collect()}
+    assert out[2].canonical_id == 1 and out[2].is_dup
+    assert out[1].canonical_id == 1 and not out[1].is_dup
+    assert out[1].n_neighbors == 1 and out[2].n_neighbors == 1
+    assert out[3].canonical_id == 3 and not out[3].is_dup
+    assert out[5].canonical_id == 5  # opposite vector is not a neighbor
+
+
+def test_ivf_topk_finds_planted_neighbor(spark):
+    from data_engineering_spark.operators.similarity import ivf_topk
+
+    # 40 corpus vectors in 4 well-separated directions + a near-dup of id 0
+    rows = []
+    for i in range(40):
+        axis = i % 4
+        v = [0.0] * 8
+        v[axis] = 1.0
+        v[(axis + 4) % 8] = 0.1 * ((i % 7) + 1)
+        rows.append((i, v))
+    q = [0.0] * 8
+    q[0] = 1.0
+    q[4] = 0.1
+    rows.append((100, q))  # near corpus id 0's direction
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivf_topk(df, df.filter(F.col("vec_id") == 100), n_cells=4, nprobe=2, k=5)
+    got = {r.neighbor_id for r in out.collect()}
+    # the probed cells must contain same-direction vectors (axis 0)
+    assert got & {0, 4, 8, 12, 16, 20}
+    rnk1 = [r.neighbor_id for r in out.collect() if r.rnk == 1]
+    assert rnk1 and rnk1[0] % 4 == 0
