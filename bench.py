@@ -26,7 +26,13 @@ HEADLINE = [
     "flagship_serving_index",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
     "a1_listagg_distinct",
     "a5_last_wins_merge",
     "a13_grouped_pivot",
@@ -46,24 +52,24 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm each plan shape once at the smallest SF so timings measure
-    # query execution, not whole-stage-codegen compilation / JVM JIT —
-    # at real scale those constants amortize to zero.
-    for name in HEADLINE:
-        try:
-            registry.QUERIES[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception:  # noqa: BLE001 — warmup is best-effort
-            pass
-    spark.catalog.clearCache()  # drop warmup persists before timing
-
+    # Warm each plan shape at the smallest SF immediately before timing it,
+    # so timings measure query execution, not whole-stage-codegen
+    # compilation / JVM JIT — at real scale those constants amortize to
+    # zero. Warmup is interleaved (not one pass up front) because Spark's
+    # generated-class cache holds ~100 entries: warming 20 queries first
+    # evicts the early queries' codegen and the timed run recompiles.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001 — warmup is best-effort
+            pass
+        spark.catalog.clearCache()  # drop warmup persists before timing
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -77,15 +77,21 @@ def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32, n: int = 3
 ) -> DataFrame:
     """MinHash signature: per doc, min over shingles of xxhash64(seed_i,
-    shingle) for each of ``num_hashes`` seeded hash functions.
+    base_hash(shingle)) for each of ``num_hashes`` seeded hash functions.
 
-    explode(shingles) → groupBy(doc) with K min() aggs. Partial aggregation
-    makes the shuffle carry one K-vector per doc per partition."""
-    ex = _spread(df).select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(num_hashes)
+    Pure projection — no explode, no shuffle: the shingle strings are
+    hashed ONCE to a long array, then each of the K seeded hashes is an
+    8-byte rehash folded with ``array_min``. Per-doc work is K cheap long
+    hashes per shingle instead of K string hashes, and the signature build
+    adds zero exchanges (the old explode→groupBy shape shuffled every
+    (doc, shingle) row)."""
+    hs = F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+    base = _spread(df).select(F.col(id_col), hs.alias("hs"))
+    cols = [
+        F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh{i}")
+        for i in range(num_hashes)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *cols)
 
 
 def minhash_near_dedup(
@@ -116,9 +122,18 @@ def minhash_near_dedup(
         .select(F.col(id_col), shingles(text_col, n).alias("shset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    ex = sh.select(F.col(id_col), F.explode(F.col("shset")).alias("sh"))
-    sig = ex.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(num_hashes)]
+    # Signature build is a pure projection over the persisted shingle sets
+    # (see minhash_signature): base-hash each shingle once, then K seeded
+    # long rehashes folded with array_min — no explode, no extra shuffle.
+    hs = sh.select(
+        F.col(id_col), F.transform(F.col("shset"), lambda s: F.xxhash64(s)).alias("hs")
+    )
+    sig = hs.select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
     )
 
     band_cols = [

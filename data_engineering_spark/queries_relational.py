@@ -77,21 +77,18 @@ def flagship_serving_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
 
-    def branch(status: str, open_: bool) -> DataFrame:
-        agg = (
-            orders.filter(F.col("o_orderstatus") == status)
-            .groupBy(F.col("o_custkey").alias("cust_key"))
-            .agg(listagg_distinct("o_orderpriority").alias("val"))
-        )
-        if open_:
-            return agg.select("cust_key", F.col("val").alias("prio_open"), F.lit("").alias("prio_closed"))
-        return agg.select("cust_key", F.lit("").alias("prio_open"), F.col("val").alias("prio_closed"))
+    # The reference (and the oracle SQL) computes two per-status group-bys
+    # glued with UNION ALL and re-aggregated (Elastic_indexing.py:133-147).
+    # Idiomatic Spark collapses that to ONE conditional aggregation — same
+    # result, half the orders scans, one shuffle instead of three.
+    def prio(status: str) -> F.Column:
+        only = F.when(F.col("o_orderstatus") == status, F.col("o_orderpriority"))
+        return F.array_join(F.array_sort(F.collect_set(only)), ",")
 
     t = (
-        branch("O", True)
-        .unionByName(branch("F", False))
-        .groupBy("cust_key")
-        .agg(F.max("prio_open").alias("prio_open"), F.max("prio_closed").alias("prio_closed"))
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy(F.col("o_custkey").alias("cust_key"))
+        .agg(prio("O").alias("prio_open"), prio("F").alias("prio_closed"))
     )
 
     joined = left_join_chain(
