@@ -20,6 +20,7 @@ __all__ = [
     "broadcast_lookup_join",
     "asof_join",
     "range_join",
+    "salted_join",
 ]
 
 
@@ -113,3 +114,34 @@ def range_join(
     r = F.broadcast(right) if broadcast_right else right
     cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
     return left.join(r, cond, how)
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on_large: str,
+    on_small: str,
+    how: str = "inner",
+    salts: int = 8,
+) -> DataFrame:
+    """Skew-buster join: replicate the small side ``salts``× and scatter
+    the large side's hot keys across (key, salt) sub-partitions.
+
+    AQE's skew-join splitting (on in session.py) handles most skew at
+    runtime; this explicit variant is for the pathological case AQE can't
+    fix — a single join key carrying a double-digit percent of the fact —
+    or for engines/stages where AQE is off (e.g., inside streaming
+    foreachBatch). The salt is a deterministic hash of the large row's
+    full column tuple, so re-runs produce identical partitioning (no
+    rand(): nondeterministic salts break task retries at scale).
+
+    Cost model: small side grows ``salts``×, large side never duplicates —
+    the right trade when |small| ≪ |large| and the skew is on the large
+    side's key distribution."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts)).cast("int")
+    l = large.withColumn("_salt", salt)
+    s = small.withColumn("_salt_s", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    out = l.join(
+        s, (F.col(on_large) == F.col(on_small)) & (F.col("_salt") == F.col("_salt_s")), how
+    )
+    return out.drop("_salt", "_salt_s")

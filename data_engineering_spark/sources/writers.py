@@ -22,8 +22,35 @@ __all__ = [
     "full_overwrite",
     "write_unload",
     "write_serving_index",
+    "bucketize",
     "retention_prune",
 ]
+
+
+def bucketize(
+    df: DataFrame,
+    table_name: str,
+    keys: list[str],
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> DataFrame:
+    """Write ``df`` as a bucketed (and bucket-sorted) managed table and
+    return it.
+
+    This is the 100 TB answer to the engine's one fact-fact shuffle
+    (lineitem⋈orders on orderkey, flagship/Q3/Q18): bucket BOTH facts on
+    the join key once at load time, and every subsequent equi-join or
+    groupBy on that key is co-located — zero Exchange in the plan
+    (asserted in tests/test_plans.py). The reference instead re-shuffles
+    per job inside Redshift; here the layout is paid once and reused by
+    every downstream query. Bucket counts must match across tables to
+    co-locate; sorted buckets additionally enable merge-join without a
+    sort step."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table_name)
+    return df.sparkSession.table(table_name)
 
 
 def truncate_and_load(df: DataFrame, table_dir: str) -> int:

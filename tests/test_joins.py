@@ -40,3 +40,28 @@ def test_range_join_point_in_interval(spark):
     )
     out = {r.id: r.bucket for r in range_join(points, intervals, "v", "lo", "hi").collect()}
     assert out == {1: "low", 2: "mid"}  # 25 matches nothing → dropped (inner)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from data_engineering_spark.operators.joins import salted_join
+
+    # one pathologically hot key (90% of the fact) + a long tail
+    fact = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, k * 10) for k in range(2, 102)],
+        ["k", "payload"],
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 102)], ["dk", "attr"])
+    plain = fact.join(dim, fact.k == dim.dk).select("k", "payload", "attr")
+    salted = salted_join(fact, dim, "k", "dk", salts=4).select("k", "payload", "attr")
+    assert plain.count() == salted.count() == 1000
+    assert plain.exceptAll(salted).isEmpty() and salted.exceptAll(plain).isEmpty()
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    from data_engineering_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], ["dk", "w"])
+    out = salted_join(fact, dim, "k", "dk", how="left", salts=3)
+    rows = {r.k: r.w for r in out.collect()}
+    assert rows == {1: "x", 2: "y", 99: None}

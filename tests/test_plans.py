@@ -83,3 +83,48 @@ def test_limit_does_not_full_scan(spark, sf_dir):
     everything (nation is tiny but the plan shape is what scales)."""
     plan = formatted_plan(QUERIES["o1_limit_probe"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan or "Limit" in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is a pure scan-filter-agg: shipdate/discount/quantity predicates
+    must all reach the parquet reader."""
+    df = QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q4_exists_plans_semi_join(spark, sf_dir):
+    plan = formatted_plan(QUERIES["tpch_q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q18_semi_join_and_partial_agg(spark, sf_dir):
+    df = QUERIES["tpch_q18_large_orders"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert has_partial_aggregate(df)
+
+
+def test_bucketized_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketing both facts on the join key must eliminate the Exchange:
+    the flagship's lineitem⋈orders co-located (SURVEY §4 / writers.bucketize)."""
+    from data_engineering_spark.sources.writers import bucketize
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = bucketize(
+            load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+            "test_lineitem_b", ["l_orderkey"], n_buckets=8,
+        )
+        o = bucketize(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            "test_orders_b", ["o_orderkey"], n_buckets=8,
+        )
+        joined = l.join(o, l.l_orderkey == o.o_orderkey)
+        plan = formatted_plan(joined).split("== Physical Plan ==")[-1]
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS test_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS test_orders_b")
