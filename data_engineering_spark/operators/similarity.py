@@ -32,6 +32,7 @@ __all__ = [
     "l2_norm",
     "cosine",
     "cosine_topk",
+    "cosine_topk_pandas",
     "cosine_near_pairs",
     "embedding_near_dedup",
     "lsh_topk",
@@ -68,13 +69,18 @@ def cosine_topk(
     corpus vectors (excluding itself). Queries broadcast; per-query ranking
     via window top-k (Spark plans TakeOrdered-style partial top-k before
     the shuffle thanks to rank-filter pushdown in AQE)."""
+    # Norms are precomputed per side BEFORE the join: the naive
+    # cosine(qv, cv) evaluates three array folds per pair; this shape does
+    # one (the dot product) — the norms are O(N+Q) instead of O(N·Q).
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -94,11 +100,15 @@ def cosine_near_pairs(
     """Embedding-cosine near-duplicate pairs: all (a,b), a<b, with
     cosine ≥ threshold. Quadratic verify — pair with ``lsh_topk``-style
     bucketing as the candidate generator when the corpus is large."""
-    a = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    a = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")).withColumn(
+        "na", l2_norm(F.col("va"))
+    )
+    b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb")).withColumn(
+        "nb", l2_norm(F.col("vb"))
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -120,10 +130,18 @@ def embedding_near_dedup(
     baseline; at corpus scale swap the candidate generator for the
     ``lsh_bucket``/``ivf_topk`` cell join so only same-bucket pairs are
     scored."""
-    a = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("other_id"), as_double(vec_col).alias("vb"))
+    a = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("va")).withColumn(
+        "na", l2_norm(F.col("va"))
+    )
+    b = df.select(F.col(id_col).alias("other_id"), as_double(vec_col).alias("vb")).withColumn(
+        "nb", l2_norm(F.col("vb"))
+    )
     pairs = (
-        a.join(b, F.round(cosine(F.col("va"), F.col("vb")), 6) >= F.lit(threshold))
+        a.join(
+            b,
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= F.lit(threshold),
+        )
         .select("vec_id", "other_id")
     )
     return (
@@ -174,12 +192,16 @@ def lsh_topk(
     neighbors."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), dim, planes))
-    qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), dim, planes))
+    cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), dim, planes)).withColumn(
+        "cn", l2_norm(F.col("cv"))
+    )
+    qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), dim, planes)).withColumn(
+        "qn", l2_norm(F.col("qv"))
+    )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
         .select("query_id", "neighbor_id", "sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
@@ -242,7 +264,9 @@ def ivf_topk(
     force."""
     cents = ivf_train(corpus, n_cells, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-    c = c.withColumn("cell", F.element_at(_cell_ranking(F.col("cv"), cents), 1)["cell"])
+    c = c.withColumn("cell", F.element_at(_cell_ranking(F.col("cv"), cents), 1)["cell"]).withColumn(
+        "cn", l2_norm(F.col("cv"))
+    )
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     q = q.withColumn(
         "cell",
@@ -251,12 +275,68 @@ def ivf_topk(
                 F.slice(_cell_ranking(F.col("qv"), cents), 1, nprobe), lambda s: s["cell"]
             )
         ),
-    )
+    ).withColumn("qn", l2_norm(F.col("qv")))
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("sim", F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
         .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k on the Arrow/NumPy fast path.
+
+    Same semantics as ``cosine_topk`` but the scoring runs as a matrix
+    multiply per Arrow batch inside ``mapInPandas`` instead of interpreted
+    per-pair array folds — 10-100× less CPU per pair. The query set is
+    collected once (bounded: top-k query batches are small by
+    construction) and closed over; each executor batch emits only its
+    LOCAL top-k per query, so the final shuffle carries k rows per query
+    per batch, not the whole score matrix. Use this variant when
+    throughput matters; ``cosine_topk`` stays as the fold-based oracle
+    twin (bit-identical to the DuckDB sequential dot product)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cn = np.linalg.norm(cm, axis=1)
+            sims = (qm @ cm.T) / (qn[:, None] * cn[None, :])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                s = sims[qi]
+                mask = ids != qids[qi]
+                cand = np.nonzero(mask)[0]
+                top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+                out_q.extend([qids[qi]] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend(np.round(s[top], 6).tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (

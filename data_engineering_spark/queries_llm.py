@@ -20,6 +20,7 @@ from .operators.dedup import (
 from .operators.similarity import (
     cosine_near_pairs,
     cosine_topk,
+    cosine_topk_pandas,
     embedding_near_dedup,
     ivf_topk,
     lsh_topk,
@@ -240,6 +241,15 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: only same-bucket pairs are scored."""
     emb = _emb(spark, sf_dir)
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+
+
+@query("sim_cosine_topk_fast")  # rows-only: NumPy batch math, no SQL twin
+def q_sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-5 on the Arrow/NumPy fast path
+    (operators/similarity.py:cosine_topk_pandas) — same neighbors as
+    sim_cosine_topk, matrix-multiply scoring."""
+    emb = _emb(spark, sf_dir)
+    return cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
 @query("sim_ivf_topk")  # rows-only: approximate recall, no SQL twin

@@ -132,3 +132,14 @@ def test_ivf_topk_finds_planted_neighbor(spark):
     assert got & {0, 4, 8, 12, 16, 20}
     rnk1 = [r.neighbor_id for r in out.collect() if r.rnk == 1]
     assert rnk1 and rnk1[0] % 4 == 0
+
+
+def test_cosine_topk_pandas_agrees_with_exact(spark, sf_dir):
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import cosine_topk, cosine_topk_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.rnk): r.neighbor_id for r in cosine_topk(emb, q, k=3).collect()}
+    fast = {(r.query_id, r.rnk): r.neighbor_id for r in cosine_topk_pandas(emb, q, k=3).collect()}
+    assert exact == fast
