@@ -32,6 +32,7 @@ __all__ = [
     "sliding_value_sum",
     "session_windows",
     "streaming_dedup",
+    "stateful_running_totals",
     "run_available_now",
     "foreach_batch_parquet_sink",
     "kafka_source_options",
@@ -115,6 +116,37 @@ def streaming_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     the streaming twin of exact_dedup (state expires with the watermark,
     bounding memory at scale)."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, value total) maintained across micro-batches —
+    the reference's driver-side group-by-key accumulator
+    (``Talent_Opportunity_Platform/Elastic_indexing.py:226-328``: scalars
+    overwrite, totals accumulate in a dict keyed by employee) re-expressed
+    as distributed incremental state. State lives in the state store
+    (checkpointed, partitioned by key), not a driver dict — per-key size
+    is two numbers, so state growth is O(distinct users), bounded and
+    spillable."""
+    import pandas as pd  # local: executors import lazily
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
 
 
 def run_available_now(

@@ -119,3 +119,37 @@ def test_kafka_option_builders():
     sink = kafka_sink_options("broker:9092", "out", "/tmp/ckpt")
     assert sink["topic"] == "out"
     assert "checkpointLocation" in sink
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
+    """Custom applyInPandasWithState operator: final per-user state after
+    draining the stream equals the batch groupBy."""
+    from data_engineering_spark.streaming.streams import stateful_running_totals
+
+    stream = stateful_running_totals(events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_totals")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_df = spark.sql(
+        "SELECT user_id, n_events, total_value FROM running_totals"
+    ).toPandas()
+    # update mode may emit a row per micro-batch; the LAST row per user is
+    # the final state
+    got = {
+        int(r.user_id): (int(r.n_events), float(r.total_value))
+        for r in got_df.itertuples()
+    }
+    batch = {
+        int(r.user_id): (int(r.n), round(float(r.total), 2))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == batch
