@@ -72,10 +72,16 @@ def q_nlp_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("nlp_tokenize_pandas")  # rows-only: UDF tokenization (UD1 Arrow shape)
+@query(
+    "nlp_tokenize_pandas",
+    """SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+') AS toks
+       FROM documents""",
+)
 def q_nlp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD1 — analyzer-shaped pandas_udf tokenizer; compare
-    text.tokens() for the no-UDF fast path."""
+    text.tokens() for the no-UDF fast path. Oracle-checked: the UDF is a
+    deterministic regex, so DuckDB's regexp_extract_all is an exact twin —
+    proving the Arrow path is value-correct, not just runnable."""
     return _t(spark, sf_dir, "documents").select(
         "doc_id", tokenize_pandas(F.col("text")).alias("toks")
     )

@@ -861,6 +861,42 @@ def f17_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Redshift-dialect SQL text the reference would ship to its warehouse
+# (AWS_GLUE_ETL.py:91-106 shape): || concat, nvl, to_char, listagg(distinct
+# … ) within group — executed VERBATIM through the dialect shim.
+_S2_REDSHIFT_SQL = """
+SELECT c.c_mktsegment || '-' || nvl(o.o_orderpriority, 'NONE') AS seg_prio,
+       to_char(max(o.o_orderdate), 'YYYYMMDD') AS last_order_dt,
+       listagg(distinct o.o_orderstatus, ',') within group (order by o.o_orderstatus) AS statuses,
+       count(*) AS n
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment, nvl(o.o_orderpriority, 'NONE');
+"""
+
+
+@query(
+    "s2_dialect_sql_etl",
+    """SELECT c.c_mktsegment || '-' || coalesce(o.o_orderpriority, 'NONE') AS seg_prio,
+              strftime(max(o.o_orderdate), '%Y%m%d') AS last_order_dt,
+              string_agg(DISTINCT o.o_orderstatus, ',' ORDER BY o.o_orderstatus) AS statuses,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       GROUP BY c.c_mktsegment, coalesce(o.o_orderpriority, 'NONE')""",
+)
+def s2_dialect_sql_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — the reference's SQL-text-as-artifact path end to end: a
+    Redshift-dialect query (|| concat, nvl, to_char, listagg distinct,
+    trailing ';') is rewritten by functions/dialect.py and executed with
+    spark.sql over registered views — a reference user's S3-stored SQL
+    files run unchanged (AWS_GLUE_ETL.py:79-106)."""
+    from .catalog import register_views
+    from .functions.dialect import rewrite_redshift_sql
+
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite_redshift_sql(_S2_REDSHIFT_SQL))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H classics — headline bench queries (standard shapes a reference user
 # would run; exercise scan+filter+join+agg+sort together)
