@@ -72,30 +72,47 @@ def asof_join(
 ) -> DataFrame:
     """[absent in reference] as-of join: for each left row, the latest
     right row with ``right_ts <= left_ts`` (backward) or earliest with
-    ``>=`` (forward), per key.
+    ``>=`` (forward), per key. Left-outer semantics: unmatched left rows
+    keep null payloads.
 
-    Implementation: range-condition join + per-left-row window top-1.
-    Both sides shuffle once on ``key``; the window reuses the join's
-    partitioning (no second shuffle). At 100 TB the range condition keeps
-    the join selective; for dense right sides a bucketed/sorted layout
-    turns this into a sort-merge join.
-    """
+    Implementation: the merge-asof — union both sides tagged, one shuffle
+    on ``key``, sort by event time within key, carry the last (first)
+    non-null right payload forward (backward) with a running window.
+    Strictly O((L+R) log) per key: a pair-then-rank formulation would
+    materialize every (left, earlier-right) combination — per-key
+    quadratic on dense right sides — while this shape never forms pairs
+    at all. The single hash partition by ``key`` is the only exchange."""
     from pyspark.sql import Window
 
-    lcols = [F.col(f"l.{c}").alias(c) for c in left.columns]
-    cond = (F.col(f"l.{key}") == F.col(f"r.{key}")) & (
-        (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
-        if direction == "backward"
-        else (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
-    )
     rpayload = [c for c in right.columns if c != key]
-    joined = left.alias("l").join(right.alias("r"), cond, "left")
-    order = F.col(f"r.{right_ts}").desc() if direction == "backward" else F.col(f"r.{right_ts}").asc()
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(order)
+    l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    r = right.select(
+        F.col(key),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"r_{c}") for c in rpayload],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    if direction == "backward":
+        # right rows order BEFORE left rows at equal ts (<= matches)
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = [F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}") for c in rpayload]
+    else:
+        # right rows order AFTER left rows at equal ts (>= matches)
+        w = (
+            Window.partitionBy(key)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carried = [F.first(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}") for c in rpayload]
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*lcols, *[F.col(f"r.{c}").alias(f"r_{c}") for c in rpayload])
+        u.select(*left.columns, "__side", *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
     )
 
 
