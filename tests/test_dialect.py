@@ -48,3 +48,48 @@ def test_reference_style_sql_executes(spark, sf_dir):
     rows = df.limit(5).collect()
     assert rows
     assert set(df.columns) == {"o_custkey", "prio", "last_dt", "max_total"}
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the rewriter must be stable on arbitrary identifier /
+# format inputs, idempotent, and must never touch SQL outside its dialect
+# surface.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}(\.[a-z][a-z0-9_]{0,10})?", fullmatch=True)
+
+
+@given(col=_ident, sep=st.sampled_from([",", ";", "|", ", "]))
+@settings(max_examples=50, deadline=None)
+def test_listagg_rewrite_any_identifier(col, sep):
+    out = rewrite_redshift_sql(f"select listagg(distinct {col}, '{sep}') from t group by k")
+    assert f"array_join(array_sort(collect_set({col})), '{sep}')" in out
+    assert "listagg" not in out.lower()
+
+
+@given(col=_ident, fmt=st.sampled_from(["YYYYMMDD", "YYYY-MM-DD", "YYYYMM", "YYYY"]))
+@settings(max_examples=50, deadline=None)
+def test_to_char_rewrite_any_identifier(col, fmt):
+    out = rewrite_redshift_sql(f"select to_char({col}, '{fmt}') from t")
+    assert "to_char" not in out.lower()
+    assert "date_format(" in out
+
+
+@given(
+    sql=st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"), whitelist_characters=",.*=<>()"),
+        max_size=200,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_rewrite_idempotent_and_conservative(sql):
+    """One pass is a fixed point, and text with none of the dialect tokens
+    passes through unchanged (modulo whitespace/';' trimming)."""
+    once = rewrite_redshift_sql(sql)
+    assert rewrite_redshift_sql(once) == once
+    lowered = sql.lower()
+    if not any(tok in lowered for tok in ("listagg", "to_char", "getdate", "sysdate")):
+        assert once == sql.strip().rstrip(";")
