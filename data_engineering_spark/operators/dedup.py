@@ -34,6 +34,7 @@ __all__ = [
     "simhash_signature",
     "simhash_near_dedup",
     "ngram_jaccard_pairs",
+    "canonical_assignment",
 ]
 
 
@@ -288,4 +289,62 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def canonical_assignment(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_rounds: int = 5,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into per-document canonical ids (min id of
+    the connected duplicate cluster) — the step that turns pair output
+    (minhash/simhash/ngram) into a drop-list for a training corpus.
+
+    Label propagation: every doc starts labeled with itself; each round
+    every doc adopts the min label in its neighborhood. Rounds ≤
+    ``max_rounds`` bound the shuffle count — duplicate clusters in
+    practice are shallow (chains longer than 2⁵ hops are pathological);
+    each round is two hash joins + a groupBy, all partitioned on doc id.
+    Iterative ⇒ rows-only checked; semantics unit-tested on planted
+    chains."""
+    from pyspark import StorageLevel
+
+    # Materialize the (tiny) edge list once: every propagation round joins
+    # against it, and without the persist each round re-executes the whole
+    # upstream candidate pipeline (minhash signatures included) — the
+    # classic iterative-algorithm lineage blowup.
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
+    for _ in range(max_rounds):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("src", "dst2"), edges.dst == F.col("dst2"))
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, "src", "left")
+            .select(
+                "src",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            # Each round references the previous labels twice (carry +
+            # neighbor source); without truncation the logical plan doubles
+            # per round and Catalyst analysis dominates runtime. Checkpoint
+            # to executor-local storage per round (swap for checkpoint()
+            # against cluster storage in a fault-tolerant deployment).
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("src").alias(id_col),
+        F.col("label").alias("canonical_id"),
+        (F.col("label") < F.col("src")).alias("is_dup"),
     )

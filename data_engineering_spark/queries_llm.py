@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .operators.dedup import (
+    canonical_assignment,
     exact_dedup,
     minhash_near_dedup,
     ngram_jaccard_pairs,
@@ -167,6 +168,19 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup (threshold 0.5)."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+@query("dedup_minhash_canonical")  # rows-only: iterative label propagation
+def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus dedup pipeline: MinHash+LSH pairs →
+    connected-cluster canonical ids (operators/dedup.py:
+    canonical_assignment label propagation) — `is_dup` rows are the
+    drop-list."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dedup(docs)
+    # 3 rounds ⇒ labels propagate 3 hops — enough for real dup clusters
+    # (planted-chain depth is covered in tests with the default 5).
+    return canonical_assignment(pairs, docs.select("doc_id"), max_rounds=3)
 
 
 # ---------------------------------------------------------------------------

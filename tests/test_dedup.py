@@ -143,3 +143,19 @@ def test_cosine_topk_pandas_agrees_with_exact(spark, sf_dir):
     exact = {(r.query_id, r.rnk): r.neighbor_id for r in cosine_topk(emb, q, k=3).collect()}
     fast = {(r.query_id, r.rnk): r.neighbor_id for r in cosine_topk_pandas(emb, q, k=3).collect()}
     assert exact == fast
+
+
+def test_canonical_assignment_chain(spark):
+    """A duplicate chain 1-2, 2-3, plus pair 10-11: labels converge to the
+    cluster min even though (1,3) was never a pair."""
+    from data_engineering_spark.operators.dedup import canonical_assignment
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 50]], ["doc_id"])
+    out = {r.doc_id: (r.canonical_id, r.is_dup) for r in canonical_assignment(pairs, ids).collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3] == (1, True)  # transitive through 2
+    assert out[10] == (10, False)
+    assert out[11] == (10, True)
+    assert out[50] == (50, False)  # untouched singleton
