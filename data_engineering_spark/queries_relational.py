@@ -1189,6 +1189,103 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q15_top_supplier",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s.s_suppkey""",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top-revenue supplier via a derived revenue table used
+    twice (rows + scalar max). The revenue agg is computed once and
+    persisted for both uses — no second lineitem scan; supplier
+    broadcasts."""
+    from pyspark import StorageLevel
+
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(revenue, s.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q20_part_suppliers",
+    """SELECT DISTINCT s.s_suppkey, s.s_name
+       FROM supplier s
+       WHERE s.s_suppkey IN (
+           SELECT l_suppkey FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_name LIKE '%ring%'
+             AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l.l_shipdate < TIMESTAMP '1998-01-01')
+       ORDER BY s.s_suppkey""",
+)
+def tpch_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that shipped a matching part in a
+    window — IN-subquery as a semi join; part filter broadcasts into the
+    lineitem scan, only distinct suppkeys cross the shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shippers = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select("l_suppkey").distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.join(shippers, s.s_suppkey == shippers.l_suppkey, "left_semi")
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@query(
+    "a14_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(count(*) AS BIGINT) AS n,
+              round(sum(o_totalprice), 2) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())""",
+)
+def a14_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] GROUPING SETS — the general form behind
+    rollup/cube (a9/a10); one pass, Expand feeds a single partial+final
+    aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM orders_gs
+           GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())"""
+    )
+
+
+@query(
     "explode_top_tokens",
     """SELECT tok, CAST(count(*) AS BIGINT) AS cnt
        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok FROM documents) t
