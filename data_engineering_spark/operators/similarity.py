@@ -181,15 +181,19 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     planes: int = 8,
+    multiprobe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: score only within matching hyperplane buckets.
 
     With 8 planes the corpus splits ~256 ways ⇒ ~256× less scoring than
-    brute force at large N. Driver-checked rows-only (approximate recall
-    has no SQL oracle); unit tests assert bucket-match recall on planted
-    neighbors."""
+    brute force at large N. ``multiprobe > 0`` additionally probes every
+    single-bit-flip neighbor of the query's signature (+``planes`` buckets
+    per query) — recall recovers toward brute force at linear extra cost,
+    and only the (small) query side fans out. Driver-checked rows-only
+    (approximate recall has no SQL oracle); unit tests assert bucket-match
+    recall on planted neighbors."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
     cb = c.withColumn("bucket", lsh_bucket(F.col("cv"), dim, planes)).withColumn(
@@ -198,6 +202,13 @@ def lsh_topk(
     qb = q.withColumn("bucket", lsh_bucket(F.col("qv"), dim, planes)).withColumn(
         "qn", l2_norm(F.col("qv"))
     )
+    if multiprobe > 0:
+        # probe the exact bucket plus every single-bit flip (Hamming 1)
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        )
+        qb = qb.withColumn("bucket", F.explode(F.array_distinct(probes)))
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -159,3 +159,20 @@ def test_canonical_assignment_chain(spark):
     assert out[10] == (10, False)
     assert out[11] == (10, True)
     assert out[50] == (50, False)  # untouched singleton
+
+
+def test_lsh_multiprobe_recall_superset(spark, sf_dir):
+    """Flip-1 multiprobe must find at least the neighbors the exact-bucket
+    probe finds (and typically more)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    base = {(r.query_id, r.neighbor_id) for r in lsh_topk(emb, q, dim=64, k=50).collect()}
+    probed = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, q, dim=64, k=50, multiprobe=1).collect()
+    }
+    assert base <= probed
+    assert len(probed) >= len(base)
