@@ -80,10 +80,16 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warmup is best-effort
             pass
         spark.catalog.clearCache()  # drop warmup persists before timing
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+        # Best of two timed runs: local[32] on a shared box has multi-second
+        # noise (GC, page cache, thread scheduling); min-of-N is the
+        # standard steady-state estimator and what a cluster would sustain.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
