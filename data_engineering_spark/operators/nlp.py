@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import pandas_udf, udtf
 
 from .text import tokens
 
@@ -39,6 +39,8 @@ __all__ = [
     "embed_text",
     "doc_to_json",
     "tfidf_keywords",
+    "SplitSentences",
+    "split_sentences",
 ]
 
 _WORD_RE = re.compile(r"[A-Za-z0-9가-힣]+")
@@ -150,4 +152,32 @@ def doc_to_json(df: DataFrame, id_col: str, index_name: str) -> DataFrame:
         F.lit(index_name).alias("_index"),
         F.col(id_col).cast("string").alias("_id"),
         F.to_json(F.struct(*payload_cols)).alias("_source"),
+    )
+
+
+@udtf(returnType="sent_no: int, sentence: string")
+class SplitSentences:
+    """[UDTF surface] Python table function: text → one row per sentence
+    (naive ./!/? splitting — swap the body for a real segmenter; the
+    lateral-join plumbing is the point). Complements the UDF
+    (tokenize_pandas) and grouped-map (keyword_extract) shapes so all
+    three Python extension points are exercised."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text:
+            norm = text.replace("!", ".").replace("?", ".")
+            for i, part in enumerate(norm.split(".")):
+                s = part.strip()
+                if s:
+                    yield i, s
+
+
+def split_sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Lateral-join the SplitSentences UDTF against a document table."""
+    spark = df.sparkSession
+    spark.udtf.register("split_sentences_udtf", SplitSentences)
+    df.createOrReplaceTempView("__split_sentences_in")
+    return spark.sql(
+        f"""SELECT d.{id_col}, s.sent_no, s.sentence
+            FROM __split_sentences_in d, LATERAL split_sentences_udtf(d.{text_col}) s"""
     )

@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .operators.multimodal import extract_features, media_metadata, sample_frames, synthetic_media
-from .operators.nlp import embed_text, keyword_extract, tfidf_keywords, tokenize_pandas
+from .operators.nlp import (
+    embed_text,
+    keyword_extract,
+    split_sentences,
+    tfidf_keywords,
+    tokenize_pandas,
+)
 from .registry import query
 
 
@@ -85,6 +91,13 @@ def q_nlp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select(
         "doc_id", tokenize_pandas(F.col("text")).alias("toks")
     )
+
+
+@query("nlp_split_sentences")  # rows-only: Python UDTF lateral join
+def q_nlp_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface — one row per sentence via LATERAL Python table
+    function (operators/nlp.py:SplitSentences)."""
+    return split_sentences(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,18 @@ def test_sample_frames_fanout(spark):
     per = Counter(r.media_id for r in rows)
     for mid, dur in vids.items():
         assert per[mid] == (dur + 4999) // 5000
+
+
+def test_split_sentences_udtf(spark):
+    from data_engineering_spark.operators.nlp import split_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "Hello world. How are you? Fine!"), (2, ""), (3, "One")],
+        ["doc_id", "text"],
+    )
+    rows = {(r.doc_id, r.sent_no): r.sentence for r in split_sentences(docs).collect()}
+    assert rows[(1, 0)] == "Hello world"
+    assert rows[(1, 1)] == "How are you"
+    assert rows[(1, 2)] == "Fine"
+    assert (3, 0) in rows and rows[(3, 0)] == "One"
+    assert not any(k[0] == 2 for k in rows)  # empty text → no rows
