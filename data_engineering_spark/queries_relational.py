@@ -1263,6 +1263,31 @@ def tpch_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a15_percentiles",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+              round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+              round(quantile_cont(l_discount, 0.5), 4) AS disc_p50
+       FROM lineitem GROUP BY l_returnflag""",
+)
+def a15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] exact interpolated percentiles per group —
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition. At 100 TB swap for `percentile_approx`
+    (t-digest, mergeable partial states); the exact form sorts per group
+    and is the oracle baseline."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("disc_p50"),
+        )
+    )
+
+
+@query(
     "a14_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority,
               CAST(count(*) AS BIGINT) AS n,
