@@ -126,10 +126,18 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, top_k: int = 3) ->
     Preferable at scale: stays in Tungsten, no Arrow hop."""
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
         F.length("tok") > 2
     )
-    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds BOTH the document-frequency aggregate and the score join —
+    # persist it or the tokenize+explode pipeline executes twice.
+    tf = (
+        tok.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_docs = df.count()
     dfreq = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
     scored = tf.join(dfreq, "tok").withColumn(
