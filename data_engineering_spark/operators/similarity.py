@@ -23,6 +23,8 @@ bit-for-bit after round(…, 6).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -244,16 +246,28 @@ def ivf_train(
     return [list(r.v) for r in rows]
 
 
-def _cell_ranking(vec: Column, centroids: list[list[float]]) -> Column:
-    """Array of (sim, cell) structs sorted best-first against the codebook."""
-    entries = [
-        F.struct(
-            cosine(vec, F.array(*[F.lit(float(x)) for x in c])).alias("sim"),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    return F.sort_array(F.array(*entries), asc=False)
+def _cell_ranker(centroids: list[list[float]], nprobe: int):
+    """pandas_udf: vector → its ``nprobe`` nearest centroid cells, as one
+    NumPy matmul per Arrow batch. The codebook is tiny and closed over
+    (broadcast with the serialized udf); an expression-tree formulation
+    (n_cells folds of dim-length literal arrays per row) evaluates
+    interpreted and dominates the operator's runtime."""
+    from pyspark.sql.functions import pandas_udf
+
+    cm = np.array(centroids, dtype=np.float64)
+    cn = np.linalg.norm(cm, axis=1)
+    cn[cn == 0] = 1.0
+
+    @pandas_udf("array<int>")
+    def rank_cells(vecs: pd.Series) -> pd.Series:
+        vm = np.array([list(v) for v in vecs], dtype=np.float64)
+        vn = np.linalg.norm(vm, axis=1)
+        vn[vn == 0] = 1.0
+        sims = (vm @ cm.T) / (vn[:, None] * cn[None, :])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return rank_cells
 
 
 def ivf_topk(
@@ -274,19 +288,16 @@ def ivf_topk(
     scoring is a local problem ~``n_cells/nprobe``× smaller than brute
     force."""
     cents = ivf_train(corpus, n_cells, id_col, vec_col)
+    assign_one = _cell_ranker(cents, 1)
+    probe_n = _cell_ranker(cents, nprobe)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))
-    c = c.withColumn("cell", F.element_at(_cell_ranking(F.col("cv"), cents), 1)["cell"]).withColumn(
+    c = c.withColumn("cell", F.element_at(assign_one(F.col("cv")), 1)).withColumn(
         "cn", l2_norm(F.col("cv"))
     )
     q = queries.select(F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv"))
-    q = q.withColumn(
-        "cell",
-        F.explode(
-            F.transform(
-                F.slice(_cell_ranking(F.col("qv"), cents), 1, nprobe), lambda s: s["cell"]
-            )
-        ),
-    ).withColumn("qn", l2_norm(F.col("qv")))
+    q = q.withColumn("cell", F.explode(probe_n(F.col("qv")))).withColumn(
+        "qn", l2_norm(F.col("qv"))
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -319,9 +330,6 @@ def cosine_topk_pandas(
     per batch, not the whole score matrix. Use this variant when
     throughput matters; ``cosine_topk`` stays as the fold-based oracle
     twin (bit-identical to the DuckDB sequential dot product)."""
-    import numpy as np
-    import pandas as pd
-
     q_rows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
