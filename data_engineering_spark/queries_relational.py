@@ -1288,6 +1288,38 @@ def a15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a16_nested_doc_assembly",
+    """SELECT o_custkey,
+              to_json(list_sort(list(struct_pack(order_key := o_orderkey,
+                                                 priority := o_orderpriority)))) AS docs
+       FROM orders GROUP BY o_custkey""",
+)
+def a16_nested_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§1.3 nested struct arrays — the ES document shape
+    (`nested_duty`/`nested_inqu` fields, openai_elasticsearch.py:51-54;
+    doc assembly Elastic_indexing.py:229-258): one row per customer with
+    a sorted array<struct> of their orders, serialized to JSON for
+    engine-neutral comparison. collect_list merges partially; array_sort
+    canonicalizes the unordered collect."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("o_orderkey").alias("order_key"),
+                            F.col("o_orderpriority").alias("priority"),
+                        )
+                    )
+                )
+            ).alias("docs")
+        )
+    )
+
+
+@query(
     "a14_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority,
               CAST(count(*) AS BIGINT) AS n,
