@@ -1288,6 +1288,19 @@ def a15_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "j7_cross_join",
+    """SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n""",
+)
+def j7_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] explicit cross join — small × small only
+    (dimension grid); plans as BroadcastNestedLoopJoin. A fact-side cross
+    join is a design error, not an operator gap."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
     "a16_nested_doc_assembly",
     """SELECT o_custkey,
               to_json(list_sort(list(struct_pack(order_key := o_orderkey,
