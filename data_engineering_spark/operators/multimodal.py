@@ -28,6 +28,7 @@ __all__ = [
     "synthetic_media",
     "media_metadata",
     "decode_image",
+    "resize_images",
     "extract_features",
     "sample_frames",
 ]
@@ -145,3 +146,47 @@ def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
         )
     )
     return frames
+
+
+def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
+    """Image resize over binary payloads via ``mapInPandas``.
+
+    The pixel transform is stubbed (no PIL in this container — the fake
+    emits a deterministic digest of (content, target size) as the resized
+    payload) but the distributed contract is the production one: Arrow
+    batches of (media_id, content) in, (media_id, content, width, height)
+    out, executor-local memory bounded by batch size. Wire
+    ``decode_image`` + ``PIL.Image.resize`` + re-encode into the loop for
+    the real thing; partitioning, schema, and batching do not change."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                fake = hashlib.sha256(
+                    bytes(content) + f"{target_w}x{target_h}".encode()
+                ).digest()
+                out.append(fake)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                }
+            )
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("media_id", "content")
+        .mapInPandas(resize, schema=out_schema)
+    )

@@ -13,7 +13,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
-from .operators.multimodal import extract_features, media_metadata, sample_frames, synthetic_media
+from .operators.multimodal import (
+    extract_features,
+    media_metadata,
+    resize_images,
+    sample_frames,
+    synthetic_media,
+)
 from .operators.nlp import (
     embed_text,
     keyword_extract,
@@ -202,3 +208,10 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — video frame-sampling fan-out (sequence + explode)."""
     return sample_frames(synthetic_media(spark, 64))
+
+
+@query("mm_resize_images")
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — image resize plumbing (mapInPandas; pixel transform
+    stubbed, Arrow batching real)."""
+    return resize_images(synthetic_media(spark, 64))

@@ -116,3 +116,17 @@ def test_split_sentences_udtf(spark):
     assert rows[(1, 2)] == "Fine"
     assert (3, 0) in rows and rows[(3, 0)] == "One"
     assert not any(k[0] == 2 for k in rows)  # empty text → no rows
+
+
+def test_resize_images_contract(spark):
+    from data_engineering_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, 12)
+    out = resize_images(media, target_w=32, target_h=24).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images
+    assert all(r.width == 32 and r.height == 24 for r in out)
+    assert all(isinstance(r.content, (bytes, bytearray)) and len(r.content) > 0 for r in out)
+    # deterministic: same input → same payload
+    again = {r.media_id: bytes(r.content) for r in resize_images(media, 32, 24).collect()}
+    assert all(bytes(r.content) == again[r.media_id] for r in out)
