@@ -109,3 +109,34 @@ def test_truncate_and_load_atomic_replace(spark, sf_dir, tmp_path):
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     assert truncate_and_load(nation, target) == 25
     assert truncate_and_load(nation.limit(5), target) == 5  # truncate, not append
+
+
+def test_run_daily_end_to_end(spark, sf_dir, tmp_path):
+    """§3.1 DAG re-enactment: t1 SQL ETL → t2 mart partition →
+    retention → weekly serving index, audited, idempotent on re-run."""
+    from data_engineering_spark.pipeline.daily import run_daily
+
+    wh = str(tmp_path / "wh")
+    recs = run_daily(spark, sf_dir, wh, "20240110", weekly=True)
+    assert [r.job_nm for r in recs] == [
+        "t1.t1_order_summary",
+        "t1.t1_lineitem_daily",
+        "t2.cust_mart",
+        "t4.serving_index",
+    ]
+    assert all(r.success_yn == "Y" for r in recs)
+    mart = spark.read.parquet(f"{wh}/t2_cust_mart")
+    assert mart.filter("bkup_dt = '20240110'").count() == recs[2].cretn_cnt > 0
+
+    # re-run same date: idempotent (partition replaced, not doubled)
+    recs2 = run_daily(spark, sf_dir, wh, "20240110", weekly=False)
+    mart2 = spark.read.parquet(f"{wh}/t2_cust_mart")
+    assert mart2.filter("bkup_dt = '20240110'").count() == recs2[2].cretn_cnt
+
+    # second batch date adds a partition; retention keeps both (within window)
+    run_daily(spark, sf_dir, wh, "20240111", weekly=False)
+    parts = {r.bkup_dt for r in spark.read.parquet(f"{wh}/t2_cust_mart").select("bkup_dt").distinct().collect()}
+    assert parts == {"20240110", "20240111"}
+
+    audit = spark.read.parquet(f"{wh}/audit_log")
+    assert audit.filter("success_yn = 'Y'").count() >= 9
