@@ -183,6 +183,44 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_assignment(pairs, docs.select("doc_id"), max_rounds=3)
 
 
+@query(
+    "corpus_prepare",
+    """WITH scored AS (
+         SELECT doc_id, text, lang, source,
+                md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+                round(0.5 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
+                           / len(string_split_regex(trim(lower(text)), '\\s+')))
+                    + 0.5 * least(len(string_split_regex(trim(lower(text)), '\\s+')) / 200.0, 1.0),
+                      6) AS quality
+         FROM documents),
+       kept AS (SELECT * FROM scored WHERE quality >= 0.3),
+       canonical AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp)
+       SELECT k.doc_id, k.lang, k.source, k.quality
+       FROM kept k JOIN canonical c ON k.fp = c.fp AND k.doc_id = c.keep_id""",
+)
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus prep pipeline in one query: quality
+    scoring (operators/text.py:quality_score) → threshold filter → exact
+    dedup keeping the lowest doc id per fingerprint. This is the composed
+    form of text_quality + dedup_exact — what a data pipeline actually
+    runs nightly; near-dup stages (minhash → canonical_assignment) chain
+    after it the same way."""
+    from .operators.text import fingerprint
+
+    kept = (
+        quality_score(_docs(spark, sf_dir))
+        .filter(F.col("keep"))
+        .withColumn("fp", fingerprint("text"))
+    )
+    canonical = kept.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return (
+        kept.join(canonical, (kept.fp == canonical.fp) & (kept.doc_id == canonical.keep_id))
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "source", "quality")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
