@@ -230,20 +230,39 @@ def ivf_train(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> list[list[float]]:
-    """Coarse-quantizer "training": pick ``n_cells`` corpus vectors as
-    centroids, chosen by xxhash64 order of their ids — a deterministic
-    stand-in for k-means seeding (k-means|| without the refinement
-    iterations). The only driver-side transfer is the ``n_cells`` centroid
-    vectors themselves (bounded, tiny — this is the IVF codebook that gets
-    broadcast into every assignment expression)."""
+    """Coarse-quantizer training: ``n_cells`` corpus vectors chosen by
+    xxhash64 order of their ids seed the codebook (deterministic k-means
+    seeding); ``refine_iters`` distributed Lloyd iterations then move each
+    centroid to the mean of its assigned cell — assignment is a NumPy
+    pandas_udf map, the mean is one partial-agg groupBy of per-dimension
+    sums, and the only driver transfer per iteration is the ``n_cells``
+    centroid vectors. Empty cells keep their previous centroid. Seeding
+    uses no RNG; refinement means are floating-point sums whose partition
+    order may vary in the last ulp — harmless for cell assignment, which
+    is why the oracle-facing default is ``refine_iters=0``."""
     rows = (
         corpus.select(as_double(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h")
         .limit(n_cells)
         .collect()
     )
-    return [list(r.v) for r in rows]
+    cents = [list(r.v) for r in rows]
+    for _ in range(refine_iters):
+        assign = _cell_ranker(cents, 1)
+        assigned = corpus.select(
+            F.element_at(assign(as_double(vec_col)), 1).alias("cell"),
+            as_double(vec_col).alias("v"),
+        )
+        dim = len(cents[0])
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        )
+        new = {r["cell"]: [r[f"s{i}"] / r["n"] for i in range(dim)] for r in sums.collect()}
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+    return cents
 
 
 def _cell_ranker(centroids: list[list[float]], nprobe: int):

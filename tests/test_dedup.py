@@ -176,3 +176,17 @@ def test_lsh_multiprobe_recall_superset(spark, sf_dir):
     }
     assert base <= probed
     assert len(probed) >= len(base)
+
+
+def test_ivf_train_refinement_moves_centroids(spark, sf_dir):
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeded = ivf_train(emb, n_cells=4)
+    refined = ivf_train(emb, n_cells=4, refine_iters=1)
+    assert len(seeded) == len(refined) == 4
+    assert seeded != refined  # Lloyd step moved at least one centroid
+    # refined codebook still drives a working probe
+    out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), n_cells=4, nprobe=2, k=3)
+    assert out.count() > 0
