@@ -91,6 +91,47 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    # Layout experiment: the same lineitem⋈orders aggregate on the plain
+    # parquet layout (shuffle join) vs bucket-sorted tables (zero-Exchange
+    # join) — the quantified case for writers.bucketize at scale. Timed
+    # best-of-two like the headline queries.
+    try:
+        from pyspark.sql import functions as F
+
+        from data_engineering_spark.catalog import load_table
+        from data_engineering_spark.sources.writers import bucketize
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        l_plain = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        o_plain = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+
+        def join_agg(l, o):
+            return (
+                l.join(o, l["l_orderkey"] == o["o_orderkey"])
+                .groupBy("o_custkey")
+                .agg(F.sum("l_extendedprice").alias("s"))
+            )
+
+        l_b = bucketize(l_plain, "bench_lineitem_b", ["l_orderkey"], n_buckets=32)
+        o_b = bucketize(o_plain, "bench_orders_b", ["o_orderkey"], n_buckets=32)
+        for label, l, o in (
+            ("join_orderkey_shuffled", l_plain, o_plain),
+            ("join_orderkey_bucketed", l_b, o_b),
+        ):
+            join_agg(l, o).write.format("noop").mode("overwrite").save()  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                join_agg(l, o).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[label] = round(best, 3)
+    except Exception:  # noqa: BLE001 — layout experiment is best-effort
+        pass
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bench_lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS bench_orders_b")
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
