@@ -183,6 +183,77 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_assignment(pairs, docs.select("doc_id"), max_rounds=3)
 
 
+_SEARCH_TERMS = ["spark", "vector", "stream"]
+
+
+def _occurrence_sql(term: str) -> str:
+    return (
+        f"CAST((length(lt) - length(replace(lt, '{term}', ''))) / {len(term)} AS BIGINT)"
+    )
+
+
+@query(
+    "search_tfidf_rank",
+    f"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        c AS (SELECT doc_id,
+                     {_occurrence_sql('spark')} AS c0,
+                     {_occurrence_sql('vector')} AS c1,
+                     {_occurrence_sql('stream')} AS c2
+              FROM t),
+        d AS (SELECT count(*) AS n,
+                     sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS d0,
+                     sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS d1,
+                     sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS d2
+              FROM c)
+        SELECT doc_id,
+               round(c0 * ln(n / (d0 + 1.0))
+                   + c1 * ln(n / (d1 + 1.0))
+                   + c2 * ln(n / (d2 + 1.0)), 6) AS score
+        FROM c, d
+        WHERE c0 + c1 + c2 > 0
+        ORDER BY score DESC, doc_id LIMIT 20""",
+)
+def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance-ranked search — the reference's Elasticsearch
+    query_string serving behavior (openai_elasticsearch.py:160-170,
+    top-hit selection :228-236) as a materialized-index query: per-term
+    occurrence counts × corpus IDF, summed, top-20. One scan computes the
+    counts; the 1-row document-frequency aggregate broadcasts back; the
+    final top-k is a TakeOrdered, so nothing but (doc_id, score) pairs
+    move."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("lt"))
+    counts = docs.select(
+        "doc_id",
+        *[
+            (
+                (F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(t))))
+                / len(t)
+            )
+            .cast("long")
+            .alias(f"c{i}")
+            for i, t in enumerate(_SEARCH_TERMS)
+        ],
+    )
+    dfreq = counts.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col(f"c{i}") > 0, 1).otherwise(0)).alias(f"d{i}")
+            for i in range(len(_SEARCH_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_SEARCH_TERMS)):
+        term_score = F.col(f"c{i}") * F.log(F.col("n") / (F.col(f"d{i}") + 1.0))
+        score = term_score if score is None else score + term_score
+    return (
+        counts.crossJoin(F.broadcast(dfreq))
+        .filter(sum(F.col(f"c{i}") for i in range(len(_SEARCH_TERMS))) > 0)
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
 @query(
     "corpus_prepare",
     """WITH scored AS (
