@@ -44,11 +44,15 @@ def _spread(df: DataFrame) -> DataFrame:
     Text corpora often arrive as few large files (here: one parquet file
     per table), so the scan stage gets 1-2 tasks and every downstream
     projection serializes. A round-robin repartition to the default
-    parallelism makes the shingle/hash stages scale with cores — at
-    cluster scale the input split count usually suffices and AQE coalesces
-    any excess, so this is cheap insurance, not a tax."""
+    parallelism makes the shingle/hash stages scale with cores — but ONLY
+    when the input is under-split: a 100 TB corpus already scanning as
+    thousands of tasks must not pay a full-data shuffle for nothing, so
+    the repartition is conditional on the actual partition count."""
     sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism)
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
