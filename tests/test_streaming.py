@@ -153,3 +153,43 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_session_windows_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """Session windows computed incrementally (AvailableNow, watermark 0)
+    equal the batch session_window aggregation."""
+    from data_engineering_spark.streaming.streams import session_windows
+
+    sink = str(tmp_path / "sess_sink")
+    ckpt = str(tmp_path / "sess_ckpt")
+    stream = session_windows(events_stream(spark, sf_dir), gap="10 minutes", watermark="0 seconds")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in spark.read.parquet(sink).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    # append mode emits a session once the watermark passes its end
+    # (last event + gap); sessions still open at end-of-stream stay held
+    batch = {
+        (r.user_id, r.w.start, r.n_events, r.session_value)
+        for r in (
+            events.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("session_value"),
+            )
+            .filter(F.col("w.end") <= F.lit(max_ts))
+            .collect()
+        )
+    }
+    assert got == batch
