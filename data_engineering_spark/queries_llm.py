@@ -255,6 +255,74 @@ def q_search_tfidf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_bm25_rank",
+    f"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        c AS (SELECT doc_id,
+                     length(lt) AS dl,
+                     {_occurrence_sql('spark')} AS c0,
+                     {_occurrence_sql('vector')} AS c1,
+                     {_occurrence_sql('stream')} AS c2
+              FROM t),
+        d AS (SELECT count(*) AS n,
+                     avg(dl) AS avgdl,
+                     sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS d0,
+                     sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS d1,
+                     sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS d2
+              FROM c)
+        SELECT doc_id,
+               round( ln((n - d0 + 0.5) / (d0 + 0.5) + 1.0)
+                        * (c0 * 2.2) / (c0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    + ln((n - d1 + 0.5) / (d1 + 0.5) + 1.0)
+                        * (c1 * 2.2) / (c1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                    + ln((n - d2 + 0.5) / (d2 + 0.5) + 1.0)
+                        * (c2 * 2.2) / (c2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+        FROM c, d
+        WHERE c0 + c1 + c2 > 0
+        ORDER BY score DESC, doc_id LIMIT 20""",
+)
+def q_search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking (k1=1.2, b=0.75): the tf saturation and
+    document-length normalization search_tfidf_rank lacks — the standard
+    scoring a Lucene/Elasticsearch replacement needs. Same one-scan +
+    broadcast-stats + TakeOrdered shape as the TF-IDF variant."""
+    k1, b = 1.2, 0.75
+    docs = _docs(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("lt"))
+    counts = docs.select(
+        "doc_id",
+        F.length("lt").alias("dl"),
+        *[
+            ((F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(t)))) / len(t))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, t in enumerate(_SEARCH_TERMS)
+        ],
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"c{i}") > 0, 1).otherwise(0)).alias(f"d{i}")
+            for i in range(len(_SEARCH_TERMS))
+        ],
+    )
+    norm = F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    score = None
+    for i in range(len(_SEARCH_TERMS)):
+        idf = F.log(
+            (F.col("n") - F.col(f"d{i}") + 0.5) / (F.col(f"d{i}") + 0.5) + 1.0
+        )
+        term = idf * (F.col(f"c{i}") * (k1 + 1)) / (F.col(f"c{i}") + k1 * norm)
+        score = term if score is None else score + term
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(sum(F.col(f"c{i}") for i in range(len(_SEARCH_TERMS))) > 0)
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
     "corpus_prepare",
     """WITH scored AS (
          SELECT doc_id, text, lang, source,
@@ -360,10 +428,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_lsh_topk")  # rows-only: approximate recall, no SQL twin
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (random hyperplanes) — the scale
-    path: only same-bucket pairs are scored."""
+    """LSH-bucketed approximate top-k (random hyperplanes, flip-1
+    multiprobe) — scores ~3.5% of the corpus per query. Note: on the
+    driver's isotropic random embeddings hyperplane LSH recall is
+    inherently low (see sim_ann_recall); IVF is the stronger scale path
+    for this data shape, LSH wins when vectors cluster."""
     emb = _emb(spark, sf_dir)
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, multiprobe=1)
 
 
 @query("sim_cosine_topk_fast")  # rows-only: NumPy batch math, no SQL twin
@@ -382,3 +453,29 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells scored."""
     emb = _emb(spark, sf_dir)
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=16, nprobe=4, k=5)
+
+
+@query("sim_ann_recall")  # rows-only: self-measuring quality metric
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of each ANN scale path against the exact brute-force
+    top-5 on the same query set — the quality metric that decides
+    nprobe/planes in production (measured at sf0.01: lsh+multiprobe
+    ~0.14, ivf nprobe=4 ~0.54, nprobe=8 ~0.82 — the driver's random
+    embeddings are isotropic, the worst case for hyperplane LSH). One
+    row per method."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    n_exact = exact.count()
+    rows = []
+    for method, approx in (
+        ("lsh", lsh_topk(emb, q, dim=64, k=5)),
+        ("lsh_multiprobe", lsh_topk(emb, q, dim=64, k=5, multiprobe=1)),
+        ("ivf_nprobe4", ivf_topk(emb, q, n_cells=16, nprobe=4, k=5)),
+        ("ivf_nprobe8", ivf_topk(emb, q, n_cells=16, nprobe=8, k=5)),
+    ):
+        hit = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+        ).count()
+        rows.append((method, float(round(hit / max(n_exact, 1), 4))))
+    return spark.createDataFrame(rows, "method string, recall_at_5 double")
