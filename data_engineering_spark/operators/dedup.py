@@ -327,10 +327,11 @@ def canonical_assignment(
     (minhash/simhash/ngram) into a drop-list for a training corpus.
 
     Label propagation: every doc starts labeled with itself; each round
-    every doc adopts the min label in its neighborhood. Rounds ≤
-    ``max_rounds`` bound the shuffle count — duplicate clusters in
-    practice are shallow (chains longer than 2⁵ hops are pathological);
-    each round is two hash joins + a groupBy, all partitioned on doc id.
+    every doc adopts the min label in its neighborhood, and the loop
+    exits as soon as a round changes nothing (clusters in practice are
+    shallow, so convergence usually lands well before ``max_rounds``);
+    each round is two hash joins + a groupBy, all partitioned on doc id,
+    plus a cheap changed-count action on the checkpointed labels.
     Iterative ⇒ rows-only checked; semantics unit-tested on planted
     chains."""
     from pyspark import StorageLevel
@@ -352,7 +353,7 @@ def canonical_assignment(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        labels = (
+        new_labels = (
             labels.join(neighbor_min, "src", "left")
             .select(
                 "src",
@@ -367,6 +368,15 @@ def canonical_assignment(
             # against cluster storage in a fault-tolerant deployment).
             .localCheckpoint()
         )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels.select(
         F.col("src").alias(id_col),
         F.col("label").alias("canonical_id"),

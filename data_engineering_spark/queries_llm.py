@@ -178,9 +178,8 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-list."""
     docs = _docs(spark, sf_dir)
     pairs = minhash_near_dedup(docs)
-    # 3 rounds ⇒ labels propagate 3 hops — enough for real dup clusters
-    # (planted-chain depth is covered in tests with the default 5).
-    return canonical_assignment(pairs, docs.select("doc_id"), max_rounds=3)
+    # early-exit convergence: typical cost is (cluster depth + 1) rounds
+    return canonical_assignment(pairs, docs.select("doc_id"))
 
 
 _SEARCH_TERMS = ["spark", "vector", "stream"]
