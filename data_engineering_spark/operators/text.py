@@ -12,6 +12,8 @@ with input splits at 100 TB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -20,6 +22,7 @@ __all__ = [
     "token_count_regex",
     "text_stats",
     "fingerprint",
+    "winnow_fingerprints",
     "lang_id",
     "quality_score",
 ]
@@ -127,3 +130,57 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         score.alias("quality"),
         (score >= 0.3).alias("keep"),
     )
+
+
+def winnow_fingerprints(col: Column | str, k: int = 8, window: int = 4) -> Column:
+    """Winnowed rolling-hash document fingerprints (the MOSS scheme): a
+    polynomial rolling hash over every ``k``-char gram, then the minimum
+    of each ``window`` of consecutive gram hashes — a position-robust
+    fingerprint set whose overlap localizes shared passages (unlike the
+    whole-document md5 ``fingerprint``, which any edit breaks).
+
+    Implemented as an Arrow-batched pandas_udf (NumPy O(n) rolling hash +
+    vectorized window minima) rather than array expressions: Catalyst's
+    CollapseProject re-inlines a gram-array subexpression into every
+    window element, turning the expression form O(n²) per document. The
+    udf is a pure projection — no shuffle until someone joins on the
+    exploded fingerprints."""
+    from pyspark.sql.functions import pandas_udf
+
+    B = 1000003
+    M = 1 << 64  # natural machine-word modulus: wraparound keeps the
+    # rolling subtraction exact (a masked smaller modulus would make the
+    # hash depend on history, not just the gram)
+
+    @pandas_udf("array<long>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        bk = pow(B, k - 1, M)
+        for t in texts:
+            if not isinstance(t, str) or not t:
+                out.append([])
+                continue
+            norm = " ".join(t.lower().split())
+            data = norm.encode("utf-8")
+            if len(data) < k:
+                data = data + b" " * (k - len(data))
+            # rolling polynomial hash of every k-gram, O(n)
+            h = 0
+            hashes = np.empty(len(data) - k + 1, dtype=np.uint64)
+            for i in range(k):
+                h = (h * B + data[i]) % M
+            hashes[0] = h
+            for i in range(k, len(data)):
+                h = ((h - data[i - k] * bk) * B + data[i]) % M
+                hashes[i - k + 1] = h
+            # window minima via stride trick, then distinct
+            if len(hashes) <= window:
+                mins = np.array([hashes.min()], dtype=np.uint64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(hashes, window)
+                mins = win.min(axis=1)
+            out.append(np.unique(mins).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return winnow(c)

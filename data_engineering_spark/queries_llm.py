@@ -33,6 +33,7 @@ from .operators.text import (
     quality_score,
     text_stats,
     token_count_regex,
+    winnow_fingerprints,
 )
 from .registry import query
 
@@ -131,6 +132,16 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining-style quality scoring (operators/text.py:quality_score)."""
     return quality_score(_docs(spark, sf_dir))
+
+
+@query("text_winnow_fingerprints")  # rows-only: xxhash64 grams are Spark-specific
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed rolling-hash fingerprints (MOSS scheme) per document —
+    position-robust shared-passage detection; overlap joins on the
+    exploded fingerprints find plagiarized/boilerplate spans."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", winnow_fingerprints("text").alias("fps")
+    )
 
 
 # ---------------------------------------------------------------------------

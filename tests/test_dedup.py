@@ -190,3 +190,23 @@ def test_ivf_train_refinement_moves_centroids(spark, sf_dir):
     # refined codebook still drives a working probe
     out = ivf_topk(emb, emb.filter(F.col("vec_id") < 3), n_cells=4, nprobe=2, k=3)
     assert out.count() > 0
+
+
+def test_winnow_fingerprints_shared_passage(spark):
+    from data_engineering_spark.operators.text import winnow_fingerprints
+
+    shared = "this exact shared paragraph appears verbatim in both documents and should collide"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text one. " + shared + " tail a"),
+            (2, "different opening words here! " + shared + " other ending"),
+            (3, "zzqx unrelated material qqn entirely distinct phrasing kkw"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: set(r.fps)
+        for r in docs.select("doc_id", winnow_fingerprints("text").alias("fps")).collect()
+    }
+    assert len(out[1] & out[2]) > 10  # shared passage → many common prints
+    assert len(out[1] & out[3]) == 0  # unrelated → none
