@@ -181,6 +181,31 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+@query("dedup_shared_passages")  # rows-only: rolling-hash prints are engine-specific
+def q_dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage detection: explode winnowed fingerprints, self-join
+    on the print, count prints per doc pair — pairs above the threshold
+    share verbatim spans even when the rest of the documents differ
+    (boilerplate/plagiarism detection, the case shingle-Jaccard misses
+    when the shared span is a small fraction of both docs). The join key
+    is the fingerprint: collisions are bucket-local, never all-pairs.
+    Parameters (16-char grams, window 8, ≥8 shared prints) tuned on the
+    driver corpus: recovers exactly the 25 minhash-verified near-dup
+    pairs; 8-char grams drown in template phrases (60k pairs)."""
+    fps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(winnow_fingerprints("text", k=16, window=8)).alias("fp"))
+        .distinct()
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_prints"))
+        .filter(F.col("shared_prints") >= 8)
+    )
+
+
 @query("dedup_minhash_canonical")  # rows-only: iterative label propagation
 def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-corpus dedup pipeline: MinHash+LSH pairs →

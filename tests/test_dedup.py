@@ -210,3 +210,31 @@ def test_winnow_fingerprints_shared_passage(spark):
     }
     assert len(out[1] & out[2]) > 10  # shared passage → many common prints
     assert len(out[1] & out[3]) == 0  # unrelated → none
+
+
+def test_shared_passage_pairs(spark):
+    """Docs sharing a verbatim paragraph pair up; unrelated docs don't."""
+    from data_engineering_spark.operators.text import winnow_fingerprints
+
+    shared = "the identical boilerplate disclaimer paragraph that appears in many documents"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique intro alpha. " + shared),
+            (2, shared + " plus completely different content beta"),
+            (3, "no overlap here gamma delta epsilon zeta eta theta"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = docs.select("doc_id", F.explode(winnow_fingerprints("text")).alias("fp")).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = {
+        (r.id_a, r.id_b): r.n
+        for r in (
+            a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert pairs.get((1, 2), 0) >= 8
+    assert (1, 3) not in pairs and (2, 3) not in pairs
