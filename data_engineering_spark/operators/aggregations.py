@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..functions.scalar import listagg_distinct
 
 __all__ = [
+    "salted_listagg_distinct",
     "listagg_distinct_by",
     "last_wins_merge",
     "assemble_vector",
@@ -88,3 +89,35 @@ def grouped_pivot(
     it in one shuffle. Explicit ``pivot_values`` avoids the extra
     distinct-values job at scale."""
     return df.groupBy(key).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def salted_listagg_distinct(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salts: int = 8,
+    sep: str = ",",
+) -> DataFrame:
+    """Two-phase listagg(distinct) for skewed keys: phase 1 collects
+    per-(key, salt) partial sets — the hot key's values split across
+    ``salts`` reducers instead of landing on one — phase 2 merges the
+    (few, already-deduplicated) partial sets per key and canonicalizes
+    with a sort.
+
+    collect_set is an object aggregate, so AQE's skew-join splitting
+    doesn't help it; a single key holding a large fraction of the fact
+    serializes on one task in the plain one-phase form. The salt is a
+    deterministic hash of the value column — same value always lands on
+    the same salt, so partial sets stay disjoint-ish and re-runs are
+    stable."""
+    salt = F.pmod(F.xxhash64(F.col(value).cast("string")), F.lit(salts)).cast("int")
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.collect_set(value).alias("_vals"))
+    )
+    return partial.groupBy(key).agg(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_vals")))), sep
+        ).alias("listagg")
+    )

@@ -65,3 +65,18 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     out = salted_join(fact, dim, "k", "dk", how="left", salts=3)
     rows = {r.k: r.w for r in out.collect()}
     assert rows == {1: "x", 2: "y", 99: None}
+
+
+def test_salted_listagg_matches_plain(spark):
+    from data_engineering_spark.functions.scalar import listagg_distinct
+    from data_engineering_spark.operators.aggregations import salted_listagg_distinct
+
+    # hot key 1 carries 500 rows over 40 distinct values; tail keys small
+    rows = [(1, f"v{i % 40}") for i in range(500)] + [(k, f"x{k}") for k in range(2, 30)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    plain = {
+        r.k: r.agg
+        for r in df.groupBy("k").agg(listagg_distinct("v").alias("agg")).collect()
+    }
+    salted = {r.k: r.listagg for r in salted_listagg_distinct(df, "k", "v", salts=4).collect()}
+    assert plain == salted
