@@ -57,8 +57,13 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan."""
-    return len(re.findall(r"\bExchange\b|\bAQEShuffleRead\b(?! local)", formatted_plan(df).split("== Physical Plan ==")[-1].split("=====")[0])) and formatted_plan(df).count("Exchange hashpartitioning")
+    """Number of shuffle Exchange operators in the physical plan
+    (BroadcastExchange excluded — a broadcast is not a repartition of
+    the stream). Counts the numbered node list of explain('formatted'),
+    where the node name and its hashpartitioning arguments sit on
+    separate lines."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
 def has_partial_aggregate(df: DataFrame) -> bool:

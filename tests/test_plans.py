@@ -128,3 +128,20 @@ def test_bucketized_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS test_lineitem_b")
         spark.sql("DROP TABLE IF EXISTS test_orders_b")
+
+
+def test_shuffle_budgets(spark, sf_dir):
+    """Shuffle-count ceilings for the scale-critical queries: a refactor
+    that adds an Exchange fails here before any benchmark notices."""
+    from data_engineering_spark.plans.explain import shuffle_count
+
+    budgets = {
+        "p9_boolean_compound_filter": 0,  # pure scan-filter
+        "flagship_serving_index": 1,      # the orders rollup only
+        "tpch_q1_pricing_summary": 1,     # partial→final agg
+        "tpch_q6_forecast_revenue": 1,    # single-row agg
+        "tpch_q5_local_supplier": 2,      # fact join + agg
+    }
+    for name, budget in budgets.items():
+        n = shuffle_count(QUERIES[name](spark, sf_dir))
+        assert n <= budget, f"{name}: {n} shuffles > budget {budget}"
