@@ -33,9 +33,13 @@ HEADLINE = [
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q20_part_suppliers",
+    "s2_dialect_sql_etl",
     "a1_listagg_distinct",
     "a5_last_wins_merge",
     "a13_grouped_pivot",
+    "a16_nested_doc_assembly",
     "w1_rank_in_group",
     "j6_asof_join",
     "dedup_exact",
@@ -43,6 +47,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_stats",
     "explode_top_tokens",
+    "search_bm25_rank",
+    "corpus_prepare",
 ]
 
 
