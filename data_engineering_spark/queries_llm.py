@@ -498,9 +498,17 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.14, ivf nprobe=4 ~0.54, nprobe=8 ~0.82 — the driver's random
     embeddings are isotropic, the worst case for hyperplane LSH). One
     row per method."""
+    from pyspark import StorageLevel
+
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    # the exact baseline feeds one semi-join per method — persist or the
+    # brute-force scoring re-executes for each
+    exact = (
+        cosine_topk(emb, q, k=5)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_exact = exact.count()
     rows = []
     for method, approx in (
