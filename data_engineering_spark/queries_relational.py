@@ -1332,6 +1332,22 @@ def a16_nested_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("a17_percentiles_approx")  # rows-only: t-digest values are engine-specific
+def a17_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale twin of a15_percentiles: percentile_approx (mergeable
+    sketch states, no per-group sort — the form that survives 100 TB).
+    Rows-only checked; a test bounds its error against the exact
+    percentiles."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90"),
+        )
+    )
+
+
 @query(
     "a14_grouping_sets",
     """SELECT o_orderstatus, o_orderpriority,

@@ -36,3 +36,22 @@ def test_flagship_nonempty(spark, sf_dir):
         "score",
         "qty",
     ]
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """The t-digest approximation must land within 2% of the exact
+    interpolated percentiles per group."""
+    from data_engineering_spark.registry import QUERIES
+
+    exact = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in QUERIES["a15_percentiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: (r.p50, r.p90)
+        for r in QUERIES["a17_percentiles_approx"](spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / e < 0.02, (k, e, a)
