@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_engineering_spark import registry  # noqa: E402
-from data_engineering_spark import queries_extra, queries_llm, queries_relational  # noqa: E402,F401  (side-effect: register)
+
+# Import order IS registration order IS the driver's sweep order. The
+# relational pack goes first: those queries are sub-second each, while the
+# NLP/dedup/similarity pack carries the expensive Python-UDF work — if the
+# sweep runs under a wall-clock budget, the cheap majority must not queue
+# behind the slow tail (round 1's sweep truncated after 50 entries and
+# left every aggregation/window/TPC-H query without a hard signal).
+from data_engineering_spark import queries_relational  # noqa: E402,F401  (side-effect: register)
+from data_engineering_spark import queries_extra  # noqa: E402,F401
+from data_engineering_spark import queries_llm  # noqa: E402,F401
 from data_engineering_spark.session import prepare_session  # noqa: E402
 
 

@@ -86,11 +86,15 @@ def asof_join(
 
     rpayload = [c for c in right.columns if c != key]
     l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    # The whole payload travels as ONE struct so every carried field comes
+    # from the SAME matched right row — carrying columns independently
+    # with last(ignorenulls) would backfill a NULL field from an older
+    # row, emitting a combined row that never existed.
     r = right.select(
         F.col(key),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"r_{c}") for c in rpayload],
+        F.struct(*[F.col(c) for c in rpayload]).alias("__rpay"),
     )
     u = l.unionByName(r, allowMissingColumns=True)
     if direction == "backward":
@@ -100,7 +104,7 @@ def asof_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        carried = [F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}") for c in rpayload]
+        carried = F.last("__rpay", ignorenulls=True).over(w)
     else:
         # right rows order AFTER left rows at equal ts (>= matches)
         w = (
@@ -108,11 +112,14 @@ def asof_join(
             .orderBy(F.col("__ts").asc(), F.col("__side").desc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
-        carried = [F.first(f"r_{c}", ignorenulls=True).over(w).alias(f"r_{c}") for c in rpayload]
+        carried = F.first("__rpay", ignorenulls=True).over(w)
     return (
-        u.select(*left.columns, "__side", *carried)
+        u.select(*left.columns, "__side", carried.alias("__rpay"))
         .filter(F.col("__side") == 1)
-        .drop("__side")
+        .select(
+            *left.columns,
+            *[F.col(f"__rpay.{c}").alias(f"r_{c}") for c in rpayload],
+        )
     )
 
 
@@ -154,7 +161,17 @@ def salted_join(
 
     Cost model: small side grows ``salts``×, large side never duplicates —
     the right trade when |small| ≪ |large| and the skew is on the large
-    side's key distribution."""
+    side's key distribution.
+
+    Only ``inner`` and ``left`` are supported: the small side is
+    replicated ``salts``×, so right/full-outer (or anti) joins would emit
+    each unmatched small-side row once per salt."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full/anti semantics"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts)).cast("int")
     l = large.withColumn("_salt", salt)
     s = small.withColumn("_salt_s", F.explode(F.array(*[F.lit(i) for i in range(salts)])))

@@ -148,14 +148,18 @@ def winnow_fingerprints(col: Column | str, k: int = 8, window: int = 4) -> Colum
     from pyspark.sql.functions import pandas_udf
 
     B = 1000003
-    M = 1 << 64  # natural machine-word modulus: wraparound keeps the
-    # rolling subtraction exact (a masked smaller modulus would make the
-    # hash depend on history, not just the gram)
+    # Modulus is 2^64 via uint64 wraparound: NumPy unsigned arithmetic IS
+    # mod-2^64, so the polynomial hash needs no explicit reduction and the
+    # whole gram-hash computation stays vectorized (k fused multiply-adds
+    # over the byte array — no per-byte Python loop; that loop was the
+    # dominant CPU cost of the fingerprint path at corpus scale).
+    weights = np.array(
+        [pow(B, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
 
     @pandas_udf("array<long>")
     def winnow(texts: pd.Series) -> pd.Series:
         out = []
-        bk = pow(B, k - 1, M)
         for t in texts:
             if not isinstance(t, str) or not t:
                 out.append([])
@@ -164,15 +168,12 @@ def winnow_fingerprints(col: Column | str, k: int = 8, window: int = 4) -> Colum
             data = norm.encode("utf-8")
             if len(data) < k:
                 data = data + b" " * (k - len(data))
-            # rolling polynomial hash of every k-gram, O(n)
-            h = 0
-            hashes = np.empty(len(data) - k + 1, dtype=np.uint64)
-            for i in range(k):
-                h = (h * B + data[i]) % M
-            hashes[0] = h
-            for i in range(k, len(data)):
-                h = ((h - data[i - k] * bk) * B + data[i]) % M
-                hashes[i - k + 1] = h
+            a = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+            n = len(a) - k + 1
+            # hash_i = Σ_j a[i+j]·B^(k-1-j)  (mod 2^64), k vector ops total
+            hashes = np.zeros(n, dtype=np.uint64)
+            for j in range(k):
+                hashes += a[j : j + n] * weights[j]
             # window minima via stride trick, then distinct
             if len(hashes) <= window:
                 mins = np.array([hashes.min()], dtype=np.uint64)

@@ -13,7 +13,7 @@ date is safe end to end.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -115,7 +115,13 @@ def run_daily(
     records.append(rec)
 
     # ---- retention: drop mart partitions older than keep_days
-    cutoff = str(int(batch_date) - keep_days)  # yyyyMMdd arithmetic is approximate
+    # Real calendar arithmetic: integer subtraction on yyyyMMdd strings
+    # produces invalid dates across month/year boundaries (20240201 - 7 =
+    # '20240194') that lexically exceed every in-window partition and
+    # would make retention_prune delete data it should keep.
+    cutoff = (datetime.strptime(batch_date, "%Y%m%d") - timedelta(days=keep_days)).strftime(
+        "%Y%m%d"
+    )
     retention_prune(spark, f"{warehouse_dir}/t2_cust_mart", "bkup_dt", cutoff)
 
     # ---- t4/t5: serving index — weekly-gated like the DAG's weekly group

@@ -78,24 +78,38 @@ def q_nlp_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("nlp_embed_text")  # rows-only: hash-embedding is engine-specific
 def q_nlp_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UD3 — text → fixed-dim float vector via Arrow pandas_udf."""
+    """UD3 — text → fixed-dim float vector via Arrow pandas_udf.
+
+    The registered projection serializes the vector with ``to_json`` —
+    the harness canonicalizes result frames through pandas sorting, and a
+    raw ``array<float>`` cell is unhashable there; the array-native
+    operator (``nlp.embed_text``) is unchanged underneath."""
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", embed_text(F.col("text")).alias("embedding")
+        "doc_id", F.to_json(embed_text(F.col("text"))).alias("embedding_json")
     )
 
 
 @query(
     "nlp_tokenize_pandas",
-    """SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+') AS toks
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+')) AS BIGINT) AS n_toks,
+              array_to_string(regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+'), ' ') AS toks_str
        FROM documents""",
 )
 def q_nlp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD1 — analyzer-shaped pandas_udf tokenizer; compare
     text.tokens() for the no-UDF fast path. Oracle-checked: the UDF is a
     deterministic regex, so DuckDB's regexp_extract_all is an exact twin —
-    proving the Arrow path is value-correct, not just runnable."""
+    proving the Arrow path is value-correct, not just runnable.
+
+    Tokens are emitted space-joined (tokens are \\w-class so the join is
+    lossless): the harness canonicalizer can't sort/hash raw array cells,
+    and string equality here is exactly array equality."""
+    toks = tokenize_pandas(F.col("text"))
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", tokenize_pandas(F.col("text")).alias("toks")
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.concat_ws(" ", toks).alias("toks_str"),
     )
 
 
@@ -200,8 +214,11 @@ def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_extract_features")
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — mapInPandas feature extraction over binary payloads
-    (decode stubbed; Arrow batching real)."""
-    return extract_features(synthetic_media(spark, 64))
+    (decode stubbed; Arrow batching real). Feature vector emitted as JSON
+    so the harness canonicalizer (pandas sort/hash) can handle the cell;
+    the array-native operator is unchanged underneath."""
+    out = extract_features(synthetic_media(spark, 64))
+    return out.select("media_id", F.to_json("feature").alias("feature_json"))
 
 
 @query("mm_sample_frames")

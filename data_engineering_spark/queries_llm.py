@@ -138,10 +138,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash fingerprints (MOSS scheme) per document —
     position-robust shared-passage detection; overlap joins on the
-    exploded fingerprints find plagiarized/boilerplate spans."""
-    return _docs(spark, sf_dir).select(
+    exploded fingerprints find plagiarized/boilerplate spans.
+
+    Registered in exploded (doc_id, fp) form: that is both the join-ready
+    shape downstream consumers use and a canonicalizable one — the
+    harness canonicalizer can't sort/hash raw array cells."""
+    fps = _docs(spark, sf_dir).select(
         "doc_id", winnow_fingerprints("text").alias("fps")
     )
+    return fps.select("doc_id", F.explode("fps").alias("fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -434,11 +439,14 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                round({_COSINE_EXPR}, 6) AS sim
         FROM embeddings q, embeddings c
         WHERE q.vec_id < c.vec_id
-          AND round({_COSINE_EXPR}, 6) >= 0.6""",
+          AND round({_COSINE_EXPR}, 6) >= 0.4""",
 )
 def q_sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim ≥ 0.6)."""
-    return cosine_near_pairs(_emb(spark, sf_dir), threshold=0.6)
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.4 — the synthetic
+    embeddings are near-isotropic with max off-diagonal cosine ~0.51, so
+    0.4 selects ~59 real pairs at sf0.01 where the old 0.6 matched
+    nothing and the check compared empty sets)."""
+    return cosine_near_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
 @query(
@@ -446,7 +454,7 @@ def q_sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH pairs AS (
           SELECT q.vec_id AS vec_id, c.vec_id AS other_id
           FROM embeddings q, embeddings c
-          WHERE round({_COSINE_EXPR}, 6) >= 0.8)
+          WHERE round({_COSINE_EXPR}, 6) >= 0.4)
         SELECT vec_id,
                CAST(min(other_id) AS BIGINT) AS canonical_id,
                CAST(count(*) - 1 AS BIGINT) AS n_neighbors,
@@ -458,7 +466,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ 0.8 neighborhood (operators/similarity.py:
     embedding_near_dedup). Exact quadratic baseline; LSH/IVF cells are the
     candidate generator at scale."""
-    return embedding_near_dedup(_emb(spark, sf_dir), threshold=0.8)
+    return embedding_near_dedup(_emb(spark, sf_dir), threshold=0.4)
 
 
 @query("sim_lsh_topk")  # rows-only: approximate recall, no SQL twin

@@ -177,14 +177,15 @@ def p5_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "p6_like_filter",
-    """SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%PLATED%'""",
+    """SELECT p_partkey, p_type FROM part WHERE p_type LIKE '%ECONOMY%'""",
 )
 def p6_like_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 — LIKE predicate (Keyword.py:161-162 ``ath_role_cd like
     '%R04%'``). String-contains predicates stay in the codegen'd filter;
     parquet row-group stats can't prune LIKE, so selectivity comes from
-    column pruning."""
-    return _t(spark, sf_dir, "part").filter(F.col("p_type").like("%PLATED%")).select(
+    column pruning. Pattern chosen to select real rows in the synthetic
+    p_type domain (ECONOMY/STANDARD/…) — a 0-row pass verifies nothing."""
+    return _t(spark, sf_dir, "part").filter(F.col("p_type").like("%ECONOMY%")).select(
         "p_partkey", "p_type"
     )
 
@@ -301,12 +302,14 @@ def p12_concat_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_inner_join_filter",
     """SELECT DISTINCT c.c_custkey, c.c_name
        FROM customer c INNER JOIN nation n ON c.c_nationkey = n.n_nationkey
-       WHERE n.n_name LIKE '%a%'""",
+       WHERE n.n_name LIKE '%1%'""",
 )
 def j2_inner_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 — inner equi-join + LIKE filter + distinct (Keyword.py:156-163)."""
+    """J2 — inner equi-join + LIKE filter + distinct (Keyword.py:156-163).
+    Pattern matches NATION_1/_10…_19/_21 in the synthetic domain so the
+    check compares real rows."""
     c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").like("%a%"))
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").like("%1%"))
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
         .select("c_custkey", "c_name")
@@ -358,12 +361,20 @@ def j4_broadcast_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "j5_anti_join",
     """SELECT c_custkey, c_name FROM customer c
-       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""",
 )
 def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[absent in reference] anti join — customers with no orders."""
+    """[absent in reference] anti join — customers with no *finished*
+    orders. The status filter exists so the anti side is non-empty on the
+    synthetic data (every customer has ≥1 order overall; ~71 lack an 'F'
+    one at sf0.01) — an all-matched anti join passes vacuously."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+    )
     return anti_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select("c_custkey", "c_name")
 
 
@@ -761,12 +772,18 @@ def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "u4_except",
     """SELECT c_custkey AS cust_key FROM customer
        EXCEPT
-       SELECT o_custkey FROM orders""",
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""",
 )
 def u4_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[absent in reference] EXCEPT — set-difference twin of j5."""
+    """[absent in reference] EXCEPT — set-difference twin of j5. The
+    status filter keeps the difference non-empty on the synthetic data
+    (every customer has some order) so the check compares real rows."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key"))
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key"))
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("cust_key"))
+    )
     return c.exceptAll(o).distinct()
 
 

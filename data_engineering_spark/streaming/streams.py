@@ -177,7 +177,10 @@ def foreach_batch_parquet_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         out = transform(batch_df) if transform else batch_df
-        out.write.mode("append").parquet(f"{sink_dir}/batch_id={batch_id}")
+        # overwrite, not append: a failed micro-batch is retried with the
+        # SAME batch_id, so the replay must replace the partial write —
+        # append would double the rows and break exactly-once.
+        out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
 
     return sink
 

@@ -80,3 +80,29 @@ def test_salted_listagg_matches_plain(spark):
     }
     salted = {r.k: r.listagg for r in salted_listagg_distinct(df, "k", "v", salts=4).collect()}
     assert plain == salted
+
+
+def test_asof_payload_fields_come_from_same_row(spark):
+    """A NULL field in the matched right row must stay NULL — carrying
+    payload columns independently would backfill it from an older right
+    row, emitting a combined row that never existed."""
+    left = spark.createDataFrame([(1, 100, _ts(12))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(100, _ts(9), "old_a", "old_b"), (100, _ts(11), "new_a", None)],
+        ["k", "rts", "a", "b"],
+    )
+    row = asof_join(left, right, "k", "ts", "rts").collect()[0]
+    assert row.r_a == "new_a"
+    assert row.r_b is None  # NOT "old_b"
+
+
+def test_salted_join_rejects_outer_how(spark):
+    import pytest
+
+    from data_engineering_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "x")], ["dk", "w"])
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", "dk", how=how)

@@ -140,3 +140,20 @@ def test_run_daily_end_to_end(spark, sf_dir, tmp_path):
 
     audit = spark.read.parquet(f"{wh}/audit_log")
     assert audit.filter("success_yn = 'Y'").count() >= 9
+
+
+def test_retention_cutoff_crosses_month_boundary(spark, sf_dir, tmp_path):
+    """Cutoff must use real date arithmetic: integer yyyyMMdd subtraction
+    around a month boundary (20240201 - 7 = '20240194') lexically exceeds
+    every January partition and would prune data inside the window."""
+    from data_engineering_spark.pipeline.daily import run_daily
+
+    wh = str(tmp_path / "wh")
+    run_daily(spark, sf_dir, wh, "20240129", weekly=False)
+    run_daily(spark, sf_dir, wh, "20240201", weekly=False, keep_days=7)
+    parts = {
+        r.bkup_dt
+        for r in spark.read.parquet(f"{wh}/t2_cust_mart").select("bkup_dt").distinct().collect()
+    }
+    # 20240129 is 3 days before 20240201 — well inside keep_days=7
+    assert parts == {"20240129", "20240201"}

@@ -193,3 +193,17 @@ def test_session_windows_incremental_matches_batch(spark, sf_dir, tmp_path):
         )
     }
     assert got == batch
+
+
+def test_foreach_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """A failed micro-batch is retried with the SAME batch_id; the sink
+    must replace (not append) the per-batch directory or replays double
+    the data and break exactly-once."""
+    from data_engineering_spark.streaming.streams import foreach_batch_parquet_sink
+
+    sink_dir = str(tmp_path / "replay")
+    batch = load_table(spark, sf_dir, "events").limit(100)
+    sink = foreach_batch_parquet_sink(sink_dir)
+    sink(batch, 7)
+    sink(batch, 7)  # simulated retry of the same micro-batch
+    assert spark.read.parquet(sink_dir).count() == 100

@@ -76,6 +76,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
+            # several operators persist() internally (minhash, canonical
+            # assignment, tf-idf, q15); drop their blocks once the result
+            # is materialized so a 94-query sweep doesn't accumulate
+            # executor storage
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             failures += 1
