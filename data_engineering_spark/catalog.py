@@ -16,6 +16,7 @@ as the storage layout provides them.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,7 +35,22 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-__all__ = ["TABLES", "DEFAULT_SF_DIR", "table_path", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "DEFAULT_SF_DIR",
+    "table_path",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "bucketed_layout",
+]
+
+# (sf_dir, table) → managed-table name. While set, load_table routes reads
+# of that table to a bucket-sorted managed copy, so EVERY registered query
+# transparently runs on the bucketed layout — the end-to-end story for the
+# one fact-fact shuffle (lineitem⋈orders on orderkey), not just the
+# isolated join primitive.
+_LAYOUT_OVERRIDES: dict[tuple[str, str], str] = {}
 
 
 def table_path(sf_dir: str, name: str) -> str:
@@ -50,6 +66,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``div 1000`` — the same floor-truncation DuckDB applies when it casts
     TIMESTAMP_NS → TIMESTAMP, so both engines see identical values.
     """
+    override = _LAYOUT_OVERRIDES.get((sf_dir, name))
+    if override is not None:
+        return spark.table(override)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
@@ -70,3 +89,36 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+@contextmanager
+def bucketed_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: dict[str, list[str]] | None = None,
+    n_buckets: int = 32,
+):
+    """Materialize bucket-sorted copies of the given fact tables and route
+    ``load_table`` to them for the duration of the block.
+
+    Default layout buckets BOTH lineitem and orders on orderkey with
+    matching bucket counts — the co-location that deletes the Exchange
+    from every equi-join/groupBy on that key (flagship, Q3, Q18). This is
+    the pay-once-at-load layout decision a 100 TB warehouse makes instead
+    of re-shuffling per query; the managed copies are dropped on exit
+    (in production they ARE the tables)."""
+    from .sources.writers import bucketize
+
+    keys = keys or {"lineitem": ["l_orderkey"], "orders": ["o_orderkey"]}
+    created: list[tuple[str, str]] = []
+    try:
+        for name, key_cols in keys.items():
+            managed = f"bucketed_{name}_{n_buckets}"
+            bucketize(load_table(spark, sf_dir, name), managed, key_cols, n_buckets=n_buckets)
+            _LAYOUT_OVERRIDES[(sf_dir, name)] = managed
+            created.append((name, managed))
+        yield
+    finally:
+        for name, managed in created:
+            _LAYOUT_OVERRIDES.pop((sf_dir, name), None)
+            spark.sql(f"DROP TABLE IF EXISTS {managed}")

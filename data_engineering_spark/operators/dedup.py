@@ -321,6 +321,7 @@ def canonical_assignment(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_rounds: int = 5,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into per-document canonical ids (min id of
     the connected duplicate cluster) — the step that turns pair output
@@ -333,7 +334,13 @@ def canonical_assignment(
     each round is two hash joins + a groupBy, all partitioned on doc id,
     plus a cheap changed-count action on the checkpointed labels.
     Iterative ⇒ rows-only checked; semantics unit-tested on planted
-    chains."""
+    chains.
+
+    ``reliable_checkpoints=True`` writes each round's labels to the
+    cluster checkpoint dir (``spark.sparkContext.setCheckpointDir``) via
+    ``checkpoint()`` instead of executor-local ``localCheckpoint()`` —
+    the fault-tolerant mode for long-running cluster jobs, where losing
+    an executor mid-iteration must not restart the whole propagation."""
     from pyspark import StorageLevel
 
     # Materialize the (tiny) edge list once: every propagation round joins
@@ -361,12 +368,12 @@ def canonical_assignment(
                     "label"
                 ),
             )
-            # Each round references the previous labels twice (carry +
-            # neighbor source); without truncation the logical plan doubles
-            # per round and Catalyst analysis dominates runtime. Checkpoint
-            # to executor-local storage per round (swap for checkpoint()
-            # against cluster storage in a fault-tolerant deployment).
-            .localCheckpoint()
+        )
+        # Each round references the previous labels twice (carry +
+        # neighbor source); without truncation the logical plan doubles
+        # per round and Catalyst analysis dominates runtime.
+        new_labels = (
+            new_labels.checkpoint() if reliable_checkpoints else new_labels.localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -377,6 +384,9 @@ def canonical_assignment(
         labels = new_labels
         if changed == 0:
             break
+    # checkpointed labels carry no lineage back to the edge list — safe to
+    # release its storage before handing the result to the caller
+    edges.unpersist()
     return labels.select(
         F.col("src").alias(id_col),
         F.col("label").alias("canonical_id"),

@@ -37,6 +37,7 @@ __all__ = [
     "cosine_topk_pandas",
     "cosine_near_pairs",
     "embedding_near_dedup",
+    "embedding_near_dedup_bucketed",
     "lsh_topk",
     "ivf_topk",
 ]
@@ -167,14 +168,106 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return vals
 
 
-def lsh_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
-    """Random-hyperplane signature: ``planes`` sign bits → int bucket."""
+def lsh_bucket(vec: Column, dim: int, planes: int = 8, band: int = 0) -> Column:
+    """Random-hyperplane signature: ``planes`` sign bits → int bucket.
+    ``band`` selects an independent plane family (banded LSH: a pair is a
+    candidate if it collides in ANY band, driving miss probability down
+    exponentially in the band count)."""
     bucket = F.lit(0)
     for p in range(planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, band * planes + p)])
         bit = F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
+
+
+def embedding_near_dedup_bucketed(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    planes: int = 4,
+    bands: int = 8,
+    max_bucket: int | None = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The 100 TB-safe twin of ``embedding_near_dedup``: banded-LSH
+    candidate generation → exact cosine verify on candidates only →
+    canonical (min-id) assignment. Same output schema; near-dup recall
+    governed by the band/plane trade (P[candidate] = 1-(1-p^planes)^bands
+    where p = 1 - θ/π per hyperplane bit).
+
+    Scale shape: the exploded relation carries only (vec_id, band,
+    bucket) — vectors are NOT replicated per band; candidate pairs join
+    the vectors back for the verify. The shuffles key on (band, bucket)
+    and vec_id; nothing is ever all-pairs. ``max_bucket`` purges
+    degenerate hot buckets (the frequent-key quadratic trap — a bucket of
+    B rows makes B² candidates); dropped buckets only lower recall, never
+    correctness of emitted pairs."""
+    v = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v"))
+    sigs = v.select(
+        "vec_id",
+        *[lsh_bucket(F.col("v"), dim, planes, band=b).alias(f"b{b}") for b in range(bands)],
+    )
+    buckets = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        buckets = (
+            buckets.join(
+                F.broadcast(sizes.filter(F.col("_n") > max_bucket)),
+                ["band", "bucket"],
+                "left_anti",
+            )
+        )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")).withColumn(
+        "na", l2_norm(F.col("va"))
+    )
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")).withColumn(
+        "nb", l2_norm(F.col("vb"))
+    )
+    verified = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    # symmetrize + self-pairs so the canonical assignment matches the
+    # exact operator's neighborhood semantics (self-sim = 1.0)
+    neighborhood = (
+        verified.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("other_id"))
+        .unionByName(verified.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("other_id")))
+        .unionByName(v.select("vec_id", F.col("vec_id").alias("other_id")))
+    )
+    return (
+        neighborhood.groupBy("vec_id")
+        .agg(
+            F.min("other_id").alias("canonical_id"),
+            (F.count(F.lit(1)) - 1).alias("n_neighbors"),
+        )
+        .withColumn("is_dup", F.col("canonical_id") < F.col("vec_id"))
+    )
 
 
 def lsh_topk(
@@ -297,6 +390,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k — the second ANN scale path beside
     ``lsh_topk``. Corpus vectors are assigned to their nearest-centroid
@@ -306,7 +400,7 @@ def ivf_topk(
     map, the probe join shuffles corpus rows once by cell, and per-cell
     scoring is a local problem ~``n_cells/nprobe``× smaller than brute
     force."""
-    cents = ivf_train(corpus, n_cells, id_col, vec_col)
+    cents = ivf_train(corpus, n_cells, id_col, vec_col, refine_iters=refine_iters)
     assign_one = _cell_ranker(cents, 1)
     probe_n = _cell_ranker(cents, nprobe)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))

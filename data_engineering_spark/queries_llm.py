@@ -23,6 +23,7 @@ from .operators.similarity import (
     cosine_topk,
     cosine_topk_pandas,
     embedding_near_dedup,
+    embedding_near_dedup_bucketed,
     ivf_topk,
     lsh_topk,
 )
@@ -463,10 +464,22 @@ def q_sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dedup: canonical (min-id) assignment over the
-    cosine ≥ 0.8 neighborhood (operators/similarity.py:
-    embedding_near_dedup). Exact quadratic baseline; LSH/IVF cells are the
-    candidate generator at scale."""
+    cosine ≥ 0.4 neighborhood (operators/similarity.py:
+    embedding_near_dedup). Exact quadratic baseline — the oracle for
+    ``dedup_embedding_bucketed``, which is the shape to run at scale."""
     return embedding_near_dedup(_emb(spark, sf_dir), threshold=0.4)
+
+
+@query("dedup_embedding_bucketed")  # rows-only: LSH candidate recall is probabilistic
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-safe embedding dedup: banded-LSH candidate buckets →
+    exact cosine verify on candidates only → canonical min-id assignment
+    (operators/similarity.py:embedding_near_dedup_bucketed). Never
+    all-pairs; every emitted near-dup pair is exact-verified, recall on
+    borderline-similarity pairs is the banding trade. Agreement vs the
+    exact baseline on planted duplicates is pytest-asserted
+    (tests/test_dedup.py)."""
+    return embedding_near_dedup_bucketed(_emb(spark, sf_dir), threshold=0.4, dim=64)
 
 
 @query("sim_lsh_topk")  # rows-only: approximate recall, no SQL twin
@@ -492,10 +505,14 @@ def q_sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("sim_ivf_topk")  # rows-only: approximate recall, no SQL twin
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (operators/similarity.py:ivf_topk): 16-cell
-    coarse quantizer, nprobe=4 — corpus partitioned by cell, only probed
-    cells scored."""
+    coarse quantizer refined by one distributed Lloyd iteration, nprobe=4
+    — corpus partitioned by cell, only probed cells scored. Refinement is
+    the registered default (recall ≥ the unrefined codebook, measured in
+    sim_ann_recall); assignment cost is identical once trained."""
     emb = _emb(spark, sf_dir)
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), n_cells=16, nprobe=4, k=5)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), n_cells=16, nprobe=4, k=5, refine_iters=1
+    )
 
 
 @query("sim_ann_recall")  # rows-only: self-measuring quality metric
@@ -524,6 +541,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lsh_multiprobe", lsh_topk(emb, q, dim=64, k=5, multiprobe=1)),
         ("ivf_nprobe4", ivf_topk(emb, q, n_cells=16, nprobe=4, k=5)),
         ("ivf_nprobe8", ivf_topk(emb, q, n_cells=16, nprobe=8, k=5)),
+        ("ivf_nprobe8_refined", ivf_topk(emb, q, n_cells=16, nprobe=8, k=5, refine_iters=1)),
     ):
         hit = exact.join(
             approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"

@@ -238,3 +238,96 @@ def test_shared_passage_pairs(spark):
     }
     assert pairs.get((1, 2), 0) >= 8
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bucketed_embedding_dedup_agrees_on_planted_dups(spark):
+    """The banded-LSH bucketed dedup must resolve planted near-identical
+    duplicates exactly like the quadratic baseline: near-dup pairs have
+    per-hyperplane collision probability ≈ 1, so banding recall on REAL
+    duplicates is ~1 even though borderline-similarity recall is the
+    probabilistic trade."""
+    import random
+
+    from data_engineering_spark.operators.similarity import (
+        embedding_near_dedup,
+        embedding_near_dedup_bucketed,
+    )
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+    # plant 10 near-duplicates of the first 10 vectors (tiny perturbation)
+    for i in range(10):
+        v = [x + rng.gauss(0, 0.001) for x in rows[i][1]]
+        rows.append((100 + i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {r.vec_id: r for r in embedding_near_dedup(df, threshold=0.9).collect()}
+    buck = {
+        r.vec_id: r
+        for r in embedding_near_dedup_bucketed(df, threshold=0.9, dim=dim).collect()
+    }
+    assert set(exact) == set(buck)
+    for vid in exact:
+        assert buck[vid].canonical_id == exact[vid].canonical_id, vid
+        assert buck[vid].is_dup == exact[vid].is_dup, vid
+    # every planted clone resolved to its original
+    for i in range(10):
+        assert buck[100 + i].canonical_id == i and buck[100 + i].is_dup
+
+
+def test_bucketed_dedup_hot_bucket_purge(spark):
+    """max_bucket purges degenerate buckets instead of going quadratic;
+    emitted pairs stay exact-verified."""
+    from data_engineering_spark.operators.similarity import embedding_near_dedup_bucketed
+
+    # 50 identical vectors — every band collapses to one hot bucket
+    rows = [(i, [1.0] * 8) for i in range(50)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in embedding_near_dedup_bucketed(
+        df, threshold=0.9, dim=8, max_bucket=10
+    ).collect()}
+    # all buckets purged → no candidates → everyone is their own canonical
+    assert all(not r.is_dup for r in out.values())
+    out2 = {r.vec_id: r for r in embedding_near_dedup_bucketed(
+        df, threshold=0.9, dim=8, max_bucket=None
+    ).collect()}
+    assert all(r.canonical_id == 0 for r in out2.values())
+
+
+def test_ivf_refined_finds_planted_neighbor(spark):
+    """refine_iters=1 (the registered default) keeps planted-neighbor
+    recall: one Lloyd iteration moves centroids but near-identical vectors
+    stay co-assigned."""
+    import random
+
+    from data_engineering_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    rows.append((999, [x + rng.gauss(0, 0.001) for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = ivf_topk(
+        df, df.filter(F.col("vec_id") == 0), n_cells=4, nprobe=2, k=3, refine_iters=1
+    )
+    assert 999 in {r.neighbor_id for r in out.collect()}
+
+
+def test_canonical_assignment_reliable_checkpoint(spark, tmp_path):
+    """reliable_checkpoints=True runs the propagation through cluster
+    checkpoint() storage (fault-tolerant mode) with identical results."""
+    from data_engineering_spark.operators.dedup import canonical_assignment
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    ids = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    # chain 1-2-3 and pair 5-6: transitive closure must label 3 → 1
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (5, 6, 0.9)], ["id_a", "id_b", "sim"]
+    )
+    out = {
+        r.doc_id: r.canonical_id
+        for r in canonical_assignment(pairs, ids, reliable_checkpoints=True).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}

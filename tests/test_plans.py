@@ -165,3 +165,25 @@ def test_partition_pruning_reads_one_partition(spark, sf_dir, tmp_path):
     # partition count in the executed plan is 1
     assert df.count() == 100
     assert df.select("bkup_dt").distinct().collect()[0][0] == "20240111"
+
+
+def test_bucketed_layout_queries_plan_zero_exchanges(spark, sf_dir):
+    """End-to-end: under catalog.bucketed_layout the registered Q3/Q18
+    plans contain NO hash Exchange (every join/groupBy keys on the bucket
+    key), and flagship keeps only its o_custkey rollup shuffle — the
+    layout, not the query, pays the network cost."""
+    from data_engineering_spark.catalog import bucketed_layout
+
+    with bucketed_layout(spark, sf_dir, n_buckets=8):
+        for name, budget in (
+            ("tpch_q3_shipping_priority", 0),
+            ("tpch_q18_large_orders", 0),
+            ("flagship_serving_index", 1),
+        ):
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n = plan.count("Exchange hashpartitioning")
+            assert n <= budget, f"{name}: {n} exchanges > {budget}"
+            assert df.count() > 0
+    # overrides cleaned up: plain reads come back
+    assert QUERIES["tpch_q3_shipping_priority"](spark, sf_dir).count() > 0
