@@ -35,6 +35,13 @@ HEADLINE = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q15_top_supplier",
     "tpch_q20_part_suppliers",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_late_shipments",
+    "tpch_q13_order_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
     "s2_dialect_sql_etl",
     "a1_listagg_distinct",
     "a5_last_wins_merge",

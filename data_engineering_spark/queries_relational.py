@@ -1408,3 +1408,315 @@ def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("tok"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H pack completion — every query expressible on this schema.
+# (q2/q9/q11/q16 need partsupp, which the driver testdata doesn't ship;
+# q12/q21 lateness and q22's country-code are adapted to the available
+# columns the way tpch_q20 adapts its shape — the operator structure of
+# each query is preserved.)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q7_volume_shipping",
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume
+             FROM supplier s
+             JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+             JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+             WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) t
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: bilateral trade volume between two nations by ship year.
+    Scale shape: both nation dims broadcast; the disjunctive nation-pair
+    predicate prunes ~99.7% of rows before the year rollup, so the only
+    big shuffles are the two fact-fact joins on orderkey/custkey."""
+    s = _t(spark, sf_dir, "supplier")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        l.join(s.select("s_suppkey", "s_nationkey"), l.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    """SELECT o_year,
+              round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                    / sum(volume), 6) AS mkt_share
+       FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                    l.l_extendedprice * (1 - l.l_discount) AS volume,
+                    n2.n_name AS nation
+             FROM part p
+             JOIN lineitem l ON p.p_partkey = l.l_partkey
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+             JOIN region r ON n1.n_regionkey = r.r_regionkey
+             JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+             WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY') t
+       GROUP BY o_year""",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of regional volume for one part type
+    per year — the conditional-sum / total-sum ratio in a single
+    aggregation pass (no second scan). Part filter broadcasts into the
+    lineitem scan; all dims broadcast."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_nations = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("cn_key")
+        )
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cust_nations), F.col("c_nationkey") == F.col("cn_key"), "left_semi")
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(F.lit(0.0)))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q12_late_shipments",
+    """SELECT late_band,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM (SELECT o.o_orderpriority,
+                    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 'LATE' ELSE 'ONTIME' END AS late_band
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) t
+       GROUP BY late_band""",
+)
+def tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by priority class per lateness band.
+    The testdata ships no l_shipmode/l_commitdate/l_receiptdate, so the
+    band is ship-lag vs order date (> 90 days = late) — the conditional
+    double-count aggregation structure is Q12's verbatim."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .withColumn("late_band", F.when(late, "LATE").otherwise("ONTIME"))
+        .groupBy("late_band")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+       FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+             FROM customer c
+             LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                                AND o.o_orderpriority <> '1-URGENT'
+             GROUP BY c.c_custkey) t
+       GROUP BY c_count""",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts (the filtered
+    left join keeps zero-order customers in the histogram at c_count=0).
+    The priority filter stands in for the o_comment NOT LIKE (no comment
+    column in the testdata). Two aggregations, both partial-agg'd; the
+    second groupBy keys on c_count so its input is already tiny."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand = 'Brand#4'
+         AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""",
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from small-quantity orders of one brand's
+    parts. The correlated scalar subquery (per-part average quantity)
+    becomes one partial-agg groupBy joined back — lineitem is scanned
+    twice but the avg side reduces to one row per part before the join,
+    and the brand filter broadcasts into both scans."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    branded = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = (
+        branded.groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_cap"))
+    )
+    return (
+        branded.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    """WITH lo AS (SELECT l.l_orderkey, l.l_suppkey,
+                          (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+                   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_orderstatus = 'F'),
+            po AS (SELECT l_orderkey,
+                          count(DISTINCT l_suppkey) AS n_supp,
+                          count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+                   FROM lo GROUP BY l_orderkey)
+       SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM lo
+       JOIN po ON lo.l_orderkey = po.l_orderkey
+       JOIN supplier s ON lo.l_suppkey = s.s_suppkey
+       WHERE lo.late AND po.n_supp > 1 AND po.n_late = 1
+       GROUP BY s.s_name""",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who alone held up a multi-supplier order.
+    The EXISTS / NOT-EXISTS pair over sibling lineitems is reformulated
+    as ONE per-order aggregate (distinct suppliers, distinct late
+    suppliers) joined back — same semantics (a late row qualifies iff
+    the order has >1 supplier and exactly one late supplier, necessarily
+    l1's), one shuffle on orderkey instead of two correlated scans.
+    Lateness adapted to ship-lag (no l_receiptdate/l_commitdate in the
+    testdata)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .withColumn(
+            "late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .select("l_orderkey", "l_suppkey", "late")
+    )
+    po = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lo.filter(F.col("late"))
+        .join(po, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    """SELECT c.c_mktsegment AS seg,
+              CAST(count(*) AS BIGINT) AS numcust,
+              round(sum(c.c_acctbal), 2) AS totacctbal
+       FROM customer c
+       WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+       GROUP BY c.c_mktsegment""",
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: well-funded customers with no recent orders, grouped
+    by segment (stands in for the phone country code — no c_phone in
+    the testdata). The scalar average broadcasts as a 1-row join; the
+    NOT EXISTS is a left_anti against the recent-orders projection."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("abal"))
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("abal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

@@ -141,6 +141,13 @@ def test_shuffle_budgets(spark, sf_dir):
         "tpch_q1_pricing_summary": 1,     # partial→final agg
         "tpch_q6_forecast_revenue": 1,    # single-row agg
         "tpch_q5_local_supplier": 2,      # fact join + agg
+        "tpch_q7_volume_shipping": 2,     # two fact joins, dims broadcast
+        "tpch_q8_market_share": 2,        # same joins, single ratio agg pass
+        "tpch_q12_late_shipments": 2,     # orders⋈lineitem + tiny band agg
+        "tpch_q13_order_distribution": 2, # per-cust agg + tiny histogram agg
+        "tpch_q17_small_quantity_revenue": 2,  # per-part avg + verify join
+        "tpch_q21_waiting_suppliers": 4,  # orderkey-aligned agg chain
+        "tpch_q22_global_sales_opportunity": 2,  # anti join + segment agg
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
