@@ -1649,13 +1649,18 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 )
 def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21: suppliers who alone held up a multi-supplier order.
-    The EXISTS / NOT-EXISTS pair over sibling lineitems is reformulated
-    as ONE per-order aggregate (distinct suppliers, distinct late
-    suppliers) joined back — same semantics (a late row qualifies iff
-    the order has >1 supplier and exactly one late supplier, necessarily
-    l1's), one shuffle on orderkey instead of two correlated scans.
+    The EXISTS / NOT-EXISTS pair over sibling lineitems becomes two
+    per-order window aggregates (distinct suppliers, distinct late
+    suppliers) over the SAME orderkey partition — same semantics (a late
+    row qualifies iff the order has >1 supplier and exactly one late
+    supplier, necessarily l1's), and the whole per-order analysis costs
+    ONE shuffle on orderkey (a groupBy-and-join-back shape costs three:
+    countDistinct's expand, the final agg, and the re-join). Orders per
+    key are tiny, so the window's in-partition sets stay small.
     Lateness adapted to ship-lag (no l_receiptdate/l_commitdate in the
     testdata)."""
+    from pyspark.sql import Window
+
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
@@ -1669,15 +1674,15 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_suppkey", "late")
     )
-    po = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-    )
+    w = Window.partitionBy("l_orderkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lo.filter(F.col("late"))
-        .join(po, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
+        )
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))

@@ -146,7 +146,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "tpch_q12_late_shipments": 2,     # orders⋈lineitem + tiny band agg
         "tpch_q13_order_distribution": 2, # per-cust agg + tiny histogram agg
         "tpch_q17_small_quantity_revenue": 2,  # per-part avg + verify join
-        "tpch_q21_waiting_suppliers": 4,  # orderkey-aligned agg chain
+        "tpch_q21_waiting_suppliers": 2,  # one orderkey window + name agg
         "tpch_q22_global_sales_opportunity": 2,  # anti join + segment agg
     }
     for name, budget in budgets.items():
