@@ -29,6 +29,7 @@ from data_engineering_spark import registry  # noqa: E402
 # behind the slow tail (round 1's sweep truncated after 50 entries and
 # left every aggregation/window/TPC-H query without a hard signal).
 from data_engineering_spark import queries_relational  # noqa: E402,F401  (side-effect: register)
+from data_engineering_spark import queries_curation  # noqa: E402,F401
 from data_engineering_spark import queries_extra  # noqa: E402,F401
 from data_engineering_spark import queries_llm  # noqa: E402,F401
 from data_engineering_spark.session import prepare_session  # noqa: E402

@@ -1,0 +1,285 @@
+"""Training-data curation operators: the pipeline stages a large-scale
+LLM pretraining corpus build needs between "raw scrape" and "training
+shards" — PII redaction, repetition-based quality filtering (the Gopher
+rules' shape), deterministic stratified sampling, benchmark
+decontamination, domain-mixture reweighting, and sequence packing.
+
+These extend the reference's curation surface (the tokenize→clean→score
+pipeline of ``Talent_Opportunity_Platform/Keyword.py:192-228`` stops at
+keyword scoring) with the corpus-level stages that only matter at scale.
+
+Scale notes (100 TB):
+
+- Redaction / repetition / sampling are pure per-row projections — zero
+  shuffle, linear in input splits, whole-stage codegen end to end.
+- Decontamination broadcasts the *benchmark* gram set (benchmarks are
+  MB-scale by definition) so the corpus is never shuffled for the probe;
+  the only exchange is the per-doc hit count.
+- Packing's oracle form is a global running sum (deterministic, used for
+  parity at test scale); the scale path is per-partition first-fit
+  packing (``pack_ffd``) — bins never cross partition boundaries, so
+  packing parallelizes with splits and wastes at most one bin per
+  partition tail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+from .text import tokens
+
+__all__ = [
+    "PII_PATTERNS",
+    "pii_redact",
+    "repetition_stats",
+    "hash_bucket",
+    "stratified_sample",
+    "ngram_decontaminate",
+    "mixture_weights",
+    "pack_concat",
+    "pack_ffd",
+]
+
+# Redaction patterns use the Java/RE2-common subset so the DuckDB oracle
+# can run the byte-identical regex. Order matters: emails contain dots
+# (would half-match the IP pattern) so they are redacted first.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{1,2}-\d{3}-\d{4}", "<PHONE>"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII spans (emails, IPv4 addresses, phone numbers) and count
+    them. Pure projection — regexp_replace replaces every match JVM-side;
+    no UDF, no shuffle."""
+    c = F.col(text_col)
+    n_pii = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        n_pii = n_pii + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+    clean = c
+    for pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_pii.cast("int").alias("n_pii"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_token_frac: float = 0.6,
+    max_dup_2gram_frac: float = 0.05,
+) -> DataFrame:
+    """Repetition-based quality filter (the shape of the Gopher rules):
+    fraction of duplicate tokens and duplicate 2-grams, with a keep/drop
+    verdict. All array expressions on the token list — per-row, zero
+    shuffle (the SQL twin needs a window + two aggregates; the columnar
+    form is strictly cheaper)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_grams = F.greatest(n - 1, F.lit(1))
+    dup_tok = F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6)
+    dup_2g = F.round(
+        F.lit(1.0) - F.size(shingles(text_col, 2)) / n_grams, 6
+    )
+    return df.select(
+        F.col(id_col),
+        dup_tok.alias("dup_token_frac"),
+        dup_2g.alias("dup_2gram_frac"),
+        (
+            (dup_tok <= max_dup_token_frac) & (dup_2g <= max_dup_2gram_frac)
+        ).alias("keep"),
+    )
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from md5 of the key's string form.
+
+    md5 (not xxhash64) so the assignment is bit-identical in any engine —
+    the property that makes sampling decisions reproducible across reruns,
+    backfills, and the DuckDB oracle. Uses the first 6 hex chars (24 bits
+    of uniformity is plenty for percent-style rates)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its hash bucket
+    falls under its stratum's rate (percent). Unlike ``df.sample``, the
+    decision is a pure function of the row key — stable under retries,
+    partial re-reads, and incremental appends, which is what a corpus
+    mixing job actually needs. Filter is a projection: zero shuffle."""
+    bucket = hash_bucket(id_col, buckets)
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(r)).otherwise(rate)
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < rate)
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many distinct token
+    ``n``-grams it shares with the benchmark set (the standard 8-13-gram
+    overlap test applied before training).
+
+    The benchmark's distinct gram set is aggregated and **broadcast** —
+    benchmarks are MB-scale, the corpus is the 100 TB side, so the corpus
+    is never shuffled for the probe. Grams are compared as xxhash64 longs
+    (8 bytes instead of ~50-char strings through the join). The only
+    exchange is the per-doc hit-count aggregate over matched rows, a tiny
+    subset of the corpus."""
+    def grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col(id_col),
+            F.explode(
+                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+            ).alias("g"),
+        )
+
+    bench_grams = grams(bench).select("g").distinct()
+    hits = (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(F.broadcast(hits), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixture reweighting: per stratum, its token share of the
+    corpus and the sampling weight that would flatten the mixture to a
+    uniform target. One partial-aggregated groupBy on a tiny key domain;
+    the corpus-total join is a broadcast of one row."""
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+    )
+    total = per.agg(
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_strata"),
+    )
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("total_tokens"), 6).alias("token_share"),
+            F.round(
+                (F.lit(1.0) / F.col("n_strata"))
+                / (F.col("n_tokens") / F.col("total_tokens")),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def pack_concat(
+    df: DataFrame,
+    capacity: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style sequence packing by concatenation: documents are laid out
+    in ``id_col`` order and the token stream is cut every ``capacity``
+    tokens; each doc's bin is where its first token lands. Deterministic
+    and SQL-expressible (running sum), so it serves as the packing oracle.
+
+    The single global window is the documented test-scale baseline — at
+    corpus scale use ``pack_ffd``, which packs each partition
+    independently (bin ids are salted by partition, waste is bounded by
+    one bin per partition)."""
+    n = F.size(tokens(text_col))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.floor((F.sum(n).over(w) - n) / capacity).cast("long").alias("bin_id"),
+    )
+
+
+def pack_ffd(
+    df: DataFrame,
+    capacity: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing, parallel form: documents are
+    hash-partitioned by id, each partition bin-packs its docs FFD into
+    ``capacity``-token bins, and bin ids are namespaced by partition
+    (``pid * 2^40 + local_bin``) so they never collide. No global
+    coordination: packing quality loses at most the partition-tail bins
+    versus a global pack, and the stage scales with splits. Oversized docs
+    (> capacity tokens) get a dedicated bin each (the truncate/split
+    policy is the caller's next stage).
+
+    Arrow-batched ``applyInPandas`` keyed on ``spark_partition_id`` — the
+    per-group state (open bins) is exactly the FFD algorithm's working
+    set, bounded by docs-per-partition."""
+    import pandas as pd
+
+    src = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
+    if num_partitions:
+        src = src.repartition(num_partitions, id_col)
+    src = src.withColumn("pid", F.spark_partition_id())
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["n_tokens", id_col], ascending=[False, True])
+        pid = int(pdf["pid"].iloc[0]) if len(pdf) else 0
+        bins: list[int] = []  # remaining capacity per local bin
+        assigned = []
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            for i, rem in enumerate(bins):
+                if rem >= t:
+                    bins[i] = rem - t
+                    assigned.append(i)
+                    break
+            else:
+                bins.append(max(capacity - t, 0))
+                assigned.append(len(bins) - 1)
+        pdf = pdf.assign(bin_id=[(pid << 40) + b for b in assigned])
+        return pdf[[id_col, "n_tokens", "bin_id"]]
+
+    return src.groupBy("pid").applyInPandas(
+        pack, schema=f"{id_col} long, n_tokens int, bin_id long"
+    )

@@ -1,0 +1,213 @@
+"""Corpus-curation query pack: the training-data pipeline stages between
+raw text and training shards (PII redaction, repetition filtering,
+deterministic sampling, benchmark decontamination, mixture reweighting,
+sequence packing), each oracle-checked against DuckDB where the
+semantics are SQL-expressible.
+
+PII note: the synthetic corpus contains no PII, so the redaction query
+*plants* deterministic PII (derived from ``doc_id``, identically in both
+engines) before redacting — the oracle then verifies the redaction
+semantics on text where every pattern provably fires (a no-op redaction
+would be a vacuous pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators.curation import (
+    PII_PATTERNS,
+    mixture_weights,
+    ngram_decontaminate,
+    pack_concat,
+    pack_ffd,
+    pii_redact,
+    repetition_stats,
+    stratified_sample,
+)
+from .registry import query
+
+_TOKS = r"string_split_regex(trim(lower(text)), '\s+')"
+_EMAIL, _IP, _PHONE = (p for p, _ in PII_PATTERNS)
+
+# Planted-PII expression, byte-identical in Spark and DuckDB.
+_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com"
+    " or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7'"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _planted(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.7"),
+        ).alias("text"),
+    )
+
+
+@query(
+    "curate_pii_redact",
+    f"""WITH planted AS (SELECT doc_id, {_PLANT_SQL} AS text FROM documents)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   text, '{_EMAIL}', '<EMAIL>', 'g'),
+                   '{_IP}', '<IP>', 'g'),
+                   '{_PHONE}', '<PHONE>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{_EMAIL}'))
+                  + len(regexp_extract_all(text, '{_IP}'))
+                  + len(regexp_extract_all(text, '{_PHONE}')) AS INTEGER) AS n_pii
+        FROM planted""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/curation.py:pii_redact) over planted
+    emails/phones/IPs — pure regexp projection, zero shuffle."""
+    return pii_redact(_planted(_docs(spark, sf_dir)))
+
+
+@query(
+    "curate_quality_repetition",
+    f"""WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS ord
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS g
+          FROM toks
+        ), g2 AS (
+          SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(g), 6) AS dup_2gram_frac
+          FROM grams WHERE g IS NOT NULL GROUP BY doc_id
+        ), t2 AS (
+          SELECT doc_id,
+                 round(1.0 - len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 6) AS dup_token_frac
+          FROM documents
+        )
+        SELECT doc_id, dup_token_frac, dup_2gram_frac,
+               (dup_token_frac <= 0.6 AND dup_2gram_frac <= 0.05) AS keep
+        FROM t2 JOIN g2 USING (doc_id)""",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-shaped repetition filter (operators/curation.py:
+    repetition_stats). The Spark form is a zero-shuffle array projection;
+    the oracle needs a window + two aggregates for the same answer."""
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+@query(
+    "curate_sample_stratified",
+    """SELECT doc_id, lang,
+              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS BIGINT) AS bucket
+       FROM documents
+       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100
+             < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)""",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/curation.py:
+    stratified_sample): md5-bucket per doc_id, per-language keep rates —
+    reproducible across engines, retries, and incremental appends."""
+    rates = {"en": 50, "de": 20, "es": 20, "fr": 20, "zh": 20}
+    return stratified_sample(_docs(spark, sf_dir), rates).select(
+        "doc_id", "lang", "bucket"
+    )
+
+
+@query(
+    "curate_decontaminate",
+    f"""WITH toks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS ord
+          FROM documents
+        ), grams AS (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                     || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                     || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+                     || ' ' || lead(tok, 7) OVER w AS g
+          FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        ), dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
+        bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 0),
+        hits AS (
+          SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM dg d JOIN bench b USING (g) WHERE d.doc_id % 10 <> 0
+          GROUP BY d.doc_id
+        )
+        SELECT c.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared_grams,
+               coalesce(h.n, 0) > 0 AS contaminated
+        FROM documents c LEFT JOIN hits h ON c.doc_id = h.doc_id
+        WHERE c.doc_id % 10 <> 0""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-gram benchmark decontamination (operators/curation.py:
+    ngram_decontaminate). Pseudo-benchmark = every 10th doc; the planted
+    near-dup passages in the corpus make the overlap real (6 contaminated
+    docs at sf0.01). Benchmark gram set broadcasts; the corpus is never
+    shuffled for the probe."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return ngram_decontaminate(corpus, bench, n=8)
+
+
+@query(
+    "curate_mixture_weights",
+    f"""WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ), tot AS (
+          SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens,
+                 CAST(count(*) AS DOUBLE) AS n_strata
+          FROM per
+        )
+        SELECT lang, n_docs, n_tokens,
+               round(n_tokens / total_tokens, 6) AS token_share,
+               round((1.0 / n_strata) / (n_tokens / total_tokens), 6) AS weight
+        FROM per, tot""",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (operators/curation.py:mixture_weights):
+    per-language token share and the weight that flattens the mixture.
+    One tiny-domain partial agg + a broadcast 1-row total."""
+    return mixture_weights(_docs(spark, sf_dir))
+
+
+@query(
+    "curate_pack_concat",
+    f"""WITH n AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / 256) AS BIGINT) AS bin_id
+        FROM n""",
+)
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-split sequence packing (operators/curation.py:
+    pack_concat) — the deterministic oracle baseline; the scale path is
+    ``curate_pack_ffd`` (per-partition, no global window)."""
+    return pack_concat(_docs(spark, sf_dir), capacity=256)
+
+
+@query("curate_pack_ffd")  # rows-only: partition-local bin ids have no SQL twin
+def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing packing, parallel form (operators/curation.py:
+    pack_ffd): each partition packs independently, bin ids namespaced by
+    partition. Invariants (no bin overflow, every doc packed once)
+    asserted in tests/test_curation.py."""
+    return pack_ffd(_docs(spark, sf_dir), capacity=256, num_partitions=8)

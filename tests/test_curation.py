@@ -1,0 +1,151 @@
+"""Planted-case tests for the corpus-curation operators
+(data_engineering_spark/operators/curation.py). Oracle parity for the
+SQL-expressible forms is the driver's job (queries_curation.py); these
+tests pin the *semantics* on handcrafted inputs where the right answer
+is computable by eye."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.curation import (
+    hash_bucket,
+    mixture_weights,
+    ngram_decontaminate,
+    pack_concat,
+    pack_ffd,
+    pii_redact,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_planted(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at alice.smith+x@corp.example.org today"),
+            (2, "server 192.168.10.254 and backup 10.0.0.7 are up"),
+            (3, "call +1-555-0142 or +82-555-9000"),
+            (4, "no pii here at all"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert got[1]["clean_text"] == "mail me at <EMAIL> today"
+    assert got[1]["n_pii"] == 1
+    assert got[2]["clean_text"] == "server <IP> and backup <IP> are up"
+    assert got[2]["n_pii"] == 2
+    assert got[3]["clean_text"] == "call <PHONE> or <PHONE>"
+    assert got[3]["n_pii"] == 2
+    assert got[4]["clean_text"] == "no pii here at all"
+    assert got[4]["n_pii"] == 0
+
+
+def test_repetition_stats_flags_repetitive_doc(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spam spam spam spam spam spam"),  # one token repeated
+            (2, "the quick brown fox jumps over lazy dogs"),  # all distinct
+        ],
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["dup_token_frac"] > 0.8 and got[1]["dup_2gram_frac"] > 0.7
+    assert not got[1]["keep"]
+    assert got[2]["dup_token_frac"] == 0.0 and got[2]["dup_2gram_frac"] == 0.0
+    assert got[2]["keep"]
+
+
+def test_stratified_sample_deterministic_and_stratified(spark):
+    rows = [(i, f"doc {i}", "en" if i % 2 == 0 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out1 = stratified_sample(df, {"en": 50, "de": 10}).select("doc_id").collect()
+    out2 = stratified_sample(df, {"en": 50, "de": 10}).select("doc_id").collect()
+    assert sorted(r[0] for r in out1) == sorted(r[0] for r in out2)  # reproducible
+    by_lang = (
+        stratified_sample(df, {"en": 50, "de": 10})
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    counts = {r["lang"]: r["count"] for r in by_lang}
+    # 200 docs per stratum at 50% / 10%: expect ~100 and ~20 (md5-uniform)
+    assert 70 <= counts["en"] <= 130
+    assert 5 <= counts.get("de", 0) <= 40
+    # bucket is a pure function of doc_id: same id, same bucket, any engine
+    b = df.select(hash_bucket("doc_id").alias("b")).collect()
+    assert all(0 <= r["b"] < 100 for r in b)
+
+
+def test_ngram_decontaminate_planted_overlap(spark):
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = _docs(spark, [(100, f"benchmark prompt {passage} answer choices")])
+    corpus = _docs(
+        spark,
+        [
+            (1, f"intro {passage} outro words go here"),  # contains the 8-gram
+            (2, "totally unrelated text with enough tokens to build grams"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in ngram_decontaminate(corpus, bench, n=8).collect()}
+    assert got[1]["contaminated"] and got[1]["n_shared_grams"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_shared_grams"] == 0
+
+
+def test_pack_concat_bins_follow_running_sum(spark):
+    # 4 docs of 3 tokens, capacity 4: stream offsets 0,3,6,9 → bins 0,0,1,2
+    df = _docs(spark, [(i, "a b c") for i in range(4)])
+    got = {r["doc_id"]: r["bin_id"] for r in pack_concat(df, capacity=4).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2}
+
+
+def test_pack_ffd_invariants(spark, sf_dir):
+    from data_engineering_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_ffd(docs, capacity=256, num_partitions=4)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc packed exactly once
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    fill: dict[int, int] = {}
+    for r in rows:
+        fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["n_tokens"]
+    # no bin overflows (corpus docs are all < capacity tokens)
+    assert all(v <= 256 for v in fill.values())
+    # FFD should beat naive one-doc-per-bin by a wide margin
+    assert len(fill) < len(rows) / 2
+    # deterministic across runs
+    again = {(r["doc_id"], r["bin_id"]) for r in out.collect()}
+    assert again == {(r["doc_id"], r["bin_id"]) for r in rows}
+
+
+def test_mixture_weights_flatten(spark):
+    rows = [(i, "tok " * 10, "en") for i in range(30)] + [
+        (100 + i, "tok " * 10, "de") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in mixture_weights(df).collect()}
+    assert got["en"]["token_share"] == 0.75 and got["de"]["token_share"] == 0.25
+    # weight * share == uniform target (1/2 strata)
+    assert abs(got["en"]["weight"] * 0.75 - 0.5) < 1e-6
+    assert abs(got["de"]["weight"] * 0.25 - 0.5) < 1e-6
+
+
+def test_registered_curation_queries_smoke(spark, sf_dir):
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in (
+        "curate_pii_redact",
+        "curate_quality_repetition",
+        "curate_sample_stratified",
+        "curate_decontaminate",
+        "curate_mixture_weights",
+        "curate_pack_concat",
+        "curate_pack_ffd",
+    ):
+        assert qs[name](spark, sf_dir).count() > 0, name
