@@ -493,11 +493,27 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, multiprobe=1)
 
 
-@query("sim_cosine_topk_fast")  # rows-only: NumPy batch math, no SQL twin
+@query(
+    "sim_cosine_topk_fast",
+    f"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  round({_COSINE_EXPR}, 6) AS sim
+           FROM embeddings c, q WHERE q.vec_id <> c.vec_id)
+       SELECT query_id, neighbor_id, sim,
+              CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rnk
+             FROM scored) t
+       WHERE rnk <= 5""",
+)
 def q_sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force top-5 on the Arrow/NumPy fast path
     (operators/similarity.py:cosine_topk_pandas) — same neighbors as
-    sim_cosine_topk, matrix-multiply scoring."""
+    sim_cosine_topk, matrix-multiply scoring. Shares the exact-SQL
+    oracle: NumPy matmul and the sequential fold agree at 6 dp on this
+    data (ties broken by neighbor_id in both engines), which upgrades the
+    fast path from rows-only to hash-checked."""
     emb = _emb(spark, sf_dir)
     return cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
