@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_engineering_spark import registry  # noqa: E402
-from data_engineering_spark import queries_llm, queries_relational  # noqa: E402,F401
+from data_engineering_spark import queries_curation, queries_llm, queries_relational  # noqa: E402,F401
 from data_engineering_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -56,6 +56,10 @@ HEADLINE = [
     "explode_top_tokens",
     "search_bm25_rank",
     "corpus_prepare",
+    "curate_pii_redact",
+    "curate_quality_repetition",
+    "curate_decontaminate",
+    "curate_pack_ffd",
 ]
 
 
