@@ -67,15 +67,26 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def media_metadata(df: DataFrame) -> DataFrame:
-    """Pure-expression metadata pass: payload size, content digest
-    (md5 — portable), aspect ratio. No Python in the loop."""
+def media_metadata(df: DataFrame, digest: str = "md5") -> DataFrame:
+    """Pure-expression metadata pass: payload size, content digest,
+    aspect ratio. No Python in the loop.
+
+    ``digest="md5"`` (default) emits the portable content fingerprint;
+    ``digest="hex"`` emits the raw payload hex instead — used by the
+    oracle-checked registry query because DuckDB cannot hash BLOBs
+    (md5/sha256 there are VARCHAR-only) and the synthetic payloads are
+    small enough to compare verbatim."""
+    dig = (
+        F.hex("content").alias("content_hex")
+        if digest == "hex"
+        else F.md5("content").alias("content_md5")
+    )
     return df.select(
         "media_id",
         "kind",
         "mime",
         F.length("content").alias("n_bytes"),
-        F.md5("content").alias("content_md5"),
+        dig,
         F.when(
             F.col("height").isNotNull() & (F.col("height") > 0),
             F.round(F.col("width") / F.col("height"), 4),

@@ -113,11 +113,46 @@ def q_nlp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("nlp_split_sentences")  # rows-only: Python UDTF lateral join
+@query(
+    "nlp_split_sentences",
+    """WITH planted AS (
+         SELECT doc_id,
+                replace(replace(text, ' table ', '. '), ' query ', '! ') AS text
+         FROM documents),
+       norm AS (
+         SELECT doc_id,
+                string_split(replace(replace(text, '!', '.'), '?', '.'), '.') AS parts
+         FROM planted WHERE text IS NOT NULL AND text <> ''),
+       p AS (
+         SELECT doc_id, unnest(parts) AS part,
+                generate_subscripts(parts, 1) - 1 AS sent_no
+         FROM norm)
+       SELECT doc_id, CAST(sent_no AS INTEGER) AS sent_no,
+              trim(part, ' ' || chr(9) || chr(10) || chr(13)) AS sentence
+       FROM p
+       WHERE trim(part, ' ' || chr(9) || chr(10) || chr(13)) <> ''""",
+)
 def q_nlp_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDTF surface — one row per sentence via LATERAL Python table
-    function (operators/nlp.py:SplitSentences)."""
-    return split_sentences(_t(spark, sf_dir, "documents"))
+    function (operators/nlp.py:SplitSentences). The UDTF's naive
+    ./!/? splitting is deterministic, so DuckDB's split+unnest is an
+    exact oracle: sent_no is the pre-filter part index in both engines,
+    proving the lateral-join plumbing preserves per-row ordinals.
+
+    The synthetic corpus contains no punctuation (every doc would be one
+    sentence — a vacuous split), so the query *plants* terminators
+    deterministically in both engines first: ``' table '`` → ``'. '``
+    and ``' query '`` → ``'! '``, which also exercises the !-normalizer
+    (~8 sentences/doc at sf0.01)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" table "), F.lit(". ")),
+            F.lit(" query "),
+            F.lit("! "),
+        ).alias("text"),
+    )
+    return split_sentences(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -205,10 +240,35 @@ def q_st_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("mm_media_metadata")
+@query(
+    "mm_media_metadata",
+    """WITH ids AS (SELECT unnest(range(64)) AS i),
+       m AS (
+         SELECT CAST(i AS BIGINT) AS media_id,
+                ['image', 'audio', 'video'][(i % 3) + 1] AS kind,
+                repeat(unhex(sha256('media-' || CAST(i AS VARCHAR))),
+                       CAST(4 + i % 4 AS INTEGER)) AS content,
+                CASE i % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS mime,
+                CASE WHEN i % 3 <> 1 THEN 64 + (i % 8) * 16 END AS width,
+                CASE WHEN i % 3 <> 1 THEN 48 + (i % 8) * 12 END AS height
+         FROM ids)
+       SELECT media_id, kind, mime,
+              CAST(octet_length(content) AS INTEGER) AS n_bytes,
+              hex(content) AS content_hex,
+              CASE WHEN height IS NOT NULL AND height > 0
+                   THEN round(width * 1.0 / height, 4) END AS aspect
+       FROM m""",
+)
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal — typed metadata over opaque binary media columns."""
-    return media_metadata(synthetic_media(spark, 64))
+    """Multimodal — typed metadata over opaque binary media columns.
+    Oracle-checked: the synthetic payload generator is a seeded sha256
+    stream DuckDB can reproduce (repeat ∘ unhex ∘ sha256), so payload
+    bytes, sizes, and aspect math all get hard verification. The
+    registered projection uses ``digest="hex"`` because DuckDB cannot
+    md5 a BLOB; the md5 path stays the operator default."""
+    return media_metadata(synthetic_media(spark, 64), digest="hex")
 
 
 @query("mm_extract_features")
