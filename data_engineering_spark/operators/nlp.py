@@ -138,10 +138,19 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, top_k: int = 3) ->
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_docs = df.count()
-    dfreq = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
-    scored = tf.join(dfreq, "tok").withColumn(
-        "tfidf", F.round(F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6)
+    # Corpus size rides along as a broadcast 1-row aggregate instead of a
+    # driver-side df.count(): one plan, one job, no extra action.
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs")))
+    # tf has exactly one row per (doc, token), so document frequency is a
+    # plain count(*) — cheaper partial agg than countDistinct.
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .join(n_docs)
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("tok"))
     return (
