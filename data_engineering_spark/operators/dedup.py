@@ -21,6 +21,7 @@ are unit-tested with planted near-duplicates instead.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +33,7 @@ __all__ = [
     "minhash_signature",
     "minhash_near_dedup",
     "simhash_signature",
+    "simhash_signature_arrow",
     "simhash_near_dedup",
     "ngram_jaccard_pairs",
     "canonical_assignment",
@@ -223,15 +225,76 @@ def simhash_signature(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_signature_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Map-only SimHash via Arrow batches: pandas' C-level string hashing
+    (``pd.util.hash_array``) + a NumPy bit-vote matrix with segment sums.
+
+    The scale twin of ``simhash_signature``: the expression form shuffles
+    64 vote longs per doc through a groupBy (~0.5 KB/doc — terabytes of
+    shuffle on a trillion-doc corpus), while this one computes the
+    signature inside the scan stage with ZERO shuffle and a codegen
+    footprint of one projection. Signatures differ from the expr form
+    (different token hash function) but the near-dup semantics are the
+    same — agreement is tested on planted duplicates.
+
+    Bit layout matches ``simhash_signature``: bits 0..62 from the vote
+    signs, bit 63 always clear so the long stays non-negative."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    weights = (np.uint64(1) << np.arange(63, dtype=np.uint64))
+
+    def sign(batches):
+        for pdf in batches:
+            toks = pdf[text_col].fillna("").str.lower().str.split()
+            lens = toks.str.len().to_numpy(dtype=np.int64)
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            total = int(lens.sum())
+            if total:
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=object) for t in toks if t]
+                )
+                h = pd.util.hash_array(flat)  # uint64, fixed key — deterministic
+                bits = (
+                    (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                ).astype(np.int64) * 2 - 1
+                starts = np.zeros(len(pdf), dtype=np.int64)
+                starts[1:] = np.cumsum(lens)[:-1]
+                nz = lens > 0
+                # reduceat over nonzero-doc starts: empty docs contribute no
+                # rows, so consecutive nonzero starts bound exact segments
+                votes = np.add.reduceat(bits, starts[nz], axis=0)
+                packed = ((votes[:, :63] > 0).astype(np.uint64) * weights).sum(
+                    axis=1
+                ).astype(np.int64)
+                sig[nz] = packed
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": sig})
+
+    return _spread(df).select(id_col, text_col).mapInPandas(sign, schema=out_schema)
+
+
 def simhash_near_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    signature_impl: str = "expr",
 ) -> DataFrame:
     """SimHash near-dedup: block on 16-bit sub-bands (pigeonhole: hamming ≤ 3
-    ⇒ at least one of 4 bands identical), verify with bit_count(a XOR b)."""
-    sig = simhash_signature(df, text_col, id_col)
+    ⇒ at least one of 4 bands identical), verify with bit_count(a XOR b).
+
+    ``signature_impl="arrow"`` swaps in the zero-shuffle Arrow signature
+    builder (``simhash_signature_arrow``) — the 100 TB path."""
+    build = simhash_signature_arrow if signature_impl == "arrow" else simhash_signature
+    sig = build(df, text_col, id_col)
     bands = sig.select(
         id_col,
         "simhash",

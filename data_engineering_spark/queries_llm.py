@@ -181,6 +181,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dedup(_docs(spark, sf_dir))
 
 
+@query("dedup_simhash_arrow")  # rows-only: pandas-hash-based bits
+def q_dedup_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup, zero-shuffle signature build
+    (operators/dedup.py:simhash_signature_arrow): the signature is
+    computed inside the scan stage from Arrow batches instead of an
+    explode + 64-vote groupBy — the shuffle-free 100 TB path. Agreement
+    with the expression form is tested on planted duplicates."""
+    return simhash_near_dedup(_docs(spark, sf_dir), signature_impl="arrow")
+
+
 @query("dedup_ngram_jaccard")  # rows-only: blocking heuristic has no SQL twin
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup (threshold 0.5)."""

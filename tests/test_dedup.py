@@ -62,6 +62,25 @@ def test_simhash_near_dups(planted):
     assert sigs[1] != sigs[4]
 
 
+def test_simhash_arrow_agrees_with_expr(planted):
+    from data_engineering_spark.operators.dedup import simhash_signature_arrow
+
+    sigs = {r.doc_id: r.simhash for r in simhash_signature_arrow(planted).collect()}
+    assert sigs[1] == sigs[2]  # exact dup → identical signature
+    assert sigs[1] != sigs[4]
+    assert all(s >= 0 for s in sigs.values())  # bit 63 clear, like expr form
+    out = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dedup(
+            planted, max_hamming=10, signature_impl="arrow"
+        ).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] == 0
+    # near dup (one-token change) lands within the hamming budget too
+    assert (1, 3) in out or (2, 3) in out
+    assert all({a, b} != {1, 4} for a, b in out)
+
+
 def test_ngram_jaccard_pairs(planted):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(planted, threshold=0.4).collect()}
     assert pairs.get((1, 2)) == 1.0
