@@ -236,6 +236,63 @@ def q_st_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lakehouse transaction log (sources/txlog.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lake_time_travel",
+    """SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+       GROUP BY o_orderdate""",
+)
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table format end-to-end (sources/txlog.py:
+    LakeTable): create a logged table from pre-1999 orders (range-
+    partitioned so files carry disjoint o_orderdate stats), APPEND the
+    1999+ orders as a second commit, then read **version 0** with a
+    date filter.
+
+    The oracle sees only 1998 rows —
+    a hash match proves snapshot isolation (the append is invisible at
+    v0) AND that file-level stat pruning changed IO, not results. The
+    generalization of the reference's S11-S13 directory-swap writers to
+    ACID commits; pruning effectiveness is asserted in
+    tests/test_txlog.py."""
+    import shutil
+    import tempfile
+
+    from .sources.txlog import LakeTable
+
+    base = tempfile.mkdtemp(prefix="lake_tt_")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    t = LakeTable(spark, base)
+    t.create(
+        orders.filter(F.col("o_orderdate") < "1999-01-01").repartitionByRange(
+            4, "o_orderdate"
+        )
+    )
+    t.append(
+        orders.filter(F.col("o_orderdate") >= "1999-01-01").repartitionByRange(
+            2, "o_orderdate"
+        )
+    )
+    return (
+        t.scan(version=0, filters=[("o_orderdate", ">=", "1998-01-01")])
+        .groupBy("o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only — no media table in the oracle views)
 # ---------------------------------------------------------------------------
 

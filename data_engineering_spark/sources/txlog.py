@@ -1,0 +1,410 @@
+"""Transaction-log table format: ACID batch writes over plain parquet.
+
+A minimal lakehouse layout in the spirit of the *public* Delta Lake
+design (Armbrust et al., "Delta Lake: High-Performance ACID Table
+Storage over Cloud Object Stores", VLDB 2020) and the Apache Iceberg
+spec — implemented from scratch against the local filesystem. It
+generalizes the reference's write patterns (S11 truncate-and-load,
+S12 idempotent partition append, S13 overwrite — ``AWS_GLUE_ETL.py:
+124-132``, ``BkupRs.py:272-280``) from "directory swap" semantics to a
+real commit log:
+
+- **Atomic commits.** One JSON file per commit under ``_txlog/``,
+  created with ``O_CREAT|O_EXCL`` — two writers racing for version N
+  cannot both win. (On S3-like stores that lack atomic
+  create-if-absent you'd swap this for a coordination service or a
+  conditional-put — the Delta paper's LogStore; everything else here
+  is object-store-ready since data files are immutable and renamed
+  once.)
+- **Snapshot isolation & time travel.** Readers resolve a version's
+  live file set from the log only — a reader at version N is
+  untouched by concurrent appends, and ``scan(version=k)`` reproduces
+  any historical state until ``vacuum`` physically drops its files.
+- **File-level data skipping.** Each add-action records per-column
+  min/max/null-count harvested from the parquet footers (pyarrow,
+  no data scan). ``scan(filters=...)`` prunes whole files before
+  Spark ever lists them — the log is the coarse index, parquet
+  row-group stats remain the fine one. At 100 TB this is the
+  difference between listing 10⁶ objects per query and reading a few
+  KB of log.
+- **Log checkpoints.** Every ``checkpoint_every`` commits the full
+  live-file set is snapshotted to ``checkpoint-N.json`` so readers
+  replay O(recent) commits, not the whole history.
+- **Compaction.** ``compact()`` rewrites small files into large ones
+  in a single remove+add commit — readers at older versions are
+  unaffected; the file-count pathology of streaming/micro-batch
+  ingest is repaired without a write outage.
+
+Concurrency contract: ``append`` retries on version collision (a
+blind add conflicts with nothing). ``overwrite`` / ``compact`` raise
+``ConcurrentWriteError`` if the table advanced past their snapshot —
+the caller re-reads and retries (optimistic concurrency, as in the
+Delta paper §3.2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["LakeTable", "ConcurrentWriteError"]
+
+_LOG_DIR = "_txlog"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """The table advanced past this writer's snapshot; re-read and retry."""
+
+
+def _jsonable(v: Any) -> Any:
+    """Parquet-footer stat → JSON-storable scalar. ISO strings for
+    temporal types keep range comparisons lexicographically correct."""
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return None
+    if isinstance(v, (int, float, str, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def _file_stats(path: str) -> dict[str, Any]:
+    """Harvest per-column min/max/null-count from the parquet footer —
+    metadata only, the data pages are never read."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, dict[str, Any]] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            s = col.statistics
+            name = col.path_in_schema
+            if s is None or not s.has_min_max or "." in name:
+                continue  # nested leaves / statless cols: no skipping
+            lo, hi = _jsonable(s.min), _jsonable(s.max)
+            if lo is None or hi is None:
+                continue
+            cur = stats.setdefault(
+                name, {"min": lo, "max": hi, "nulls": 0}
+            )
+            if type(lo) is type(cur["min"]):
+                cur["min"] = min(cur["min"], lo)
+                cur["max"] = max(cur["max"], hi)
+            else:
+                # heterogeneous stat types across row groups: bounds can't
+                # be widened safely, so drop the column (never skip wrongly)
+                cur["drop"] = True
+            cur["nulls"] += s.null_count or 0
+    stats = {k: v for k, v in stats.items() if not v.pop("drop", False)}
+    return {"rows": md.num_rows, "columns": stats}
+
+
+def _maybe_skip(stats: dict[str, Any], filters: list[tuple[str, str, Any]]) -> bool:
+    """True if the file provably contains no row matching ALL filters.
+    Unknown columns / missing stats / type mismatches never skip —
+    pruning is an optimization, correctness comes from the Spark
+    filter applied on top."""
+    cols = stats.get("columns", {})
+    for name, op, value in filters:
+        st = cols.get(name)
+        if st is None:
+            continue
+        lo, hi, value = st["min"], st["max"], _jsonable(value)
+        if not isinstance(value, type(lo)) and not (
+            isinstance(value, (int, float)) and isinstance(lo, (int, float))
+        ):
+            continue
+        if (
+            (op in (">", ">=") and (hi < value or (op == ">" and hi == value)))
+            or (op in ("<", "<=") and (lo > value or (op == "<" and lo == value)))
+            or (op in ("=", "==") and not (lo <= value <= hi))
+        ):
+            return True
+    return False
+
+
+@dataclass
+class _Snapshot:
+    version: int = -1
+    files: dict[str, dict[str, Any]] = field(default_factory=dict)  # path → stats
+    schema_json: str | None = None
+
+
+class LakeTable:
+    """A transaction-logged parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str, checkpoint_every: int = 10):
+        self.spark = spark
+        self.path = path
+        self.log_dir = os.path.join(path, _LOG_DIR)
+        self.checkpoint_every = checkpoint_every
+
+    # ------------------------------------------------------------------ log
+
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"{v:020d}.json")
+
+    def latest_version(self) -> int:
+        if not os.path.isdir(self.log_dir):
+            return -1
+        vs = [
+            int(f[:-5])
+            for f in os.listdir(self.log_dir)
+            if f.endswith(".json") and not f.startswith("checkpoint-")
+        ]
+        return max(vs, default=-1)
+
+    def _snapshot(self, version: int | None = None) -> _Snapshot:
+        latest = self.latest_version()
+        if version is None:
+            version = latest
+        if version < 0 or version > latest:
+            raise ValueError(f"version {version} does not exist (latest={latest})")
+        snap = _Snapshot()
+        start = 0
+        # newest checkpoint at or below the requested version
+        if os.path.isdir(self.log_dir):
+            cps = sorted(
+                int(f[len("checkpoint-"):-5])
+                for f in os.listdir(self.log_dir)
+                if f.startswith("checkpoint-") and f.endswith(".json")
+            )
+            cps = [c for c in cps if c <= version]
+            if cps:
+                with open(os.path.join(self.log_dir, f"checkpoint-{cps[-1]}.json")) as fh:
+                    cp = json.load(fh)
+                snap.files = cp["files"]
+                snap.schema_json = cp.get("schema")
+                start = cps[-1] + 1
+        for v in range(start, version + 1):
+            with open(self._version_path(v)) as fh:
+                commit = json.load(fh)
+            for action in commit["actions"]:
+                if "add" in action:
+                    a = action["add"]
+                    snap.files[a["path"]] = a["stats"]
+                elif "remove" in action:
+                    snap.files.pop(action["remove"]["path"], None)
+                elif "meta" in action:
+                    snap.schema_json = action["meta"]["schema"]
+        snap.version = version
+        return snap
+
+    def _try_commit(self, version: int, actions: list[dict[str, Any]]) -> bool:
+        os.makedirs(self.log_dir, exist_ok=True)
+        payload = json.dumps({"version": version, "actions": actions}, indent=0)
+        try:
+            fd = os.open(
+                self._version_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        if version > 0 and version % self.checkpoint_every == 0:
+            snap = self._snapshot(version)
+            cp = {"files": snap.files, "schema": snap.schema_json}
+            tmp = os.path.join(self.log_dir, f".cp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as fh:
+                json.dump(cp, fh)
+            os.replace(tmp, os.path.join(self.log_dir, f"checkpoint-{version}.json"))
+        return True
+
+    # ----------------------------------------------------------------- write
+
+    def _stage(self, df: DataFrame) -> list[dict[str, Any]]:
+        """Write df's parquet files into the table dir under unique names
+        (immutable once placed) and return their add-actions."""
+        tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
+        adds = []
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            os.replace(os.path.join(tmp, f), os.path.join(self.path, name))
+            adds.append({"add": {"path": name, "stats": _file_stats(os.path.join(self.path, name))}})
+        shutil.rmtree(tmp)
+        return adds
+
+    def create(self, df: DataFrame, mode: str = "error") -> int:
+        if self.latest_version() >= 0:
+            if mode == "error":
+                raise FileExistsError(f"table exists at {self.path}")
+            return self.overwrite(df)
+        os.makedirs(self.path, exist_ok=True)
+        actions = [{"meta": {"schema": df.schema.json()}}] + self._stage(df)
+        if not self._try_commit(0, actions):
+            raise ConcurrentWriteError("table created concurrently")
+        return 0
+
+    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+        """Blind append: conflicts with nothing, so collisions on the
+        version number just re-target the next slot. New columns in
+        ``df`` widen the logged schema (add-column evolution); older
+        files read the new column as null. Type changes are rejected."""
+        adds = self._stage(df)
+        for _ in range(max_retries):
+            v = self.latest_version() + 1
+            if v == 0:
+                raise FileNotFoundError(f"no table at {self.path}; create() first")
+            actions: list[dict[str, Any]] = list(adds)
+            merged = self._merge_schema(self._snapshot(v - 1), df)
+            if merged is not None:
+                actions = [{"meta": {"schema": merged}}] + actions
+            if self._try_commit(v, actions):
+                return v
+        raise ConcurrentWriteError("append lost the commit race repeatedly")
+
+    @staticmethod
+    def _merge_schema(snap: _Snapshot, df: DataFrame) -> str | None:
+        """Widened schema json if ``df`` adds columns, None if unchanged."""
+        current = T.StructType.fromJson(json.loads(snap.schema_json))
+        by_name = {f.name: f for f in current.fields}
+        new_fields = []
+        for f in df.schema.fields:
+            old = by_name.get(f.name)
+            if old is None:
+                new_fields.append(f)
+            elif old.dataType != f.dataType:
+                raise TypeError(
+                    f"append changes type of {f.name}: "
+                    f"{old.dataType.simpleString()} → {f.dataType.simpleString()}"
+                )
+        if not new_fields:
+            return None
+        return T.StructType(current.fields + new_fields).json()
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Replace the table contents. Fails (cleanly, staged files
+        orphaned for vacuum) if the table advanced past our snapshot."""
+        snap = self._snapshot()
+        actions = (
+            [{"meta": {"schema": df.schema.json()}}]
+            + [{"remove": {"path": p}} for p in snap.files]
+            + self._stage(df)
+        )
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConcurrentWriteError(
+                f"table advanced past v{snap.version}; re-read and retry"
+            )
+        return snap.version + 1
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Rewrite the current live set into ``target_partitions`` files
+        in one remove+add commit. Old versions still time-travel."""
+        snap = self._snapshot()
+        live = self._df_for(snap)
+        actions = [{"remove": {"path": p}} for p in snap.files] + self._stage(
+            live.repartition(target_partitions)
+        )
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConcurrentWriteError(
+                f"table advanced past v{snap.version}; re-read and retry"
+            )
+        return snap.version + 1
+
+    # ------------------------------------------------------------------ read
+
+    def _df_for(self, snap: _Snapshot, paths: list[str] | None = None) -> DataFrame:
+        sel = sorted(snap.files) if paths is None else paths
+        schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        if not sel:
+            return self.spark.createDataFrame([], schema)
+        # the logged schema is authoritative: files written before a
+        # column was added are read with nulls filled in
+        return self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.path, p) for p in sel]
+        )
+
+    def scan(
+        self,
+        version: int | None = None,
+        filters: list[tuple[str, str, Any]] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot. ``filters`` [(col, op, value), ...] (ANDed;
+        ops: = == < <= > >=) prune files via log stats AND are applied
+        as real Spark filters — pruning never changes results, only IO."""
+        snap = self._snapshot(version)
+        paths = sorted(snap.files)
+        if filters:
+            paths = [p for p in paths if not _maybe_skip(snap.files[p], filters)]
+        df = self._df_for(snap, paths)
+        from pyspark.sql import functions as F
+
+        for name, op, value in filters or []:
+            c = F.col(name)
+            df = df.filter(
+                {
+                    "=": c == value,
+                    "==": c == value,
+                    "<": c < value,
+                    "<=": c <= value,
+                    ">": c > value,
+                    ">=": c >= value,
+                }[op]
+            )
+        return df
+
+    def files(self, version: int | None = None) -> dict[str, dict[str, Any]]:
+        return dict(self._snapshot(version).files)
+
+    def pruned_files(
+        self, filters: list[tuple[str, str, Any]], version: int | None = None
+    ) -> tuple[int, int]:
+        """(kept, total) file counts for a filter — the data-skipping
+        observability hook (and what the tests assert on)."""
+        snap = self._snapshot(version)
+        kept = [p for p in snap.files if not _maybe_skip(snap.files[p], filters)]
+        return len(kept), len(snap.files)
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        for v in range(self.latest_version() + 1):
+            with open(self._version_path(v)) as fh:
+                commit = json.load(fh)
+            kinds = [next(iter(a)) for a in commit["actions"]]
+            out.append(
+                {
+                    "version": v,
+                    "n_add": kinds.count("add"),
+                    "n_remove": kinds.count("remove"),
+                    "schema_change": "meta" in kinds,
+                }
+            )
+        return out
+
+    # ---------------------------------------------------------------- vacuum
+
+    def vacuum(self, retain_versions: int = 1) -> list[str]:
+        """Physically delete data files unreachable from the newest
+        ``retain_versions`` snapshots (plus staged orphans). Time travel
+        to older versions stops working — same contract as Delta's
+        VACUUM, versioned by count instead of wall-clock. Run it only
+        while no writer is mid-stage: staged-but-uncommitted dirs are
+        treated as orphans (Delta has the same caveat, bounded there by
+        the retention clock)."""
+        latest = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(0, latest - retain_versions + 1), latest + 1):
+            keep.update(self._snapshot(v).files)
+        removed = []
+        for entry in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, entry)
+            if entry.startswith("_staged-") and os.path.isdir(full):
+                shutil.rmtree(full)
+                removed.append(entry)
+            elif entry.endswith(".parquet") and entry not in keep:
+                os.remove(full)
+                removed.append(entry)
+        return removed

@@ -1,0 +1,130 @@
+"""Transaction-log table format: ACID commits, time travel, data
+skipping, compaction, schema evolution, optimistic concurrency."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_spark.sources.txlog import ConcurrentWriteError, LakeTable
+
+
+def _r(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.lit(tag).alias("tag"), (F.col("id") * 2).alias("val")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "tbl"))
+    t.create(_r(spark, 0, 100).coalesce(1))
+    return t
+
+
+def test_create_append_time_travel(spark, table):
+    assert table.latest_version() == 0
+    table.append(_r(spark, 100, 200, "b").coalesce(1))
+    table.append(_r(spark, 200, 300, "c").coalesce(1))
+    assert table.scan().count() == 300
+    assert table.scan(version=0).count() == 100
+    assert table.scan(version=1).count() == 200
+    # snapshot content, not just counts
+    assert table.scan(version=1).agg(F.max("id")).first()[0] == 199
+
+
+def test_overwrite_keeps_history(spark, table):
+    table.overwrite(_r(spark, 0, 10, "z").coalesce(1))
+    assert table.scan().count() == 10
+    assert table.scan(version=0).count() == 100
+    h = table.history()
+    assert h[-1]["n_remove"] >= 1 and h[-1]["n_add"] >= 1
+
+
+def test_data_skipping_prunes_files(spark, table):
+    table.append(_r(spark, 100, 200, "b").coalesce(1))
+    table.append(_r(spark, 200, 300, "c").coalesce(1))
+    kept, total = table.pruned_files([("id", ">=", 250)])
+    assert total == 3 and kept == 1
+    kept2, _ = table.pruned_files([("id", ">=", 100), ("id", "<", 150)])
+    assert kept2 == 1
+    # pruning must never change results
+    got = sorted(r.id for r in table.scan(filters=[("id", ">=", 250)]).collect())
+    assert got == list(range(250, 300))
+    # equality op prunes to the single covering file
+    kept3, _ = table.pruned_files([("id", "=", 150)])
+    assert kept3 == 1
+
+
+def test_string_and_filter_semantics(spark, table):
+    table.append(_r(spark, 100, 200, "b").coalesce(1))
+    # tag='a' only in file 1; tag='b' only in file 2
+    kept, total = table.pruned_files([("tag", "=", "b")])
+    assert (kept, total) == (1, 2)
+    assert table.scan(filters=[("tag", "=", "b")]).count() == 100
+
+
+def test_compact_single_commit(spark, table):
+    for lo in (100, 200, 300):
+        table.append(_r(spark, lo, lo + 100).coalesce(1))
+    pre_version = table.latest_version()
+    assert len(table.files()) == 4
+    table.compact(target_partitions=1)
+    assert len(table.files()) == 1
+    assert table.scan().count() == 400
+    # history intact: pre-compaction snapshot still resolves to 4 files
+    assert len(table.files(version=pre_version)) == 4
+    assert table.scan(version=pre_version).count() == 400
+
+
+def test_schema_evolution_add_column(spark, table):
+    extra = _r(spark, 100, 110, "b").withColumn("extra", F.lit(7)).coalesce(1)
+    table.append(extra)
+    out = table.scan()
+    assert "extra" in out.columns
+    # old files read the new column as null
+    assert out.filter(F.col("extra").isNull()).count() == 100
+    assert out.filter(F.col("extra") == 7).count() == 10
+    # type change is rejected
+    bad = _r(spark, 0, 1).withColumn("val", F.lit("nope"))
+    with pytest.raises(TypeError):
+        table.append(bad.coalesce(1))
+
+
+def test_optimistic_concurrency(spark, table, tmp_path):
+    writer2 = LakeTable(spark, str(tmp_path / "tbl"))
+    # writer1 snapshots, then writer2 commits first — writer1's commit
+    # for the same version number must LOSE, not silently clobber
+    snap = table._snapshot()
+    writer2.append(_r(spark, 100, 110).coalesce(1))
+    actions = [{"remove": {"path": p}} for p in snap.files] + table._stage(
+        _r(spark, 0, 5).coalesce(1)
+    )
+    assert not table._try_commit(snap.version + 1, actions)
+    # writer2's data is intact despite the attempted overwrite
+    assert table.scan().count() == 110
+    # append retries past version collisions transparently
+    v = table.append(_r(spark, 300, 310).coalesce(1))
+    assert v == table.latest_version()
+    assert table.scan().count() == 120
+
+
+def test_vacuum_drops_old_versions(spark, table):
+    table.overwrite(_r(spark, 0, 10).coalesce(1))
+    removed = table.vacuum(retain_versions=1)
+    assert removed  # the create-time file is gone
+    assert table.scan().count() == 10
+    with pytest.raises(Exception):
+        table.scan(version=0).collect()
+
+
+def test_checkpoint_replay(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "cp"), checkpoint_every=3)
+    t.create(_r(spark, 0, 10).coalesce(1))
+    for i in range(1, 7):
+        t.append(_r(spark, i * 10, i * 10 + 10).coalesce(1))
+    assert any(f.startswith("checkpoint-") for f in os.listdir(t.log_dir))
+    assert t.scan().count() == 70
+    assert t.scan(version=2).count() == 30  # below the checkpoint
