@@ -1725,3 +1725,207 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed mutations — MERGE / CDC / SCD2 (operators/merge.py): the row-keyed
+# generalization of the reference's delete-then-append maintenance
+# (AWS_GLUE_ETL.py:124-132, BkupRs.py:272-280).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m1_merge_upsert",
+    """WITH tgt AS (
+         SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+       src AS (
+         SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+                'MERGED' AS c_mktsegment
+         FROM customer WHERE c_custkey % 10 = 0
+         UNION ALL
+         SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+                0.0, 'INSERTED'
+         FROM customer WHERE c_custkey % 100 = 0)
+       SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+              CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                   ELSE t.c_name END AS c_name,
+              CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                   ELSE t.c_acctbal END AS c_acctbal,
+              CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+                   ELSE t.c_mktsegment END AS c_mktsegment
+       FROM tgt t FULL JOIN src s ON t.c_custkey = s.c_custkey""",
+)
+def q_m1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (update matched + insert unmatched) in one full-outer pass
+    (operators/merge.py:merge_upsert). Source mutates every 10th
+    customer (+100 balance, segment MERGED — addition, not
+    multiplication, so float results are bit-identical across engines)
+    and inserts a new key per 100th."""
+    from .operators.merge import merge_upsert
+
+    tgt = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    src = (
+        tgt.filter(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("c_mktsegment", F.lit("MERGED"))
+        .unionByName(
+            tgt.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias(
+                    "c_name"
+                ),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("INSERTED").alias("c_mktsegment"),
+            )
+        )
+    )
+    return merge_upsert(tgt, src, ["c_custkey"])
+
+
+@query(
+    "m2_cdc_apply",
+    """WITH tgt AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+       ch AS (
+         SELECT o_orderkey, 1 AS seq, 'U' AS op, o_orderstatus,
+                o_totalprice + 10.0 AS o_totalprice
+         FROM orders WHERE o_orderkey % 5 = 0
+         UNION ALL
+         SELECT o_orderkey, 3, 'D', o_orderstatus, 0.0
+         FROM orders WHERE o_orderkey % 15 = 0
+         UNION ALL
+         SELECT o_orderkey, 2, 'U', 'X', 0.0
+         FROM orders WHERE o_orderkey % 20 = 0),
+       latest AS (
+         SELECT * FROM (
+           SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                        ORDER BY seq DESC, op DESC) AS rn
+           FROM ch) WHERE rn = 1),
+       survived AS (
+         SELECT t.* FROM tgt t LEFT JOIN latest d
+           ON t.o_orderkey = d.o_orderkey AND d.op = 'D'
+         WHERE d.o_orderkey IS NULL),
+       ups AS (
+         SELECT o_orderkey, o_orderstatus, o_totalprice
+         FROM latest WHERE op <> 'D')
+       SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+              CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                   ELSE t.o_orderstatus END AS o_orderstatus,
+              CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                   ELSE t.o_totalprice END AS o_totalprice
+       FROM survived t FULL JOIN ups u ON t.o_orderkey = u.o_orderkey""",
+)
+def q_m2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-shaped change feed applied in batch
+    (operators/merge.py:apply_cdc): per key the latest (seq, op) wins —
+    seq-1 updates every 5th order, seq-2 re-updates every 20th, seq-3
+    deletes every 15th (overriding earlier updates for those keys). The
+    window collapse + delete-anti-join + merge all verify against the
+    oracle's replay."""
+    from .operators.merge import apply_cdc
+
+    tgt = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    ch = (
+        tgt.filter(k % 5 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            "o_orderstatus",
+            (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            tgt.filter(k % 15 == 0).select(
+                "o_orderkey",
+                F.lit(3).alias("seq"),
+                F.lit("D").alias("op"),
+                "o_orderstatus",
+                F.lit(0.0).alias("o_totalprice"),
+            )
+        )
+        .unionByName(
+            tgt.filter(k % 20 == 0).select(
+                "o_orderkey",
+                F.lit(2).alias("seq"),
+                F.lit("U").alias("op"),
+                F.lit("X").alias("o_orderstatus"),
+                F.lit(0.0).alias("o_totalprice"),
+            )
+        )
+    )
+    return apply_cdc(tgt, ch, ["o_orderkey"], op_col="op", seq_col="seq")
+
+
+@query(
+    "m3_scd2_dimension",
+    """WITH dim AS (
+         SELECT c_custkey AS cust_key, c_mktsegment AS segment,
+                DATE '1992-01-01' AS valid_from,
+                DATE '9999-12-31' AS valid_to,
+                true AS is_current
+         FROM customer),
+       upd AS (
+         SELECT c_custkey AS cust_key,
+                'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS segment
+         FROM customer WHERE c_custkey % 4 = 0
+         UNION ALL
+         SELECT c_custkey + 1000000, 'NEWSEG'
+         FROM customer WHERE c_custkey % 50 = 0),
+       changed AS (
+         SELECT u.cust_key, u.segment FROM upd u
+         JOIN dim d ON u.cust_key = d.cust_key AND d.is_current
+         WHERE u.segment IS DISTINCT FROM d.segment),
+       brand_new AS (
+         SELECT u.cust_key, u.segment FROM upd u
+         LEFT JOIN dim d ON u.cust_key = d.cust_key
+         WHERE d.cust_key IS NULL),
+       closed AS (
+         SELECT d.cust_key, d.segment, d.valid_from,
+                DATE '2024-06-01' AS valid_to, false AS is_current
+         FROM dim d JOIN changed c ON d.cust_key = c.cust_key),
+       untouched AS (
+         SELECT d.* FROM dim d
+         LEFT JOIN changed c ON d.cust_key = c.cust_key
+         WHERE c.cust_key IS NULL),
+       opened AS (
+         SELECT cust_key, segment, DATE '2024-06-01' AS valid_from,
+                DATE '9999-12-31' AS valid_to, true AS is_current
+         FROM (SELECT * FROM changed UNION ALL SELECT * FROM brand_new))
+       SELECT * FROM closed
+       UNION ALL SELECT * FROM untouched
+       UNION ALL SELECT * FROM opened""",
+)
+def q_m3_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (operators/merge.py:scd2_apply):
+    every 4th customer proposes a synthetic segment (changes only when
+    it differs — null-safe comparison), every 50th key is brand new;
+    changed keys close their current row at the batch date and open a
+    new one. History, closure, pass-through, and insert arms all
+    verify against the oracle's set reconstruction."""
+    from .operators.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.concat(F.lit("SEG_"), (F.col("c_custkey") % 3).cast("string")).alias(
+            "segment"
+        ),
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 50 == 0).select(
+            (F.col("c_custkey") + 1000000).alias("cust_key"),
+            F.lit("NEWSEG").alias("segment"),
+        )
+    )
+    return scd2_apply(dim, upd, "cust_key", ["segment"], "2024-06-01")

@@ -148,6 +148,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "tpch_q17_small_quantity_revenue": 2,  # per-part avg + verify join
         "tpch_q21_waiting_suppliers": 2,  # one orderkey window + name agg
         "tpch_q22_global_sales_opportunity": 2,  # anti join + segment agg
+        "m1_merge_upsert": 2,             # full-outer merge: one per side
+        "m3_scd2_dimension": 4,           # current-row compare + 3 union arms
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
