@@ -138,6 +138,7 @@ class _Snapshot:
     version: int = -1
     files: dict[str, dict[str, Any]] = field(default_factory=dict)  # path → stats
     schema_json: str | None = None
+    txns: dict[str, int] = field(default_factory=dict)  # app_id → last version
 
 
 class LakeTable:
@@ -185,6 +186,7 @@ class LakeTable:
                     cp = json.load(fh)
                 snap.files = cp["files"]
                 snap.schema_json = cp.get("schema")
+                snap.txns = cp.get("txns", {})
                 start = cps[-1] + 1
         for v in range(start, version + 1):
             with open(self._version_path(v)) as fh:
@@ -197,6 +199,11 @@ class LakeTable:
                     snap.files.pop(action["remove"]["path"], None)
                 elif "meta" in action:
                     snap.schema_json = action["meta"]["schema"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    snap.txns[t["app"]] = max(
+                        snap.txns.get(t["app"], -1), t["version"]
+                    )
         snap.version = version
         return snap
 
@@ -213,7 +220,7 @@ class LakeTable:
             fh.write(payload)
         if version > 0 and version % self.checkpoint_every == 0:
             snap = self._snapshot(version)
-            cp = {"files": snap.files, "schema": snap.schema_json}
+            cp = {"files": snap.files, "schema": snap.schema_json, "txns": snap.txns}
             tmp = os.path.join(self.log_dir, f".cp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 json.dump(cp, fh)
@@ -248,18 +255,42 @@ class LakeTable:
             raise ConcurrentWriteError("table created concurrently")
         return 0
 
-    def append(self, df: DataFrame, max_retries: int = 20) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        max_retries: int = 20,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """Blind append: conflicts with nothing, so collisions on the
         version number just re-target the next slot. New columns in
         ``df`` widen the logged schema (add-column evolution); older
-        files read the new column as null. Type changes are rejected."""
-        adds = self._stage(df)
+        files read the new column as null. Type changes are rejected.
+
+        ``txn=(app_id, txn_version)`` makes the append **idempotent per
+        application stream** (the Delta paper's txn action): if a commit
+        from ``app_id`` with ``txn_version`` ≥ this one is already in the
+        log, the append is a no-op — exactly what a replayed streaming
+        micro-batch needs (see ``lake_streaming_sink``). The check is
+        re-evaluated inside the optimistic-commit loop, so two racing
+        replays cannot both land."""
+        staged = False
+        adds: list[dict[str, Any]] = []
         for _ in range(max_retries):
             v = self.latest_version() + 1
             if v == 0:
                 raise FileNotFoundError(f"no table at {self.path}; create() first")
+            snap = self._snapshot(v - 1)
+            if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+                for a in adds:  # staged before we saw the duplicate: undo
+                    os.remove(os.path.join(self.path, a["add"]["path"]))
+                return snap.version
+            if not staged:
+                adds = self._stage(df)
+                staged = True
             actions: list[dict[str, Any]] = list(adds)
-            merged = self._merge_schema(self._snapshot(v - 1), df)
+            if txn is not None:
+                actions.append({"txn": {"app": txn[0], "version": txn[1]}})
+            merged = self._merge_schema(snap, df)
             if merged is not None:
                 actions = [{"meta": {"schema": merged}}] + actions
             if self._try_commit(v, actions):
@@ -285,15 +316,22 @@ class LakeTable:
             return None
         return T.StructType(current.fields + new_fields).json()
 
-    def overwrite(self, df: DataFrame) -> int:
+    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         """Replace the table contents. Fails (cleanly, staged files
-        orphaned for vacuum) if the table advanced past our snapshot."""
+        orphaned for vacuum) if the table advanced past our snapshot.
+        ``txn`` has append()'s idempotency semantics: a duplicate
+        (app_id, txn_version) makes this a no-op — the marker rides in
+        the SAME commit as the data, so replays are all-or-nothing."""
         snap = self._snapshot()
+        if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
+            return snap.version
         actions = (
             [{"meta": {"schema": df.schema.json()}}]
             + [{"remove": {"path": p}} for p in snap.files]
             + self._stage(df)
         )
+        if txn is not None:
+            actions.append({"txn": {"app": txn[0], "version": txn[1]}})
         if not self._try_commit(snap.version + 1, actions):
             raise ConcurrentWriteError(
                 f"table advanced past v{snap.version}; re-read and retry"

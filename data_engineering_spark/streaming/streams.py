@@ -35,6 +35,8 @@ __all__ = [
     "stateful_running_totals",
     "run_available_now",
     "foreach_batch_parquet_sink",
+    "lake_streaming_sink",
+    "cdc_upsert_sink",
     "kafka_source_options",
     "kafka_sink_options",
 ]
@@ -181,6 +183,43 @@ def foreach_batch_parquet_sink(
         # SAME batch_id, so the replay must replace the partial write —
         # append would double the rows and break exactly-once.
         out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
+
+    return sink
+
+
+def lake_streaming_sink(table, app_id: str) -> Callable[[DataFrame, int], None]:
+    """Exactly-once streaming append into a transaction-logged table
+    (``sources/txlog.py:LakeTable``): each micro-batch commits with a
+    ``txn(app_id, batch_id)`` marker, so a failed batch replayed with
+    the same batch_id is a no-op instead of a duplicate — the
+    foreachBatch idempotency contract done at the LOG level rather than
+    by directory-per-batch (``foreach_batch_parquet_sink``). Readers see
+    each batch atomically; concurrent appends from other writers
+    interleave safely."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df, txn=(app_id, batch_id))
+
+    return sink
+
+
+def cdc_upsert_sink(
+    table, keys: list[str], app_id: str, op_col: str = "op", seq_col: str = "seq"
+) -> Callable[[DataFrame, int], None]:
+    """Streaming CDC → keyed table: each micro-batch of a Debezium-shaped
+    change feed is collapsed and merged (``operators/merge.py:apply_cdc``)
+    into the current table state, then committed as one idempotent
+    overwrite commit (replays skip via the txn marker). The batch twin of
+    a MERGE-writing structured stream; at warehouse scale the overwrite
+    becomes file-level replacement of only the touched key ranges."""
+    from ..operators.merge import apply_cdc
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        current = table.scan()
+        merged = apply_cdc(current, batch_df, keys, op_col=op_col, seq_col=seq_col)
+        # txn marker rides in the same commit as the data: a replayed
+        # batch_id no-ops, a crash mid-write leaves the old version live
+        table.overwrite(merged, txn=(app_id, batch_id))
 
     return sink
 

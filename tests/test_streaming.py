@@ -207,3 +207,59 @@ def test_foreach_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     sink(batch, 7)
     sink(batch, 7)  # simulated retry of the same micro-batch
     assert spark.read.parquet(sink_dir).count() == 100
+
+
+def test_lake_streaming_sink_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming append into a transaction-logged table: each micro-batch
+    is one atomic commit with a txn marker; a replayed batch_id no-ops
+    (exactly-once at the log level, no per-batch directories)."""
+    from data_engineering_spark.sources.txlog import LakeTable
+    from data_engineering_spark.streaming.streams import lake_streaming_sink
+
+    table = LakeTable(spark, str(tmp_path / "laketbl"))
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    table.create(events.limit(0).coalesce(1))  # schema-only seed
+    sink = lake_streaming_sink(table, app_id="events_ingest")
+    q = (
+        events_stream(spark, sf_dir)
+        .select("event_id", "event_type", "value")
+        .writeStream.foreachBatch(lambda df, bid: sink(df, bid))
+        .option("checkpointLocation", str(tmp_path / "ckpt_lake"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = events.count()
+    assert table.scan().count() == total
+    # replay the last committed batch id → no duplication
+    last_batch = max(
+        t_ver for app, t_ver in table._snapshot().txns.items() if app == "events_ingest"
+    )
+    sink(events.limit(50), last_batch)
+    assert table.scan().count() == total
+
+
+def test_cdc_upsert_sink_applies_and_dedups_replay(spark, tmp_path):
+    """Streaming CDC merge: per micro-batch the change feed is collapsed
+    and merged into the keyed table; replays skip via the txn marker in
+    the data commit itself."""
+    from data_engineering_spark.sources.txlog import LakeTable
+    from data_engineering_spark.streaming.streams import cdc_upsert_sink
+
+    table = LakeTable(spark, str(tmp_path / "cdctbl"))
+    table.create(
+        spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double").coalesce(1)
+    )
+    sink = cdc_upsert_sink(table, keys=["k"], app_id="cdc")
+    b0 = spark.createDataFrame(
+        [(1, 1, "U", 11.0), (3, 1, "D", 0.0), (4, 1, "I", 40.0)],
+        "k long, seq long, op string, v double",
+    )
+    sink(b0, 0)
+    assert {r.k: r.v for r in table.scan().collect()} == {1: 11.0, 2: 20.0, 4: 40.0}
+    state_v = table.latest_version()
+    sink(b0, 0)  # replayed micro-batch — must not re-apply
+    assert table.latest_version() == state_v
+    b1 = spark.createDataFrame([(2, 1, "U", 99.0)], "k long, seq long, op string, v double")
+    sink(b1, 1)
+    assert {r.k: r.v for r in table.scan().collect()} == {1: 11.0, 2: 99.0, 4: 40.0}

@@ -120,6 +120,43 @@ def test_vacuum_drops_old_versions(spark, table):
         table.scan(version=0).collect()
 
 
+def test_txn_append_idempotent(spark, table):
+    v1 = table.append(_r(spark, 100, 110).coalesce(1), txn=("app1", 0))
+    n_files = len(table.files())
+    # replay of the same (app, batch): no new version, no new files
+    v2 = table.append(_r(spark, 100, 110).coalesce(1), txn=("app1", 0))
+    assert v2 == v1 == table.latest_version()
+    assert len(table.files()) == n_files
+    assert table.scan().count() == 110
+    # a DIFFERENT app with the same batch number is not deduplicated
+    table.append(_r(spark, 200, 205).coalesce(1), txn=("app2", 0))
+    assert table.scan().count() == 115
+    # and the next batch of app1 goes through
+    table.append(_r(spark, 300, 305).coalesce(1), txn=("app1", 1))
+    assert table.scan().count() == 120
+    # no orphaned parquet files from the skipped replay
+    on_disk = [f for f in os.listdir(table.path) if f.endswith(".parquet")]
+    assert sorted(on_disk) == sorted(table.files())
+
+
+def test_txn_overwrite_idempotent(spark, table):
+    v1 = table.overwrite(_r(spark, 0, 10).coalesce(1), txn=("job", 5))
+    v2 = table.overwrite(_r(spark, 50, 90).coalesce(1), txn=("job", 5))
+    assert v1 == v2
+    assert table.scan().count() == 10  # replay did not clobber
+
+
+def test_txn_survives_checkpoint(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "txncp"), checkpoint_every=2)
+    t.create(_r(spark, 0, 10).coalesce(1))
+    for b in range(4):
+        t.append(_r(spark, 100 + b * 10, 110 + b * 10).coalesce(1), txn=("s", b))
+    # marker for batch 3 is only reachable through the checkpoint replay
+    v = t.append(_r(spark, 900, 910).coalesce(1), txn=("s", 3))
+    assert v == t.latest_version()
+    assert t.scan().count() == 50
+
+
 def test_checkpoint_replay(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "cp"), checkpoint_every=3)
     t.create(_r(spark, 0, 10).coalesce(1))
