@@ -38,6 +38,8 @@ __all__ = [
     "stratified_sample",
     "ngram_decontaminate",
     "mixture_weights",
+    "chunk_sliding",
+    "unigram_nll",
     "pack_concat",
     "pack_ffd",
 ]
@@ -233,6 +235,64 @@ def pack_concat(
         F.col(id_col),
         n.alias("n_tokens"),
         F.floor((F.sum(n).over(w) - n) / capacity).cast("long").alias("bin_id"),
+    )
+
+
+def chunk_sliding(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking: split each document into
+    ``window``-token chunks every ``stride`` tokens (overlap =
+    window - stride) — the standard long-document → training-sequence
+    fan-out. Pure array expressions (sequence → explode → slice), zero
+    shuffle, fan-out proportional to document length."""
+    t = tokens(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(t) - 1, F.lit(0)), F.lit(stride)
+    )
+    # whitespace-only text tokenizes to [''] — not a chunk
+    df = df.filter(F.trim(F.col(text_col)) != "")
+    ex = df.select(
+        F.col(id_col),
+        t.alias("__toks__"),
+        F.explode(starts).alias("__start__"),
+    )
+    chunk = F.slice(F.col("__toks__"), F.col("__start__") + 1, window)
+    return ex.select(
+        F.col(id_col),
+        (F.col("__start__") / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).filter(F.col("n_chunk_tokens") > 0)
+
+
+def unigram_nll(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document negative log-likelihood under the corpus unigram LM —
+    the cheap stand-in for perplexity filtering (high NLL ⇒ rare-token
+    soup; low ⇒ boilerplate). p(tok) = corpus_tf / corpus_total with no
+    smoothing (every scored token occurs ≥1 time by construction).
+
+    Two partial-agg shuffles (token frequencies, per-doc mean); the
+    1-row corpus total rides as a broadcast. At 100 TB the frequency
+    table is vocabulary-sized — cache/broadcast it per batch rather
+    than recomputing (here it stays in-plan for oracle exactness)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.broadcast(freq.agg(F.sum("cnt").cast("double").alias("total")))
+    return (
+        tok.join(freq, "tok")
+        .join(total)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 6).alias("nll"),
+        )
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .operators.curation import (
     PII_PATTERNS,
+    chunk_sliding,
     mixture_weights,
     ngram_decontaminate,
     pack_concat,
@@ -26,6 +27,7 @@ from .operators.curation import (
     pii_redact,
     repetition_stats,
     stratified_sample,
+    unigram_nll,
 )
 from .registry import query
 
@@ -202,6 +204,45 @@ def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     pack_concat) — the deterministic oracle baseline; the scale path is
     ``curate_pack_ffd`` (per-partition, no global window)."""
     return pack_concat(_docs(spark, sf_dir), capacity=256)
+
+
+@query(
+    "curate_chunk_sliding",
+    f"""WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                   WHERE trim(text) <> ''),
+        s AS (
+          SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+          FROM d)
+        SELECT doc_id,
+               CAST(start // 48 AS BIGINT) AS chunk_id,
+               CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+        FROM s WHERE len(toks[start + 1 : start + 64]) > 0""",
+)
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking (operators/curation.py:
+    chunk_sliding): 64-token chunks every 48 tokens — the long-document
+    → training-sequence fan-out, as pure array expressions."""
+    return chunk_sliding(_docs(spark, sf_dir), window=64, stride=48)
+
+
+@query(
+    "curate_unigram_nll",
+    f"""WITH tok AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+        freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               round(avg(-ln(cnt / total)), 6) AS nll
+        FROM tok JOIN freq USING (tok), tot
+        GROUP BY doc_id""",
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram negative log-likelihood per doc (operators/
+    curation.py:unigram_nll) — the perplexity-filter shape: flags
+    rare-token soup (high NLL) and boilerplate (low NLL) without a
+    model artifact."""
+    return unigram_nll(_docs(spark, sf_dir))
 
 
 @query("curate_pack_ffd")  # rows-only: partition-local bin ids have no SQL twin

@@ -149,3 +149,47 @@ def test_registered_curation_queries_smoke(spark, sf_dir):
         "curate_pack_ffd",
     ):
         assert qs[name](spark, sf_dir).count() > 0, name
+
+
+def test_chunk_sliding_invariants(spark):
+    from data_engineering_spark.operators.curation import chunk_sliding
+
+    text = " ".join(f"t{i}" for i in range(150))
+    df = _docs(spark, [(1, text), (2, "short doc"), (3, "")])
+    out = chunk_sliding(df, window=64, stride=48).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts at 0, 48, 96, 144 → 4 chunks
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in chunks] == [0, 1, 2, 3]
+    assert [r.n_chunk_tokens for r in chunks] == [64, 64, 54, 6]
+    # consecutive chunks overlap by window - stride = 16 tokens
+    a, b = chunks[0].chunk_text.split(), chunks[1].chunk_text.split()
+    assert a[48:] == b[:16]
+    # every token is covered, in order, with no gaps
+    assert chunks[0].chunk_text.split()[0] == "t0"
+    assert chunks[3].chunk_text.split()[-1] == "t149"
+    # short doc → one whole chunk; empty doc → no chunks
+    assert by_doc[2][0].n_chunk_tokens == 2
+    assert 3 not in by_doc
+
+
+def test_unigram_nll_orders_rarity(spark):
+    from data_engineering_spark.operators.curation import unigram_nll
+
+    df = _docs(
+        spark,
+        [
+            (1, "common common common common"),
+            (2, "common rareword"),
+        ],
+    )
+    got = {r.doc_id: r.nll for r in unigram_nll(df).collect()}
+    # doc 2 contains the corpus-rarest token → strictly higher NLL
+    assert got[2] > got[1]
+    # exact check: p(common)=5/6, p(rareword)=1/6
+    import math
+
+    assert abs(got[1] - (-math.log(5 / 6))) < 1e-6
+    assert abs(got[2] - (-(math.log(5 / 6) + math.log(1 / 6)) / 2)) < 1e-6
