@@ -60,6 +60,13 @@ HEADLINE = [
     "curate_quality_repetition",
     "curate_decontaminate",
     "curate_pack_ffd",
+    "curate_chunk_sliding",
+    "curate_unigram_nll",
+    "m1_merge_upsert",
+    "m2_cdc_apply",
+    "m3_scd2_dimension",
+    "lake_time_travel",
+    "dedup_simhash_arrow",
 ]
 
 

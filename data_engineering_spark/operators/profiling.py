@@ -1,0 +1,149 @@
+"""Table profiling, data-quality expectations, and skew reporting.
+
+The operational layer around a warehouse: the reference audits loads
+with a single row count (``AWS_GLUE_ETL.py:134-140`` count-after-write;
+SURVEY A4) — these operators are that idea grown up, in the shape of
+dbt tests / Deequ checks (public designs):
+
+- ``profile_columns`` — one aggregation pass over the table emitting a
+  long-format profile row per column (nulls, distincts, numeric
+  min/max). One shuffle, partial-agg friendly.
+- ``expect_*`` — each expectation reduces to a violation COUNT (zero =
+  pass), so a whole rule suite unions into one tiny DataFrame that a
+  scheduler can alert on. Rules never move data: they aggregate or
+  anti-join and count.
+- ``skew_report`` — per-key frequency top-N with share-of-total: the
+  first thing to look at before a big join at scale (the salting
+  threshold in operators/joins.py:salted_join is chosen from exactly
+  this histogram).
+
+Scale note: ``profile_columns(exact=True)`` uses per-column exact
+distinct counts (Expand-based — one pass but width × rows); at corpus
+scale flip ``exact=False`` for HLL sketches (approx_count_distinct),
+which is what you'd schedule nightly. The oracle checks the exact form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "profile_columns",
+    "expect_not_null",
+    "expect_unique",
+    "expect_accepted_values",
+    "expect_referential_integrity",
+    "run_expectations",
+    "skew_report",
+]
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None, exact: bool = True) -> DataFrame:
+    """Long-format column profile: (column, n_rows, n_nulls, n_distinct,
+    min_num, max_num). Numeric min/max only — mixed-type min/max in one
+    string column invites formatting drift; string domains are what
+    ``expect_accepted_values`` is for."""
+    cols = cols or df.columns
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nul_{c}"))
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(F.col(c))
+            ).alias(f"__dis_{c}")
+        )
+        if isinstance(fields[c], _NUMERIC):
+            aggs.append(F.min(c).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n__").cast("long").alias("n_rows"),
+            F.col(f"__nul_{c}").cast("long").alias("n_nulls"),
+            F.col(f"__dis_{c}").cast("long").alias("n_distinct"),
+            (
+                F.col(f"__min_{c}") if isinstance(fields[c], _NUMERIC) else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.col(f"__max_{c}") if isinstance(fields[c], _NUMERIC) else F.lit(None).cast("double")
+            ).alias("max_num"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def _rule(name: str, violations: DataFrame) -> DataFrame:
+    """violations: a DF whose count is the violation count — evaluated
+    as a 1-row (rule, violations) aggregate, kept lazy/unioned."""
+    return violations.agg(
+        F.lit(name).alias("rule"), F.count(F.lit(1)).cast("long").alias("violations")
+    )
+
+
+def expect_not_null(df: DataFrame, col: str) -> DataFrame:
+    return _rule(f"not_null:{col}", df.filter(F.col(col).isNull()))
+
+
+def expect_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Violations = number of KEY VALUES that appear more than once
+    (not the number of duplicated rows)."""
+    dupes = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__c__"))
+        .filter(F.col("__c__") > 1)
+    )
+    return _rule(f"unique:{','.join(cols)}", dupes)
+
+
+def expect_accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    bad = df.filter(~F.col(col).isin(values) | F.col(col).isNull())
+    return _rule(f"accepted_values:{col}", bad)
+
+
+def expect_referential_integrity(
+    child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
+) -> DataFrame:
+    orphans = child.join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        on=child_key,
+        how="left_anti",
+    )
+    return _rule(f"ref_integrity:{child_key}", orphans)
+
+
+def run_expectations(rules: list[DataFrame]) -> DataFrame:
+    """Union a rule suite into one small (rule, violations) frame —
+    the whole audit is one job, each rule its own partial aggregate."""
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def skew_report(df: DataFrame, key: str, top: int = 20) -> DataFrame:
+    """Top-N keys by frequency with share-of-total: the pre-join skew
+    check. One partial-agg shuffle on the key; the total rides as a
+    broadcast 1-row aggregate; TakeOrdered keeps only N rows moving."""
+    counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = F.broadcast(counts.agg(F.sum("cnt").cast("double").alias("__tot__")))
+    return (
+        counts.join(total)
+        .select(
+            "key_value",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(F.col("cnt") / F.col("__tot__"), 6).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key_value"))
+        .limit(top)
+    )

@@ -1929,3 +1929,118 @@ def q_m3_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_apply(dim, upd, "cust_key", ["segment"], "2024-06-01")
+
+
+# ---------------------------------------------------------------------------
+# Profiling & data-quality — the operational audit layer (operators/
+# profiling.py): the reference's count-after-write audit
+# (AWS_GLUE_ETL.py:134-140, row A4) grown into dbt-test / Deequ-shaped
+# checks.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "prof_orders_profile",
+    """SELECT 'o_orderkey' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+              CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+              CAST(max(o_orderkey) AS DOUBLE) AS max_num
+       FROM orders
+       UNION ALL
+       SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(count(DISTINCT o_custkey) AS BIGINT),
+              CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+       FROM orders
+       UNION ALL
+       SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(count(DISTINCT o_totalprice) AS BIGINT),
+              CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+       FROM orders
+       UNION ALL
+       SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+              CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(count(DISTINCT o_orderstatus) AS BIGINT), NULL, NULL
+       FROM orders""",
+)
+def q_prof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile in ONE aggregation pass (operators/profiling.py:
+    profile_columns): nulls / exact distincts / numeric min-max per
+    column, emitted long-format. The oracle needs four scans; the
+    operator needs one."""
+    from .operators.profiling import profile_columns
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    return profile_columns(orders)
+
+
+@query(
+    "dq_expectations",
+    """SELECT 'not_null:o_custkey' AS rule,
+              CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT) AS violations
+       UNION ALL
+       SELECT 'unique:o_orderkey',
+              CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                    GROUP BY o_orderkey HAVING count(*) > 1) d) AS BIGINT)
+       UNION ALL
+       SELECT 'accepted_values:o_orderstatus',
+              CAST((SELECT count(*) FROM orders
+                    WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL) AS BIGINT)
+       UNION ALL
+       SELECT 'ref_integrity:o_custkey',
+              CAST((SELECT count(*) FROM orders o
+                    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+                               WHERE c_custkey % 2 = 0) p
+                      ON o.o_custkey = p.c_custkey
+                    WHERE p.c_custkey IS NULL) AS BIGINT)""",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite (operators/profiling.py:expect_*): four rules
+    unioned into one (rule, violations) audit frame. Two rules pass
+    with 0 and two are PLANTED to fail — 'P'-status orders violate the
+    accepted-values rule and an even-keys-only parent violates
+    referential integrity — so the pass is non-vacuous in both
+    directions."""
+    from .operators.profiling import (
+        expect_accepted_values,
+        expect_not_null,
+        expect_referential_integrity,
+        expect_unique,
+        run_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    parent = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    return run_expectations(
+        [
+            expect_not_null(orders, "o_custkey"),
+            expect_unique(orders, ["o_orderkey"]),
+            expect_accepted_values(orders, "o_orderstatus", ["O", "F"]),
+            expect_referential_integrity(orders, "o_custkey", parent, "c_custkey"),
+        ]
+    )
+
+
+@query(
+    "skew_top_keys",
+    """WITH c AS (
+         SELECT CAST(l_orderkey AS VARCHAR) AS key_value,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY 1),
+       t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM c)
+       SELECT key_value, cnt, round(cnt / tot, 6) AS share
+       FROM c, t ORDER BY cnt DESC, key_value LIMIT 20""",
+)
+def q_skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew histogram (operators/profiling.py:skew_report):
+    top-20 join keys by frequency with share-of-total — the number that
+    decides whether salted_join is needed. Partial-agg + broadcast
+    1-row total + TakeOrdered; ties broken by key string for a
+    deterministic top-k in both engines."""
+    from .operators.profiling import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_orderkey", top=20)

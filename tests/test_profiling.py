@@ -1,0 +1,57 @@
+"""Profiling / data-quality / skew operators on planted frames."""
+
+from __future__ import annotations
+
+from data_engineering_spark.operators.profiling import (
+    expect_accepted_values,
+    expect_not_null,
+    expect_referential_integrity,
+    expect_unique,
+    profile_columns,
+    run_expectations,
+    skew_report,
+)
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 4.5), (3, "b", 4.5)],
+        "k long, s string, v double",
+    )
+    p = {r.column: r for r in profile_columns(df).collect()}
+    assert p["k"].n_rows == 4 and p["k"].n_nulls == 0 and p["k"].n_distinct == 3
+    assert p["k"].min_num == 1.0 and p["k"].max_num == 3.0
+    assert p["s"].n_nulls == 1 and p["s"].n_distinct == 2
+    assert p["s"].min_num is None  # strings carry no numeric bounds
+    assert p["v"].n_nulls == 1 and p["v"].min_num == 1.5 and p["v"].max_num == 4.5
+
+
+def test_expectations_suite(spark):
+    child = spark.createDataFrame(
+        [(1, 10, "O"), (1, 10, "O"), (2, None, "X"), (3, 30, "F")],
+        "id long, fk long, status string",
+    )
+    parent = spark.createDataFrame([(10,), (30,)], "pk long")
+    out = {
+        r.rule: r.violations
+        for r in run_expectations(
+            [
+                expect_not_null(child, "fk"),
+                expect_unique(child, ["id"]),
+                expect_accepted_values(child, "status", ["O", "F"]),
+                expect_referential_integrity(child, "fk", parent, "pk"),
+            ]
+        ).collect()
+    }
+    assert out["not_null:fk"] == 1
+    assert out["unique:id"] == 1  # violations count duplicated KEYS, not rows
+    assert out["accepted_values:status"] == 1
+    assert out["ref_integrity:fk"] == 1  # the null fk has no parent
+
+
+def test_skew_report(spark):
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a_cold",)] + [("b_cold",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = skew_report(df, "k", top=3).collect()
+    assert [(r.key_value, r.cnt) for r in got] == [("hot", 6), ("warm", 3), ("a_cold", 1)]
+    assert abs(got[0].share - 6 / 11) < 1e-6
