@@ -1,0 +1,71 @@
+"""Z-order (Morton-curve) clustering for multi-column file pruning.
+
+Public technique (Morton 1966; popularized for lakehouse layout by
+Delta Lake's OPTIMIZE ZORDER BY): interleave the bits of each row's
+rank along several columns into one sort key, then range-partition and
+sort files by that key. Every file then covers a small hyper-rectangle
+of the combined key space, so the per-file min/max stats that
+``sources/txlog.py:LakeTable`` harvests prune effectively for filters
+on ANY of the z-ordered columns — a linear sort gives tight bounds on
+one column and useless bounds on the rest.
+
+Mechanics here:
+
+1. each column is ranked to a ``bits``-wide integer via a percentile
+   position (value-distribution-proof — skewed columns still spread
+   over the full bucket range). ``percent_rank`` is one window over a
+   sort; at warehouse scale swap in an approx-quantile bucketizer
+   (same contract, no global sort).
+2. ranks are bit-interleaved with plain integer expressions (codegen'd,
+   no UDF) into the z-value.
+3. ``zorder_layout`` range-partitions on the z-value and sorts within
+   partitions, so each output file is one contiguous z-range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zvalue", "zorder_layout"]
+
+
+def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+    """Add a ``__zval__`` long column: bit-interleaved percentile ranks
+    of ``cols`` (column i contributes bit k to position k*len(cols)+i)."""
+    from pyspark.sql import Window
+
+    n = len(cols)
+    ranked = df
+    rank_cols: list[Column] = []
+    for c in cols:
+        w = Window.orderBy(F.col(c))
+        # percent_rank ∈ [0,1] → integer bucket ∈ [0, 2^bits)
+        ranked = ranked.withColumn(
+            f"__rk_{c}", (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long")
+        )
+        rank_cols.append(F.col(f"__rk_{c}"))
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, rc in enumerate(rank_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(rc, bit).bitwiseAND(F.lit(1)), bit * n + i
+                ).cast("long")
+            )
+    return ranked.withColumn("__zval__", z).drop(*[f"__rk_{c}" for c in cols])
+
+
+def zorder_layout(df: DataFrame, cols: list[str], num_files: int = 8, bits: int = 16) -> DataFrame:
+    """Cluster ``df`` into ``num_files`` z-ordered splits: range-
+    partition on the z-value (each file = one contiguous z-range = one
+    small hyper-rectangle in the column space) and sort within
+    partitions so parquet row-group stats are tight too. Write the
+    result through ``LakeTable.create``/``append`` and both the log
+    stats and the footers prune on every z-ordered column."""
+    return (
+        zvalue(df, cols, bits)
+        .repartitionByRange(num_files, F.col("__zval__"))
+        .sortWithinPartitions("__zval__")
+        .drop("__zval__")
+    )

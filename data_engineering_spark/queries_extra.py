@@ -292,6 +292,47 @@ def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lake_zorder_scan",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders
+       WHERE o_custkey >= 1400 AND o_totalprice >= 150000.0
+       GROUP BY o_orderstatus""",
+)
+def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering end-to-end (operators/zorder.py +
+    sources/txlog.py): orders written as 8 Morton-clustered files in a
+    logged table, then scanned with a two-column box filter — the log's
+    per-file stats prune on BOTH o_custkey and o_totalprice (a linear
+    sort serves only its sort column; quantified in tests/
+    test_zorder.py). The oracle is the plain filtered aggregate, so the
+    hash match proves clustering + pruning changed IO, never results."""
+    import shutil
+    import tempfile
+
+    from .operators.zorder import zorder_layout
+    from .sources.txlog import LakeTable
+
+    base = tempfile.mkdtemp(prefix="lake_z_")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    t = LakeTable(spark, base)
+    t.create(zorder_layout(orders, ["o_custkey", "o_totalprice"], num_files=8))
+    return (
+        t.scan(
+            filters=[("o_custkey", ">=", 1400), ("o_totalprice", ">=", 150000.0)]
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only — no media table in the oracle views)
 # ---------------------------------------------------------------------------

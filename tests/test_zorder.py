@@ -1,0 +1,52 @@
+"""Z-order clustering: multi-column pruning through LakeTable stats."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.operators.zorder import zorder_layout, zvalue
+from data_engineering_spark.sources.txlog import LakeTable
+
+
+def _df(spark):
+    # two independent uniform columns (a 100x100 grid) — the case a
+    # linear sort can't serve
+    return spark.range(10000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("a"),
+        ((F.col("id") / 100).cast("long") % 100).alias("b"),
+    )
+
+
+def test_zvalue_locality(spark):
+    out = zvalue(_df(spark), ["a", "b"]).orderBy("__zval__").collect()
+    # z-neighbors are close in BOTH dimensions: max per-step jump is
+    # bounded (Morton curve property), far below random shuffling
+    steps = [
+        max(abs(x.a - y.a), abs(x.b - y.b)) for x, y in zip(out[:-1], out[1:])
+    ]
+    assert sum(s <= 50 for s in steps) / len(steps) > 0.95
+
+
+def test_zorder_prunes_both_columns(spark, tmp_path):
+    df = _df(spark)
+    zt = LakeTable(spark, str(tmp_path / "z"))
+    zt.create(zorder_layout(df, ["a", "b"], num_files=16))
+    lt = LakeTable(spark, str(tmp_path / "lin"))
+    lt.create(df.repartitionByRange(16, "a").sortWithinPartitions("a"))
+
+    za, _ = zt.pruned_files([("a", ">=", 90)])
+    zb, _ = zt.pruned_files([("b", ">=", 90)])
+    la, _ = lt.pruned_files([("a", ">=", 90)])
+    lb, total = lt.pruned_files([("b", ">=", 90)])
+    # linear layout: great on the sort column, useless on the other
+    assert la <= 3
+    assert lb == total
+    # z-order: substantial pruning on BOTH columns
+    assert za <= total // 2
+    assert zb <= total // 2
+    # pruning never changes results
+    assert zt.scan(filters=[("b", ">=", 90)]).count() == df.filter("b >= 90").count()
+    # a conjunctive box filter prunes to a small corner
+    zboth, _ = zt.pruned_files([("a", ">=", 90), ("b", ">=", 90)])
+    assert zboth <= total // 4
