@@ -19,7 +19,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_engineering_spark import registry  # noqa: E402
-from data_engineering_spark import queries_curation, queries_llm, queries_relational  # noqa: E402,F401
+from data_engineering_spark import (  # noqa: E402,F401
+    queries_curation,
+    queries_extra,
+    queries_llm,
+    queries_relational,
+)
 from data_engineering_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
