@@ -58,12 +58,17 @@ def tokenize_pandas(texts: pd.Series) -> pd.Series:
 _EMBED_DIM = 16
 
 
-@pandas_udf(T.ArrayType(T.FloatType()))
+@pandas_udf(T.ArrayType(T.DoubleType()))
 def embed_text(texts: pd.Series) -> pd.Series:
     """UD3 — sentence-embedding operator shape (``Keyword.py:25-28``):
     text → fixed-dim float vector, executed as Arrow batches on
     executors. Deterministic feature-hashing embedding (no model
-    download): token → bucket via stable hash, L2-normalized counts."""
+    download): token → bucket via stable hash, L2-normalized counts.
+    Stored as float64: the vote sums are small exact integers and the
+    norm is one IEEE sqrt, so values are bit-identical to any engine
+    doing the same math — which is what lets the registry query carry a
+    full DuckDB oracle (a float32 cast loses that: rounding a stored
+    float32 at 5dp flips vs float64 math ~1/80k values at sf0.1)."""
 
     def embed(t: str) -> list[float]:
         vec = [0.0] * _EMBED_DIM

@@ -76,16 +76,64 @@ def q_nlp_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_extract(docs, "group_id", "text")
 
 
-@query("nlp_embed_text")  # rows-only: hash-embedding is engine-specific
+_EMBED_SUMS = ", ".join(
+    f"coalesce(sum(CASE WHEN bucket = {j} THEN sign END), 0.0) AS v{j}"
+    for j in range(16)
+)
+_EMBED_NORM = " + ".join(f"v{j} * v{j}" for j in range(16))
+_EMBED_VALS = ", ".join(f"v{j} / nrm" for j in range(16))
+
+_EMBED_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+')) AS tok
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         list_reduce(
+           list_concat([CAST(2166136261 AS BIGINT)],
+                       list_transform(range(1, length(tok) + 1),
+                                      i -> CAST(unicode(tok[i]) AS BIGINT))),
+           (acc, c) -> (xor(acc, c) * 16777619) % 4294967296) AS hv
+  FROM tok),
+sv AS (
+  SELECT doc_id, hv % 16 AS bucket,
+         CASE WHEN (hv // 256) % 2 = 0 THEN 1.0 ELSE -1.0 END AS sign
+  FROM h),
+vec AS (SELECT doc_id, {_EMBED_SUMS} FROM sv GROUP BY doc_id),
+normed AS (
+  SELECT doc_id,
+         [{_EMBED_VALS}] AS vals
+  FROM (SELECT *, CASE WHEN {_EMBED_NORM} = 0 THEN 1.0
+                       ELSE sqrt({_EMBED_NORM}) END AS nrm
+        FROM vec))
+SELECT doc_id, CAST(i AS BIGINT) AS dim, round(vals[i + 1], 6) AS val
+FROM normed CROSS JOIN (SELECT unnest(range(16)) AS i)
+"""
+
+
+@query("nlp_embed_text", _EMBED_ORACLE)
 def q_nlp_embed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD3 — text → fixed-dim float vector via Arrow pandas_udf.
 
-    The registered projection serializes the vector with ``to_json`` —
-    the harness canonicalizes result frames through pandas sorting, and a
-    raw ``array<float>`` cell is unhashable there; the array-native
-    operator (``nlp.embed_text``) is unchanged underneath."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", F.to_json(embed_text(F.col("text"))).alias("embedding_json")
+    Oracle-checked: the feature-hashing embedding is deterministic
+    (FNV-1a token hash → signed bucket votes → L2 norm), and FNV-1a
+    folds exactly in DuckDB SQL (list_reduce over codepoints — the
+    corpus is ASCII, where codepoint == utf-8 byte). The registered
+    projection explodes to (doc_id, dim, val) rows because the harness
+    canonicalizer can't hash raw array cells; values are bit-identical
+    float64 (integer vote sums + one IEEE sqrt) so the 6dp rounding is
+    purely cosmetic. The array-native operator (``nlp.embed_text``) is unchanged
+    underneath."""
+    emb = embed_text(F.col("text"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(emb).alias("dim", "val"))
+        .select(
+            "doc_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("val").cast("double"), 6).alias("val"),
+        )
     )
 
 
