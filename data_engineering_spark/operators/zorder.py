@@ -24,27 +24,57 @@ Mechanics here:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["zvalue", "zorder_layout"]
 
 
-def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
+def zvalue(
+    df: DataFrame, cols: list[str], bits: int = 16, method: str = "window"
+) -> DataFrame:
     """Add a ``__zval__`` long column: bit-interleaved percentile ranks
-    of ``cols`` (column i contributes bit k to position k*len(cols)+i)."""
-    from pyspark.sql import Window
+    of ``cols`` (column i contributes bit k to position k*len(cols)+i).
 
+    ``method="window"`` ranks with an exact ``percent_rank`` (one global
+    sort per column — fine up to bench scale, pathological on a real
+    cluster). ``method="approx"`` is the warehouse path: one
+    ``approxQuantile`` pass per column yields ≤2^bits cutoffs (a
+    bounded, driver-held codebook — same contract as the IVF
+    centroids), and a vectorized NumPy ``searchsorted`` assigns buckets
+    inside the scan stage with NO shuffle at all."""
     n = len(cols)
     ranked = df
     rank_cols: list[Column] = []
-    for c in cols:
-        w = Window.orderBy(F.col(c))
-        # percent_rank ∈ [0,1] → integer bucket ∈ [0, 2^bits)
-        ranked = ranked.withColumn(
-            f"__rk_{c}", (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long")
-        )
-        rank_cols.append(F.col(f"__rk_{c}"))
+    if method == "approx":
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql import types as T
+
+        probes = [i / (1 << bits) for i in range(1, 1 << bits)]
+
+        def bucketizer(cuts: "np.ndarray"):
+            @pandas_udf(T.LongType())
+            def bucket(v: pd.Series) -> pd.Series:
+                return pd.Series(np.searchsorted(cuts, v.to_numpy(), side="right"))
+
+            return bucket
+
+        for c in cols:
+            cuts = np.array(df.approxQuantile(c, probes, 1.0 / (1 << (bits + 2))))
+            ranked = ranked.withColumn(f"__rk_{c}", bucketizer(cuts)(F.col(c)))
+            rank_cols.append(F.col(f"__rk_{c}"))
+    else:
+        from pyspark.sql import Window
+
+        for c in cols:
+            w = Window.orderBy(F.col(c))
+            # percent_rank ∈ [0,1] → integer bucket ∈ [0, 2^bits)
+            ranked = ranked.withColumn(
+                f"__rk_{c}", (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long")
+            )
+            rank_cols.append(F.col(f"__rk_{c}"))
     z = F.lit(0).cast("long")
     for bit in range(bits):
         for i, rc in enumerate(rank_cols):
@@ -56,7 +86,13 @@ def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> DataFrame:
     return ranked.withColumn("__zval__", z).drop(*[f"__rk_{c}" for c in cols])
 
 
-def zorder_layout(df: DataFrame, cols: list[str], num_files: int = 8, bits: int = 16) -> DataFrame:
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int = 8,
+    bits: int = 16,
+    method: str = "window",
+) -> DataFrame:
     """Cluster ``df`` into ``num_files`` z-ordered splits: range-
     partition on the z-value (each file = one contiguous z-range = one
     small hyper-rectangle in the column space) and sort within
@@ -64,7 +100,7 @@ def zorder_layout(df: DataFrame, cols: list[str], num_files: int = 8, bits: int 
     result through ``LakeTable.create``/``append`` and both the log
     stats and the footers prune on every z-ordered column."""
     return (
-        zvalue(df, cols, bits)
+        zvalue(df, cols, bits, method)
         .repartitionByRange(num_files, F.col("__zval__"))
         .sortWithinPartitions("__zval__")
         .drop("__zval__")

@@ -50,3 +50,16 @@ def test_zorder_prunes_both_columns(spark, tmp_path):
     # a conjunctive box filter prunes to a small corner
     zboth, _ = zt.pruned_files([("a", ">=", 90), ("b", ">=", 90)])
     assert zboth <= total // 4
+
+
+def test_zorder_approx_matches_window_pruning(spark, tmp_path):
+    """The shuffle-free approx-quantile bucketizer (the warehouse path)
+    must cluster as effectively as the exact window ranking."""
+    df = _df(spark)
+    t = LakeTable(spark, str(tmp_path / "za"))
+    t.create(zorder_layout(df, ["a", "b"], num_files=16, bits=10, method="approx"))
+    ka, total = t.pruned_files([("a", ">=", 90)])
+    kb, _ = t.pruned_files([("b", ">=", 90)])
+    kboth, _ = t.pruned_files([("a", ">=", 90), ("b", ">=", 90)])
+    assert ka <= total // 2 and kb <= total // 2 and kboth <= total // 4
+    assert t.scan(filters=[("a", ">=", 90)]).count() == df.filter("a >= 90").count()
