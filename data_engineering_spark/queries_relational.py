@@ -2044,3 +2044,73 @@ def q_skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.profiling import skew_report
 
     return skew_report(_t(spark, sf_dir, "lineitem"), "l_orderkey", top=20)
+
+
+# ---------------------------------------------------------------------------
+# Join variants beyond the reference: range (point-in-interval) and
+# skew-salted — previously test-only, registered here with oracles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j8_range_join",
+    """SELECT r.r_name AS band, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o.o_totalprice), 2) AS total_price
+       FROM orders o JOIN region r
+         ON o.o_totalprice >= r.r_regionkey * 100000.0
+        AND o.o_totalprice <  (r.r_regionkey + 1) * 100000.0
+       GROUP BY 1""",
+)
+def q_j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (operators/joins.py:range_join): orders
+    priced into 5 broadcast price bands — the big side never shuffles
+    (BroadcastNestedLoopJoin on the band condition), then one partial
+    agg."""
+    from .operators.joins import range_join
+
+    bands = _t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("band"),
+        (F.col("r_regionkey") * 100000.0).alias("lo"),
+        ((F.col("r_regionkey") + 1) * 100000.0).alias("hi"),
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    return (
+        range_join(orders, bands, "o_totalprice", "lo", "hi")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "j9_salted_join",
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+              round(sum(l.l_extendedprice), 2) AS total_price
+       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       WHERE o.o_orderstatus = 'O'
+       GROUP BY 1""",
+)
+def q_j9_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/joins.py:salted_join): the small side
+    (open orders) replicates 8×, the fact side's hot keys scatter across
+    (key, salt) sub-partitions with a deterministic salt — and the
+    result must equal the plain join, which is exactly what the oracle
+    checks."""
+    from .operators.joins import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    open_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        salted_join(li, open_orders, "l_orderkey", "o_orderkey", salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
