@@ -26,6 +26,7 @@ __all__ = [
     "assemble_vector",
     "distinct_sorted",
     "grouped_pivot",
+    "incremental_agg_merge",
 ]
 
 
@@ -120,4 +121,26 @@ def salted_listagg_distinct(
         F.array_join(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("_vals")))), sep
         ).alias("listagg")
+    )
+
+
+def incremental_agg_merge(
+    summary: DataFrame, batch_summary: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Incremental materialized-view refresh for distributive aggregates:
+    merge a maintained per-key summary with a new batch's summary by
+    re-aggregating their union — counts and sums add, min/max re-min/max;
+    derived ratios (avg) must be recomputed downstream from sum/count.
+
+    The batch-side cost is O(|batch|) + one shuffle of the (small)
+    summary keys — at warehouse scale this is the difference between
+    touching a day of data and recomputing a year. Column contract:
+    both frames carry identical (keys + measure) columns where every
+    measure column is mergeable by SUM (store counts as counts, sums as
+    sums). See the ``mv_incremental_refresh`` registry query for the
+    full-recompute equivalence check."""
+    measures = [c for c in summary.columns if c not in keys]
+    merged = summary.unionByName(batch_summary)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in measures]
     )

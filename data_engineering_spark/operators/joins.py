@@ -21,6 +21,7 @@ __all__ = [
     "asof_join",
     "range_join",
     "salted_join",
+    "fuzzy_join",
 ]
 
 
@@ -179,3 +180,30 @@ def salted_join(
         s, (F.col(on_large) == F.col(on_small)) & (F.col("_salt") == F.col("_salt_s")), how
     )
     return out.drop("_salt", "_salt_s")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+    how: str = "inner",
+) -> DataFrame:
+    """[absent in reference] entity-resolution join: match rows whose
+    string keys are within ``max_dist`` edit operations (JVM-side
+    ``levenshtein``, codegen'd — no UDF). The right side broadcasts, so
+    the big side never shuffles; the cost is |left| × |right_broadcast|
+    distance evaluations. That is the honest contract: use it for
+    dirty-key lookup against a bounded dimension (the classic use), and
+    for corpus-vs-corpus matching switch to blocked candidates first
+    (dedup.py's LSH/shingle generators) exactly as the near-dup
+    operators do."""
+    out = left.join(
+        F.broadcast(right),
+        F.levenshtein(F.col(left_col), F.col(right_col)) <= max_dist,
+        how,
+    )
+    return out.withColumn(
+        "edit_dist", F.levenshtein(F.col(left_col), F.col(right_col))
+    )

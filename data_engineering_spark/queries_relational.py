@@ -2114,3 +2114,64 @@ def q_j9_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "j10_fuzzy_join",
+    """WITH dirty AS (
+         SELECT replace(n_name, 'NATION', 'NATJON') AS dirty_name FROM nation)
+       SELECT d.dirty_name, n.n_name,
+              CAST(levenshtein(d.dirty_name, n.n_name) AS INTEGER) AS edit_dist
+       FROM dirty d JOIN nation n
+         ON levenshtein(d.dirty_name, n.n_name) <= 1""",
+)
+def q_j10_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution join (operators/joins.py:fuzzy_join): planted
+    misspellings (NATION→NATJON, edit distance exactly 1) recover their
+    clean dimension row via a broadcast levenshtein join — JVM-side
+    edit distance, no UDF, big side never shuffles. Threshold 1 makes
+    every match unique, so the oracle checks exact resolution."""
+    from .operators.joins import fuzzy_join
+
+    nation = _t(spark, sf_dir, "nation")
+    dirty = nation.select(
+        F.replace(F.col("n_name"), F.lit("NATION"), F.lit("NATJON")).alias("dirty_name")
+    )
+    return fuzzy_join(
+        dirty, nation.select("n_name"), "dirty_name", "n_name", max_dist=1
+    ).select("dirty_name", "n_name", F.col("edit_dist").cast("int").alias("edit_dist"))
+
+
+@query(
+    "mv_incremental_refresh",
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders GROUP BY o_custkey""",
+)
+def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh (operators/aggregations.py:
+    incremental_agg_merge): the per-customer summary is maintained from
+    a pre-1999 base plus a 1999+ batch — counts and sums merge by
+    re-aggregation, touching only the batch and the (small) summary.
+    The oracle recomputes from the FULL table, so the hash match is the
+    incremental ≡ full-recompute equivalence proof."""
+    from .operators.aggregations import incremental_agg_merge
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+
+    base = summarize(orders.filter(F.col("o_orderdate") < "1999-01-01"))
+    batch = summarize(orders.filter(F.col("o_orderdate") >= "1999-01-01"))
+    merged = incremental_agg_merge(base, batch, ["o_custkey"])
+    return merged.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("total_price", 2).alias("total_price"),
+    )

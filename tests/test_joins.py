@@ -106,3 +106,32 @@ def test_salted_join_rejects_outer_how(spark):
     for how in ("right", "full", "left_anti"):
         with pytest.raises(ValueError):
             salted_join(fact, dim, "k", "dk", how=how)
+
+
+def test_fuzzy_join_resolves_and_rejects(spark):
+    from data_engineering_spark.operators.joins import fuzzy_join
+
+    clean = spark.createDataFrame([("alpha",), ("beta",), ("gamma",)], ["name"])
+    dirty = spark.createDataFrame([("alpka",), ("betaa",), ("zzzzz",)], ["q"])
+    out = {(r.q, r.name): r.edit_dist for r in fuzzy_join(dirty, clean, "q", "name").collect()}
+    assert out == {("alpka", "alpha"): 1, ("betaa", "beta"): 1}  # zzzzz unmatched
+
+
+def test_incremental_agg_merge_equals_full(spark):
+    from data_engineering_spark.operators.aggregations import incremental_agg_merge
+    from pyspark.sql import functions as F
+
+    rows = [(k, float(v)) for k in (1, 2, 3) for v in range(1, 6)]
+    df = spark.createDataFrame(rows, "k long, v double")
+
+    def summ(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"), F.sum("v").alias("s")
+        )
+
+    base = summ(df.filter("v <= 2"))
+    batch = summ(df.filter("v > 2"))  # all keys overlap
+    extra = summ(spark.createDataFrame([(9, 1.0)], "k long, v double"))  # new key
+    merged = incremental_agg_merge(incremental_agg_merge(base, batch, ["k"]), extra, ["k"])
+    got = {r.k: (r.cnt, r.s) for r in merged.collect()}
+    assert got == {1: (5, 15.0), 2: (5, 15.0), 3: (5, 15.0), 9: (1, 1.0)}
