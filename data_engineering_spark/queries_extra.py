@@ -250,6 +250,44 @@ def q_st_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "st_interval_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+              c.user_id,
+              CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_sec
+       FROM events c JOIN events p
+         ON c.user_id = p.user_id
+        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '10 minutes'""",
+)
+def q_st_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — stream-stream interval join semantics, batch-checked
+    (streaming/streams.py:interval_join; the incremental two-stream
+    execution is asserted in tests/test_streaming.py): click →
+    purchase attribution per user within a 10-minute window. The range
+    predicate is what bounds streaming state; batch-side it is just an
+    inner join the oracle replays."""
+    from .streaming.streams import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("l_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("r_ts"),
+    )
+    return interval_join(clicks, purchases).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("r_ts").cast("long") - F.col("l_ts").cast("long")).alias("gap_sec"),
+    )
+
+
+@query(
     "st_session_windows",
     """WITH ordered AS (
          SELECT user_id, ts, value,

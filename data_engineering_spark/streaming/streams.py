@@ -35,6 +35,7 @@ __all__ = [
     "stateful_running_totals",
     "run_available_now",
     "foreach_batch_parquet_sink",
+    "interval_join",
     "lake_streaming_sink",
     "cdc_upsert_sink",
     "kafka_source_options",
@@ -185,6 +186,33 @@ def foreach_batch_parquet_sink(
         out.write.mode("overwrite").parquet(f"{sink_dir}/batch_id={batch_id}")
 
     return sink
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    upper: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """ST — stream-stream inner join on a key + time-range predicate
+    (``right_ts ∈ [left_ts, left_ts + upper)``). Both sides carry
+    watermarks, and the range condition is what lets Spark expire join
+    state: without it a stream-stream join buffers forever. Works
+    identically on batch frames (withWatermark is a no-op there), which
+    is how the registry query oracle-checks the join semantics while
+    tests/test_streaming.py checks the incremental execution. Column
+    names must be pre-disambiguated (no shared names across sides)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] < l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond).drop(r[key])
 
 
 def lake_streaming_sink(table, app_id: str) -> Callable[[DataFrame, int], None]:

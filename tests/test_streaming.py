@@ -263,3 +263,44 @@ def test_cdc_upsert_sink_applies_and_dedups_replay(spark, tmp_path):
     b1 = spark.createDataFrame([(2, 1, "U", 99.0)], "k long, seq long, op string, v double")
     sink(b1, 1)
     assert {r.k: r.v for r in table.scan().collect()} == {1: 11.0, 2: 99.0, 4: 40.0}
+
+
+def test_interval_join_incremental_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (click → purchase within 10 min):
+    the incremental two-stream execution must emit exactly the batch
+    join's pairs."""
+    from data_engineering_spark.streaming.streams import events_stream, interval_join
+
+    def split(src, kind, id_alias, ts_alias):
+        return src.filter(F.col("event_type") == kind).select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            F.col("ts").alias(ts_alias),
+        )
+
+    stream = events_stream(spark, sf_dir)
+    joined = interval_join(
+        split(stream, "click", "click_id", "l_ts"),
+        split(stream, "purchase", "purchase_id", "r_ts"),
+    )
+    sink = str(tmp_path / "ij_sink")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ij_ckpt"))
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = interval_join(
+        split(ev, "click", "click_id", "l_ts"),
+        split(ev, "purchase", "purchase_id", "r_ts"),
+    )
+    expected = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == expected and expected  # non-vacuous
