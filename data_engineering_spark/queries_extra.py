@@ -379,6 +379,48 @@ def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_delete_scan",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders
+       WHERE o_orderdate < TIMESTAMP '2001-01-01'
+       GROUP BY o_orderstatus""",
+)
+def q_lake_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on immutable storage (sources/txlog.py:
+    delete_where): orders land as four date-ranged files, then 2001+
+    rows are deleted — the sargable prune restricts the rewrite to the
+    files whose stats admit such rows; the rest keep their identity in
+    the log. The oracle recomputes from the raw table with the
+    equivalent WHERE, so the hash match proves rewrite-DML correctness
+    (and old versions still time-travel, asserted in tests)."""
+    import shutil
+    import tempfile
+
+    from .sources.txlog import LakeTable
+
+    base = tempfile.mkdtemp(prefix="lake_del_")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    t = LakeTable(spark, base)
+    t.create(orders.repartitionByRange(4, "o_orderdate"))
+    t.delete_where(
+        "o_orderdate >= TIMESTAMP '2001-01-01'",
+        prune_filters=[("o_orderdate", ">=", "2001-01-01")],
+    )
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
     "lake_zorder_scan",
     """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
               round(sum(o_totalprice), 2) AS total_price

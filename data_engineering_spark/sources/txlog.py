@@ -352,6 +352,81 @@ class LakeTable:
             )
         return snap.version + 1
 
+    def delete_where(
+        self,
+        condition: str,
+        prune_filters: list[tuple[str, str, Any]] | None = None,
+    ) -> int:
+        """File-rewrite DELETE: only files that might contain matching
+        rows (``prune_filters`` against the log stats — pass the
+        sargable part of the predicate) are rewritten without their
+        matching rows; every other file is untouched and keeps its
+        identity in the log. One remove+add commit; old versions still
+        time-travel. This is how row-level DML works on immutable
+        storage — the rewrite set, not the table, is the write cost."""
+        return self._rewrite_where(condition, prune_filters, update_set=None)
+
+    def update_where(
+        self,
+        condition: str,
+        update_set: dict[str, str],
+        prune_filters: list[tuple[str, str, Any]] | None = None,
+    ) -> int:
+        """File-rewrite UPDATE: candidate files are rewritten with
+        ``update_set`` (col → SQL expression) applied to rows matching
+        ``condition``; non-candidates never move."""
+        return self._rewrite_where(condition, prune_filters, update_set)
+
+    def _rewrite_where(
+        self,
+        condition: str,
+        prune_filters: list[tuple[str, str, Any]] | None,
+        update_set: dict[str, str] | None,
+    ) -> int:
+        from pyspark.sql import functions as F
+
+        snap = self._snapshot()
+        candidates = sorted(
+            p
+            for p in snap.files
+            if not (prune_filters and _maybe_skip(snap.files[p], prune_filters))
+        )
+        if not candidates:
+            return snap.version
+        touched = self._df_for(snap, candidates)
+        cond = F.expr(condition)
+        if update_set is None:
+            rewritten = touched.filter(~cond)
+        else:
+            rewritten = touched
+            for col, expr in update_set.items():
+                rewritten = rewritten.withColumn(
+                    col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+                )
+        actions = [{"remove": {"path": p}} for p in candidates] + self._stage(rewritten)
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConcurrentWriteError(
+                f"table advanced past v{snap.version}; re-read and retry"
+            )
+        return snap.version + 1
+
+    def restore(self, version: int) -> int:
+        """RESTORE: make an old snapshot current again via one commit
+        (remove the live set, re-add the target version's files — data
+        never moves, only log pointers)."""
+        target = self._snapshot(version)
+        snap = self._snapshot()
+        actions = (
+            [{"meta": {"schema": target.schema_json}}]
+            + [{"remove": {"path": p}} for p in snap.files]
+            + [{"add": {"path": p, "stats": s}} for p, s in sorted(target.files.items())]
+        )
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConcurrentWriteError(
+                f"table advanced past v{snap.version}; re-read and retry"
+            )
+        return snap.version + 1
+
     # ------------------------------------------------------------------ read
 
     def _df_for(self, snap: _Snapshot, paths: list[str] | None = None) -> DataFrame:

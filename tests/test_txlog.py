@@ -165,3 +165,37 @@ def test_checkpoint_replay(spark, tmp_path):
     assert any(f.startswith("checkpoint-") for f in os.listdir(t.log_dir))
     assert t.scan().count() == 70
     assert t.scan(version=2).count() == 30  # below the checkpoint
+
+
+def test_delete_where_rewrites_only_candidates(spark, table):
+    table.append(_r(spark, 100, 200, "b").coalesce(1))
+    table.append(_r(spark, 200, 300, "c").coalesce(1))
+    before = set(table.files())
+    # sargable prune: only the middle file can contain id 100..149
+    table.delete_where("id >= 100 AND id < 150", prune_filters=[("id", ">=", 100), ("id", "<", 150)])
+    after = set(table.files())
+    # files 1 and 3 kept their identity; file 2 was rewritten
+    assert len(before & after) == 2
+    assert table.scan().count() == 250
+    assert table.scan().filter("id >= 100 and id < 150").count() == 0
+    # no-candidate delete is a no-op commit-wise
+    v = table.latest_version()
+    assert table.delete_where("id > 99999", prune_filters=[("id", ">", 99999)]) == v
+
+
+def test_update_where(spark, table):
+    table.update_where("id < 10", {"val": "val + 1000"})
+    rows = {r.id: r.val for r in table.scan().collect()}
+    assert rows[5] == 5 * 2 + 1000
+    assert rows[50] == 100  # untouched row keeps val = id * 2
+
+
+def test_restore_old_version(spark, table):
+    table.append(_r(spark, 100, 200, "b").coalesce(1))
+    table.overwrite(_r(spark, 0, 5).coalesce(1))
+    table.restore(0)
+    assert table.scan().count() == 100
+    assert {r.tag for r in table.scan().select("tag").distinct().collect()} == {"a"}
+    # restored table keeps working normally
+    table.append(_r(spark, 500, 510, "z").coalesce(1))
+    assert table.scan().count() == 110
