@@ -151,9 +151,11 @@ def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
         .select(
             "media_id",
             "frame_ts_ms",
-            F.md5(F.concat(F.col("content"), F.col("frame_ts_ms").cast("string"))).alias(
-                "frame_digest"
-            ),
+            # digest over (payload hex || ts): string-domain md5 so any
+            # engine can recompute it (DuckDB's md5 is VARCHAR-only)
+            F.md5(
+                F.concat(F.hex("content"), F.col("frame_ts_ms").cast("string"))
+            ).alias("frame_digest"),
         )
     )
     return frames

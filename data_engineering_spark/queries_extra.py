@@ -66,12 +66,41 @@ def q_nlp_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_keywords(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@query("nlp_keyword_extract")  # rows-only: applyInPandas grouped-map, no SQL twin
+@query(
+    "nlp_keyword_extract",
+    """WITH g AS (
+         SELECT CAST(CAST('0x' || substr(md5(source), 1, 6) AS BIGINT)
+                     % 16777216 AS BIGINT) AS group_id, text
+         FROM documents),
+       tok AS (
+         SELECT group_id,
+                unnest(regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+')) AS kw
+         FROM g),
+       c AS (
+         SELECT group_id, kw, count(*) AS cnt
+         FROM tok WHERE length(kw) > 2 GROUP BY 1, 2),
+       r AS (
+         SELECT group_id, kw AS keyword,
+                row_number() OVER (PARTITION BY group_id
+                                   ORDER BY cnt DESC, kw) AS kw_rank
+         FROM c)
+       SELECT group_id, keyword, CAST(kw_rank AS BIGINT) AS kw_rank
+       FROM r WHERE kw_rank <= 3""",
+)
 def q_nlp_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD2 — grouped-map keyword extraction keyed by source (the
-    reference's per-employee loop, Keyword.py:192-228, on executors)."""
+    reference's per-employee loop, Keyword.py:192-228, on executors).
+
+    Oracle-checked: the grouped-map's scoring is deterministic (token
+    counts, (-count, token) tie-break), so a window-SQL twin verifies
+    the applyInPandas path end-to-end. The group key uses the
+    engine-portable md5 bucket (operators/curation.py:hash_bucket
+    scheme) instead of Spark's Murmur3 ``hash()``, which DuckDB cannot
+    reproduce."""
+    from .operators.curation import hash_bucket
+
     docs = _t(spark, sf_dir, "documents").withColumn(
-        "group_id", F.abs(F.hash("source")).cast("long")
+        "group_id", hash_bucket("source", 16777216).cast("long")
     )
     return keyword_extract(docs, "group_id", "text")
 
@@ -507,9 +536,26 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("media_id", F.to_json("feature").alias("feature_json"))
 
 
-@query("mm_sample_frames")
+@query(
+    "mm_sample_frames",
+    """WITH ids AS (SELECT unnest(range(64)) AS i),
+       m AS (
+         SELECT CAST(i AS BIGINT) AS media_id,
+                repeat(unhex(sha256('media-' || CAST(i AS VARCHAR))),
+                       CAST(4 + i % 4 AS INTEGER)) AS content,
+                1000 * (1 + i % 30) AS duration_ms
+         FROM ids WHERE i % 3 = 2)
+       SELECT media_id,
+              CAST(f AS BIGINT) AS frame_ts_ms,
+              md5(hex(content) || CAST(f AS VARCHAR)) AS frame_digest
+       FROM m, unnest(range(0, duration_ms, 5000)) AS t(f)""",
+)
 def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal — video frame-sampling fan-out (sequence + explode)."""
+    """Multimodal — video frame-sampling fan-out (sequence + explode).
+    Oracle-checked: the synthetic payload stream reconstructs in SQL
+    (as in mm_media_metadata) and the per-frame digest is md5 over
+    (payload hex || ts) — string-domain, so DuckDB recomputes it
+    exactly; fan-out bounds (range stepping) verify too."""
     return sample_frames(synthetic_media(spark, 64))
 
 
