@@ -7,7 +7,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from data_engineering_spark import queries_extra, queries_llm, queries_relational  # noqa: F401
+from data_engineering_spark import (  # noqa: F401
+    queries_curation,
+    queries_extra,
+    queries_llm,
+    queries_relational,
+)
 from data_engineering_spark.catalog import load_table
 from data_engineering_spark.plans.explain import (
     formatted_plan,
@@ -149,7 +154,18 @@ def test_shuffle_budgets(spark, sf_dir):
         "tpch_q21_waiting_suppliers": 2,  # one orderkey window + name agg
         "tpch_q22_global_sales_opportunity": 2,  # anti join + segment agg
         "m1_merge_upsert": 2,             # full-outer merge: one per side
+        "m2_cdc_apply": 3,                # window collapse + anti + merge
         "m3_scd2_dimension": 4,           # current-row compare + 3 union arms
+        "prof_orders_profile": 2,         # ONE agg pass (expand) + explode
+        "dq_expectations": 6,             # 4 rules, each a tiny aggregate
+        "skew_top_keys": 3,               # key agg + 1-row total + top-k
+        "mv_incremental_refresh": 2,      # base/batch summaries merge partial
+        "j8_range_join": 1,               # broadcast bands: big side no shuffle
+        "j9_salted_join": 1,              # salted equi-join + partial agg
+        "j10_fuzzy_join": 0,              # broadcast levenshtein: no exchange
+        "curate_chunk_sliding": 0,        # pure array fan-out projection
+        "curate_unigram_nll": 4,          # tok agg, join, 1-row total, doc agg
+        "dedup_simhash_arrow": 3,         # map-only signature: candidates only
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
