@@ -113,9 +113,24 @@ def _maybe_skip(stats: dict[str, Any], filters: list[tuple[str, str, Any]]) -> b
     """True if the file provably contains no row matching ALL filters.
     Unknown columns / missing stats / type mismatches never skip —
     pruning is an optimization, correctness comes from the Spark
-    filter applied on top."""
+    filter applied on top. Partition values (exact, not min/max)
+    prune first; stat ranges second."""
     cols = stats.get("columns", {})
+    part = stats.get("partition", {})
     for name, op, value in filters:
+        pv = part.get(name)
+        if pv is not None and isinstance(value, str):
+            # partition values are strings (dir-name encoding); string
+            # compares are exact for =, lexicographic for ranges (ISO
+            # dates / zero-padded keys — the standard partition shapes)
+            if (
+                (op in ("=", "==") and pv != value)
+                or (op == ">" and pv <= value)
+                or (op == ">=" and pv < value)
+                or (op == "<" and pv >= value)
+                or (op == "<=" and pv > value)
+            ):
+                return True
         st = cols.get(name)
         if st is None:
             continue
@@ -194,7 +209,10 @@ class LakeTable:
             for action in commit["actions"]:
                 if "add" in action:
                     a = action["add"]
-                    snap.files[a["path"]] = a["stats"]
+                    entry = dict(a["stats"])
+                    if "partition" in a:
+                        entry["partition"] = a["partition"]
+                    snap.files[a["path"]] = entry
                 elif "remove" in action:
                     snap.files.pop(action["remove"]["path"], None)
                 elif "meta" in action:
@@ -229,28 +247,57 @@ class LakeTable:
 
     # ----------------------------------------------------------------- write
 
-    def _stage(self, df: DataFrame) -> list[dict[str, Any]]:
+    def _stage(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> list[dict[str, Any]]:
         """Write df's parquet files into the table dir under unique names
-        (immutable once placed) and return their add-actions."""
+        (immutable once placed) and return their add-actions.
+
+        With ``partition_by`` the write physically splits by partition
+        value (ONE Spark job regardless of value count); each staged
+        file records its partition tuple in the add-action, the
+        log-level replacement for Hive directory layout. Partition
+        columns are not stored in the file bodies — ``_df_for``
+        re-attaches them as literals at read time."""
         tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(tmp)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
         adds = []
-        for f in sorted(os.listdir(tmp)):
-            if not f.endswith(".parquet"):
-                continue
-            name = f"part-{uuid.uuid4().hex}.parquet"
-            os.replace(os.path.join(tmp, f), os.path.join(self.path, name))
-            adds.append({"add": {"path": name, "stats": _file_stats(os.path.join(self.path, name))}})
+        for dirpath, _dirs, files in sorted(os.walk(tmp)):
+            rel = os.path.relpath(dirpath, tmp)
+            part_vals: dict[str, str] = {}
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    part_vals[k] = v
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                os.replace(os.path.join(dirpath, f), os.path.join(self.path, name))
+                add = {"path": name, "stats": _file_stats(os.path.join(self.path, name))}
+                if part_vals:
+                    add["partition"] = part_vals
+                adds.append({"add": add})
         shutil.rmtree(tmp)
         return adds
 
-    def create(self, df: DataFrame, mode: str = "error") -> int:
+    def create(
+        self,
+        df: DataFrame,
+        mode: str = "error",
+        partition_by: list[str] | None = None,
+    ) -> int:
         if self.latest_version() >= 0:
             if mode == "error":
                 raise FileExistsError(f"table exists at {self.path}")
-            return self.overwrite(df)
+            return self.overwrite(df, partition_by=partition_by)
         os.makedirs(self.path, exist_ok=True)
-        actions = [{"meta": {"schema": df.schema.json()}}] + self._stage(df)
+        actions = [{"meta": {"schema": df.schema.json()}}] + self._stage(
+            df, partition_by
+        )
         if not self._try_commit(0, actions):
             raise ConcurrentWriteError("table created concurrently")
         return 0
@@ -260,6 +307,7 @@ class LakeTable:
         df: DataFrame,
         max_retries: int = 20,
         txn: tuple[str, int] | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Blind append: conflicts with nothing, so collisions on the
         version number just re-target the next slot. New columns in
@@ -285,7 +333,7 @@ class LakeTable:
                     os.remove(os.path.join(self.path, a["add"]["path"]))
                 return snap.version
             if not staged:
-                adds = self._stage(df)
+                adds = self._stage(df, partition_by)
                 staged = True
             actions: list[dict[str, Any]] = list(adds)
             if txn is not None:
@@ -316,7 +364,12 @@ class LakeTable:
             return None
         return T.StructType(current.fields + new_fields).json()
 
-    def overwrite(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Replace the table contents. Fails (cleanly, staged files
         orphaned for vacuum) if the table advanced past our snapshot.
         ``txn`` has append()'s idempotency semantics: a duplicate
@@ -328,10 +381,39 @@ class LakeTable:
         actions = (
             [{"meta": {"schema": df.schema.json()}}]
             + [{"remove": {"path": p}} for p in snap.files]
-            + self._stage(df)
+            + self._stage(df, partition_by)
         )
         if txn is not None:
             actions.append({"txn": {"app": txn[0], "version": txn[1]}})
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConcurrentWriteError(
+                f"table advanced past v{snap.version}; re-read and retry"
+            )
+        return snap.version + 1
+
+    def replace_partitions(self, df: DataFrame, partition_by: list[str]) -> int:
+        """Dynamic partition overwrite at the LOG level (the reference's
+        S12 ``delete where bkup_dt='{d}'`` + append, made atomic): files
+        whose partition tuple appears in ``df`` are removed, the new
+        data lands partitioned, untouched partitions keep their files —
+        and unlike directory-swap, readers see the swap as one commit
+        and old versions still time-travel. The distinct-tuple collect
+        is bounded by the number of partitions in the BATCH (a daily
+        load carries a handful of dates)."""
+        incoming = {
+            tuple(sorted((k, str(r[k])) for k in partition_by))
+            for r in df.select(*partition_by).distinct().collect()
+        }
+        snap = self._snapshot()
+        victims = [
+            p
+            for p, st in snap.files.items()
+            if "partition" in st
+            and tuple(sorted(st["partition"].items())) in incoming
+        ]
+        actions = [{"remove": {"path": p}} for p in victims] + self._stage(
+            df, partition_by
+        )
         if not self._try_commit(snap.version + 1, actions):
             raise ConcurrentWriteError(
                 f"table advanced past v{snap.version}; re-read and retry"
@@ -430,15 +512,42 @@ class LakeTable:
     # ------------------------------------------------------------------ read
 
     def _df_for(self, snap: _Snapshot, paths: list[str] | None = None) -> DataFrame:
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
         sel = sorted(snap.files) if paths is None else paths
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         if not sel:
             return self.spark.createDataFrame([], schema)
-        # the logged schema is authoritative: files written before a
-        # column was added are read with nulls filled in
-        return self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.path, p) for p in sel]
-        )
+        # group by partition tuple: partitioned files don't carry their
+        # partition columns in the body — re-attach them as literals
+        groups: dict[tuple, list[str]] = {}
+        for p in sel:
+            part = snap.files[p].get("partition", {})
+            groups.setdefault(tuple(sorted(part.items())), []).append(p)
+        types = {f.name: f.dataType for f in schema.fields}
+        outs = []
+        for part_items, files in sorted(groups.items()):
+            part = dict(part_items)
+            sub_schema = T.StructType(
+                [f for f in schema.fields if f.name not in part]
+            )
+            df = self.spark.read.schema(sub_schema).parquet(
+                *[os.path.join(self.path, p) for p in files]
+            )
+            for k, v in part.items():
+                lit = (
+                    F.lit(None)
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else F.lit(unquote(v))
+                )
+                df = df.withColumn(k, lit.cast(types[k]))
+            outs.append(df.select(*[f.name for f in schema.fields]))
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
 
     def scan(
         self,

@@ -199,3 +199,49 @@ def test_restore_old_version(spark, table):
     # restored table keeps working normally
     table.append(_r(spark, 500, 510, "z").coalesce(1))
     assert table.scan().count() == 110
+
+
+def _pdf(spark, days, tag="a"):
+    rows = [(d, i, tag) for d in days for i in range(10)]
+    return spark.createDataFrame(rows, "day string, n long, tag string")
+
+
+def test_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ptbl"))
+    t.create(_pdf(spark, ["2024-01-01", "2024-01-02", "2024-01-03"]),
+             partition_by=["day"])
+    out = t.scan()
+    assert set(out.columns) == {"day", "n", "tag"}
+    assert out.count() == 30
+    assert out.filter("day = '2024-01-02'").count() == 10
+    # partition pruning is EXACT (value match, not min/max)
+    kept, total = t.pruned_files([("day", "=", "2024-01-02")])
+    assert kept < total
+    got = t.scan(filters=[("day", ">=", "2024-01-02")]).count()
+    assert got == 20
+
+
+def test_replace_partitions_is_idempotent_swap(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "ps"))
+    t.create(_pdf(spark, ["2024-01-01", "2024-01-02"]), partition_by=["day"])
+    untouched_before = {
+        p for p, st in t.files().items()
+        if st.get("partition", {}).get("day") == "2024-01-01"
+    }
+    # reload day 2 with different content (5 rows instead of 10)
+    reload2 = _pdf(spark, ["2024-01-02"], tag="z").filter("n < 5")
+    t.replace_partitions(reload2, ["day"])
+    out = t.scan()
+    assert out.filter("day = '2024-01-01'").count() == 10  # untouched
+    assert out.filter("day = '2024-01-02'").count() == 5
+    assert {r.tag for r in out.filter("day = '2024-01-02'").collect()} == {"z"}
+    # untouched partition kept file identity; old version still reads
+    untouched_after = {
+        p for p, st in t.files().items()
+        if st.get("partition", {}).get("day") == "2024-01-01"
+    }
+    assert untouched_before == untouched_after
+    assert t.scan(version=0).filter("day = '2024-01-02'").count() == 10
+    # re-running the same load replaces, not duplicates
+    t.replace_partitions(reload2, ["day"])
+    assert t.scan().filter("day = '2024-01-02'").count() == 5
