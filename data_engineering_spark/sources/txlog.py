@@ -485,7 +485,19 @@ class LakeTable:
                 rewritten = rewritten.withColumn(
                     col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
                 )
-        actions = [{"remove": {"path": p}} for p in candidates] + self._stage(rewritten)
+        # preserve partition metadata: if every candidate is partitioned
+        # on the same columns, re-stage partitioned so the rewritten
+        # files keep exact partition pruning (one Spark write, Hive
+        # staging splits the values)
+        part_key_sets = {
+            tuple(sorted(snap.files[p].get("partition", {}))) for p in candidates
+        }
+        partition_by = (
+            list(next(iter(part_key_sets))) if len(part_key_sets) == 1 else None
+        ) or None
+        actions = [{"remove": {"path": p}} for p in candidates] + self._stage(
+            rewritten, partition_by
+        )
         if not self._try_commit(snap.version + 1, actions):
             raise ConcurrentWriteError(
                 f"table advanced past v{snap.version}; re-read and retry"

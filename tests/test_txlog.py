@@ -245,3 +245,15 @@ def test_replace_partitions_is_idempotent_swap(spark, tmp_path):
     # re-running the same load replaces, not duplicates
     t.replace_partitions(reload2, ["day"])
     assert t.scan().filter("day = '2024-01-02'").count() == 5
+
+
+def test_dml_preserves_partition_metadata(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "pdml"))
+    t.create(_pdf(spark, ["2024-01-01", "2024-01-02"]), partition_by=["day"])
+    t.delete_where("n >= 5")
+    assert t.scan().count() == 10
+    # rewritten files still carry partition tuples → exact pruning works
+    kept, total = t.pruned_files([("day", "=", "2024-01-01")])
+    assert kept < total
+    assert all("partition" in st for st in t.files().values())
+    assert t.scan(filters=[("day", "=", "2024-01-02")]).count() == 5
