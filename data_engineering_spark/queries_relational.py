@@ -483,13 +483,21 @@ def a5_last_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a6_vector_assembly",
     """SELECT concat(l_orderkey, '-', l_linenumber) AS dre_cd,
-              [round(l_quantity, 2), round(l_extendedprice, 2),
-               round(l_discount, 2), round(l_tax, 2)] AS feature_vector
+              concat_ws(',', CAST(round(l_quantity, 2) AS DECIMAL(18,2)),
+                             CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)),
+                             CAST(round(l_discount, 2) AS DECIMAL(18,2)),
+                             CAST(round(l_tax, 2) AS DECIMAL(18,2))) AS feature_vector
        FROM lineitem""",
 )
 def a6_vector_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — dense-vector assembly with NULL→0.0 defaults
-    (Elastic_indexing.py:257-258,274-313): pure array() expression."""
+    (Elastic_indexing.py:257-258,274-313): pure array() expression.
+
+    The comparable output serializes the vector as a decimal-cast CSV
+    string: raw ``array<double>`` cells are unhashable in the driver's
+    pandas canonicalizer (the r2 ERR), and float→JSON formatting differs
+    between engines; DECIMAL(18,2)→string is deterministic in both.
+    ``assemble_vector`` remains the engine-facing array path (pytest'd)."""
     df = _t(spark, sf_dir, "lineitem").select(
         F.concat(F.col("l_orderkey"), F.lit("-"), F.col("l_linenumber")).alias("dre_cd"),
         F.round("l_quantity", 2).alias("v1"),
@@ -497,7 +505,17 @@ def a6_vector_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_discount", 2).alias("v3"),
         F.round("l_tax", 2).alias("v4"),
     )
-    return df.select("dre_cd", assemble_vector(["v1", "v2", "v3", "v4"]).alias("feature_vector"))
+    vec = df.select("dre_cd", assemble_vector(["v1", "v2", "v3", "v4"]).alias("feature_vector"))
+    return vec.select(
+        "dre_cd",
+        F.concat_ws(
+            ",",
+            *[
+                F.element_at("feature_vector", i + 1).cast("decimal(18,2)").cast("string")
+                for i in range(4)
+            ],
+        ).alias("feature_vector"),
+    )
 
 
 @query(

@@ -27,3 +27,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         return fn
 
     return deco
+
+
+def finalize_order(priority: list[str]) -> None:
+    """Rebuild the registration (= driver sweep) order in place.
+
+    The driver's correctness sweep checks queries in registration order
+    under a bounded window, so ordering is a verification-scheduling
+    decision: ``priority`` names come first (each must exist and carry an
+    oracle — a priority slot spent on a rows-only query records only a
+    weak ``no_oracle`` row), then the remaining oracle-backed queries in
+    their original order, then every rows-only query at the tail.
+    """
+    missing = [n for n in priority if n not in QUERIES]
+    if missing:
+        raise KeyError(f"finalize_order: unknown queries {missing}")
+    weak = [n for n in priority if n not in ORACLE]
+    if weak:
+        raise ValueError(f"finalize_order: rows-only queries in priority window {weak}")
+    seen = set(priority)
+    rest_oracle = [n for n in QUERIES if n not in seen and n in ORACLE]
+    rest_rows_only = [n for n in QUERIES if n not in seen and n not in ORACLE]
+    ordered = list(priority) + rest_oracle + rest_rows_only
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
