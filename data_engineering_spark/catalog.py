@@ -60,11 +60,18 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one warehouse table.
 
-    ``events.parquet`` is written with nanosecond timestamps, which Spark's
-    parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long
-    (legacy conf) and rebuild a microsecond TimestampType with integer
-    ``div 1000`` — the same floor-truncation DuckDB applies when it casts
-    TIMESTAMP_NS → TIMESTAMP, so both engines see identical values.
+    ``events.parquet`` has shipped with both nanosecond and microsecond
+    ``ts`` across driver rounds, so we branch on the dtype Spark actually
+    reads rather than assuming a writer:
+
+    - ``LongType`` (nanos read via the ``nanosAsLong`` legacy conf, which
+      Spark otherwise rejects with PARQUET_TYPE_ILLEGAL): rebuild a
+      microsecond timestamp with integer ``div 1000`` — the same floor
+      truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+    - ``TimestampNTZType`` (micros, no session-TZ semantics): cast to
+      TimestampType. The session TZ is pinned UTC (``session.py:67``) so
+      values are preserved and the schema matches the oracle's.
+    - ``TimestampType``: passthrough.
     """
     override = _LAYOUT_OVERRIDES.get((sf_dir, name))
     if override is not None:
@@ -72,9 +79,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
-    "EVENTS_RAW_SCHEMA",
     "events_stream",
     "tumbling_counts",
     "sliding_value_sum",
@@ -42,31 +41,44 @@ __all__ = [
     "kafka_sink_options",
 ]
 
-# events.parquet carries NANOS timestamps → read ts as long (see
-# catalog.load_table) and rebuild micros in the stream projection.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, str]:
+    """Probe the on-disk ``ts`` dtype (events.parquet has shipped as both
+    timestamp[ns] and timestamp[us] across driver rounds) and return the
+    matching readStream schema plus the projection that rebuilds a
+    session-TZ micros TimestampType. File streams need an explicit schema,
+    so the probe reads parquet footer metadata only — no data scan."""
+    import pyarrow.parquet as pq
+
+    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
+    if ts_type.startswith("timestamp[ns"):
+        spark_ts, expr = T.LongType(), "timestamp_micros(ts div 1000)"
+    else:  # timestamp[us] → Spark reads TIMESTAMP_NTZ; session TZ is UTC
+        spark_ts, expr = T.TimestampNTZType(), "cast(ts as timestamp)"
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", spark_ts),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, expr
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8-shaped file stream over the events table (one file = one replay;
     in production this is the Kafka topic, same downstream code)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema, ts_expr = _events_raw_schema(sf_dir)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # basePath must be a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.expr(ts_expr))
 
 
 def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:

@@ -92,10 +92,11 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     shutil.copy(f"{sf_dir}/events.parquet", f"{src}/b.parquet")
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    from data_engineering_spark.streaming.streams import EVENTS_RAW_SCHEMA
+    from data_engineering_spark.streaming.streams import _events_raw_schema
 
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet").load(src)
-    stream = streaming_dedup(raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")))
+    schema, ts_expr = _events_raw_schema(sf_dir)
+    raw = spark.readStream.schema(schema).format("parquet").load(src)
+    stream = streaming_dedup(raw.withColumn("ts", F.expr(ts_expr)))
     sink = str(tmp_path / "deduped")
     q = (
         stream.writeStream.format("parquet")
