@@ -34,6 +34,80 @@ from data_engineering_spark import queries_extra  # noqa: E402,F401
 from data_engineering_spark import queries_llm  # noqa: E402,F401
 from data_engineering_spark.session import prepare_session  # noqa: E402
 
+# The driver sweeps the FIRST 50 registered names per round, so order is a
+# verification-scheduling decision. Priority window (exactly 50, all
+# oracle-backed — finalize_order raises on rows-only entries here):
+#   1. the 10 events-table queries that ERR'd in round 3 (regression fix
+#      needs a current-round green), then
+#   2. the 38 oracle-backed queries no round has ever swept (merge/lake/
+#      curation/profiling packs, deep TPC-H, join extras), then
+#   3. the 2 Arrow-NLP queries whose r1 ERR predates their
+#      canonicalizer-safe serialization.
+# Everything else keeps registration order behind them; all 16 rows-only
+# queries sink to the tail so no sweep slot records a weak no_oracle row.
+registry.finalize_order(
+    [
+        # -- round-3 events regressions --------------------------------
+        "p4_computed_interval_column",
+        "p9_boolean_compound_filter",
+        "p10_value_scrub",
+        "j6_asof_join",
+        "a5_last_wins_merge",
+        "w2_moving_avg",
+        "w3_lag_delta",
+        "f10_timestamp_rebuild",
+        "f17_json_extract",
+        "s2_dialect_sql_etl",
+        # -- never driver-swept: aggregations / joins ------------------
+        "a14_grouping_sets",
+        "a15_percentiles",
+        "a16_nested_doc_assembly",
+        "j7_cross_join",
+        "j8_range_join",
+        "j9_salted_join",
+        "j10_fuzzy_join",
+        # -- never driver-swept: profiling / quality / skew ------------
+        "prof_orders_profile",
+        "dq_expectations",
+        "skew_top_keys",
+        # -- never driver-swept: DML / lakehouse -----------------------
+        "m1_merge_upsert",
+        "m2_cdc_apply",
+        "m3_scd2_dimension",
+        "mv_incremental_refresh",
+        "lake_time_travel",
+        "lake_delete_scan",
+        "lake_zorder_scan",
+        # -- never driver-swept: curation pack -------------------------
+        "curate_pii_redact",
+        "curate_quality_repetition",
+        "curate_sample_stratified",
+        "curate_decontaminate",
+        "curate_mixture_weights",
+        "curate_pack_concat",
+        "curate_chunk_sliding",
+        "curate_unigram_nll",
+        # -- never driver-swept: streaming twin / text -----------------
+        "st_interval_join",
+        "explode_top_tokens",
+        # -- never driver-swept: deep TPC-H ----------------------------
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q12_late_shipments",
+        "tpch_q13_order_distribution",
+        "tpch_q15_top_supplier",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q18_large_orders",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q20_part_suppliers",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_global_sales_opportunity",
+        # -- r1 ERRs, since serialized canonicalizer-safe --------------
+        "nlp_tokenize_pandas",
+        "nlp_embed_text",
+    ]
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY §3.3 serving-index pipeline) on sf0.001."""
