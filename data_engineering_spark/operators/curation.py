@@ -153,8 +153,12 @@ def ngram_decontaminate(
     benchmarks are MB-scale, the corpus is the 100 TB side, so the corpus
     is never shuffled for the probe. Grams are compared as xxhash64 longs
     (8 bytes instead of ~50-char strings through the join). The only
-    exchange is the per-doc hit-count aggregate over matched rows, a tiny
-    subset of the corpus."""
+    exchange is the per-doc hit-count aggregate over matched rows.
+
+    The final hit-count ⋈ corpus join is deliberately NOT hinted: ``hits``
+    is O(contaminated docs) — with a dirty corpus at 100 TB, forcing a
+    broadcast there is an executor OOM. AQE picks broadcast at runtime
+    when the hit set really is small."""
     def grams(d: DataFrame) -> DataFrame:
         return d.select(
             F.col(id_col),
@@ -172,7 +176,7 @@ def ngram_decontaminate(
     )
     return (
         corpus.select(id_col)
-        .join(F.broadcast(hits), id_col, "left")
+        .join(hits, id_col, "left")
         .select(
             F.col(id_col),
             F.coalesce("n_shared_grams", F.lit(0)).cast("long").alias("n_shared_grams"),

@@ -18,6 +18,7 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "has_broadcast_join",
+    "broadcast_hint_count",
     "shuffle_count",
     "has_partial_aggregate",
     "wholestage_codegen_spans",
@@ -54,6 +55,15 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of EXPLICIT ``F.broadcast()`` hints in the analyzed logical
+    plan. Distinct from ``has_broadcast_join``: a hint FORCES a broadcast
+    regardless of runtime size — fine on a bounded dim, an executor OOM on
+    anything data-sized — while AQE-chosen broadcasts stay size-gated.
+    Tests use this to assert data-sized relations are never hint-forced."""
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint (strategy=broadcast)")
 
 
 def shuffle_count(df: DataFrame) -> int:

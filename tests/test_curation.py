@@ -96,6 +96,19 @@ def test_ngram_decontaminate_planted_overlap(spark):
     assert not got[2]["contaminated"] and got[2]["n_shared_grams"] == 0
 
 
+def test_ngram_decontaminate_never_broadcasts_corpus_side(spark):
+    """Scale guard: the ONLY forced broadcast is the MB-scale benchmark
+    gram set. The hit-count relation is O(contaminated docs) — data-sized
+    at 100 TB with a dirty corpus — so it must not carry a hint; AQE may
+    still pick a broadcast at runtime when it measures small."""
+    from data_engineering_spark.plans.explain import broadcast_hint_count
+
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta eta theta")])
+    corpus = _docs(spark, [(i, f"filler text number {i} with several tokens") for i in range(8)])
+    df = ngram_decontaminate(corpus, bench, n=8)
+    assert broadcast_hint_count(df) == 1
+
+
 def test_pack_concat_bins_follow_running_sum(spark):
     # 4 docs of 3 tokens, capacity 4: stream offsets 0,3,6,9 → bins 0,0,1,2
     df = _docs(spark, [(i, "a b c") for i in range(4)])
