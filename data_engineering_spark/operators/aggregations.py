@@ -125,22 +125,32 @@ def salted_listagg_distinct(
 
 
 def incremental_agg_merge(
-    summary: DataFrame, batch_summary: DataFrame, keys: Sequence[str]
+    summary: DataFrame,
+    batch_summary: DataFrame,
+    keys: Sequence[str],
+    merge_fns: dict[str, str] | None = None,
 ) -> DataFrame:
     """Incremental materialized-view refresh for distributive aggregates:
     merge a maintained per-key summary with a new batch's summary by
     re-aggregating their union — counts and sums add, min/max re-min/max;
     derived ratios (avg) must be recomputed downstream from sum/count.
 
+    ``merge_fns`` maps measure column → ``"sum" | "min" | "max"``;
+    unlisted measures merge by SUM (counts as counts, sums as sums).
+
     The batch-side cost is O(|batch|) + one shuffle of the (small)
     summary keys — at warehouse scale this is the difference between
     touching a day of data and recomputing a year. Column contract:
-    both frames carry identical (keys + measure) columns where every
-    measure column is mergeable by SUM (store counts as counts, sums as
-    sums). See the ``mv_incremental_refresh`` registry query for the
-    full-recompute equivalence check."""
+    both frames carry identical (keys + measure) columns. See the
+    ``mv_incremental_refresh`` registry query for the full-recompute
+    equivalence check."""
+    _FNS = {"sum": F.sum, "min": F.min, "max": F.max}
+    merge_fns = merge_fns or {}
+    bad = {c: fn for c, fn in merge_fns.items() if fn not in _FNS}
+    if bad:
+        raise ValueError(f"incremental_agg_merge: unsupported merge fns {bad}")
     measures = [c for c in summary.columns if c not in keys]
     merged = summary.unionByName(batch_summary)
     return merged.groupBy(*keys).agg(
-        *[F.sum(c).alias(c) for c in measures]
+        *[_FNS[merge_fns.get(c, "sum")](c).alias(c) for c in measures]
     )

@@ -29,15 +29,54 @@ from pyspark.sql import functions as F
 __all__ = ["merge_upsert", "apply_cdc", "scd2_apply"]
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    validate_source_keys: bool = True,
+) -> DataFrame:
     """MERGE: rows matched on ``keys`` take ALL non-key columns from
     ``source``; unmatched target rows pass through; unmatched source
     rows are inserted. Column sets must match (the SQL MERGE contract
-    for UPDATE SET * / INSERT *)."""
+    for UPDATE SET * / INSERT *).
+
+    SQL MERGE requires a UNIQUE source key — a duplicate would silently
+    fan out every matched target row. ``validate_source_keys`` embeds a
+    ``raise_error`` guard in the plan (a window count over the same key
+    partitioning the join shuffles on anyway — no extra job, no
+    collect), so a non-unique source fails loudly with the offending
+    key instead of multiplying rows. Pre-collapse intentional multi-row
+    feeds first (``apply_cdc`` latest-wins does exactly that)."""
     if set(target.columns) != set(source.columns):
         raise ValueError(
             f"column mismatch: target {sorted(target.columns)} "
             f"vs source {sorted(source.columns)}"
+        )
+    if validate_source_keys:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys)
+        source = (
+            source.withColumn("__src_n__", F.count(F.lit(1)).over(w))
+            .withColumn(
+                keys[0],
+                F.when(
+                    F.col("__src_n__") > 1,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("merge_upsert: multiple source rows for key ("),
+                            F.concat_ws(
+                                ", ", *[F.col(k).cast("string") for k in keys]
+                            ),
+                            F.lit(
+                                ") — MERGE needs a unique source key; "
+                                "collapse the feed first (see apply_cdc)"
+                            ),
+                        )
+                    ).cast(dict(source.dtypes)[keys[0]]),
+                ).otherwise(F.col(keys[0])),
+            )
+            .drop("__src_n__")
         )
     payload = [c for c in target.columns if c not in keys]
     # presence flag survives all-null source payloads

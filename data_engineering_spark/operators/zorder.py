@@ -46,6 +46,11 @@ def zvalue(
     centroids), and a vectorized NumPy ``searchsorted`` assigns buckets
     inside the scan stage with NO shuffle at all."""
     n = len(cols)
+    # The interleaved key must fit below bit 63: bit 63 is the sign bit
+    # of a Spark long, and spilling a rank bit into it flips the sign of
+    # high z-values — reversing exactly the ordering range-partitioning
+    # and min/max pruning rely on. bits=16 with >=4 columns would do so.
+    bits = min(bits, 63 // n)
     ranked = df
     rank_cols: list[Column] = []
     if method == "approx":

@@ -259,6 +259,8 @@ class LakeTable:
         log-level replacement for Hive directory layout. Partition
         columns are not stored in the file bodies — ``_df_for``
         re-attaches them as literals at read time."""
+        from urllib.parse import unquote
+
         tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -267,11 +269,18 @@ class LakeTable:
         adds = []
         for dirpath, _dirs, files in sorted(os.walk(tmp)):
             rel = os.path.relpath(dirpath, tmp)
-            part_vals: dict[str, str] = {}
+            # Add-actions store partition values UNESCAPED (Hive dir names
+            # URL-escape specials and spell null __HIVE_DEFAULT_PARTITION__)
+            # so every comparison site — replace_partitions victim match,
+            # _maybe_skip pruning, _df_for literal re-attach — works in the
+            # one representation user filters arrive in. Storing the raw
+            # dir segment silently broke both: victims never matched
+            # (duplicate rows) and '=' pruning dropped live files.
+            part_vals: dict[str, str | None] = {}
             if rel != ".":
                 for seg in rel.split(os.sep):
                     k, _, v = seg.partition("=")
-                    part_vals[k] = v
+                    part_vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
             for f in sorted(files):
                 if not f.endswith(".parquet"):
                     continue
@@ -401,7 +410,7 @@ class LakeTable:
         is bounded by the number of partitions in the BATCH (a daily
         load carries a handful of dates)."""
         incoming = {
-            tuple(sorted((k, str(r[k])) for k in partition_by))
+            tuple(sorted((k, None if r[k] is None else str(r[k])) for k in partition_by))
             for r in df.select(*partition_by).distinct().collect()
         }
         snap = self._snapshot()
@@ -480,10 +489,29 @@ class LakeTable:
         if update_set is None:
             rewritten = touched.filter(~cond)
         else:
+            # SQL UPDATE casts the SET expression to the column's declared
+            # type. Without the cast, an expression like v * 1.1 on a long
+            # column writes DOUBLE-typed files while the log schema still
+            # says long — and every later schema-enforced read of those
+            # files breaks. Unknown columns are rejected for the same
+            # reason (withColumn would append one the schema doesn't have).
+            logged = {
+                f.name: f.dataType
+                for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
+            }
+            unknown = sorted(set(update_set) - set(logged))
+            if unknown:
+                raise KeyError(
+                    f"update_where: columns {unknown} not in table schema "
+                    f"{sorted(logged)}"
+                )
             rewritten = touched
             for col, expr in update_set.items():
                 rewritten = rewritten.withColumn(
-                    col, F.when(cond, F.expr(expr)).otherwise(F.col(col))
+                    col,
+                    F.when(cond, F.expr(expr).cast(logged[col])).otherwise(
+                        F.col(col)
+                    ),
                 )
         # preserve partition metadata: if every candidate is partitioned
         # on the same columns, re-stage partitioned so the rewritten
@@ -524,8 +552,6 @@ class LakeTable:
     # ------------------------------------------------------------------ read
 
     def _df_for(self, snap: _Snapshot, paths: list[str] | None = None) -> DataFrame:
-        from urllib.parse import unquote
-
         from pyspark.sql import functions as F
 
         sel = sorted(snap.files) if paths is None else paths
@@ -540,7 +566,9 @@ class LakeTable:
             groups.setdefault(tuple(sorted(part.items())), []).append(p)
         types = {f.name: f.dataType for f in schema.fields}
         outs = []
-        for part_items, files in sorted(groups.items()):
+        # repr key: partition values may be None (Hive null) alongside
+        # strings, which plain tuple comparison can't order
+        for part_items, files in sorted(groups.items(), key=repr):
             part = dict(part_items)
             sub_schema = T.StructType(
                 [f for f in schema.fields if f.name not in part]
@@ -549,12 +577,9 @@ class LakeTable:
                 *[os.path.join(self.path, p) for p in files]
             )
             for k, v in part.items():
-                lit = (
-                    F.lit(None)
-                    if v == "__HIVE_DEFAULT_PARTITION__"
-                    else F.lit(unquote(v))
-                )
-                df = df.withColumn(k, lit.cast(types[k]))
+                # add-actions store unescaped values; null is stored as
+                # JSON null (see _stage), so no sentinel decoding here
+                df = df.withColumn(k, F.lit(v).cast(types[k]))
             outs.append(df.select(*[f.name for f in schema.fields]))
         out = outs[0]
         for o in outs[1:]:

@@ -39,6 +39,9 @@ __all__ = [
     "cdc_upsert_sink",
     "kafka_source_options",
     "kafka_sink_options",
+    "apply_kafka_source",
+    "apply_kafka_sink",
+    "to_kafka_payload",
 ]
 
 def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, str]:
@@ -291,3 +294,36 @@ def kafka_sink_options(bootstrap_servers: str, topic: str, checkpoint_dir: str) 
         "topic": topic,
         "checkpointLocation": checkpoint_dir,
     }
+
+
+def apply_kafka_source(reader, bootstrap_servers: str, topic: str, **kw):
+    """Wire ``kafka_source_options`` onto a ``DataStreamReader`` —
+    format("kafka") + every option VERBATIM (key and value untouched).
+    Takes the reader rather than the session so the plumbing is testable
+    without a broker: the parity test passes a recording stand-in and
+    asserts nothing is renamed, dropped, or stringified differently."""
+    r = reader.format("kafka")
+    for k, v in kafka_source_options(bootstrap_servers, topic, **kw).items():
+        r = r.option(k, v)
+    return r
+
+
+def apply_kafka_sink(writer, bootstrap_servers: str, topic: str, checkpoint_dir: str):
+    """Wire ``kafka_sink_options`` onto a ``DataStreamWriter`` verbatim
+    (format("kafka") + options; see ``apply_kafka_source``)."""
+    w = writer.format("kafka")
+    for k, v in kafka_sink_options(bootstrap_servers, topic, checkpoint_dir).items():
+        w = w.option(k, v)
+    return w
+
+
+def to_kafka_payload(df: DataFrame, key_col: str, value_cols: list[str] | None = None) -> DataFrame:
+    """Project a frame into the kafka sink contract: STRING ``key`` +
+    JSON ``value`` of the payload columns — the producer-side framing the
+    reference does by hand (``KFK/producer.py:3-16`` json.dumps per
+    message), expressed as one codegen'd projection."""
+    cols = value_cols or [c for c in df.columns if c != key_col]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*cols)).alias("value"),
+    )

@@ -135,3 +135,32 @@ def test_incremental_agg_merge_equals_full(spark):
     merged = incremental_agg_merge(incremental_agg_merge(base, batch, ["k"]), extra, ["k"])
     got = {r.k: (r.cnt, r.s) for r in merged.collect()}
     assert got == {1: (5, 15.0), 2: (5, 15.0), 3: (5, 15.0), 9: (1, 1.0)}
+
+
+def test_incremental_agg_merge_min_max(spark):
+    """min/max measures merge by re-min/re-max, not SUM (the docstring's
+    promise); unknown merge fns are rejected up front."""
+    import pytest
+    from data_engineering_spark.operators.aggregations import incremental_agg_merge
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k in (1, 2) for v in range(1, 7)], "k long, v double"
+    )
+
+    def summ(d):
+        return d.groupBy("k").agg(
+            F.sum("v").alias("s"), F.min("v").alias("lo"), F.max("v").alias("hi")
+        )
+
+    merged = incremental_agg_merge(
+        summ(df.filter("v <= 3")),
+        summ(df.filter("v > 3")),
+        ["k"],
+        merge_fns={"lo": "min", "hi": "max"},
+    )
+    full = {r.k: (r.s, r.lo, r.hi) for r in summ(df).collect()}
+    got = {r.k: (r.s, r.lo, r.hi) for r in merged.collect()}
+    assert got == full == {1: (21.0, 1.0, 6.0), 2: (21.0, 1.0, 6.0)}
+    with pytest.raises(ValueError, match="unsupported merge fns"):
+        incremental_agg_merge(summ(df), summ(df), ["k"], merge_fns={"s": "avg"})

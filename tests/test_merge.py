@@ -31,6 +31,19 @@ def test_merge_rejects_column_mismatch(spark):
         merge_upsert(tgt, src, ["k"])
 
 
+def test_merge_rejects_duplicate_source_keys(spark):
+    """A non-unique source key would silently fan out matched target
+    rows — the plan-embedded guard must fail the job instead."""
+    from pyspark.errors import PySparkException
+
+    tgt = spark.createDataFrame([(1, "a")], ["k", "name"])
+    src = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], ["k", "name"])
+    with pytest.raises(PySparkException, match="multiple source rows"):
+        merge_upsert(tgt, src, ["k"]).collect()
+    # opt-out for callers who accept last-write-wins nondeterminism
+    assert merge_upsert(tgt, src, ["k"], validate_source_keys=False).count() == 3
+
+
 def test_cdc_latest_wins_and_delete(spark):
     tgt = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"])
     ch = spark.createDataFrame(

@@ -122,6 +122,57 @@ def test_kafka_option_builders():
     assert "checkpointLocation" in sink
 
 
+class _Recorder:
+    """DataStreamReader/Writer stand-in recording the fluent calls."""
+
+    def __init__(self):
+        self.fmt = None
+        self.opts = {}
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+
+def test_kafka_options_reach_stream_verbatim(spark, sf_dir, tmp_path):
+    """S8/S17 parity: every builder option must reach readStream/
+    writeStream with key AND value untouched — this fails if the
+    plumbing ever renames, drops, or re-derives an option."""
+    from data_engineering_spark.streaming.streams import (
+        apply_kafka_sink,
+        apply_kafka_source,
+        to_kafka_payload,
+    )
+
+    rec = apply_kafka_source(_Recorder(), "broker:9092", "events", starting="latest")
+    assert rec.fmt == "kafka"
+    assert rec.opts == kafka_source_options("broker:9092", "events", starting="latest")
+
+    rec = apply_kafka_sink(_Recorder(), "broker:9092", "out", str(tmp_path / "ck"))
+    assert rec.fmt == "kafka"
+    assert rec.opts == kafka_sink_options("broker:9092", "out", str(tmp_path / "ck"))
+
+    # the same plumbing accepts the real API objects (no broker contact
+    # before .load()/.start(), so construction must succeed)
+    apply_kafka_source(spark.readStream, "broker:9092", "events")
+    apply_kafka_sink(
+        events_stream(spark, sf_dir).writeStream, "broker:9092", "out", str(tmp_path / "ck2")
+    )
+
+    # producer framing: string key + JSON value (KFK/producer.py shape)
+    payload = to_kafka_payload(load_table(spark, sf_dir, "events"), "event_id")
+    assert payload.columns == ["key", "value"]
+    assert dict(payload.dtypes) == {"key": "string", "value": "string"}
+    row = payload.first()
+    import json as _json
+
+    assert set(_json.loads(row.value)) == {"ts", "user_id", "event_type", "value", "props"}
+
+
 def test_stateful_running_totals_matches_batch(spark, sf_dir, tmp_path):
     """Custom applyInPandasWithState operator: final per-user state after
     draining the stream equals the batch groupBy."""

@@ -190,6 +190,21 @@ def test_update_where(spark, table):
     assert rows[50] == 100  # untouched row keeps val = id * 2
 
 
+def test_update_where_preserves_logged_column_types(spark, table):
+    """An UPDATE expression whose natural type widens the column (long *
+    1.1 → double) must be cast back to the logged type — otherwise the
+    rewritten files' parquet type drifts from the schema every later
+    read enforces."""
+    table.update_where("id < 10", {"val": "val * 1.1"})
+    out = table.scan()
+    assert dict(out.dtypes)["val"] == "bigint"
+    # values readable end-to-end after the rewrite (truncating SQL cast)
+    got = {r.id: r.val for r in out.filter("id < 3").collect()}
+    assert got == {0: 0, 1: 2, 2: 4}  # val*1.1 truncated back to long
+    with pytest.raises(KeyError, match="not in table schema"):
+        table.update_where("id < 10", {"nope": "1"})
+
+
 def test_restore_old_version(spark, table):
     table.append(_r(spark, 100, 200, "b").coalesce(1))
     table.overwrite(_r(spark, 0, 5).coalesce(1))
@@ -245,6 +260,41 @@ def test_replace_partitions_is_idempotent_swap(spark, tmp_path):
     # re-running the same load replaces, not duplicates
     t.replace_partitions(reload2, ["day"])
     assert t.scan().filter("day = '2024-01-02'").count() == 5
+
+
+def test_partition_values_needing_escaping_roundtrip(spark, tmp_path):
+    """Hive dir names URL-escape ``:`` and space and spell null as
+    __HIVE_DEFAULT_PARTITION__ — add-actions must store the UNESCAPED
+    value so pruning, replace_partitions matching, and literal
+    re-attachment all agree with what user filters contain."""
+    days = ["2024-01-01 00:00:00", "ts:a b", None]
+    t = LakeTable(spark, str(tmp_path / "esc"))
+    t.create(_pdf(spark, days), partition_by=["day"])
+
+    out = t.scan()
+    assert out.count() == 30
+    # re-attached literals are unescaped, not %-encoded dir segments
+    assert {r["day"] for r in out.select("day").distinct().collect()} == set(days)
+    # '=' pruning must keep the matching file (wrong-representation
+    # compare used to prune the live file -> 0 rows)
+    assert t.scan(filters=[("day", "=", "ts:a b")]).count() == 10
+    kept, total = t.pruned_files([("day", "=", "ts:a b")])
+    assert kept < total
+    # null partition never prunes away and survives the roundtrip
+    assert out.filter(F.col("day").isNull()).count() == 10
+
+    # replace_partitions must MATCH escaped-value partitions (used to
+    # miss -> silent duplicates)
+    reload_esc = _pdf(spark, ["ts:a b"], tag="z").filter("n < 5")
+    t.replace_partitions(reload_esc, ["day"])
+    got = t.scan().filter("day = 'ts:a b'")
+    assert got.count() == 5
+    assert {r.tag for r in got.collect()} == {"z"}
+    # and the null partition replaces, not duplicates, too
+    reload_null = _pdf(spark, [None], tag="z").filter("n < 3")
+    t.replace_partitions(reload_null, ["day"])
+    assert t.scan().filter(F.col("day").isNull()).count() == 3
+    assert t.scan().count() == 10 + 5 + 3
 
 
 def test_dml_preserves_partition_metadata(spark, tmp_path):

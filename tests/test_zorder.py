@@ -28,6 +28,25 @@ def test_zvalue_locality(spark):
     assert sum(s <= 50 for s in steps) / len(steps) > 0.95
 
 
+def test_zvalue_wide_column_sets_stay_in_63_bits(spark):
+    """bits=16 with 4+ columns would interleave into the long's sign bit,
+    flipping the order of high z-values; the cap must keep every z-value
+    non-negative and the ordering monotone in each column's rank."""
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 8).alias("a"),
+        ((F.col("id") / 8).cast("long") % 8).alias("b"),
+        ((F.col("id") / 64).cast("long") % 8).alias("c"),
+        ((F.col("id") / 512).cast("long") % 8).alias("d"),
+    )
+    out = zvalue(df, ["a", "b", "c", "d"], bits=16)
+    assert out.filter(F.col("__zval__") < 0).count() == 0
+    # the all-max corner must carry the largest z-value (sign overflow
+    # used to make it the SMALLEST)
+    top = out.orderBy(F.col("__zval__").desc()).select("a", "b", "c", "d").first()
+    assert (top.a, top.b, top.c, top.d) == (7, 7, 7, 7)
+
+
 def test_zorder_prunes_both_columns(spark, tmp_path):
     df = _df(spark)
     zt = LakeTable(spark, str(tmp_path / "z"))
