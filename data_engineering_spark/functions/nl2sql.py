@@ -1,0 +1,163 @@
+"""UD4 — deterministic natural-language → Spark SQL template layer.
+
+Reference parity: ``Openapi/openai_elasticsearch.py:71-157`` turns one
+natural-language request into exactly one validated Elasticsearch query
+(LLM-prompted, with hard rules: only one query, only existing fields, a
+fixed output format). This module keeps that contract but swaps the LLM
+for a deterministic grammar over the registered warehouse views — the
+right engineering default for a pipeline component: reproducible,
+testable, and oracle-checkable. ``compile_nl`` is the single seam a
+model-backed implementation would replace; everything downstream
+(validation, execution) is shared.
+
+Supported request forms (case-insensitive):
+
+- ``count [rows in] TABLE [where COND]``
+- ``AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [top N]``
+  with AGG ∈ total/sum/average/avg/min/max/count
+- ``show COL[, COL...] from TABLE [where COND] [limit N]``
+- ``top N TABLE by MEASURE``
+
+COND is ``col OP value`` terms joined by ``and``; OP ∈ = != > >= < <=
+contains (→ LIKE). Every table and column is validated against the
+supplied schema — unknown names raise ``NLQueryError`` (the reference's
+"avoid using fields that do not exist" rule, enforced instead of
+prompted).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["NLQueryError", "compile_nl", "run_nl"]
+
+
+class NLQueryError(ValueError):
+    """Request doesn't parse, or references unknown tables/columns."""
+
+
+_AGGS = {
+    "total": "sum",
+    "sum": "sum",
+    "average": "avg",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "count": "count",
+}
+
+_OPS = {"=": "=", "!=": "<>", ">": ">", ">=": ">=", "<": "<", "<=": "<=", "is": "="}
+
+
+def _ident(name: str, known: list[str], kind: str) -> str:
+    if name not in known:
+        raise NLQueryError(f"unknown {kind} '{name}' — known: {sorted(known)}")
+    return name
+
+
+def _value_sql(v: str) -> str:
+    v = v.strip().strip("'\"")
+    if re.fullmatch(r"-?\d+(\.\d+)?", v):
+        return v
+    return "'" + v.replace("'", "''") + "'"
+
+
+def _cond_sql(cond: str, cols: list[str]) -> str:
+    terms = re.split(r"\s+and\s+", cond.strip(), flags=re.I)
+    parts = []
+    for t in terms:
+        m = re.fullmatch(
+            r"\s*(\w+)\s*(>=|<=|!=|=|>|<|is|contains)\s*(.+?)\s*", t, flags=re.I
+        )
+        if not m:
+            raise NLQueryError(f"cannot parse condition term '{t.strip()}'")
+        col, op, val = m.group(1), m.group(2).lower(), m.group(3)
+        _ident(col, cols, "column")
+        if op == "contains":
+            needle = val.strip().strip("'\"").replace("'", "''")
+            parts.append(f"{col} LIKE '%{needle}%'")
+        else:
+            parts.append(f"{col} {_OPS[op]} {_value_sql(val)}")
+    return " AND ".join(parts)
+
+
+def compile_nl(text: str, schemas: dict[str, list[str]]) -> str:
+    """Compile one constrained NL request to one Spark-SQL string.
+
+    ``schemas`` maps table name → column list (what the reference ships
+    to the model as "Index/Mapping Information"). Aliases are
+    deterministic (``agg_measure``, ``n``) so downstream consumers —
+    and the DuckDB oracle — see stable column names."""
+    req = text.strip().rstrip("?.!").strip()
+
+    # -- count [rows in] TABLE [where COND] ---------------------------
+    m = re.fullmatch(
+        r"count\s+(?:rows\s+in\s+)?(\w+)(?:\s+where\s+(.+))?", req, flags=re.I
+    )
+    if m:
+        table = _ident(m.group(1).lower(), list(schemas), "table")
+        where = f" WHERE {_cond_sql(m.group(2), schemas[table])}" if m.group(2) else ""
+        return f"SELECT count(*) AS n FROM {table}{where}"
+
+    # -- top N TABLE by MEASURE ---------------------------------------
+    m = re.fullmatch(r"top\s+(\d+)\s+(\w+)\s+by\s+(\w+)", req, flags=re.I)
+    if m:
+        table = _ident(m.group(2).lower(), list(schemas), "table")
+        measure = _ident(m.group(3), schemas[table], "column")
+        return (
+            f"SELECT * FROM {table} ORDER BY {measure} DESC LIMIT {int(m.group(1))}"
+        )
+
+    # -- AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [top N] --
+    m = re.fullmatch(
+        r"(total|sum|average|avg|min|max|count)\s+(\w+)\s+by\s+(\w+(?:\s+and\s+\w+)*)"
+        r"\s+(?:in|from)\s+(\w+)(?:\s+where\s+(.+?))?(?:\s+top\s+(\d+))?",
+        req,
+        flags=re.I,
+    )
+    if m:
+        agg = _AGGS[m.group(1).lower()]
+        table = _ident(m.group(4).lower(), list(schemas), "table")
+        cols = schemas[table]
+        measure = _ident(m.group(2), cols, "column")
+        dims = [_ident(d, cols, "column") for d in re.split(r"\s+and\s+", m.group(3), flags=re.I)]
+        alias = f"{agg}_{measure}"
+        where = f" WHERE {_cond_sql(m.group(5), cols)}" if m.group(5) else ""
+        dim_list = ", ".join(dims)
+        sql = (
+            f"SELECT {dim_list}, {agg}({measure}) AS {alias} "
+            f"FROM {table}{where} GROUP BY {dim_list}"
+        )
+        if m.group(6):
+            sql += f" ORDER BY {alias} DESC LIMIT {int(m.group(6))}"
+        return sql
+
+    # -- show COL[, COL...] from TABLE [where COND] [limit N] ---------
+    m = re.fullmatch(
+        r"show\s+([\w,\s]+?)\s+from\s+(\w+)(?:\s+where\s+(.+?))?(?:\s+limit\s+(\d+))?",
+        req,
+        flags=re.I,
+    )
+    if m:
+        table = _ident(m.group(2).lower(), list(schemas), "table")
+        cols = schemas[table]
+        sel = [_ident(c.strip(), cols, "column") for c in m.group(1).split(",")]
+        where = f" WHERE {_cond_sql(m.group(3), cols)}" if m.group(3) else ""
+        limit = f" LIMIT {int(m.group(4))}" if m.group(4) else ""
+        return f"SELECT {', '.join(sel)} FROM {table}{where}{limit}"
+
+    raise NLQueryError(
+        f"cannot parse request '{text}' — supported forms: count/top/agg-by/show"
+    )
+
+
+def run_nl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    """Compile and execute one NL request against the warehouse views
+    (the reference's end-to-end demo flow: request → query → search)."""
+    from ..catalog import TABLES, load_table, register_views
+
+    register_views(spark, sf_dir)
+    schemas = {t: load_table(spark, sf_dir, t).columns for t in TABLES}
+    return spark.sql(compile_nl(text, schemas))

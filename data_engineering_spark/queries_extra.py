@@ -564,3 +564,28 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — image resize plumbing (mapInPandas; pixel transform
     stubbed, Arrow batching real)."""
     return resize_images(synthetic_media(spark, 64))
+
+
+@query(
+    "nl_query_template",
+    """SELECT o_orderstatus, o_orderpriority,
+              round(avg(o_totalprice), 2) AS avg_o_totalprice
+       FROM orders WHERE o_totalprice > 1000
+       GROUP BY o_orderstatus, o_orderpriority
+       ORDER BY avg_o_totalprice DESC LIMIT 5""",
+)
+def q_nl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 — deterministic NL→Spark-SQL template layer
+    (Openapi/openai_elasticsearch.py:71-157 minus the LLM: one request →
+    one validated query over known fields). Oracle-checked: the grammar's
+    compiled SQL is ANSI, so DuckDB runs the hand-written equivalent of
+    the same request and must agree exactly."""
+    from .functions.nl2sql import run_nl
+
+    out = run_nl(
+        spark,
+        sf_dir,
+        "average o_totalprice by o_orderstatus and o_orderpriority "
+        "in orders where o_totalprice > 1000 top 5",
+    )
+    return out.withColumn("avg_o_totalprice", F.round("avg_o_totalprice", 2))

@@ -1,0 +1,60 @@
+"""UD4 — deterministic NL→SQL template layer (the reference's LLM
+NL→Elasticsearch flow, Openapi/openai_elasticsearch.py, minus the model:
+one request → one validated query → execution)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.functions.nl2sql import NLQueryError, compile_nl, run_nl
+
+SCHEMAS = {
+    "orders": ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value"],
+}
+
+
+def test_compile_count_and_filters():
+    assert compile_nl("count orders", SCHEMAS) == "SELECT count(*) AS n FROM orders"
+    sql = compile_nl("count rows in events where event_type = click and value > 5", SCHEMAS)
+    assert sql == "SELECT count(*) AS n FROM events WHERE event_type = 'click' AND value > 5"
+
+
+def test_compile_agg_by_show_top():
+    sql = compile_nl("average o_totalprice by o_orderstatus in orders", SCHEMAS)
+    assert sql == (
+        "SELECT o_orderstatus, avg(o_totalprice) AS avg_o_totalprice "
+        "FROM orders GROUP BY o_orderstatus"
+    )
+    sql = compile_nl("total value by event_type in events top 3", SCHEMAS)
+    assert sql.endswith("ORDER BY sum_value DESC LIMIT 3")
+    sql = compile_nl("show o_orderkey, o_totalprice from orders where o_totalprice >= 100 limit 7", SCHEMAS)
+    assert sql == (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice >= 100 LIMIT 7"
+    )
+    assert compile_nl("top 2 orders by o_totalprice", SCHEMAS) == (
+        "SELECT * FROM orders ORDER BY o_totalprice DESC LIMIT 2"
+    )
+    # contains → LIKE, with quote escaping
+    sql = compile_nl("show event_type from events where event_type contains li'ck", SCHEMAS)
+    assert "LIKE '%li''ck%'" in sql
+
+
+def test_unknown_fields_rejected():
+    """The reference prompts 'avoid using fields that do not exist';
+    here it's enforced."""
+    with pytest.raises(NLQueryError, match="unknown table"):
+        compile_nl("count nope", SCHEMAS)
+    with pytest.raises(NLQueryError, match="unknown column"):
+        compile_nl("average bogus by o_orderstatus in orders", SCHEMAS)
+    with pytest.raises(NLQueryError, match="cannot parse"):
+        compile_nl("please do something vague", SCHEMAS)
+
+
+def test_run_nl_matches_dataframe_api(spark, sf_dir):
+    got = run_nl(spark, sf_dir, "count orders where o_orderstatus = F").collect()[0].n
+    want = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").count()
+    assert got == want
