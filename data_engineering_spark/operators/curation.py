@@ -318,8 +318,18 @@ def pack_ffd(
 
     Arrow-batched ``applyInPandas`` keyed on ``spark_partition_id`` — the
     per-group state (open bins) is exactly the FFD algorithm's working
-    set, bounded by docs-per-partition."""
+    set, bounded by docs-per-partition.
+
+    The first-fit scan is O(docs x open bins), so packing one partition
+    as a single FFD run is quadratic in partition size (measured 7x
+    super-linear at the 10x synthetic SF). Docs are therefore packed in
+    ``block``-doc chunks of the size-sorted order — bins never span
+    blocks, bounding the scan at O(docs x block) = linear. The quality
+    loss is the same partial-tail-bins argument the partition split
+    already makes, applied once more."""
     import pandas as pd
+
+    block = 4096
 
     src = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
     if num_partitions:
@@ -329,18 +339,21 @@ def pack_ffd(
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["n_tokens", id_col], ascending=[False, True])
         pid = int(pdf["pid"].iloc[0]) if len(pdf) else 0
-        bins: list[int] = []  # remaining capacity per local bin
-        assigned = []
-        for t in pdf["n_tokens"]:
-            t = int(t)
-            for i, rem in enumerate(bins):
-                if rem >= t:
-                    bins[i] = rem - t
-                    assigned.append(i)
-                    break
-            else:
-                bins.append(max(capacity - t, 0))
-                assigned.append(len(bins) - 1)
+        assigned: list[int] = []
+        bin_base = 0
+        for start in range(0, len(pdf), block):
+            bins: list[int] = []  # remaining capacity per local bin
+            for t in pdf["n_tokens"].iloc[start : start + block]:
+                t = int(t)
+                for i, rem in enumerate(bins):
+                    if rem >= t:
+                        bins[i] = rem - t
+                        assigned.append(bin_base + i)
+                        break
+                else:
+                    bins.append(max(capacity - t, 0))
+                    assigned.append(bin_base + len(bins) - 1)
+            bin_base += len(bins)
         pdf = pdf.assign(bin_id=[(pid << 40) + b for b in assigned])
         return pdf[[id_col, "n_tokens", "bin_id"]]
 

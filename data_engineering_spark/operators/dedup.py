@@ -122,6 +122,7 @@ def minhash_near_dedup(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.6,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """MinHash + banded LSH near-dedup → (id_a, id_b, jaccard) pairs.
 
@@ -133,6 +134,20 @@ def minhash_near_dedup(
     it feeds both the signature build and the verify joins — without the
     persist Spark recomputes the tokenize+shingle projection three times.
     At petabyte scale swap the persist for a checkpoint to cluster storage.
+
+    Scale guards (pair output is inherently quadratic in CLUSTER size):
+
+    - ``max_bucket`` drops LSH buckets holding more docs than the cap —
+      a bucket that large is a boilerplate/exact-dup mega-cluster whose
+      C(k,2) pair fan-out (5B pairs per band for k=100k) belongs to the
+      cheap hash-groupBy ``exact_dedup`` pass that should run first, not
+      to pairwise verification. Same policy as the n-gram blocker's
+      bucket purge. ``None`` disables.
+    - the verify joins carry SHUFFLE_HASH hints: both sides (candidate
+      pairs, per-doc shingle sets) are data-sized, but they sit behind a
+      join+distinct where the planner's size estimate collapses — left
+      free, Spark picks a runtime broadcast that OOMs the driver once
+      the corpus is real (reproduced at the 10x synthetic SF).
     """
     from pyspark import StorageLevel
 
@@ -168,6 +183,16 @@ def minhash_near_dedup(
     buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
+    if max_bucket is not None:
+        small = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .filter(F.col("__bn__") <= max_bucket)
+            .select("band", "bh")
+        )
+        # same (band, bh) keying as the self-join below — AQE reuses the
+        # exchange, so the cap costs no extra corpus shuffle
+        buckets = buckets.join(small, ["band", "bh"])
     left = buckets.alias("a")
     right = buckets.alias("b")
     cand = (
@@ -181,8 +206,18 @@ def minhash_near_dedup(
         .distinct()
     )
     verified = (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shset", "sh_b"), "id_b")
+        cand.join(
+            sh.withColumnRenamed(id_col, "id_a")
+            .withColumnRenamed("shset", "sh_a")
+            .hint("shuffle_hash"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("shset", "sh_b")
+            .hint("shuffle_hash"),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.round(

@@ -54,6 +54,25 @@ def test_minhash_finds_near_dups(planted):
     assert all({a, b} != {1, 4} and {a, b} != {3, 4} for a, b in pairs)  # no false pair with `other`
 
 
+def test_minhash_bucket_cap_drops_mega_clusters(spark):
+    """Boilerplate mega-clusters (bucket size > max_bucket) are excluded
+    from quadratic pair generation — they're exact_dedup's job; normal
+    clusters under the cap still pair up."""
+    boiler = "identical boilerplate header repeated across the whole crawl " * 3
+    pair = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun"
+    )
+    rows = [(i, boiler) for i in range(100)] + [(200, pair), (201, pair)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b) for r in minhash_near_dedup(df, max_bucket=50).collect()}
+    assert (200, 201) in got
+    assert all(a >= 200 for a, _ in got)  # no pairs from the capped cluster
+    # uncapped keeps the full quadratic fan-out: C(100,2) boiler pairs
+    n_all = minhash_near_dedup(df, max_bucket=None).count()
+    assert n_all == 100 * 99 // 2 + 1
+
+
 def test_simhash_near_dups(planted):
     out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dedup(planted, max_hamming=10).collect()}
     assert (1, 2) in out and out[(1, 2)] == 0
