@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import shingles
+from .dedup import shingle_hashes, shingles
 from .text import tokens
 
 __all__ = [
@@ -160,12 +160,10 @@ def ngram_decontaminate(
     broadcast there is an executor OOM. AQE picks broadcast at runtime
     when the hit set really is small."""
     def grams(d: DataFrame) -> DataFrame:
-        return d.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
-            ).alias("g"),
-        )
+        # hash-composed fingerprints: equal grams ⇒ equal longs, with no
+        # gram-string materialization on the corpus side (see
+        # dedup.shingle_hashes)
+        return d.select(F.col(id_col), F.explode(shingle_hashes(text_col, n)).alias("g"))
 
     bench_grams = grams(bench).select("g").distinct()
     hits = (

@@ -30,6 +30,7 @@ from .text import fingerprint, tokens
 __all__ = [
     "exact_dedup",
     "shingles",
+    "shingle_hashes",
     "minhash_signature",
     "minhash_near_dedup",
     "simhash_signature",
@@ -93,19 +94,38 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(acc)
 
 
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram fingerprints as LONGS, built without materializing
+    gram strings: token hashes are folded pairwise with ``xxhash64``
+    across ``n`` shifted slices. Equal grams → equal fingerprints (and
+    unequal collide only at xxhash64 odds), so joins/distincts on the
+    result are equivalent to joining string shingles — minus the string
+    churn, which measures ~1.5× of the gram stage at sf0.1 and is pure
+    GC pressure at corpus scale. Short docs fold over the tokens they
+    have (``xxhash64`` skips the nulls ``zip_with`` pads with), exactly
+    mirroring ``shingles``'s concat_ws whole-doc gram."""
+    toks = tokens(col)
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    acc = F.slice(hs, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(hs, j + 1, m), lambda a, b: F.xxhash64(a, b))
+    return F.array_distinct(acc)
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32, n: int = 3
 ) -> DataFrame:
     """MinHash signature: per doc, min over shingles of xxhash64(seed_i,
     base_hash(shingle)) for each of ``num_hashes`` seeded hash functions.
 
-    Pure projection — no explode, no shuffle: the shingle strings are
-    hashed ONCE to a long array, then each of the K seeded hashes is an
-    8-byte rehash folded with ``array_min``. Per-doc work is K cheap long
-    hashes per shingle instead of K string hashes, and the signature build
-    adds zero exchanges (the old explode→groupBy shape shuffled every
-    (doc, shingle) row)."""
-    hs = F.transform(shingles(text_col, n), lambda s: F.xxhash64(s))
+    Pure projection — no explode, no shuffle: shingle fingerprints are
+    hash-composed longs (``shingle_hashes`` — no gram strings built), and
+    each of the K seeded hashes is an 8-byte rehash folded with
+    ``array_min``. Per-doc work is K cheap long hashes per shingle, and
+    the signature build adds zero exchanges (the old explode→groupBy
+    shape shuffled every (doc, shingle) row)."""
+    hs = shingle_hashes(text_col, n)
     base = _spread(df).select(F.col(id_col), hs.alias("hs"))
     cols = [
         F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh{i}")
@@ -152,17 +172,20 @@ def minhash_near_dedup(
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
+    # Shingle sets are carried as hash-composed LONGS end to end (see
+    # shingle_hashes): signatures only ever rehash them, and the verify
+    # Jaccard over hash sets equals the string-set Jaccard at xxhash64
+    # collision odds — while the persisted relation and the verify
+    # shuffle ship 8-byte longs instead of ~50-char gram strings.
     sh = (
         _spread(df)
-        .select(F.col(id_col), shingles(text_col, n).alias("shset"))
+        .select(F.col(id_col), shingle_hashes(text_col, n).alias("shset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Signature build is a pure projection over the persisted shingle sets
-    # (see minhash_signature): base-hash each shingle once, then K seeded
-    # long rehashes folded with array_min — no explode, no extra shuffle.
-    hs = sh.select(
-        F.col(id_col), F.transform(F.col("shset"), lambda s: F.xxhash64(s)).alias("hs")
-    )
+    # (see minhash_signature): K seeded long rehashes folded with
+    # array_min — no explode, no extra shuffle.
+    hs = sh.select(F.col(id_col), F.col("shset").alias("hs"))
     sig = hs.select(
         F.col(id_col),
         *[
@@ -389,8 +412,7 @@ def ngram_jaccard_pairs(
     from pyspark.sql import Window
 
     sh = _spread(df).select(
-        F.col(id_col),
-        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias("shset"),
+        F.col(id_col), shingle_hashes(text_col, n).alias("shset")
     )
     tok = sh.select(F.col(id_col), F.explode("shset").alias("blk"))
     freq = tok.groupBy("blk").agg(F.count(F.lit(1)).alias("doc_freq"))
