@@ -52,35 +52,31 @@ def merge_upsert(
             f"column mismatch: target {sorted(target.columns)} "
             f"vs source {sorted(source.columns)}"
         )
+    payload = [c for c in target.columns if c not in keys]
+    # presence flag survives all-null source payloads; when validating,
+    # the flag itself carries the duplicate-key guard — keys stay
+    # untouched attributes, so the guard window's hash partitioning on
+    # the keys is REUSED by the merge join (no extra Exchange; asserted
+    # by the m1 shuffle budget)
+    present: F.Column = F.lit(True)
     if validate_source_keys:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*keys)
-        source = (
-            source.withColumn("__src_n__", F.count(F.lit(1)).over(w))
-            .withColumn(
-                keys[0],
-                F.when(
-                    F.col("__src_n__") > 1,
-                    F.raise_error(
-                        F.concat(
-                            F.lit("merge_upsert: multiple source rows for key ("),
-                            F.concat_ws(
-                                ", ", *[F.col(k).cast("string") for k in keys]
-                            ),
-                            F.lit(
-                                ") — MERGE needs a unique source key; "
-                                "collapse the feed first (see apply_cdc)"
-                            ),
-                        )
-                    ).cast(dict(source.dtypes)[keys[0]]),
-                ).otherwise(F.col(keys[0])),
-            )
-            .drop("__src_n__")
-        )
-    payload = [c for c in target.columns if c not in keys]
-    # presence flag survives all-null source payloads
-    s = source.withColumn("__present__", F.lit(True)).alias("s")
+        n_src = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        present = F.when(
+            n_src > 1,
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_upsert: multiple source rows for key ("),
+                    F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+                    F.lit(
+                        ") — MERGE needs a unique source key; "
+                        "collapse the feed first (see apply_cdc)"
+                    ),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    s = source.withColumn("__present__", present).alias("s")
     joined = target.alias("t").join(s, on=keys, how="full_outer")
     # key columns are coalesced by the USING join; payload picks source
     # whenever the source row exists (update and insert in one pass;
