@@ -227,16 +227,30 @@ def minhash_near_dedup(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Semi-reduce the shingle relation to docs that are actually in a
+    # candidate pair before the pairwise joins: in the common low-dup
+    # regime this turns two full-corpus shuffles of the (wide) shingle
+    # arrays into one narrow id semi-join plus two joins over the tiny
+    # survivor set; in the high-dup regime it is never worse than the
+    # full shuffles it replaces. cand is persisted (it feeds the id set
+    # and the verify) so the bucket self-join runs once.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh_v = sh.join(cand_ids, id_col, "left_semi")
     verified = (
         cand.join(
-            sh.withColumnRenamed(id_col, "id_a")
+            sh_v.withColumnRenamed(id_col, "id_a")
             .withColumnRenamed("shset", "sh_a")
             .hint("shuffle_hash"),
             "id_a",
         )
         .join(
-            sh.withColumnRenamed(id_col, "id_b")
+            sh_v.withColumnRenamed(id_col, "id_b")
             .withColumnRenamed("shset", "sh_b")
             .hint("shuffle_hash"),
             "id_b",
