@@ -192,6 +192,41 @@ def test_partition_pruning_reads_one_partition(spark, sf_dir, tmp_path):
     assert df.select("bkup_dt").distinct().collect()[0][0] == "20240111"
 
 
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """At warehouse scale a selective dim-side filter should seed a
+    runtime bloom filter that prunes the fact scan before the shuffle
+    (Spark's runtime.bloomFilter, on by default in our session). The
+    size thresholds that gate it never trip at test SF, so this test
+    emulates scale by lowering them — asserting our declarative plans
+    stay injection-eligible (a hand-rolled pre-shuffle or UDF filter
+    would silently forfeit this)."""
+    old = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in old:
+        old[k] = spark.conf.get(k)
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = formatted_plan(j)
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_layout_queries_plan_zero_exchanges(spark, sf_dir):
     """End-to-end: under catalog.bucketed_layout the registered Q3/Q18
     plans contain NO hash Exchange (every join/groupBy keys on the bucket
