@@ -227,6 +227,41 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE's skew-join split is the automatic complement to the manual
+    salting in j9_salted_join: a hot key's oversized partition is split
+    into parallel subtasks at runtime. Size gates never trip at test SF,
+    so they're lowered to emulate a hot partition; the assertion reads
+    the ADAPTIVE executed plan (skew handling never appears statically)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        # the downstream agg means splitting adds a shuffle; at real
+        # scale the skewed partition dwarfs that cost
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(500_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id")).alias("k"),
+            F.rand(7).alias("payload"),
+        )
+        right = spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k").select(F.sum("v").alias("s"))
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_bucketed_layout_queries_plan_zero_exchanges(spark, sf_dir):
     """End-to-end: under catalog.bucketed_layout the registered Q3/Q18
     plans contain NO hash Exchange (every join/groupBy keys on the bucket
