@@ -488,8 +488,14 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs; every emitted near-dup pair is exact-verified, recall on
     borderline-similarity pairs is the banding trade. Agreement vs the
     exact baseline on planted duplicates is pytest-asserted
-    (tests/test_dedup.py)."""
-    return embedding_near_dedup_bucketed(_emb(spark, sf_dir), threshold=0.4, dim=64)
+    (tests/test_dedup.py).
+
+    threshold=0.9: this is the DEDUP operator (near-identical vectors),
+    where banded LSH prunes hard; the exact `dedup_embedding` twin keeps
+    the moderate 0.4 threshold as the oracle-checked all-pairs
+    baseline — that regime is a similarity JOIN, not a dedup, and LSH
+    banding cannot serve it."""
+    return embedding_near_dedup_bucketed(_emb(spark, sf_dir), threshold=0.9, dim=64)
 
 
 @query("sim_lsh_topk")  # rows-only: approximate recall, no SQL twin
