@@ -166,6 +166,13 @@ def test_shuffle_budgets(spark, sf_dir):
         "curate_chunk_sliding": 0,        # pure array fan-out projection
         "curate_unigram_nll": 4,          # tok agg, join, 1-row total, doc agg
         "dedup_simhash_arrow": 3,         # map-only signature: candidates only
+        "curate_decontaminate": 2,        # bench grams distinct + hit-count agg
+        "nl_query_template": 1,           # compiled GROUP BY: partial→final agg
+        "dedup_exact": 1,                 # one fingerprint groupBy
+        "curate_pack_ffd": 2,             # id repartition + applyInPandas group
+        "text_stats": 0,                  # pure expressions over the scan
+        "curate_pii_redact": 0,           # regex projection, zero exchanges
+        "lake_delete_scan": 1,            # post-DML snapshot agg
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
