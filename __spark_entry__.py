@@ -32,6 +32,7 @@ from data_engineering_spark import queries_relational  # noqa: E402,F401  (side-
 from data_engineering_spark import queries_curation  # noqa: E402,F401
 from data_engineering_spark import queries_extra  # noqa: E402,F401
 from data_engineering_spark import queries_llm  # noqa: E402,F401
+from data_engineering_spark import queries_tpch_ps  # noqa: E402,F401
 from data_engineering_spark.session import prepare_session  # noqa: E402
 
 # The driver sweeps the FIRST 50 registered names per round, so order is a

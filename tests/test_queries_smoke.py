@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from data_engineering_spark import queries_llm, queries_relational  # noqa: F401
+import __spark_entry__  # noqa: F401  (registers ALL query modules + sweep order)
 from data_engineering_spark.registry import ORACLE, QUERIES
 
 
@@ -55,3 +55,29 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(a - e) / e < 0.02, (k, e, a)
+
+
+def test_derived_partsupp_invariants(spark, sf_dir):
+    """The partsupp surrogate must behave like the dbgen relation: exactly
+    4 rows per part, distinct in-range suppliers, positive quantities and
+    costs — and be joinable from lineitem's (partkey, suppkey) pairs."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.queries_tpch_ps import derived_partsupp
+
+    ps = derived_partsupp(spark, sf_dir)
+    n_part = load_table(spark, sf_dir, "part").count()
+    n_supp = load_table(spark, sf_dir, "supplier").count()
+    assert ps.count() == 4 * n_part
+    per = ps.groupBy("ps_partkey").agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct("ps_suppkey").alias("nd")
+    )
+    assert per.filter("n != 4 OR nd != 4").count() == 0
+    assert ps.filter((F.col("ps_suppkey") < 0) | (F.col("ps_suppkey") >= n_supp)).count() == 0
+    assert ps.filter("ps_availqty <= 0 OR ps_supplycost <= 0").count() == 0
+    li = load_table(spark, sf_dir, "lineitem")
+    hits = li.join(
+        ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey)
+    ).count()
+    assert hits > 0  # q9's join path is non-vacuous
