@@ -12,6 +12,7 @@ from data_engineering_spark import (  # noqa: F401
     queries_extra,
     queries_llm,
     queries_relational,
+    queries_tpch_ps,
 )
 from data_engineering_spark.catalog import load_table
 from data_engineering_spark.plans.explain import (
@@ -173,6 +174,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "text_stats": 0,                  # pure expressions over the scan
         "curate_pii_redact": 0,           # regex projection, zero exchanges
         "lake_delete_scan": 1,            # post-DML snapshot agg
+        "tpch_q2_min_cost_supplier": 1,   # window min on ps_partkey only
+        "tpch_q9_product_type_profit": 1, # lineitem⋈orders; all dims broadcast
+        "tpch_q11_important_stock": 3,    # part agg + 1-row total + reuse
+        "tpch_q16_parts_supplier_relationship": 2,  # distinct-count 2-phase
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
