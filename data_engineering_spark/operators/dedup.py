@@ -37,6 +37,7 @@ __all__ = [
     "simhash_signature_arrow",
     "simhash_near_dedup",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_exact",
     "canonical_assignment",
 ]
 
@@ -399,6 +400,43 @@ def simhash_near_dedup(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via the shared-shingle join: two docs
+    pair iff they share ≥1 gram, the intersection is the count of shared
+    distinct grams, and the union comes from per-doc gram counts —
+    no blocking heuristic, no hashing, so DuckDB reproduces it verbatim
+    (this is the oracle-checked baseline; ``ngram_jaccard_pairs`` with
+    rarest-shingle blocking is the scale path). Work is quadratic only
+    within shingle-sharing groups, which is exactly the frequent-gram
+    trap the blocked variant's bucket purge exists for."""
+    sh = df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("g"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "g")
+    b = sh.select(F.col(id_col).alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("na")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -197,6 +197,49 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+@query(
+    "dedup_ngram_exact",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+                generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS ord,
+                len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
+         FROM documents),
+       grams AS (
+         SELECT doc_id,
+                tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+         FROM toks WHERE n_toks >= 3
+         WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+         UNION ALL
+         SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+         FROM documents
+         WHERE len(string_split_regex(trim(lower(text)), '\s+')) < 3),
+       dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
+       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM dg GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+         FROM dg a JOIN dg b USING (g) WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b,
+              round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b
+       WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5""",
+)
+def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard pairs (operators/dedup.py:
+    ngram_jaccard_pairs_exact) — the oracle-checked text near-dedup:
+    shared-shingle join, no hashing, no blocking heuristic, so DuckDB
+    reproduces the whole computation (gram sets, intersections, union
+    sizes, rounded Jaccard) and hash-compares values. The blocked and
+    minhash variants are the scale paths this baseline validates
+    against."""
+    from .operators.dedup import ngram_jaccard_pairs_exact
+
+    return ngram_jaccard_pairs_exact(_docs(spark, sf_dir))
+
+
 @query("dedup_shared_passages")  # rows-only: rolling-hash prints are engine-specific
 def q_dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage detection: explode winnowed fingerprints, self-join
