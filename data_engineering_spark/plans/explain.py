@@ -85,7 +85,13 @@ def has_partial_aggregate(df: DataFrame) -> bool:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Count of WholeStageCodegen spans — wider/fewer is better (more
-    operators fused into generated code)."""
+    operators fused into generated code).
+
+    Caveat: an AQE-wrapped plan (any query with an exchange) prints
+    ``isFinalPlan=false`` without codegen ids until executed, so this
+    reads 0 for unexecuted adaptive plans — meaningful only for
+    exchange-free queries (e.g. the scalar-pack span assertion) or after
+    an action."""
     return len(set(re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))))
 
 
