@@ -13,7 +13,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from data_engineering_spark.operators.merge import apply_cdc, merge_upsert
+from data_engineering_spark.operators.merge import apply_cdc, merge_upsert, scd2_apply
 
 KEYS = st.integers(min_value=0, max_value=6)
 VALS = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
@@ -68,3 +68,48 @@ def test_apply_cdc_equals_replay(spark, tgt, feed):
     )
     out = apply_cdc(_df(spark, tgt), changes, ["k"], op_col="op", seq_col="seq")
     assert {r.k: r.v for r in out.collect()} == expected
+
+
+scd2_batches = st.lists(
+    st.dictionaries(KEYS, st.sampled_from(["a", "b", "c"]), min_size=1, max_size=4),
+    min_size=1,
+    max_size=3,
+)
+
+_SCD2_SETTINGS = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.mark.usefixtures("spark")
+@given(batches=scd2_batches)
+@_SCD2_SETTINGS
+def test_scd2_sequential_batches_keep_temporal_invariants(spark, batches):
+    """After any sequence of update batches: per key, exactly one current
+    row; history validity ranges never overlap and chain contiguously;
+    the current attribute equals the last batch that changed the key."""
+    dim = spark.createDataFrame([], "k long, tier string, valid_from date, valid_to date, is_current boolean")
+    latest: dict[int, str] = {}
+    for day, batch in enumerate(batches, start=1):
+        upd = spark.createDataFrame(sorted(batch.items()), "k long, tier string")
+        # localCheckpoint: each apply joins the previous output, so the
+        # un-truncated plan doubles per batch and analysis dominates
+        dim = scd2_apply(dim, upd, "k", ["tier"], f"2024-06-{day:02d}").localCheckpoint()
+        latest.update(batch)
+    rows = dim.collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+    assert set(by_key) == set(latest)
+    for k, rs in by_key.items():
+        cur = [r for r in rs if r.is_current]
+        assert len(cur) == 1
+        assert cur[0].tier == latest[k]
+        assert str(cur[0].valid_to) == "9999-12-31"
+        # ranges chain: sorted by valid_from, each close date equals the
+        # next row's open date, no overlaps
+        rs_sorted = sorted(rs, key=lambda r: str(r.valid_from))
+        for a, b in zip(rs_sorted[:-1], rs_sorted[1:]):
+            assert str(a.valid_to) == str(b.valid_from)
