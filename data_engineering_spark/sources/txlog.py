@@ -552,35 +552,59 @@ class LakeTable:
     # ------------------------------------------------------------------ read
 
     def _df_for(self, snap: _Snapshot, paths: list[str] | None = None) -> DataFrame:
+        """Build the DataFrame for a set of logged files.
+
+        Partitioned files don't carry their partition columns in the
+        body, so values are re-attached from the log. Grouping is by
+        partition KEY SET (almost always one group), with the values
+        joined in from a broadcast (file → partition values) lookup on
+        ``input_file_name()`` — NOT one scan per partition VALUE: a
+        1000-partition table would otherwise plan a 1000-way union whose
+        analysis alone dwarfs the query. The lookup is file-count-sized,
+        the same thing the log already holds in memory."""
         from pyspark.sql import functions as F
 
         sel = sorted(snap.files) if paths is None else paths
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
         if not sel:
             return self.spark.createDataFrame([], schema)
-        # group by partition tuple: partitioned files don't carry their
-        # partition columns in the body — re-attach them as literals
         groups: dict[tuple, list[str]] = {}
         for p in sel:
             part = snap.files[p].get("partition", {})
-            groups.setdefault(tuple(sorted(part.items())), []).append(p)
+            groups.setdefault(tuple(sorted(part)), []).append(p)
         types = {f.name: f.dataType for f in schema.fields}
+        cols = [f.name for f in schema.fields]
         outs = []
-        # repr key: partition values may be None (Hive null) alongside
-        # strings, which plain tuple comparison can't order
-        for part_items, files in sorted(groups.items(), key=repr):
-            part = dict(part_items)
-            sub_schema = T.StructType(
-                [f for f in schema.fields if f.name not in part]
+        for keys, files in sorted(groups.items()):
+            full = [os.path.join(self.path, p) for p in files]
+            if not keys:
+                outs.append(self.spark.read.schema(schema).parquet(*full).select(*cols))
+                continue
+            sub_schema = T.StructType([f for f in schema.fields if f.name not in keys])
+            df = (
+                self.spark.read.schema(sub_schema)
+                .parquet(*full)
+                .withColumn(
+                    "__file__", F.element_at(F.split(F.input_file_name(), "/"), -1)
+                )
             )
-            df = self.spark.read.schema(sub_schema).parquet(
-                *[os.path.join(self.path, p) for p in files]
+            lk_schema = T.StructType(
+                [T.StructField("__file__", T.StringType(), False)]
+                + [T.StructField(k, T.StringType(), True) for k in keys]
             )
-            for k, v in part.items():
+            lk = self.spark.createDataFrame(
+                [
+                    tuple([p] + [snap.files[p]["partition"].get(k) for k in keys])
+                    for p in files
+                ],
+                lk_schema,
+            )
+            df = df.join(F.broadcast(lk), "__file__").drop("__file__")
+            for k in keys:
                 # add-actions store unescaped values; null is stored as
                 # JSON null (see _stage), so no sentinel decoding here
-                df = df.withColumn(k, F.lit(v).cast(types[k]))
-            outs.append(df.select(*[f.name for f in schema.fields]))
+                df = df.withColumn(k, F.col(k).cast(types[k]))
+            outs.append(df.select(*cols))
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
