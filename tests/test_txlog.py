@@ -307,3 +307,52 @@ def test_dml_preserves_partition_metadata(spark, tmp_path):
     assert kept < total
     assert all("partition" in st for st in t.files().values())
     assert t.scan(filters=[("day", "=", "2024-01-02")]).count() == 5
+
+
+def test_random_op_sequences_match_model_and_time_travel(spark, tmp_path):
+    """Model-based check over the whole DML surface: seeded random
+    sequences of append / delete_where / update_where /
+    replace_partitions must leave scan() equal to a dict-replay model at
+    EVERY step, and every committed version must time-travel back to
+    exactly the model state it was committed with."""
+    import random
+
+    schema = "id long, val long, day string"
+    for seed in (1, 7):
+        rng = random.Random(seed)
+        t = LakeTable(spark, str(tmp_path / f"rnd{seed}"))
+        rows = [(i, rng.randint(0, 50), str(rng.randint(0, 3))) for i in range(20)]
+        t.create(spark.createDataFrame(rows, schema), partition_by=["day"])
+        model = {i: (v, d) for i, v, d in rows}
+        by_version = {t.latest_version(): dict(model)}
+        for step in range(8):
+            op = rng.choice(["append", "delete", "update", "replace"])
+            if op == "append":
+                new = [
+                    (100 + step * 10 + j, rng.randint(0, 50), str(rng.randint(0, 3)))
+                    for j in range(5)
+                ]
+                t.append(spark.createDataFrame(new, schema), partition_by=["day"])
+                model.update({i: (v, d) for i, v, d in new})
+            elif op == "delete":
+                cut = rng.randint(0, 50)
+                t.delete_where(f"val < {cut}")
+                model = {i: vd for i, vd in model.items() if not vd[0] < cut}
+            elif op == "update":
+                cut = rng.randint(0, 50)
+                t.update_where(f"val >= {cut}", {"val": "val + 1"})
+                model = {
+                    i: (v + 1 if v >= cut else v, d) for i, (v, d) in model.items()
+                }
+            else:
+                day = str(rng.randint(0, 3))
+                new = [(200 + step * 10 + j, rng.randint(0, 50), day) for j in range(3)]
+                t.replace_partitions(spark.createDataFrame(new, schema), ["day"])
+                model = {i: vd for i, vd in model.items() if vd[1] != day}
+                model.update({i: (v, d) for i, v, d in new})
+            by_version[t.latest_version()] = dict(model)
+            got = {r.id: (r.val, r.day) for r in t.scan().collect()}
+            assert got == model, (seed, step, op)
+        for v, m in by_version.items():
+            got = {r.id: (r.val, r.day) for r in t.scan(version=v).collect()}
+            assert got == m, (seed, v)
