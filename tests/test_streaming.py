@@ -356,3 +356,58 @@ def test_interval_join_incremental_matches_batch(spark, sf_dir, tmp_path):
     )
     expected = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert got == expected and expected  # non-vacuous
+
+
+def test_multi_microbatch_incremental_aggregation(spark, sf_dir, tmp_path):
+    """Incremental processing across MANY micro-batches (the daily-batch
+    cadence ST6 models): with the input split into files and
+    maxFilesPerTrigger=1, an AvailableNow run must process batch-by-batch
+    through the same checkpoint and still produce exactly the batch
+    answer — state carries across micro-batches, nothing is double- or
+    under-counted."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "parts")
+    os.makedirs(src)
+    # split events into 3 replay files by event_id stripe
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(f"{src}/f{i}")
+    for i in range(3):
+        part = [f for f in os.listdir(f"{src}/f{i}") if f.endswith(".parquet")][0]
+        shutil.move(f"{src}/f{i}/{part}", f"{src}/batch{i}.parquet")
+        shutil.rmtree(f"{src}/f{i}")
+
+    schema = ev.schema
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    sink_dir = str(tmp_path / "inc_sink")
+    seen_batches = []
+
+    def sink(df, batch_id):
+        seen_batches.append(batch_id)
+        (df.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+         .withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(sink_dir))
+
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen_batches) == 3  # one micro-batch per file
+    got = (
+        spark.read.parquet(sink_dir)
+        .groupBy("event_type")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    want = {r.event_type: r.cnt for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert {r.event_type: r.cnt for r in got} == want
