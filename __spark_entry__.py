@@ -38,6 +38,14 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # The driver sweeps the FIRST 50 registered names per round, so order is a
 # verification-scheduling decision. Priority window (exactly 50, all
 # oracle-backed — finalize_order raises on rows-only entries here):
+#
+# ROUND-5 ROTATION NOTE: after this round's sweep, the only oracle-backed
+# queries with NO driver signal in any round are the six added mid-round-4
+# (tpch_q2_min_cost_supplier, tpch_q9_product_type_profit,
+# tpch_q11_important_stock, tpch_q16_parts_supplier_relationship,
+# nl_query_template, dedup_ngram_exact) — put them first in the next
+# priority list, then refresh the r1-only greens (text_*/dedup_exact/
+# sim_*/search_*/nlp_*/mm_* pack, last swept round 1).
 #   1. the 10 events-table queries that ERR'd in round 3 (regression fix
 #      needs a current-round green), then
 #   2. the 38 oracle-backed queries no round has ever swept (merge/lake/
