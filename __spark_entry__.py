@@ -37,83 +37,85 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 
 # The driver sweeps the FIRST 50 registered names per round, so order is a
 # verification-scheduling decision. Priority window (exactly 50, all
-# oracle-backed — finalize_order raises on rows-only entries here):
+# oracle-backed — finalize_order raises on rows-only entries here).
 #
-# ROUND-5 ROTATION NOTE: after this round's sweep, the only oracle-backed
-# queries with NO driver signal in any round are the six added mid-round-4
-# (tpch_q2_min_cost_supplier, tpch_q9_product_type_profit,
-# tpch_q11_important_stock, tpch_q16_parts_supplier_relationship,
-# nl_query_template, dedup_ngram_exact) — put them first in the next
-# priority list, then refresh the r1-only greens (text_*/dedup_exact/
-# sim_*/search_*/nlp_*/mm_* pack, last swept round 1).
-#   1. the 10 events-table queries that ERR'd in round 3 (regression fix
-#      needs a current-round green), then
-#   2. the 38 oracle-backed queries no round has ever swept (merge/lake/
-#      curation/profiling packs, deep TPC-H, join extras), then
-#   3. the 2 Arrow-NLP queries whose r1 ERR predates their
-#      canonicalizer-safe serialization.
-# Everything else keeps registration order behind them; all 16 rows-only
-# queries sink to the tail so no sweep slot records a weak no_oracle row.
+# Round-5 window. After round 4's 50/50-green sweep, the state is:
+#   - 11 oracle-backed queries have NO green driver row in any round
+#     (6 registered mid-round-4 after that round's window froze, 5 swept
+#     only in round 1 before their oracles existed) — they lead.
+#   - 13 queries are green only from round 1, but their implementations
+#     changed materially in round 4 (shingle_hashes/tokens rewrites,
+#     decontaminate broadcast removal) — their r1 rows are evidence about
+#     old code; they refresh next.
+#   - The rest of the window re-proves round-2-era greens (deep TPC-H,
+#     join shapes, streaming batch twins, flagship) oldest-first.
+# Simple r2-green projections/filters with unchanged implementations
+# (p1/p2/p5–p8, a3/a4/a7/a8/a10/a11, o1, u3/u4, f8) stay behind the
+# window in registration order; all 16 rows-only queries sink to the tail
+# so no sweep slot records a weak no_oracle row.
+#
+# ROUND-6 ROTATION NOTE: if this window sweeps green, every oracle-backed
+# query has a green row from round 2+ except the 16 names listed above —
+# lead round 6 with those, then rotate by staleness (oldest green first).
 registry.finalize_order(
     [
-        # -- round-3 events regressions --------------------------------
-        "p4_computed_interval_column",
-        "p9_boolean_compound_filter",
-        "p10_value_scrub",
-        "j6_asof_join",
-        "a5_last_wins_merge",
-        "w2_moving_avg",
-        "w3_lag_delta",
-        "f10_timestamp_rebuild",
-        "f17_json_extract",
-        "s2_dialect_sql_etl",
-        # -- never driver-swept: aggregations / joins ------------------
-        "a14_grouping_sets",
-        "a15_percentiles",
-        "a16_nested_doc_assembly",
-        "j7_cross_join",
-        "j8_range_join",
-        "j9_salted_join",
-        "j10_fuzzy_join",
-        # -- never driver-swept: profiling / quality / skew ------------
-        "prof_orders_profile",
-        "dq_expectations",
-        "skew_top_keys",
-        # -- never driver-swept: DML / lakehouse -----------------------
-        "m1_merge_upsert",
-        "m2_cdc_apply",
-        "m3_scd2_dimension",
-        "mv_incremental_refresh",
-        "lake_time_travel",
-        "lake_delete_scan",
-        "lake_zorder_scan",
-        # -- never driver-swept: curation pack -------------------------
-        "curate_pii_redact",
-        "curate_quality_repetition",
-        "curate_sample_stratified",
-        "curate_decontaminate",
-        "curate_mixture_weights",
-        "curate_pack_concat",
-        "curate_chunk_sliding",
-        "curate_unigram_nll",
-        # -- never driver-swept: streaming twin / text -----------------
-        "st_interval_join",
-        "explode_top_tokens",
-        # -- never driver-swept: deep TPC-H ----------------------------
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q12_late_shipments",
-        "tpch_q13_order_distribution",
-        "tpch_q15_top_supplier",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_orders",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q20_part_suppliers",
-        "tpch_q21_waiting_suppliers",
-        "tpch_q22_global_sales_opportunity",
-        # -- r1 ERRs, since serialized canonicalizer-safe --------------
-        "nlp_tokenize_pandas",
-        "nlp_embed_text",
+        # -- no driver signal in any round (registered mid-r4) ---------
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_type_profit",
+        "tpch_q11_important_stock",
+        "tpch_q16_parts_supplier_relationship",
+        "nl_query_template",
+        "dedup_ngram_exact",
+        # -- no signal: swept r1 before their oracles existed ----------
+        "nlp_keyword_extract",
+        "nlp_split_sentences",
+        "mm_media_metadata",
+        "mm_sample_frames",
+        "sim_cosine_topk_fast",
+        # -- r1-only greens whose implementations changed in r4 --------
+        "text_stats",
+        "text_token_count",
+        "text_fingerprint",
+        "text_lang_id",
+        "text_quality",
+        "dedup_exact",
+        "sim_cosine_topk",
+        "sim_cosine_near_pairs",
+        "dedup_embedding",
+        "search_tfidf_rank",
+        "search_bm25_rank",
+        "corpus_prepare",
+        "nlp_tfidf_keywords",
+        # -- headline + r1-only streaming batch twins ------------------
+        "flagship_serving_index",
+        "st_tumbling_counts",
+        "st_sliding_value_sum",
+        "st_session_windows",
+        # -- r2-era greens: deep TPC-H ---------------------------------
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q4_order_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q6_forecast_revenue",
+        "tpch_q10_returned_items",
+        "tpch_q14_promo_revenue",
+        # -- r2-era greens: join shapes --------------------------------
+        "j2_inner_join_filter",
+        "j3_semi_join",
+        "j4_broadcast_lookup_join",
+        "j5_anti_join",
+        # -- r2-era greens: aggregation / window / set / scalar --------
+        "a1_listagg_distinct",
+        "a2_collect_list_sorted",
+        "a6_vector_assembly",
+        "a9_rollup",
+        "a13_grouped_pivot",
+        "w1_rank_in_group",
+        "p11_fulltext_search",
+        "p12_concat_projection",
+        "u1_union_all",
+        "f_scalar_pack",
+        "o3_topk",
     ]
 )
 

@@ -69,15 +69,28 @@ def _cond_sql(cond: str, cols: list[str]) -> str:
     parts = []
     for t in terms:
         m = re.fullmatch(
-            r"\s*(\w+)\s*(>=|<=|!=|=|>|<|is|contains)\s*(.+?)\s*", t, flags=re.I
+            r"\s*(\w+)\s*(>=|<=|!=|=|>|<|is\s+not|is|contains)\s*(.+?)\s*",
+            t,
+            flags=re.I,
         )
         if not m:
             raise NLQueryError(f"cannot parse condition term '{t.strip()}'")
-        col, op, val = m.group(1), m.group(2).lower(), m.group(3)
+        col, op, val = m.group(1), re.sub(r"\s+", " ", m.group(2).lower()), m.group(3)
         _ident(col, cols, "column")
         if op == "contains":
-            needle = val.strip().strip("'\"").replace("'", "''")
-            parts.append(f"{col} LIKE '%{needle}%'")
+            # LIKE wildcards in the user value must match literally. '!'
+            # is the escape char because '\' is itself an escape inside
+            # Spark SQL string literals but not DuckDB's — '!' reads the
+            # same in both engines.
+            needle = (
+                val.strip().strip("'\"").replace("'", "''")
+                .replace("!", "!!").replace("%", "!%").replace("_", "!_")
+            )
+            parts.append(f"{col} LIKE '%{needle}%' ESCAPE '!'")
+        elif op in ("is", "is not") and val.strip().strip("'\"").lower() == "null":
+            parts.append(f"{col} IS {'NOT ' if op == 'is not' else ''}NULL")
+        elif op == "is not":
+            parts.append(f"{col} <> {_value_sql(val)}")
         else:
             parts.append(f"{col} {_OPS[op]} {_value_sql(val)}")
     return " AND ".join(parts)
@@ -131,7 +144,11 @@ def compile_nl(text: str, schemas: dict[str, list[str]]) -> str:
             f"FROM {table}{where} GROUP BY {dim_list}"
         )
         if m.group(6):
-            sql += f" ORDER BY {alias} DESC LIMIT {int(m.group(6))}"
+            # Dims are a unique key of the grouped result, so appending
+            # them makes the top-N cutoff deterministic when aggregate
+            # values tie (otherwise two engines can legally pick
+            # different rows at the LIMIT boundary).
+            sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(6))}"
         return sql
 
     # -- show COL[, COL...] from TABLE [where COND] [limit N] ---------

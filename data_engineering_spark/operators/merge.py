@@ -63,8 +63,15 @@ def merge_upsert(
         from pyspark.sql import Window
 
         n_src = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        # A row with any null key can never match a target row (the join
+        # equality is null-unsafe), so each one legally inserts — but the
+        # window groups null keys together, which would trip the guard.
+        # Exempt them: only all-non-null keys can fan out.
+        keys_joinable = F.lit(True)
+        for k in keys:
+            keys_joinable = keys_joinable & F.col(k).isNotNull()
         present = F.when(
-            n_src > 1,
+            keys_joinable & (n_src > 1),
             F.raise_error(
                 F.concat(
                     F.lit("merge_upsert: multiple source rows for key ("),

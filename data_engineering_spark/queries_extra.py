@@ -572,7 +572,8 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
               round(avg(o_totalprice), 2) AS avg_o_totalprice
        FROM orders WHERE o_totalprice > 1000
        GROUP BY o_orderstatus, o_orderpriority
-       ORDER BY avg_o_totalprice DESC LIMIT 5""",
+       ORDER BY avg(o_totalprice) DESC, o_orderstatus, o_orderpriority
+       LIMIT 5""",
 )
 def q_nl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UD4 — deterministic NL→Spark-SQL template layer

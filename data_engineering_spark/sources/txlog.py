@@ -159,6 +159,10 @@ class _Snapshot:
 class LakeTable:
     """A transaction-logged parquet table rooted at ``path``."""
 
+    # Upper bound on distinct partition tuples a single replace_partitions
+    # commit may carry (guards the driver-side distinct collect).
+    MAX_PARTITIONS_PER_COMMIT = 100_000
+
     def __init__(self, spark: SparkSession, path: str, checkpoint_every: int = 10):
         self.spark = spark
         self.path = path
@@ -408,10 +412,23 @@ class LakeTable:
         and unlike directory-swap, readers see the swap as one commit
         and old versions still time-travel. The distinct-tuple collect
         is bounded by the number of partitions in the BATCH (a daily
-        load carries a handful of dates)."""
+        load carries a handful of dates). A guard caps the collect at
+        ``MAX_PARTITIONS_PER_COMMIT`` tuples — a high-cardinality
+        ``partition_by`` (e.g. a raw id column) would otherwise collect
+        millions of tuples to the driver; fail loudly instead."""
+        cap = self.MAX_PARTITIONS_PER_COMMIT
+        rows = df.select(*partition_by).distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"replace_partitions: batch carries more than {cap} distinct "
+                f"partition tuples for {partition_by} — this is almost "
+                "certainly a mis-chosen partition column (cardinality too "
+                "high for a partition layout); pick a coarser key or raise "
+                "MAX_PARTITIONS_PER_COMMIT explicitly"
+            )
         incoming = {
             tuple(sorted((k, None if r[k] is None else str(r[k])) for k in partition_by))
-            for r in df.select(*partition_by).distinct().collect()
+            for r in rows
         }
         snap = self._snapshot()
         victims = [
@@ -592,9 +609,25 @@ class LakeTable:
                 [T.StructField("__file__", T.StringType(), False)]
                 + [T.StructField(k, T.StringType(), True) for k in keys]
             )
+            # The data side joins on the BASENAME of input_file_name(), so
+            # the lookup must key on basenames too (correct even if a
+            # future layout nests logged paths under partition dirs) — and
+            # basenames must be unique or the inner broadcast join would
+            # silently duplicate/drop rows. _stage guarantees uuid names;
+            # fail loudly if that invariant ever breaks.
+            basenames = [os.path.basename(p) for p in files]
+            if len(set(basenames)) != len(basenames):
+                raise RuntimeError(
+                    "txlog: duplicate data-file basenames in one snapshot "
+                    "group — the partition-value recovery join requires "
+                    "unique basenames (see _stage)"
+                )
             lk = self.spark.createDataFrame(
                 [
-                    tuple([p] + [snap.files[p]["partition"].get(k) for k in keys])
+                    tuple(
+                        [os.path.basename(p)]
+                        + [snap.files[p]["partition"].get(k) for k in keys]
+                    )
                     for p in files
                 ],
                 lk_schema,

@@ -52,10 +52,15 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, str]:
     so the probe reads parquet footer metadata only — no data scan."""
     import pyarrow.parquet as pq
 
-    ts_type = str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type)
-    if ts_type.startswith("timestamp[ns"):
+    ts_type = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    # Mirror catalog.load_table's three-way dtype branch (nanos → long,
+    # tz-naive micros → NTZ, tz-aware → TimestampType passthrough) so the
+    # same dtype drift that broke the batch loader can't break streaming.
+    if getattr(ts_type, "unit", None) == "ns":
         spark_ts, expr = T.LongType(), "timestamp_micros(ts div 1000)"
-    else:  # timestamp[us] → Spark reads TIMESTAMP_NTZ; session TZ is UTC
+    elif getattr(ts_type, "tz", None) is not None:
+        spark_ts, expr = T.TimestampType(), "ts"
+    else:  # timestamp[us/ms] tz-naive → Spark reads TIMESTAMP_NTZ
         spark_ts, expr = T.TimestampNTZType(), "cast(ts as timestamp)"
     schema = T.StructType(
         [

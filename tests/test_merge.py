@@ -44,6 +44,23 @@ def test_merge_rejects_duplicate_source_keys(spark):
     assert merge_upsert(tgt, src, ["k"], validate_source_keys=False).count() == 3
 
 
+def test_merge_null_source_keys_insert_without_tripping_guard(spark):
+    """Null-key source rows never match any target row (the join equality
+    is null-unsafe), so two of them legally insert two rows — the
+    duplicate-key guard must not fire on them."""
+    tgt = spark.createDataFrame([(1, "a")], "k long, name string")
+    src = spark.createDataFrame([(None, "x"), (None, "y"), (2, "b")], "k long, name string")
+    out = merge_upsert(tgt, src, ["k"]).collect()
+    assert len(out) == 4
+    assert sorted(r.name for r in out) == ["a", "b", "x", "y"]
+    # ...but duplicate NON-null keys still fail loudly
+    from pyspark.errors import PySparkException
+
+    dup = spark.createDataFrame([(None, "x"), (2, "b"), (2, "c")], "k long, name string")
+    with pytest.raises(PySparkException, match="multiple source rows"):
+        merge_upsert(tgt, dup, ["k"]).collect()
+
+
 def test_cdc_latest_wins_and_delete(spark):
     tgt = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["k", "v"])
     ch = spark.createDataFrame(

@@ -29,7 +29,8 @@ def test_compile_agg_by_show_top():
         "FROM orders GROUP BY o_orderstatus"
     )
     sql = compile_nl("total value by event_type in events top 3", SCHEMAS)
-    assert sql.endswith("ORDER BY sum_value DESC LIMIT 3")
+    # dims appended as tiebreakers so the LIMIT cutoff is deterministic
+    assert sql.endswith("ORDER BY sum_value DESC, event_type LIMIT 3")
     sql = compile_nl("show o_orderkey, o_totalprice from orders where o_totalprice >= 100 limit 7", SCHEMAS)
     assert sql == (
         "SELECT o_orderkey, o_totalprice FROM orders "
@@ -40,7 +41,26 @@ def test_compile_agg_by_show_top():
     )
     # contains → LIKE, with quote escaping
     sql = compile_nl("show event_type from events where event_type contains li'ck", SCHEMAS)
-    assert "LIKE '%li''ck%'" in sql
+    assert "LIKE '%li''ck%' ESCAPE '!'" in sql
+
+
+def test_contains_escapes_like_wildcards():
+    """% and _ in a 'contains' value must match literally, not as LIKE
+    wildcards ('!' escape reads identically in Spark SQL and DuckDB)."""
+    sql = compile_nl("show event_type from events where event_type contains 50%_a!b", SCHEMAS)
+    assert "LIKE '%50!%!_a!!b%' ESCAPE '!'" in sql
+
+
+def test_is_null_predicates():
+    sql = compile_nl("count events where value is null", SCHEMAS)
+    assert sql == "SELECT count(*) AS n FROM events WHERE value IS NULL"
+    sql = compile_nl("count events where value is not null", SCHEMAS)
+    assert sql == "SELECT count(*) AS n FROM events WHERE value IS NOT NULL"
+    # 'is' / 'is not' against a non-null value keep equality semantics
+    sql = compile_nl("count events where event_type is click", SCHEMAS)
+    assert sql == "SELECT count(*) AS n FROM events WHERE event_type = 'click'"
+    sql = compile_nl("count events where event_type is not click", SCHEMAS)
+    assert sql == "SELECT count(*) AS n FROM events WHERE event_type <> 'click'"
 
 
 def test_unknown_fields_rejected():

@@ -262,6 +262,19 @@ def test_replace_partitions_is_idempotent_swap(spark, tmp_path):
     assert t.scan().filter("day = '2024-01-02'").count() == 5
 
 
+def test_replace_partitions_caps_partition_cardinality(spark, tmp_path, monkeypatch):
+    """A runaway high-cardinality partition_by must fail loudly instead
+    of collecting millions of tuples to the driver."""
+    t = LakeTable(spark, str(tmp_path / "cap"))
+    t.create(_pdf(spark, ["2024-01-01"]), partition_by=["day"])
+    monkeypatch.setattr(LakeTable, "MAX_PARTITIONS_PER_COMMIT", 3)
+    wide = spark.range(10).selectExpr(
+        "cast(id as string) as day", "id as n", "'t' as tag"
+    )
+    with pytest.raises(ValueError, match="distinct partition tuples"):
+        t.replace_partitions(wide, ["day"])
+
+
 def test_partition_values_needing_escaping_roundtrip(spark, tmp_path):
     """Hive dir names URL-escape ``:`` and space and spell null as
     __HIVE_DEFAULT_PARTITION__ — add-actions must store the UNESCAPED
