@@ -24,6 +24,7 @@ from data_engineering_spark import (  # noqa: E402,F401
     queries_extra,
     queries_llm,
     queries_relational,
+    queries_tpch_ps,
 )
 from data_engineering_spark.session import get_spark  # noqa: E402
 
@@ -47,6 +48,10 @@ HEADLINE = [
     "tpch_q17_small_quantity_revenue",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_relationship",
     "s2_dialect_sql_etl",
     "a1_listagg_distinct",
     "a5_last_wins_merge",

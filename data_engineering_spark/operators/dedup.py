@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from .text import fingerprint, tokens
 
+# Below this many total input bytes, a runtime broadcast of any verify-join
+# side is harmless (the whole corpus fits in a single broadcast many times
+# over), so minhash_near_dedup's "auto" mode leaves the joins to AQE.
+_SMALL_CORPUS_BYTES = 4 << 20
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -42,6 +47,44 @@ __all__ = [
 ]
 
 
+def _size_bytes(conf_value: str) -> int:
+    """Parse a Spark byte-size conf string ('134217728b', '128m', …)."""
+    v = conf_value.strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if v.endswith(suffix):
+            v, mult = v[: -len(suffix)], m
+            break
+    return int(v) * mult
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the DataFrame's input files, or None when
+    unknowable from the driver (no file source, or a non-local scheme
+    where stat-ing every file isn't free). Pure driver-side fs metadata —
+    no Spark job, no RDD conversion."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    return total
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Fan out CPU-heavy per-row work across all cores.
 
@@ -50,11 +93,34 @@ def _spread(df: DataFrame) -> DataFrame:
     projection serializes. A round-robin repartition to the default
     parallelism makes the shingle/hash stages scale with cores — but ONLY
     when the input is under-split: a 100 TB corpus already scanning as
-    thousands of tasks must not pay a full-data shuffle for nothing, so
-    the repartition is conditional on the actual partition count."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    thousands of tasks must not pay a full-data shuffle for nothing.
+
+    The scan-task estimate is file metadata only — max(file count,
+    total bytes / maxPartitionBytes), matching how FileSourceScanExec
+    splits — so building a dedup query never forces plan analysis
+    through the RDD API. Frames with no file source (in-memory test
+    data) fall back to the RDD partition probe, which is cheap there."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    nbytes = _input_bytes(df)
+    if nbytes is None:
+        files = []
+        try:
+            files = df.inputFiles()
+        except Exception:  # noqa: BLE001
+            pass
+        if files:
+            # remote files: count alone (each file is ≥1 task); a corpus
+            # of thousands of objects is already well-split
+            scan_tasks = len(files)
+        else:
+            scan_tasks = df.rdd.getNumPartitions()
+    else:
+        max_split = _size_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+        )
+        scan_tasks = max(len(df.inputFiles()), -(-nbytes // max(max_split, 1)))
+    if scan_tasks >= target:
         return df
     return df.repartition(target)
 
@@ -143,7 +209,8 @@ def minhash_near_dedup(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.6,
-    max_bucket: int | None = 1024,
+    max_bucket: int | None | str = "auto",
+    verify_join: str = "auto",
 ) -> DataFrame:
     """MinHash + banded LSH near-dedup → (id_a, id_b, jaccard) pairs.
 
@@ -163,14 +230,42 @@ def minhash_near_dedup(
       C(k,2) pair fan-out (5B pairs per band for k=100k) belongs to the
       cheap hash-groupBy ``exact_dedup`` pass that should run first, not
       to pairwise verification. Same policy as the n-gram blocker's
-      bucket purge. ``None`` disables.
-    - the verify joins carry SHUFFLE_HASH hints: both sides (candidate
-      pairs, per-doc shingle sets) are data-sized, but they sit behind a
-      join+distinct where the planner's size estimate collapses — left
-      free, Spark picks a runtime broadcast that OOMs the driver once
-      the corpus is real (reproduced at the 10x synthetic SF).
+      bucket purge. ``None`` disables; the default ``"auto"`` applies
+      1024 only when the corpus is big or unknowable: the guard pass is
+      one extra agg+join whose cost at toy scale is pure fixed stage
+      overhead (~1s of the r4 bench's 2.6s — the only r4 regression),
+      while a sub-``_SMALL_CORPUS_BYTES`` corpus can't produce a pair
+      fan-out big enough to matter even fully quadratic.
+    - ``verify_join`` controls the verify joins' strategy: both sides
+      (candidate pairs, per-doc shingle sets) are data-sized, but they
+      sit behind a join+distinct where the planner's size estimate
+      collapses — left free, Spark picks a runtime broadcast that OOMs
+      the driver once the corpus is real (reproduced at the 10x
+      synthetic SF). But the forced SHUFFLE_HASH overpays at toy scale
+      (the r4 bench's only regression, 1.6s→2.6s at sf0.1, was exactly
+      this hint suppressing a genuinely-fine broadcast). ``"auto"``
+      gates on the measured input bytes: corpora whose files total under
+      ``_SMALL_CORPUS_BYTES`` leave the join to AQE (any runtime
+      broadcast is provably tiny), larger or unknowable inputs get the
+      hint. ``"shuffle_hash"`` / ``"none"`` force either way.
     """
     from pyspark import StorageLevel
+
+    small_corpus: bool | None = None  # resolved lazily, probed at most once
+
+    def _is_small() -> bool:
+        nonlocal small_corpus
+        if small_corpus is None:
+            nbytes = _input_bytes(df)
+            small_corpus = nbytes is not None and nbytes <= _SMALL_CORPUS_BYTES
+        return small_corpus
+
+    if verify_join == "auto":
+        hint_verify = not _is_small()
+    else:
+        hint_verify = verify_join == "shuffle_hash"
+    if max_bucket == "auto":
+        max_bucket = None if _is_small() else 1024
 
     rows_per_band = num_hashes // bands
     # Shingle sets are carried as hash-composed LONGS end to end (see
@@ -243,19 +338,13 @@ def minhash_near_dedup(
         .distinct()
     )
     sh_v = sh.join(cand_ids, id_col, "left_semi")
+    sh_a = sh_v.withColumnRenamed(id_col, "id_a").withColumnRenamed("shset", "sh_a")
+    sh_b = sh_v.withColumnRenamed(id_col, "id_b").withColumnRenamed("shset", "sh_b")
+    if hint_verify:
+        sh_a, sh_b = sh_a.hint("shuffle_hash"), sh_b.hint("shuffle_hash")
     verified = (
-        cand.join(
-            sh_v.withColumnRenamed(id_col, "id_a")
-            .withColumnRenamed("shset", "sh_a")
-            .hint("shuffle_hash"),
-            "id_a",
-        )
-        .join(
-            sh_v.withColumnRenamed(id_col, "id_b")
-            .withColumnRenamed("shset", "sh_b")
-            .hint("shuffle_hash"),
-            "id_b",
-        )
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -360,12 +449,27 @@ def simhash_near_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     signature_impl: str = "expr",
+    max_bucket: int | None | str = "auto",
 ) -> DataFrame:
     """SimHash near-dedup: block on 16-bit sub-bands (pigeonhole: hamming ≤ 3
     ⇒ at least one of 4 bands identical), verify with bit_count(a XOR b).
 
     ``signature_impl="arrow"`` swaps in the zero-shuffle Arrow signature
-    builder (``simhash_signature_arrow``) — the 100 TB path."""
+    builder (``simhash_signature_arrow``) — the 100 TB path.
+
+    ``max_bucket`` purges (band, bh) buckets holding more docs than the
+    cap before the self-join, mirroring minhash's guard: pair output is
+    quadratic in cluster size, and a band shared by 100k docs is an
+    exact-dup/boilerplate mega-cluster whose C(k,2) fan-out belongs to
+    ``exact_dedup``, not pairwise verification (the 100× extreme-dup
+    probe measured 48.5s purely writing those pairs). ``None`` disables;
+    ``"auto"`` (default) caps at 1024 only for big/unknowable corpora —
+    small ones skip the guard pass (same size gate as minhash).
+    Recall on genuinely NEAR (not exact) duplicates is unaffected at any
+    realistic cap — near-dup clusters are small."""
+    if max_bucket == "auto":
+        nbytes = _input_bytes(df)
+        max_bucket = None if (nbytes is not None and nbytes <= _SMALL_CORPUS_BYTES) else 1024
     build = simhash_signature_arrow if signature_impl == "arrow" else simhash_signature
     sig = build(df, text_col, id_col)
     bands = sig.select(
@@ -385,6 +489,15 @@ def simhash_near_dedup(
             )
         ).alias("bk"),
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    if max_bucket is not None:
+        small = (
+            bands.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .filter(F.col("__bn__") <= max_bucket)
+            .select("band", "bh")
+        )
+        # same (band, bh) keying as the self-join — AQE reuses the exchange
+        bands = bands.join(small, ["band", "bh"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -1,10 +1,14 @@
 """Multimodal column plumbing (SURVEY §2.10 north-star: image/audio/video
 as opaque binary columns with typed metadata).
 
-The decode step is STUBBED (image/audio libraries are not in this
-container — see ``decode_image``); everything Spark-side is real and
-tested: schema, partition-aware batching via ``mapInPandas``, Arrow batch
-shapes, metadata extraction, frame-sampling plumbing.
+Image decode is REAL for the two dependency-free raw-pixel formats —
+binary PPM (P6) and uncompressed 24-bit BMP — implemented over numpy
+(``decode_image``); compressed formats (JPEG/PNG) would slot in behind
+the same dispatch via PIL where available. Audio/video decode stays a
+deterministic digest stand-in (no AV libs in this container), clearly
+branched per kind. Everything Spark-side is real and tested: schema,
+partition-aware batching via ``mapInPandas``, Arrow batch shapes,
+metadata extraction, pixel resize, frame-sampling plumbing.
 
 Scale design: binary payloads ride in parquet as BinaryType. Feature
 extraction runs as ``mapInPandas`` so one Arrow batch of (id, bytes) rows
@@ -15,9 +19,11 @@ is processed per call — the batch never materializes on the driver, and
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +34,7 @@ __all__ = [
     "synthetic_media",
     "media_metadata",
     "decode_image",
+    "encode_ppm",
     "resize_images",
     "extract_features",
     "sample_frames",
@@ -47,20 +54,39 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media rows for tests: content bytes are a
-    seeded digest stream, metadata is derived from the id."""
+    """Deterministic fake media rows for tests. Image rows carry a REAL
+    binary-PPM (P6) payload whose pixel bytes come from a seeded sha256
+    stream tiled to width×height×3 — so the decode/resize/feature paths
+    exercise genuine pixels, and the DuckDB oracle can reconstruct the
+    exact payload (header concat + hex-domain repeat/substring, see the
+    ``mm_media_metadata`` oracle). Audio/video payloads stay the plain
+    repeated-digest stream (no AV decode in this container)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (4 + i % 4)
+        digest = hashlib.sha256(f"media-{i}".encode()).digest()
+        width = 64 + (i % 8) * 16 if kind != "audio" else None
+        height = 48 + (i % 8) * 12 if kind != "audio" else None
+        if kind == "image":
+            npix = width * height * 3
+            payload = (
+                f"P6\n{width} {height}\n255\n".encode()
+                + (digest * ((npix + 31) // 32))[:npix]
+            )
+        else:
+            payload = digest * (4 + i % 4)
         rows.append(
             (
                 i,
                 kind,
                 payload,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
-                64 + (i % 8) * 16 if kind != "audio" else None,
-                48 + (i % 8) * 12 if kind != "audio" else None,
+                {
+                    "image": "image/x-portable-pixmap",
+                    "audio": "audio/wav",
+                    "video": "video/mp4",
+                }[kind],
+                width,
+                height,
                 1000 * (1 + i % 30) if kind != "image" else None,
             )
         )
@@ -94,28 +120,110 @@ def media_metadata(df: DataFrame, digest: str = "md5") -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> "object":
-    """STUB — image decode requires PIL/libjpeg, not present in this
-    container. The real implementation returns an ndarray (H, W, C);
-    everything downstream consumes only shapes/bytes so the pipeline is
-    testable without it."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "container; wire PIL.Image.open(io.BytesIO(content)) here"
-    )
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """Binary PPM (P6): ASCII header (magic, width, height, maxval,
+    '#' comments allowed) then raw RGB rows."""
+    # header tokens are whitespace-separated; comments run '#'..newline
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        m = re.match(rb"(?:\s+|#[^\n]*\n)*([0-9]+)", content[pos:])
+        if not m:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(m.group(1)))
+        pos += m.end()
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval 255 PPM supported, got {maxval}")
+    pos += 1  # single whitespace byte after maxval
+    pix = np.frombuffer(content, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): BGR rows padded to 4
+    bytes, bottom-up unless height is negative."""
+    if len(content) < 54:
+        raise ValueError("truncated BMP")
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    top_down, h = h < 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR → RGB
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode an image payload to an (H, W, 3) uint8 RGB ndarray.
+
+    Dependency-free formats are decoded natively: binary PPM (``P6``)
+    and uncompressed 24-bit BMP (``BM``). Anything else raises
+    ``ValueError`` — compressed formats (JPEG/PNG) belong behind the
+    same dispatch via ``PIL.Image.open(io.BytesIO(content))`` in an
+    environment that ships an imaging library."""
+    content = bytes(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    raise ValueError("unsupported image format (need P6 PPM or 24-bit BMP)")
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM — the inverse of
+    ``_decode_ppm`` (round-trip asserted in tests)."""
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
 
 
 _FEATURE_DIM = 8
 
 
+def _pixel_features(arr: np.ndarray) -> list[float]:
+    """8-dim deterministic pixel feature: per-channel means, grayscale
+    std, and the four quadrant grayscale means — all in [0, 1]."""
+    a = arr.astype(np.float64) / 255.0
+    gray = a.mean(axis=2)
+    h, w = gray.shape
+    h2, w2 = max(1, h // 2), max(1, w // 2)
+    quads = [gray[:h2, :w2], gray[:h2, w2:], gray[h2:, :w2], gray[h2:, w2:]]
+    return [
+        float(a[:, :, 0].mean()),
+        float(a[:, :, 1].mean()),
+        float(a[:, :, 2].mean()),
+        float(gray.std()),
+        *[float(q.mean()) if q.size else float(gray.mean()) for q in quads],
+    ]
+
+
+def _digest_features(content: bytes) -> list[float]:
+    """Digest-fold stand-in embedding for payloads with no native decoder
+    (audio/video in this container)."""
+    digest = hashlib.sha256(content).digest()
+    vals = struct.unpack("<8f", digest[:32])
+    norm = max(sum(abs(v) for v in vals), 1e-9)
+    return [float(v) / norm for v in vals]
+
+
 def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
     """Feature extraction over binary media via ``mapInPandas``.
 
-    The per-item featurizer is a deterministic digest fold (stands in for
-    a CNN/spectrogram embedding — the container has no decoder libs); the
-    distributed contract is real: Arrow record batches in, (media_id,
-    feature array<float>) out, executor-local, memory bounded by the Arrow
-    batch size rather than the partition size."""
+    Decodable images (PPM/BMP) get REAL pixel statistics
+    (``_pixel_features``: channel means, grayscale std, quadrant means —
+    a deterministic stand-in for a CNN embedding with the same shape
+    contract); undecodable payloads fall back to the digest-fold
+    embedding. The distributed contract: Arrow record batches in,
+    (media_id, feature array<float>) out, executor-local, memory bounded
+    by the Arrow batch size rather than the partition size."""
 
     out_schema = T.StructType(
         [
@@ -128,10 +236,11 @@ def extract_features(df: DataFrame, batch_hint: int = 256) -> DataFrame:
         for pdf in batches:
             feats = []
             for content in pdf["content"]:
-                digest = hashlib.sha256(bytes(content)).digest()
-                vals = struct.unpack("<8f", digest[:32])
-                norm = max(sum(abs(v) for v in vals), 1e-9)
-                feats.append([float(v) / norm for v in vals])
+                raw = bytes(content)
+                try:
+                    feats.append(_pixel_features(decode_image(raw)))
+                except ValueError:
+                    feats.append(_digest_features(raw))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.select("media_id", "content").mapInPandas(featurize, schema=out_schema)
@@ -162,15 +271,14 @@ def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
 
 
 def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> DataFrame:
-    """Image resize over binary payloads via ``mapInPandas``.
+    """REAL image resize over binary payloads via ``mapInPandas``:
+    decode (PPM/BMP) → nearest-neighbor index sampling → re-encode PPM.
 
-    The pixel transform is stubbed (no PIL in this container — the fake
-    emits a deterministic digest of (content, target size) as the resized
-    payload) but the distributed contract is the production one: Arrow
-    batches of (media_id, content) in, (media_id, content, width, height)
-    out, executor-local memory bounded by batch size. Wire
-    ``decode_image`` + ``PIL.Image.resize`` + re-encode into the loop for
-    the real thing; partitioning, schema, and batching do not change."""
+    The distributed contract is the production one: Arrow batches of
+    (media_id, content) in, (media_id, content, width, height) out,
+    executor-local memory bounded by batch size. A different
+    interpolation (PIL bilinear/Lanczos) swaps into the per-item loop
+    without touching partitioning, schema, or batching."""
 
     out_schema = T.StructType(
         [
@@ -185,10 +293,10 @@ def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> Data
         for pdf in batches:
             out = []
             for content in pdf["content"]:
-                fake = hashlib.sha256(
-                    bytes(content) + f"{target_w}x{target_h}".encode()
-                ).digest()
-                out.append(fake)
+                arr = decode_image(bytes(content))
+                ys = np.arange(target_h) * arr.shape[0] // target_h
+                xs = np.arange(target_w) * arr.shape[1] // target_w
+                out.append(encode_ppm(arr[ys][:, xs]))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -498,17 +498,30 @@ def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "mm_media_metadata",
     """WITH ids AS (SELECT unnest(range(64)) AS i),
+       dims AS (
+         SELECT i,
+                CASE WHEN i % 3 <> 1 THEN 64 + (i % 8) * 16 END AS width,
+                CASE WHEN i % 3 <> 1 THEN 48 + (i % 8) * 12 END AS height
+         FROM ids),
        m AS (
          SELECT CAST(i AS BIGINT) AS media_id,
                 ['image', 'audio', 'video'][(i % 3) + 1] AS kind,
-                repeat(unhex(sha256('media-' || CAST(i AS VARCHAR))),
-                       CAST(4 + i % 4 AS INTEGER)) AS content,
-                CASE i % 3 WHEN 0 THEN 'image/png'
+                CASE i % 3 WHEN 0 THEN
+                    encode('P6' || chr(10) || CAST(width AS VARCHAR) || ' '
+                           || CAST(height AS VARCHAR) || chr(10) || '255'
+                           || chr(10))
+                    || unhex(substring(
+                         repeat(sha256('media-' || CAST(i AS VARCHAR)),
+                                CAST(ceil(width * height * 3 / 32.0) AS INTEGER)),
+                         1, width * height * 3 * 2))
+                ELSE repeat(unhex(sha256('media-' || CAST(i AS VARCHAR))),
+                            CAST(4 + i % 4 AS INTEGER))
+                END AS content,
+                CASE i % 3 WHEN 0 THEN 'image/x-portable-pixmap'
                            WHEN 1 THEN 'audio/wav'
                            ELSE 'video/mp4' END AS mime,
-                CASE WHEN i % 3 <> 1 THEN 64 + (i % 8) * 16 END AS width,
-                CASE WHEN i % 3 <> 1 THEN 48 + (i % 8) * 12 END AS height
-         FROM ids)
+                width, height
+         FROM dims)
        SELECT media_id, kind, mime,
               CAST(octet_length(content) AS INTEGER) AS n_bytes,
               hex(content) AS content_hex,
@@ -518,20 +531,24 @@ def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — typed metadata over opaque binary media columns.
-    Oracle-checked: the synthetic payload generator is a seeded sha256
-    stream DuckDB can reproduce (repeat ∘ unhex ∘ sha256), so payload
-    bytes, sizes, and aspect math all get hard verification. The
-    registered projection uses ``digest="hex"`` because DuckDB cannot
-    md5 a BLOB; the md5 path stays the operator default."""
+    Oracle-checked: the synthetic payload generator is reproducible in
+    SQL — image rows are real binary PPMs (ASCII header + a seeded
+    sha256 pixel stream, rebuilt via header concat + hex-domain
+    repeat/substring), audio/video rows are the plain repeated-digest
+    stream — so payload bytes, sizes, and aspect math all get hard
+    verification. The registered projection uses ``digest="hex"``
+    because DuckDB cannot md5 a BLOB; the md5 path stays the operator
+    default."""
     return media_metadata(synthetic_media(spark, 64), digest="hex")
 
 
 @query("mm_extract_features")
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — mapInPandas feature extraction over binary payloads
-    (decode stubbed; Arrow batching real). Feature vector emitted as JSON
-    so the harness canonicalizer (pandas sort/hash) can handle the cell;
-    the array-native operator is unchanged underneath."""
+    (REAL pixel statistics for the PPM image rows via decode_image;
+    digest-fold embedding for audio/video). Feature vector emitted as
+    JSON so the harness canonicalizer (pandas sort/hash) can handle the
+    cell; the array-native operator is unchanged underneath."""
     out = extract_features(synthetic_media(spark, 64))
     return out.select("media_id", F.to_json("feature").alias("feature_json"))
 
@@ -561,8 +578,8 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mm_resize_images")
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal — image resize plumbing (mapInPandas; pixel transform
-    stubbed, Arrow batching real)."""
+    """Multimodal — real image resize (mapInPandas; PPM decode →
+    nearest-neighbor sample → PPM re-encode)."""
     return resize_images(synthetic_media(spark, 64))
 
 

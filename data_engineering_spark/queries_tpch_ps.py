@@ -51,10 +51,24 @@ _PS_CTE = """
   )"""
 
 
+# supplier-count scalar per (sparkContext id, sf_dir): the count is a
+# driver action, and rebuilding a partsupp-backed query used to re-run it
+# on every invocation — once per session+dataset is enough. Keyed on the
+# context id (not the session object) so a restarted session re-probes.
+_S_CNT_CACHE: dict[tuple[int, str], int] = {}
+
+
+def _supplier_count(spark: SparkSession, sf_dir: str) -> int:
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _S_CNT_CACHE:
+        _S_CNT_CACHE[key] = _t(spark, sf_dir, "supplier").count()
+    return _S_CNT_CACHE[key]
+
+
 def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """partsupp as a 4-rows-per-part projection of the part dim (one
     explode, no shuffle; the supplier count is a one-row scalar)."""
-    s = _t(spark, sf_dir, "supplier").count()
+    s = _supplier_count(spark, sf_dir)
     p = _t(spark, sf_dir, "part")
     i = F.col("i")
     return p.select(

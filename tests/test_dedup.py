@@ -73,6 +73,46 @@ def test_minhash_bucket_cap_drops_mega_clusters(spark):
     assert n_all == 100 * 99 // 2 + 1
 
 
+def test_simhash_bucket_cap_drops_mega_clusters(spark):
+    """Same guard as minhash: a mega-cluster of exact dups must not pay
+    C(k,2) pair output; planted near-dups under the cap still pair."""
+    boiler = "identical boilerplate header repeated across the whole crawl " * 3
+    pair = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the afternoon sun"
+    )
+    near = pair.replace("lazy", "sleepy")
+    rows = [(i, boiler) for i in range(100)] + [(200, pair), (201, near)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.id_a, r.id_b) for r in simhash_near_dedup(df, max_hamming=10, max_bucket=50).collect()}
+    assert (200, 201) in got
+    assert all(a >= 200 for a, _ in got)  # capped cluster emits no pairs
+    n_all = simhash_near_dedup(df, max_hamming=10, max_bucket=None).count()
+    assert n_all == 100 * 99 // 2 + 1
+
+
+def test_minhash_verify_join_modes_agree(planted):
+    """The auto/size-gated verify-join strategy is a plan choice only —
+    forced shuffle_hash, forced none, and auto must emit identical pairs."""
+    want = {(r.id_a, r.id_b) for r in minhash_near_dedup(planted, verify_join="auto").collect()}
+    for mode in ("shuffle_hash", "none"):
+        got = {(r.id_a, r.id_b) for r in minhash_near_dedup(planted, verify_join=mode).collect()}
+        assert got == want, mode
+
+
+def test_input_bytes_and_spread_estimate(spark, sf_dir):
+    """_input_bytes reads file metadata only (no job) and matches the
+    on-disk size; in-memory frames report None and fall back."""
+    import os
+
+    from data_engineering_spark.operators.dedup import _input_bytes
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _input_bytes(df) == os.path.getsize(f"{sf_dir}/documents.parquet")
+    mem = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    assert _input_bytes(mem) is None
+
+
 def test_simhash_near_dups(planted):
     out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dedup(planted, max_hamming=10).collect()}
     assert (1, 2) in out and out[(1, 2)] == 0
