@@ -579,8 +579,14 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("mm_resize_images")
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — real image resize (mapInPandas; PPM decode →
-    nearest-neighbor sample → PPM re-encode)."""
-    return resize_images(synthetic_media(spark, 64))
+    nearest-neighbor sample → PPM re-encode). The registered projection
+    emits the resized payload as hex: raw binary cells break the
+    harness canonicalizer's stringify step (caught by
+    test_driver_canon); the binary-native operator is unchanged."""
+    out = resize_images(synthetic_media(spark, 64))
+    return out.select(
+        "media_id", F.hex("content").alias("content_hex"), "width", "height"
+    )
 
 
 @query(

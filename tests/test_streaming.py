@@ -111,6 +111,39 @@ def test_streaming_dedup(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink).count() == n_unique
 
 
+def test_events_schema_probe_three_dtype_branches(spark, sf_dir, tmp_path):
+    """_events_raw_schema mirrors catalog.load_table's three-way ts
+    branch: nanos → long rebuild, tz-naive micros → NTZ cast, tz-AWARE
+    micros → TimestampType passthrough (the drift class that broke the
+    round-3 batch loader must not break streaming either)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from data_engineering_spark.streaming.streams import _events_raw_schema
+
+    base = pq.read_table(f"{sf_dir}/events.parquet")
+    idx = base.schema.get_field_index("ts")
+    cases = {
+        "ns": (pa.timestamp("ns"), T.LongType, "div 1000"),
+        "us_naive": (pa.timestamp("us"), T.TimestampNTZType, "cast(ts as timestamp)"),
+        "us_utc": (pa.timestamp("us", tz="UTC"), T.TimestampType, "ts"),
+    }
+    import os
+
+    for name, (arrow_t, spark_t, frag) in cases.items():
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        col = base.column("ts").cast(arrow_t)
+        pq.write_table(
+            base.set_column(idx, pa.field("ts", arrow_t), col),
+            f"{d}/events.parquet",
+        )
+        schema, expr = _events_raw_schema(d)
+        assert isinstance(schema["ts"].dataType, spark_t), name
+        assert frag in expr or expr == frag, (name, expr)
+
+
 def test_kafka_option_builders():
     """S8/S17 — config parity with the reference's consumer/producer
     settings (read_committed isolation, checkpointed exactly-once)."""

@@ -18,8 +18,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# documented exact quadratic oracle baselines — expected to be slow
-KNOWN_BASELINES = {"dedup_embedding", "sim_cosine_near_pairs"}
+# documented exact/quadratic oracle baselines — expected to be slow:
+# dedup_embedding + sim_cosine_near_pairs are all-pairs by definition;
+# dedup_ngram_exact is the blocked variant's exact twin (shared-shingle
+# self-join); sim_ann_recall computes brute-force ground truth to score
+# the ANN paths against.
+KNOWN_BASELINES = {
+    "dedup_embedding",
+    "sim_cosine_near_pairs",
+    "dedup_ngram_exact",
+    "sim_ann_recall",
+}
 
 
 def main() -> None:
