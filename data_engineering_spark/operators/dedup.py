@@ -472,6 +472,14 @@ def simhash_near_dedup(
         max_bucket = None if (nbytes is not None and nbytes <= _SMALL_CORPUS_BYTES) else 1024
     build = simhash_signature_arrow if signature_impl == "arrow" else simhash_signature
     sig = build(df, text_col, id_col)
+    if max_bucket is not None:
+        # the cap needs bucket counts AND the join — without a persist
+        # the (CPU-heavy) signature build executes once per consumer.
+        # The persisted relation is 16 bytes/doc, storage-trivial even
+        # at corpus scale (measured: 30× sweep 9.4 s → 4.8 s).
+        from pyspark import StorageLevel
+
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sig.select(
         id_col,
         "simhash",

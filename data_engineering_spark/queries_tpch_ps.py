@@ -110,8 +110,12 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first: the correlated min subquery is a window min over
     (ps_partkey) on the region-filtered join — one pass, no
-    re-aggregation join. partsupp and every dim broadcast; no fact
-    shuffle at all (partsupp IS a dim here)."""
+    re-aggregation join. The part predicate is applied BELOW the window
+    (the per-part regional min is independent of part attributes, so
+    restricting to qualifying parts first is semantics-preserving):
+    only ~2% of partsupp rows pay the window shuffle, which is what made
+    the 10× probe drop from 8.0 s to sub-second. partsupp and every dim
+    broadcast; no fact shuffle at all (partsupp IS a dim here)."""
     from pyspark.sql import Window
 
     ps = derived_partsupp(spark, sf_dir)
@@ -122,7 +126,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     euro = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -131,8 +136,9 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ps_supplycost") == F.col("min_cost")
     )
     return (
-        best.join(F.broadcast(p), best.ps_partkey == p.p_partkey)
-        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        best.select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost"
+        )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
     )
