@@ -99,12 +99,35 @@ KEYWORD_SCHEMA = T.StructType(
 )
 
 
-def keyword_extract(df: DataFrame, group_col: str, text_col: str, top_k: int = 3) -> DataFrame:
+def keyword_extract(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_k: int = 3,
+    analyzer: str = "simple",
+) -> DataFrame:
     """UD2 — grouped keyword extraction via ``applyInPandas``
     (``Keyword.py:192-228``'s collect-and-loop distributed: one Arrow
     group per key on an executor). TF scoring with a stopword-ish filter;
     per-group failure degrades to a (key, None, None) row like the
-    reference's error fallback."""
+    reference's error fallback.
+
+    ``analyzer="korean"`` swaps in the morphological normalizer
+    (``operators/korean.py``) so josa-inflected forms of the same noun
+    (학교/학교에서/학교의) score as one keyword — the role pynori's
+    ``KoreanAnalyzer`` plays in ``Keyword.py:95-102``. Korean content
+    words are frequently 2 syllables, so that path keeps len > 1 tokens
+    (the simple path's len > 2 stopword-ish floor is tuned for Latin)."""
+    if analyzer == "korean":
+        from .korean import analyze_korean
+
+        def toks(t: str) -> list[str]:
+            return [w for w in analyze_korean(t) if len(w) > 1]
+
+    else:
+
+        def toks(t: str) -> list[str]:
+            return [w for w in _WORD_RE.findall(t.lower()) if len(w) > 2]
 
     def extract(pdf: pd.DataFrame) -> pd.DataFrame:
         gid = pdf[group_col].iloc[0]
@@ -112,7 +135,7 @@ def keyword_extract(df: DataFrame, group_col: str, text_col: str, top_k: int = 3
             counts: Counter = Counter()
             for t in pdf[text_col]:
                 if isinstance(t, str):
-                    counts.update(w for w in _WORD_RE.findall(t.lower()) if len(w) > 2)
+                    counts.update(toks(t))
             top = counts.most_common()
             top.sort(key=lambda kv: (-kv[1], kv[0]))  # deterministic tie-break
             rows = [(gid, w, i + 1) for i, (w, _) in enumerate(top[:top_k])]

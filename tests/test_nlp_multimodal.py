@@ -103,6 +103,60 @@ def test_sample_frames_fanout(spark):
         assert per[mid] == (dur + 4999) // 5000
 
 
+def test_korean_analyzer_strips_josa_and_endings():
+    from data_engineering_spark.operators.korean import analyze_korean, strip_josa
+
+    # particle stripping on nouns
+    assert strip_josa("학교에서") == "학교"
+    assert strip_josa("친구를") == "친구"
+    assert strip_josa("한국의") == "한국"
+    assert strip_josa("데이터로") == "데이터"
+    # guard: single-syllable stems keep 1-char particles (가을 = autumn)
+    assert strip_josa("가을") == "가을"
+    # predicative endings
+    assert strip_josa("중요합니다") == "중요"
+    assert strip_josa("분석하는") == "분석"
+    # latin/numeric untouched
+    assert strip_josa("spark3") == "spark3"
+    assert analyze_korean("학교에서 친구를 만났다 Spark 분석") == [
+        "학교", "친구", "만났다", "spark", "분석",
+    ]
+    assert analyze_korean(None) == []
+
+
+def test_korean_keyword_extract_unifies_inflections(spark):
+    """The same noun under different josa must score as ONE keyword —
+    the fragmentation the reference's pynori analyzer prevents."""
+    from data_engineering_spark.operators.nlp import keyword_extract
+
+    docs = spark.createDataFrame(
+        [
+            (1, "데이터가 중요합니다"),
+            (1, "데이터를 분석하는 엔진"),
+            (1, "데이터의 품질과 엔진에서"),
+        ],
+        ["group_id", "text"],
+    )
+    rows = {r.kw_rank: r.keyword for r in keyword_extract(
+        docs, "group_id", "text", top_k=2, analyzer="korean").collect()}
+    assert rows[1] == "데이터"  # 3 inflected forms unified
+    assert rows[2] == "엔진"
+    # the simple analyzer fragments the same corpus (regression guard
+    # that the korean path is actually doing something)
+    simple = {r.keyword for r in keyword_extract(
+        docs, "group_id", "text", top_k=2).collect()}
+    assert "데이터" not in simple
+
+
+def test_korean_tokenizer_pandas_udf(spark):
+    from data_engineering_spark.operators.korean import tokenize_korean_pandas
+
+    df = spark.createDataFrame([(1, "학교에서 공부를 합니다")], ["id", "text"])
+    out = df.select(tokenize_korean_pandas("text").alias("toks")).collect()[0].toks
+    # 합니다 survives standalone (stripping it would leave an empty stem)
+    assert out == ["학교", "공부", "합니다"]
+
+
 def test_decode_image_ppm_roundtrip_and_bmp():
     """decode_image is REAL for P6 PPM and 24-bit BMP: encode→decode is
     the identity, headers with comments parse, BMP BGR/bottom-up/padding
