@@ -55,8 +55,10 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # so no sweep slot records a weak no_oracle row.
 #
 # ROUND-6 ROTATION NOTE: if this window sweeps green, every oracle-backed
-# query has a green row from round 2+ except the 16 names listed above —
-# lead round 6 with those, then rotate by staleness (oldest green first).
+# query has a green row from round 2+ except the simple r2 projections
+# listed above plus u1_union_all / o3_topk (displaced this round for the
+# two new event-analytics queries) — lead round 6 with those, then rotate
+# by staleness (oldest green first).
 registry.finalize_order(
     [
         # -- no driver signal in any round (registered mid-r4) ---------
@@ -113,9 +115,10 @@ registry.finalize_order(
         "w1_rank_in_group",
         "p11_fulltext_search",
         "p12_concat_projection",
-        "u1_union_all",
         "f_scalar_pack",
-        "o3_topk",
+        # -- new round-5 event-analytics queries (oracle-backed) -------
+        "cohort_retention",
+        "ts_gap_fill",
     ]
 )
 

@@ -613,3 +613,104 @@ def q_nl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "in orders where o_totalprice > 1000 top 5",
     )
     return out.withColumn("avg_o_totalprice", F.round("avg_o_totalprice", 2))
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: cohort retention + calendar gap fill
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_retention",
+    """WITH firsts AS (
+         SELECT user_id,
+                CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+         FROM events GROUP BY user_id
+       ), activity AS (
+         SELECT DISTINCT user_id,
+                CAST(date_trunc('week', ts) AS DATE) AS active_week
+         FROM events
+       )
+       SELECT f.cohort_week,
+              CAST(datediff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+                  AS week_offset,
+              CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users
+       FROM activity a JOIN firsts f USING (user_id)
+       GROUP BY 1, 2""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention over the event stream: users grouped by the ISO
+    week of their first event; per (cohort, week-offset) distinct active
+    users — the canonical product-analytics rollup the reference's
+    serving indexes feed dashboards from. Spark-first: two aggregations
+    sharing the user_id partitioning (first-event groupBy, then the
+    cohort join is user-keyed so AQE plans it shuffle-reusing), distinct
+    weekly activity is a projection + distinct, and the final rollup is
+    one partial-agg groupBy on (cohort, offset) — at 100 TB every stage
+    is key-partitioned with map-side combines; nothing is collected.
+    Both engines truncate weeks to ISO Monday, so the oracle matches
+    exactly."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users"))
+    )
+
+
+@query(
+    "ts_gap_fill",
+    """WITH bounds AS (
+         SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+         FROM events
+       ), days AS (
+         SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                    AS day FROM bounds
+       ), types AS (SELECT DISTINCT event_type FROM events),
+       actual AS (
+         SELECT CAST(ts AS DATE) AS day, event_type,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM events GROUP BY 1, 2
+       )
+       SELECT d.day, t.event_type, CAST(coalesce(a.cnt, 0) AS BIGINT) AS cnt
+       FROM days d CROSS JOIN types t
+       LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type""",
+)
+def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: daily event counts per type with missing
+    (day, type) combinations filled with 0 — the gap-fill step every
+    time-series chart/model needs, absent from both engines as a
+    built-in. Spark-first: the daily counts are one partial-agg groupBy
+    of the fact; the dense (day × type) spine is sequence()+explode over
+    a 1-row bounds aggregate crossed with the distinct type dim — spine
+    size is calendar-bounded (days × types), so it broadcasts and the
+    left join adds no fact shuffle at any corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    spine = days.crossJoin(types)
+    return (
+        F.broadcast(spine)
+        .join(actual, ["day", "event_type"], "left")
+        .select("day", "event_type", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
