@@ -178,6 +178,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "tpch_q9_product_type_profit": 1, # lineitem⋈orders; all dims broadcast
         "tpch_q11_important_stock": 3,    # part agg + 1-row total + reuse
         "tpch_q16_parts_supplier_relationship": 2,  # distinct-count 2-phase
+        "cohort_retention": 4,            # firsts agg, weekly distinct, join, rollup — all user/cohort-keyed
+        "ts_gap_fill": 3,                 # daily agg + 1-row bounds + type dim; all calendar/dim-bounded, fact scans once
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
