@@ -56,9 +56,9 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #
 # ROUND-6 ROTATION NOTE: if this window sweeps green, every oracle-backed
 # query has a green row from round 2+ except the simple r2 projections
-# listed above plus u1_union_all / o3_topk (displaced this round for the
-# two new event-analytics queries) — lead round 6 with those, then rotate
-# by staleness (oldest green first).
+# listed above plus u1_union_all / o3_topk / p12_concat_projection
+# (displaced this round for the three new event-analytics queries) —
+# lead round 6 with those, then rotate by staleness (oldest green first).
 registry.finalize_order(
     [
         # -- no driver signal in any round (registered mid-r4) ---------
@@ -114,11 +114,11 @@ registry.finalize_order(
         "a13_grouped_pivot",
         "w1_rank_in_group",
         "p11_fulltext_search",
-        "p12_concat_projection",
         "f_scalar_pack",
         # -- new round-5 event-analytics queries (oracle-backed) -------
         "cohort_retention",
         "ts_gap_fill",
+        "funnel_conversion",
     ]
 )
 

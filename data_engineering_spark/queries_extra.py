@@ -714,3 +714,64 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(actual, ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
     )
+
+
+@query(
+    "funnel_conversion",
+    """WITH s1 AS (
+         SELECT user_id, min(ts) AS t1 FROM events
+         WHERE event_type = 'view' GROUP BY user_id
+       ), s2 AS (
+         SELECT e.user_id, min(e.ts) AS t2
+         FROM events e JOIN s1 USING (user_id)
+         WHERE e.event_type = 'click' AND e.ts >= s1.t1
+         GROUP BY e.user_id
+       ), s3 AS (
+         SELECT e.user_id, min(e.ts) AS t3
+         FROM events e JOIN s2 USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+         GROUP BY e.user_id
+       )
+       SELECT * FROM (
+         SELECT 'view' AS step, CAST(1 AS BIGINT) AS step_no,
+                CAST(count(*) AS BIGINT) AS users FROM s1
+         UNION ALL
+         SELECT 'click', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT) FROM s2
+         UNION ALL
+         SELECT 'purchase', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT) FROM s3
+       ) t""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): a user counts
+    for step k only with an event at or after their step-(k-1) time —
+    the event-sequence rollup product analytics runs on clickstreams.
+    Spark-first: each stage is one user-keyed conditional min; every
+    join and aggregation shares the user_id hash partitioning, so AQE
+    plans the whole chain over a single logical shuffle family and the
+    fact is scanned once per step with the step predicate pushed to the
+    parquet scan. No windows over the full event stream, no collects;
+    at 100 TB the per-stage state is one row per surviving user."""
+    ev = _t(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame | None, etype: str, tcol: str, prev_t: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+
+    s1 = stage(None, "view", "t1", "")
+    s2 = stage(s1, "click", "t2", "t1")
+    s3 = stage(s2, "purchase", "t3", "t2")
+
+    def count_row(df: DataFrame, step: str, no: int) -> DataFrame:
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(no).cast("long").alias("step_no"),
+            F.count(F.lit(1)).cast("long").alias("users"),
+        )
+
+    return (
+        count_row(s1, "view", 1)
+        .unionByName(count_row(s2, "click", 2))
+        .unionByName(count_row(s3, "purchase", 3))
+    )

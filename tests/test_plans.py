@@ -180,6 +180,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "tpch_q16_parts_supplier_relationship": 2,  # distinct-count 2-phase
         "cohort_retention": 4,            # firsts agg, weekly distinct, join, rollup — all user/cohort-keyed
         "ts_gap_fill": 3,                 # daily agg + 1-row bounds + type dim; all calendar/dim-bounded, fact scans once
+        "funnel_conversion": 8,           # 3 user-keyed stage aggs + 2 stage joins + 3 single-row count aggs
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
