@@ -40,6 +40,9 @@ __all__ = [
     "embedding_near_dedup_bucketed",
     "lsh_topk",
     "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
@@ -536,6 +539,173 @@ def cosine_topk_pandas(
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, "query_id long, neighbor_id long, sim double"
     )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-memory ANN path
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 4,
+) -> np.ndarray:
+    """Train per-subspace codebooks for product quantization.
+
+    The vector space is split into ``m`` contiguous subspaces; each gets
+    its own ``n_codes``-centroid codebook (k-means on a driver-side
+    sample). Deterministic by construction: the sample is the first
+    ``sample`` vectors in xxhash64(id) order (no RNG), initial centroids
+    are the first ``n_codes`` sample subvectors, and Lloyd iterations run
+    in fixed numpy order. Empty clusters keep their previous centroid.
+
+    Scale shape: training touches only a bounded sample (one
+    ``limit(sample).collect()`` — ~1 MB for 2048×64 doubles); the
+    resulting codebook is m×n_codes×(d/m) floats = d×n_codes values
+    regardless of corpus size, broadcast with the encoding udf.
+
+    Returns an ndarray of shape ``(m, n_codes, d // m)``.
+    """
+    rows = (
+        corpus.select(
+            as_double(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    x = np.array([list(r.v) for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        cents = xs[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def _pq_encoder(books: np.ndarray):
+    """pandas_udf: vector → its m-byte PQ code word (argmin centroid per
+    subspace), one vectorized distance computation per Arrow batch. The
+    codebook is closed over (tiny — see pq_train) and ships with the udf."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, n_codes, dsub = books.shape
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        vm = np.array([list(v) for v in vecs], dtype=np.float64)
+        codes = np.empty((len(vm), m), dtype=np.int32)
+        for j in range(m):
+            xs = vm[:, j * dsub : (j + 1) * dsub]
+            d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each corpus vector to its PQ code word: ``(id, codes)``
+    where ``codes`` is ``m`` small ints. This is the 100 TB story: a
+    64-dim float64 embedding is 512 bytes; its m=8 code word is 8 — a
+    64× smaller ANN working set that scans from memory where the raw
+    vectors would spill. Encoding is an embarrassingly parallel map
+    (no shuffle); the codes relation is what downstream search scans."""
+    enc = _pq_encoder(books)
+    return corpus.select(F.col(id_col), enc(as_double(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ approximate cosine top-k via asymmetric distance computation
+    (ADC): queries stay full-precision, corpus vectors are scored from
+    their code words alone through per-query lookup tables.
+
+    For query q and centroid c_{j,code}:  dot(q, x̂) = Σ_j LUT_dot[j, codes_j]
+    and |x̂|² = Σ_j LUT_sq[j, codes_j], so scoring a corpus vector costs m
+    table lookups — no float vector is ever read after encoding. Per Arrow
+    batch the gather is one numpy fancy-index per subspace; each batch
+    emits only its LOCAL top-k per query (k rows per query per batch cross
+    the wire, same contract as cosine_topk_pandas). The query set is a
+    bounded collect; the corpus never shuffles before the final
+    k-rows-per-query window."""
+    if books is None:
+        books = pq_train(corpus, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col)
+    m, n_codes, dsub = books.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1)
+    qn[qn == 0] = 1.0
+    # LUT_dot: (Q, m, n_codes); LUT_sq: (m, n_codes)
+    lut_dot = np.einsum(
+        "qjd,jcd->qjc", qm.reshape(len(qm), m, dsub), books
+    )
+    lut_sq = (books**2).sum(axis=2)
+
+    encoded = pq_encode(corpus, books, id_col, vec_col)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = np.array([list(c) for c in pdf["codes"]], dtype=np.int64)
+            acc_dot = np.zeros((len(qids), len(ids)), dtype=np.float64)
+            acc_sq = np.zeros(len(ids), dtype=np.float64)
+            for j in range(m):
+                acc_dot += lut_dot[:, j, codes[:, j]]
+                acc_sq += lut_sq[j, codes[:, j]]
+            norms = np.sqrt(acc_sq)
+            norms[norms == 0] = 1.0
+            sims = acc_dot / (qn[:, None] * norms[None, :])
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                s = sims[qi]
+                cand = np.nonzero(ids != qids[qi])[0]
+                top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+                out_q.extend([qids[qi]] * len(top))
+                out_n.extend(ids[top].tolist())
+                out_s.extend(np.round(s[top], 6).tolist())
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    scored = encoded.mapInPandas(score, "query_id long, neighbor_id long, sim double")
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))

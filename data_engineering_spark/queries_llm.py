@@ -26,6 +26,7 @@ from .operators.similarity import (
     embedding_near_dedup_bucketed,
     ivf_topk,
     lsh_topk,
+    pq_topk,
 )
 from .operators.text import (
     TOKEN_REGEX,
@@ -275,6 +276,66 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_near_dedup(docs)
     # early-exit convergence: typical cost is (cluster depth + 1) rounds
     return canonical_assignment(pairs, docs.select("doc_id"))
+
+
+@query(
+    "dedup_cluster_components",
+    r"""WITH RECURSIVE toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+                generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS ord,
+                len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
+         FROM documents),
+       grams AS (
+         SELECT doc_id,
+                tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+         FROM toks WHERE n_toks >= 3
+         WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+         UNION ALL
+         SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+         FROM documents
+         WHERE len(string_split_regex(trim(lower(text)), '\s+')) < 3),
+       dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
+       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM dg GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+         FROM dg a JOIN dg b USING (g) WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b
+         WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.5),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       walk(src, label) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.src, w.label FROM edges e JOIN walk w ON w.src = e.dst)
+       SELECT src AS doc_id,
+              min(label) AS canonical_id,
+              min(label) < src AS is_dup
+       FROM walk GROUP BY src""",
+)
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components canonicalization, HARD-ORACLED: exact
+    3-gram Jaccard pairs (the deterministic pair source DuckDB already
+    reproduces verbatim in ``dedup_ngram_exact``) fed through the same
+    ``canonical_assignment`` label propagation the minhash pipeline
+    uses. The oracle computes the identical components with a recursive
+    CTE (min reachable id per node), so the iterative Spark loop —
+    otherwise only rows-only checkable — gets a value-hash gate on its
+    fixpoint. Scale shape: the propagation joins are all doc-id
+    partitioned, the edge list is persisted once, and each round is
+    two hash joins + a groupBy with an early-exit change count; rounds
+    needed = eccentricity of each cluster's min node (``max_rounds=25``
+    is headroom, the corpus converges in ~3)."""
+    from .operators.dedup import ngram_jaccard_pairs_exact
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs_exact(docs).select("id_a", "id_b")
+    return canonical_assignment(pairs, docs.select("doc_id"), max_rounds=25)
 
 
 _SEARCH_TERMS = ["spark", "vector", "stream"]
@@ -590,6 +651,19 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("sim_pq_topk")  # rows-only: quantized scores, no SQL twin
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k (operators/similarity.py:
+    pq_topk): corpus vectors compressed to m=8 one-byte codes (64×
+    smaller than the raw 64-dim float64 embeddings), scored via
+    asymmetric-distance lookup tables — the memory-bound ANN path for
+    corpora whose raw vectors don't fit executor memory. Codebook
+    training is one bounded sample collect; encoding and scoring are
+    shuffle-free maps. Recall vs exact is measured in sim_ann_recall."""
+    emb = _emb(spark, sf_dir)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 10), m=8, n_codes=16, k=5)
+
+
 @query("sim_ann_recall")  # rows-only: self-measuring quality metric
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of each ANN scale path against the exact brute-force
@@ -617,6 +691,8 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_nprobe4", ivf_topk(emb, q, n_cells=16, nprobe=4, k=5)),
         ("ivf_nprobe8", ivf_topk(emb, q, n_cells=16, nprobe=8, k=5)),
         ("ivf_nprobe8_refined", ivf_topk(emb, q, n_cells=16, nprobe=8, k=5, refine_iters=1)),
+        ("pq_m8", pq_topk(emb, q, m=8, n_codes=16, k=5)),
+        ("pq_m16", pq_topk(emb, q, m=16, n_codes=16, k=5)),
     ):
         hit = exact.join(
             approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"

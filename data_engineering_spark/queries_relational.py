@@ -714,6 +714,80 @@ def w3_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select("day", "cnt", (F.col("cnt") - F.lag("cnt").over(w)).alias("delta"))
 
 
+@query(
+    "w4_distribution_ranks",
+    """SELECT c_custkey, c_mktsegment,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+       FROM customer
+       WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""",
+)
+def w4_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5 — distribution window functions (ntile / percent_rank /
+    cume_dist): the quantile-bucketing step behind tiered pricing and
+    balance-percentile features. Deterministic under ties because the
+    window orders by (c_acctbal, c_custkey) — a unique key — so every
+    peer group is a single row and both engines agree exactly. One
+    shuffle on the segment key; at 100 TB ntile's only caveat is that a
+    single partition's rows sort within one task, which holds as long as
+    the partition key is chosen with bounded cardinality per key."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "w5_time_weighted_avg",
+    """WITH seq AS (
+         SELECT user_id, ts, value,
+                lead(ts) OVER w AS nts,
+                lead(value) OVER w AS nval
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       areas AS (
+         SELECT user_id,
+                (value + nval) / 2 * (epoch(nts) - epoch(ts)) AS area,
+                epoch(nts) - epoch(ts) AS span
+         FROM seq WHERE nts IS NOT NULL)
+       SELECT user_id, round(sum(area) / sum(span), 4) AS twa_value
+       FROM areas GROUP BY user_id HAVING sum(span) > 0""",
+)
+def w5_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an irregular series (trapezoidal rule)
+    — the timescale-style rollup a plain avg() gets wrong when samples
+    arrive unevenly: each adjacent pair contributes its mean value
+    weighted by the seconds between the samples. Spark-first: one
+    user-keyed window (lead), a projection for per-interval areas, and
+    one partial-agg groupBy on the same user key — a single logical
+    shuffle family end to end, no collects, scales with the fact."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("ts").cast("double").alias("tsec"),
+        "value",
+        F.lead(F.col("ts").cast("double")).over(w).alias("ntsec"),
+        F.lead("value").over(w).alias("nval"),
+    ).filter(F.col("ntsec").isNotNull())
+    areas = seq.select(
+        "user_id",
+        ((F.col("value") + F.col("nval")) / 2 * (F.col("ntsec") - F.col("tsec"))).alias("area"),
+        (F.col("ntsec") - F.col("tsec")).alias("span"),
+    )
+    return (
+        areas.groupBy("user_id")
+        .agg(F.sum("area").alias("sa"), F.sum("span").alias("ss"))
+        .filter(F.col("ss") > 0)
+        .select("user_id", F.round(F.col("sa") / F.col("ss"), 4).alias("twa_value"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 Sorts / limits / top-k
 # ---------------------------------------------------------------------------

@@ -181,6 +181,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "cohort_retention": 4,            # firsts agg, weekly distinct, join, rollup — all user/cohort-keyed
         "ts_gap_fill": 3,                 # daily agg + 1-row bounds + type dim; all calendar/dim-bounded, fact scans once
         "funnel_conversion": 8,           # 3 user-keyed stage aggs + 2 stage joins + 3 single-row count aggs
+        "sim_pq_topk": 1,                 # encode+ADC are map-only; the top-k window alone shuffles
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
