@@ -4,7 +4,9 @@ as opaque binary columns with typed metadata).
 Image decode is REAL for the two dependency-free raw-pixel formats —
 binary PPM (P6) and uncompressed 24-bit BMP — implemented over numpy
 (``decode_image``); compressed formats (JPEG/PNG) would slot in behind
-the same dispatch via PIL where available. Audio/video decode stays a
+the same dispatch via PIL where available. Audio decode is REAL for PCM
+WAV (chunk-walking RIFF parser, ``decode_wav``) with per-frame RMS /
+zero-crossing features; compressed codecs and video containers stay a
 deterministic digest stand-in (no AV libs in this container), clearly
 branched per kind. Everything Spark-side is real and tested: schema,
 partition-aware batching via ``mapInPandas``, Arrow batch shapes,
@@ -38,6 +40,10 @@ __all__ = [
     "resize_images",
     "extract_features",
     "sample_frames",
+    "encode_wav",
+    "decode_wav",
+    "synthetic_audio",
+    "audio_frame_features",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -311,3 +317,114 @@ def resize_images(df: DataFrame, target_w: int = 64, target_h: int = 64) -> Data
         .select("media_id", "content")
         .mapInPandas(resize, schema=out_schema)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real PCM WAV codec + frame features (dependency-free)
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode mono int16 samples as a canonical PCM WAV (RIFF) file —
+    the inverse of ``decode_wav`` (round-trip asserted in tests)."""
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+    )
+    return hdr + data
+
+
+def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM WAV payload to ``(sample_rate, int16 samples)``.
+
+    A real chunk-walking RIFF parser (not an offset guess): skips unknown
+    chunks (LIST/INFO etc.) with even-byte padding, validates the fmt
+    chunk (PCM, 16-bit), and reads exactly the data chunk's extent.
+    Multi-channel audio is downmixed to mono by averaging channels.
+    Compressed codecs raise ``ValueError`` — they'd slot in behind the
+    same dispatch via an AV library where available."""
+    content = bytes(content)
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sr, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"only 16-bit PCM WAV supported (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("truncated WAV: missing fmt or data chunk")
+    x = np.frombuffer(data, dtype="<i2", count=len(data) // 2)
+    if channels and channels > 1:
+        x = x[: len(x) - len(x) % channels].reshape(-1, channels).mean(axis=1)
+        x = np.round(x).astype(np.int16)
+    return sr, x
+
+
+def synthetic_audio(spark, n: int = 48, sample_rate: int = 8000) -> DataFrame:
+    """Deterministic audio rows carrying REAL PCM WAV payloads: sample
+    bytes come from the sha256('audio-i') digest tiled to 2×n_samples —
+    the same seeded-stream trick the image rows use, so the DuckDB
+    oracle can regenerate every int16 sample from the hex digest and
+    hash-check real decoded features (see ``mm_audio_features``)."""
+    rows = []
+    for i in range(n):
+        digest = hashlib.sha256(f"audio-{i}".encode()).digest()
+        n_samples = 800 * (1 + i % 5)
+        data = (digest * ((2 * n_samples + 31) // 32))[: 2 * n_samples]
+        rows.append((i, encode_wav(np.frombuffer(data, dtype="<i2"), sample_rate)))
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def audio_frame_features(df: DataFrame, frame: int = 800) -> DataFrame:
+    """Per-frame audio features over binary WAV columns via
+    ``mapInPandas``: normalized RMS energy and the zero-crossing count of
+    each ``frame``-sample window — the deterministic stand-in for a real
+    audio embedding, with the same distributed contract (Arrow batches of
+    (id, bytes) in, one row per frame out; executor-local, no shuffle).
+
+    Both features are integer-exact in double precision (sum of int16²
+    over ≤2²⁰ samples < 2⁵³), so an oracle can recompute them bit-for-bit
+    from the generating stream — that is what upgrades the audio decode
+    path to hash-checked rather than rows-only."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+        ]
+    )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mid, fno, rms, zcr = [], [], [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                _, x = decode_wav(bytes(content))
+                x = x.astype(np.int64)
+                for f in range(0, len(x), frame):
+                    seg = x[f : f + frame]
+                    sgn = seg >= 0
+                    mid.append(media_id)
+                    fno.append(f // frame)
+                    rms.append(round(float(np.sqrt((seg * seg).sum() / len(seg)) / 32768.0), 6))
+                    zcr.append(int((sgn[1:] != sgn[:-1]).sum()))
+            yield pd.DataFrame(
+                {"media_id": mid, "frame_no": fno, "rms": rms, "zero_crossings": zcr}
+            )
+
+    return df.select("media_id", "content").mapInPandas(featurize, schema=out_schema)

@@ -14,10 +14,12 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .operators.multimodal import (
+    audio_frame_features,
     extract_features,
     media_metadata,
     resize_images,
     sample_frames,
+    synthetic_audio,
     synthetic_media,
 )
 from .operators.nlp import (
@@ -587,6 +589,46 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", F.hex("content").alias("content_hex"), "width", "height"
     )
+
+
+@query(
+    "mm_audio_features",
+    """WITH ids AS (SELECT unnest(range(0, 48)) AS i),
+       a AS (SELECT CAST(i AS BIGINT) AS media_id,
+                    sha256('audio-' || CAST(i AS VARCHAR)) AS h,
+                    800 * (1 + i % 5) AS n_samples
+             FROM ids),
+       samp AS (
+         SELECT media_id, CAST(j AS BIGINT) AS j,
+                ('0x' || substr(h, 2 * ((2 * j) % 32) + 1, 2))::BIGINT
+                + 256 * ('0x' || substr(h, 2 * ((2 * j + 1) % 32) + 1, 2))::BIGINT
+                    AS uval
+         FROM a, unnest(range(0, n_samples)) AS t(j)),
+       sv AS (
+         SELECT media_id, j, j // 800 AS frame_no,
+                uval - CASE WHEN uval >= 32768 THEN 65536 ELSE 0 END AS x
+         FROM samp),
+       sgn AS (
+         SELECT media_id, frame_no, x,
+                CASE WHEN (x >= 0) <>
+                          (lag(x) OVER (PARTITION BY media_id, frame_no ORDER BY j) >= 0)
+                     THEN 1 ELSE 0 END AS zc
+         FROM sv)
+       SELECT media_id, CAST(frame_no AS BIGINT) AS frame_no,
+              round(sqrt(sum(x * x) / count(*)) / 32768, 6) AS rms,
+              CAST(sum(zc) AS BIGINT) AS zero_crossings
+       FROM sgn GROUP BY 1, 2""",
+)
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — REAL audio decode, hash-checked: synthetic rows carry
+    genuine PCM WAV payloads (RIFF header + seeded int16 stream), the
+    Spark side chunk-walks the container (operators/multimodal.py:
+    decode_wav) and computes per-frame RMS energy + zero-crossing counts
+    in a mapInPandas pass, and the oracle regenerates every sample from
+    the sha256 hex stream in SQL. Both features are integer-exact in
+    double precision, so the value hash gates the decoder itself —
+    a wrong byte order, chunk offset, or sign convention fails here."""
+    return audio_frame_features(synthetic_audio(spark, 48))
 
 
 @query(

@@ -266,3 +266,73 @@ def test_resize_images_contract(spark):
     # deterministic: same input → same payload
     again = {r.media_id: bytes(r.content) for r in resize_images(media, 32, 24).collect()}
     assert all(bytes(r.content) == again[r.media_id] for r in out)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """encode_wav → decode_wav is identity; the parser must walk past an
+    unknown LIST chunk inserted before data (real files carry INFO tags)."""
+    import struct
+
+    import numpy as np
+
+    from data_engineering_spark.operators.multimodal import decode_wav, encode_wav
+
+    x = np.array([0, 1000, -1000, 32767, -32768, 7, -7], dtype=np.int16)
+    sr, back = decode_wav(encode_wav(x, 16000))
+    assert sr == 16000
+    assert (back == x).all()
+
+    # splice an odd-sized junk chunk between fmt and data (word-aligned pad)
+    wav = bytearray(encode_wav(x, 8000))
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = bytes(wav[:36]) + junk + bytes(wav[36:])
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    sr2, back2 = decode_wav(spliced)
+    assert sr2 == 8000 and (back2 == x).all()
+
+
+def test_wav_stereo_downmix_and_rejects():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from data_engineering_spark.operators.multimodal import decode_wav
+
+    # hand-build a 2-channel PCM WAV: frames (L,R) = (100,200), (-100,-300)
+    data = np.array([100, 200, -100, -300], dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    sr, x = decode_wav(hdr + data)
+    assert sr == 8000 and x.tolist() == [150, -200]
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFX" + b"\x00" * 40)
+    with _pytest.raises(ValueError):  # non-PCM fmt code
+        bad = hdr.replace(struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16),
+                          struct.pack("<IHHIIHH", 16, 3, 2, 8000, 32000, 4, 16))
+        decode_wav(bad + data)
+
+
+def test_audio_frame_features_hand_check(spark):
+    """One frame of a known square wave: RMS and zero-crossings must match
+    the closed-form values."""
+    import numpy as np
+
+    from data_engineering_spark.operators.multimodal import (
+        audio_frame_features,
+        encode_wav,
+    )
+
+    # 8 samples alternating +q/-q → rms = q/32768, zc = 7
+    q = 1024
+    x = np.array([q, -q] * 4, dtype=np.int16)
+    df = spark.createDataFrame([(1, encode_wav(x, 8000))], "media_id long, content binary")
+    rows = audio_frame_features(df, frame=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.frame_no == 0
+    assert r.zero_crossings == 7
+    assert abs(r.rms - q / 32768.0) < 1e-9
