@@ -77,6 +77,11 @@ HEADLINE = [
     "m3_scd2_dimension",
     "lake_time_travel",
     "dedup_simhash_arrow",
+    "w4_distribution_ranks",
+    "w5_time_weighted_avg",
+    "sim_pq_topk",
+    "cohort_retention",
+    "funnel_conversion",
 ]
 
 

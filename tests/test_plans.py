@@ -182,6 +182,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "ts_gap_fill": 3,                 # daily agg + 1-row bounds + type dim; all calendar/dim-bounded, fact scans once
         "funnel_conversion": 8,           # 3 user-keyed stage aggs + 2 stage joins + 3 single-row count aggs
         "sim_pq_topk": 1,                 # encode+ADC are map-only; the top-k window alone shuffles
+        "w4_distribution_ranks": 1,       # one exchange on the segment key
+        "w5_time_weighted_avg": 2,        # user-keyed window; groupBy reuses the key (AQE may keep 1)
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
