@@ -58,11 +58,12 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # query has a green row from round 2+ except the simple r2 projections
 # listed above plus u1_union_all / o3_topk / p12_concat_projection
 # (displaced for the three event-analytics queries) and j2_inner_join_filter /
-# j3_semi_join / a1_listagg_distinct / a2_collect_list_sorted (displaced
-# late-round for the four new never-proven oracle queries:
-# dedup_cluster_components, w4_distribution_ranks, w5_time_weighted_avg,
-# mm_audio_features) — lead round 6 with those displaced names, then
-# rotate by staleness (oldest green first).
+# j3_semi_join / a1_listagg_distinct / a2_collect_list_sorted /
+# a6_vector_assembly / a9_rollup (displaced late-round for the six new
+# never-proven oracle queries: dedup_cluster_components,
+# w4_distribution_ranks, w5_time_weighted_avg, mm_audio_features,
+# corpus_semantic_dedup, search_hybrid_rrf) — lead round 6 with those
+# displaced names, then rotate by staleness (oldest green first).
 registry.finalize_order(
     [
         # -- no driver signal in any round (registered mid-r4) ---------
@@ -110,12 +111,12 @@ registry.finalize_order(
         "w4_distribution_ranks",
         "w5_time_weighted_avg",
         "mm_audio_features",
+        "corpus_semantic_dedup",
+        "search_hybrid_rrf",
         # -- r2-era greens: join shapes --------------------------------
         "j4_broadcast_lookup_join",
         "j5_anti_join",
         # -- r2-era greens: aggregation / window / set / scalar --------
-        "a6_vector_assembly",
-        "a9_rollup",
         "a13_grouped_pivot",
         "w1_rank_in_group",
         "p11_fulltext_search",

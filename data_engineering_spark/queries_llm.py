@@ -7,7 +7,7 @@ duplicates in ``tests/test_dedup.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -338,7 +338,59 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_assignment(pairs, docs.select("doc_id"), max_rounds=25)
 
 
+@query(
+    "corpus_semantic_dedup",
+    """WITH pairs AS (
+          SELECT q.vec_id AS vec_id, c.vec_id AS other_id
+          FROM embeddings q, embeddings c
+          WHERE round(
+            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)
+            >= 0.4),
+       assign AS (
+         SELECT vec_id, min(other_id) AS canonical_id FROM pairs GROUP BY vec_id),
+       sizes AS (
+         SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+         FROM assign GROUP BY canonical_id)
+       SELECT d.doc_id, d.lang, d.source, d.n_chars, s.cluster_size
+       FROM documents d
+       JOIN assign a ON a.vec_id = d.doc_id AND a.canonical_id = d.doc_id
+       JOIN sizes s ON s.canonical_id = d.doc_id""",
+)
+def q_corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table semantic dedup — the training-corpus curation step
+    that joins the document store to its embedding index: every document
+    whose embedding has a lower-id cosine-≥0.4 neighbor is dropped, and
+    each surviving representative carries its cluster size. Composition:
+    embedding near-dup assignment (the pluggable candidate generator —
+    here the exact oracle-checkable variant; at corpus scale swap in
+    ``embedding_near_dedup_bucketed``, same output contract), a doc-keyed
+    join back to ``documents``, and a canonical-keyed size rollup. Every
+    stage is id-partitioned; the doc text never enters the similarity
+    math."""
+    docs = _docs(spark, sf_dir)
+    assign = embedding_near_dedup(_emb(spark, sf_dir), threshold=0.4).select(
+        F.col("vec_id").alias("doc_id"), "canonical_id"
+    )
+    sizes = assign.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    ).select(F.col("canonical_id").alias("rep_id"), "cluster_size")
+    kept = assign.filter(F.col("canonical_id") == F.col("doc_id")).select("doc_id")
+    return (
+        docs.join(kept, "doc_id")
+        .join(sizes, F.col("doc_id") == F.col("rep_id"))
+        .select("doc_id", "lang", "source", "n_chars", "cluster_size")
+    )
+
+
 _SEARCH_TERMS = ["spark", "vector", "stream"]
+
+_COSINE_EXPR = """
+        list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
+"""
 
 
 def _occurrence_sql(term: str) -> str:
@@ -478,6 +530,113 @@ def q_search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_hybrid_rrf",
+    f"""WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        c AS (SELECT doc_id,
+                     length(lt) AS dl,
+                     {_occurrence_sql('spark')} AS c0,
+                     {_occurrence_sql('vector')} AS c1,
+                     {_occurrence_sql('stream')} AS c2
+              FROM t),
+        d AS (SELECT count(*) AS n,
+                     avg(dl) AS avgdl,
+                     sum(CASE WHEN c0 > 0 THEN 1 ELSE 0 END) AS d0,
+                     sum(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS d1,
+                     sum(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS d2
+              FROM c),
+        lex AS (
+          SELECT doc_id,
+                 round( ln((n - d0 + 0.5) / (d0 + 0.5) + 1.0)
+                          * (c0 * 2.2) / (c0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      + ln((n - d1 + 0.5) / (d1 + 0.5) + 1.0)
+                          * (c1 * 2.2) / (c1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                      + ln((n - d2 + 0.5) / (d2 + 0.5) + 1.0)
+                          * (c2 * 2.2) / (c2 + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+          FROM c, d WHERE c0 + c1 + c2 > 0),
+        lexr AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lr
+          FROM lex QUALIFY lr <= 20),
+        vec AS (
+          SELECT c.vec_id AS doc_id,
+                 round({_COSINE_EXPR}, 6) AS sim
+          FROM embeddings c, embeddings q
+          WHERE q.vec_id = 7 AND c.vec_id <> 7),
+        vecr AS (
+          SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS vr
+          FROM vec QUALIFY vr <= 20),
+        fused AS (
+          SELECT doc_id,
+                 round(coalesce(1.0 / (60 + lr), 0) + coalesce(1.0 / (60 + vr), 0), 6)
+                     AS rrf
+          FROM lexr FULL OUTER JOIN vecr USING (doc_id))
+       SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""",
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — BM25 lexical ranking fused with embedding
+    cosine ranking via reciprocal-rank fusion (RRF, k=60): the
+    RAG-serving query shape where keyword recall and semantic recall
+    cover each other's misses. Both legs are existing oracle-checked
+    machinery (search_bm25_rank, sim_cosine_topk); fusion is a full
+    outer join of two 20-row rank lists — driver-free, broadcast-sized —
+    so the whole query stays one corpus scan per modality plus
+    TakeOrdered top-k. Rank lists are deterministic (score DESC, doc_id
+    tiebreak at 6 dp in both engines), which is what lets RRF — normally
+    an "approximate" serving trick — carry a hard value-hash oracle."""
+    k1, b = 1.2, 0.75
+    docs = _docs(spark, sf_dir).select("doc_id", F.lower(F.col("text")).alias("lt"))
+    counts = docs.select(
+        "doc_id",
+        F.length("lt").alias("dl"),
+        *[
+            ((F.length("lt") - F.length(F.replace(F.col("lt"), F.lit(t)))) / len(t))
+            .cast("long")
+            .alias(f"c{i}")
+            for i, t in enumerate(_SEARCH_TERMS)
+        ],
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"c{i}") > 0, 1).otherwise(0)).alias(f"d{i}")
+            for i in range(len(_SEARCH_TERMS))
+        ],
+    )
+    norm = F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    score = None
+    for i in range(len(_SEARCH_TERMS)):
+        idf = F.log((F.col("n") - F.col(f"d{i}") + 0.5) / (F.col(f"d{i}") + 0.5) + 1.0)
+        term = idf * (F.col(f"c{i}") * (k1 + 1)) / (F.col(f"c{i}") + k1 * norm)
+        score = term if score is None else score + term
+    lex = (
+        counts.crossJoin(F.broadcast(stats))
+        .filter(sum(F.col(f"c{i}") for i in range(len(_SEARCH_TERMS))) > 0)
+        .select("doc_id", F.round(score, 6).alias("score"))
+    )
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    lexr = lex.withColumn("lr", F.row_number().over(wl)).filter(F.col("lr") <= 20).select(
+        "doc_id", "lr"
+    )
+    emb = _emb(spark, sf_dir)
+    vecr = (
+        cosine_topk(emb, emb.filter(F.col("vec_id") == 7), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("vr"))
+    )
+    fused = (
+        lexr.join(vecr, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("lr")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vr")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(10)
+
+
+@query(
     "corpus_prepare",
     """WITH scored AS (
          SELECT doc_id, text, lang, source,
@@ -518,13 +677,6 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
-
-_COSINE_EXPR = """
-        list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-        / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))))
-"""
-
 
 @query(
     "sim_cosine_topk",

@@ -463,3 +463,39 @@ def test_pq_recall_beats_chance(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, q, k=5).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in pq_topk(emb, q, m=16, n_codes=16, k=5).collect()}
     assert len(exact & approx) / len(exact) >= 0.3
+
+
+def test_canonical_assignment_matches_union_find(spark):
+    """Randomized graphs: label propagation's fixpoint must equal the
+    union-find (true connected components) min-id labeling."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(rng.randint(10, 50))}
+        )
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        from data_engineering_spark.operators.dedup import canonical_assignment
+
+        got = {
+            r.doc_id: r.canonical_id
+            for r in canonical_assignment(pairs, ids, max_rounds=60).collect()
+        }
+        assert got == expected, f"seed {seed}"

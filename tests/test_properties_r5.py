@@ -83,3 +83,19 @@ def test_nl2sql_never_crashes_unvalidated(req):
         compile_nl(req, SCHEMAS)
     except NLQueryError:
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(1, 64),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_is_identity(seed, n, sr):
+    from data_engineering_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+    sr2, back = decode_wav(encode_wav(x, sr))
+    assert sr2 == sr
+    assert (back == x).all()
