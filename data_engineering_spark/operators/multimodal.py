@@ -44,6 +44,9 @@ __all__ = [
     "decode_wav",
     "synthetic_audio",
     "audio_frame_features",
+    "image_ahash",
+    "image_hashes",
+    "image_near_dup_pairs",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -428,3 +431,98 @@ def audio_frame_features(df: DataFrame, frame: int = 800) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(featurize, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection (perceptual average-hash)
+# ---------------------------------------------------------------------------
+
+
+def image_ahash(arr: np.ndarray) -> int:
+    """64-bit perceptual average-hash: grayscale → 8×8 block means →
+    threshold at the mean → bit-packed row-major. Robust to small pixel
+    edits and re-encodes (the edits move few block means across the
+    threshold), unlike the byte-exact md5 fingerprint."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = np.minimum((np.arange(9) * h) // 8, h)
+    xs = np.minimum((np.arange(9) * w) // 8, w)
+    blocks = np.empty((8, 8), dtype=np.float64)
+    for r in range(8):
+        for c in range(8):
+            seg = gray[ys[r] : max(ys[r + 1], ys[r] + 1), xs[c] : max(xs[c + 1], xs[c] + 1)]
+            blocks[r, c] = seg.mean()
+    bits = (blocks >= blocks.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def image_hashes(df: DataFrame) -> DataFrame:
+    """(media_id, ahash) via ``mapInPandas`` over binary image payloads —
+    the shuffle-free signature stage of image near-dedup (same contract
+    as the text simhash signature build: Arrow batches in, 8 bytes per
+    image out; undecodable payloads are skipped, not failed)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mid, hs = [], []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    arr = decode_image(bytes(content))
+                except ValueError:
+                    continue
+                mid.append(media_id)
+                hs.append(image_ahash(arr))
+            yield pd.DataFrame({"media_id": mid, "ahash": hs})
+
+    return df.select("media_id", "content").mapInPandas(hash_batch, schema=out_schema)
+
+
+def image_near_dup_pairs(df: DataFrame, max_hamming: int = 6, bands: int = 8) -> DataFrame:
+    """Image near-duplicate pairs: banded blocking over the 64-bit aHash
+    (``bands`` runs of ``64/bands`` bits — pigeonhole guarantees any pair
+    within ``bands-1`` hamming shares a band), then exact hamming verify
+    with ``bit_count(xor)``. Same candidate-generation shape as the text
+    simhash path: the join key is (band, band-bits), never the image
+    bytes, so at corpus scale only 8-byte signatures shuffle."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = image_hashes(df)
+    exploded = h.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned("ahash", i * width).bitwiseAND(mask).alias("bh"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("media_id", "ahash", "bb.band", "bb.bh")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

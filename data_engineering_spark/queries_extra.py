@@ -591,6 +591,49 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gradient_image_rows(n: int = 24, w: int = 64, h: int = 48):
+    """Deterministic structured test images: linear gradients whose
+    direction/frequency vary per id — perceptually DISTINCT (unlike the
+    digest-noise payloads, which are all uniform gray to a perceptual
+    hash), so aHash discrimination is actually exercised. Row ``1000``
+    is image 0 with a small noise patch — the re-encode/JPEG-artifact
+    analog a byte-exact md5 misses."""
+    import numpy as np
+
+    from .operators.multimodal import encode_ppm
+
+    ys, xs = np.mgrid[0:h, 0:w]
+    rows = []
+    for i in range(n):
+        a, b = (i % 5) - 2, (i // 5) % 5 - 2
+        field = (a * xs + b * ys) * (1 + i % 3)
+        arr = ((field % 256)).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+        rows.append((i, encode_ppm(arr)))
+    twin = bytearray(rows[0][1])  # header is "P6\n64 48\n255\n" = 14 bytes
+    for p in range(14, 14 + 30, 3):
+        twin[p] = (twin[p] + 4) % 256
+    rows.append((1000, bytes(twin)))
+    return rows
+
+
+@query("mm_image_dedup")  # rows-only: perceptual hash is engine-specific
+def q_mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — image near-duplicate pairs via perceptual
+    average-hash (operators/multimodal.py:image_near_dup_pairs): decode
+    → 8×8 block-mean aHash → banded candidate join → exact hamming
+    verify. The corpus is 24 structured gradient images plus one planted
+    near-dup (image 0 with a perturbed byte run); the pair must surface
+    with a small hamming distance while the distinct gradients stay
+    apart. At corpus scale only 8-byte signatures shuffle; the image
+    bytes never leave their scan stage."""
+    from .operators.multimodal import image_near_dup_pairs
+
+    corpus = spark.createDataFrame(
+        _gradient_image_rows(), "media_id long, content binary"
+    )
+    return image_near_dup_pairs(corpus, max_hamming=6)
+
+
 @query(
     "mm_audio_features",
     """WITH ids AS (SELECT unnest(range(0, 48)) AS i),

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_csv", "read_json_lines", "read_with_schema"]
+__all__ = ["read_csv", "read_json_lines", "read_with_schema", "read_orc", "write_orc"]
 
 
 def read_csv(
@@ -39,3 +39,20 @@ def read_with_schema(spark: SparkSession, path: str, schema: T.StructType) -> Da
     """S3 — re-read a source under an overridden (e.g. all-nullable)
     schema (``AWS_GLUE_ETL.py:111-117`` + ``comlib.py:300-311``)."""
     return spark.read.schema(schema).parquet(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ORC scan — the other columnar format a lakehouse ingests from
+    (Hive-era warehouses emit it). Same predicate-pushdown / column-
+    pruning behavior as parquet (ORC carries stripe-level min/max), so
+    the scan-side optimizations in PLANS.md apply unchanged."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink twin of the parquet writers — interop surface for
+    downstream Hive/Trino consumers."""
+    df.write.mode(mode).orc(path)

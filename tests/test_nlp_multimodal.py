@@ -336,3 +336,29 @@ def test_audio_frame_features_hand_check(spark):
     assert r.frame_no == 0
     assert r.zero_crossings == 7
     assert abs(r.rms - q / 32768.0) < 1e-9
+
+
+def test_image_ahash_robust_to_noise_and_discriminative():
+    import numpy as np
+
+    from data_engineering_spark.operators.multimodal import image_ahash
+
+    ys, xs = np.mgrid[0:48, 0:64]
+    horiz = ((xs * 4) % 256).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+    vert = ((ys * 4) % 256).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+    noisy = horiz.copy()
+    noisy[0:2, 0:2] = 255  # small corner patch
+    h0, h1, hv = image_ahash(horiz), image_ahash(noisy), image_ahash(vert)
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h0, h1) <= 4  # small edit → near hash
+    assert ham(h0, hv) >= 16  # orthogonal gradient → far hash
+
+
+def test_image_near_dup_pairs_finds_planted_twin(spark):
+    from data_engineering_spark.queries_extra import _gradient_image_rows
+    from data_engineering_spark.operators.multimodal import image_near_dup_pairs
+
+    corpus = spark.createDataFrame(_gradient_image_rows(), "media_id long, content binary")
+    pairs = {(r.id_a, r.id_b) for r in image_near_dup_pairs(corpus, max_hamming=6).collect()}
+    assert (0, 1000) in pairs  # the byte-perturbed twin
+    assert len(pairs) < 15  # distinct gradients overwhelmingly stay apart

@@ -41,3 +41,20 @@ def test_read_with_overridden_schema(spark, sf_dir):
     df = read_with_schema(spark, f"{sf_dir}/nation.parquet", relaxed)
     assert df.count() == 25
     assert all(f.nullable for f in df.schema.fields)
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.sources.readers import read_orc, write_orc
+
+    src = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(r.n_nationkey for r in back.collect()) == sorted(
+        r.n_nationkey for r in src.collect()
+    )
+    # predicate pushdown reaches the ORC scan
+    plan = back.filter(back.n_nationkey == 3)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan or "n_nationkey" in plan
