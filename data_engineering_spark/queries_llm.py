@@ -811,7 +811,11 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric-distance lookup tables — the memory-bound ANN path for
     corpora whose raw vectors don't fit executor memory. Codebook
     training is one bounded sample collect; encoding and scoring are
-    shuffle-free maps. Recall vs exact is measured in sim_ann_recall."""
+    shuffle-free maps. Recall vs exact is measured in sim_ann_recall
+    (sf0.01: 0.14 at m=8, 0.34 at m=16 — the driver's random embeddings
+    are isotropic, the worst case for any quantizer, same as the LSH
+    note; on clustered real embeddings PQ recall rises with the
+    between/within-cluster variance ratio and m is the dial)."""
     emb = _emb(spark, sf_dir)
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), m=8, n_codes=16, k=5)
 

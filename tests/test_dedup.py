@@ -453,8 +453,9 @@ def test_pq_encode_deterministic_and_compact(spark, sf_dir):
 
 
 def test_pq_recall_beats_chance(spark, sf_dir):
-    """PQ@5 recall vs exact top-5 must be far above the ~8% random-pair
-    floor on the driver corpus (measured ~0.5+ at m=8)."""
+    """PQ@5 recall vs exact top-5 must be far above the ~1% random-pair
+    floor on the driver corpus (measured ~0.34 at m=16 on the isotropic
+    sf0.01 embeddings — the quantizer's worst-case data shape)."""
     from data_engineering_spark.catalog import load_table
     from data_engineering_spark.operators.similarity import cosine_topk, pq_topk
 
