@@ -9,7 +9,7 @@ is exercised in ``tests/test_streaming.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -798,6 +798,67 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(spine)
         .join(actual, ["day", "event_type"], "left")
         .select("day", "event_type", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+
+
+@query(
+    "ts_anomaly_zscore",
+    """WITH daily AS (
+         SELECT CAST(ts AS DATE) AS day, event_type,
+                round(sum(value), 2) AS x
+         FROM events GROUP BY 1, 2),
+       stats AS (
+         SELECT day, event_type, x,
+                count(*) OVER w AS n,
+                sum(x) OVER w AS s,
+                sum(x * x) OVER w AS ss
+         FROM daily
+         WINDOW w AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+       SELECT day, event_type, x,
+              CASE WHEN n > 1 AND (ss - s * s / n) / (n - 1) > 0
+                   THEN round((x - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4)
+              END AS z,
+              coalesce(n > 1 AND (ss - s * s / n) / (n - 1) > 0
+                       AND abs((x - s / n) / sqrt((ss - s * s / n) / (n - 1))) >= 2,
+                       false) AS is_anomaly
+       FROM stats""",
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the daily per-type value
+    series: each day scored against its trailing 7-day window's mean and
+    sample stddev, flagged at |z| ≥ 2 — the monitoring rollup behind
+    every metrics-alerting pipeline. The variance is computed from the
+    window's (n, Σx, Σx²) with the textbook formula IN BOTH ENGINES —
+    not the built-in stddev aggregates, whose streaming algorithms
+    (Welford vs. naive) differ in final ulps and would flake the value
+    hash. Ordered window frames sum ≤7 doubles sequentially, so the
+    sums are bit-identical. One shuffle on the type key; the daily
+    pre-aggregation is a partial-agg groupBy of the fact."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 2).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    stats = daily.select(
+        "day",
+        "event_type",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("ss"),
+    )
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.greatest(
+        F.col("n") - 1, F.lit(1)
+    )
+    z = (F.col("x") - F.col("s") / F.col("n")) / F.sqrt(var)
+    ok = (F.col("n") > 1) & (var > 0)
+    return stats.select(
+        "day",
+        "event_type",
+        "x",
+        F.when(ok, F.round(z, 4)).alias("z"),
+        F.coalesce(ok & (F.abs(z) >= 2), F.lit(False)).alias("is_anomaly"),
     )
 
 
