@@ -1,0 +1,94 @@
+"""Time-series operators beyond plain windows: shape-preserving
+downsampling (LTTB). The gap-fill / TWA / anomaly rollups live as
+registered queries (queries_extra.py / queries_relational.py); this
+module holds the per-series imperative kernels that need
+``applyInPandas``.
+
+Scale design: every operator here is keyed by a series id — the natural
+partition key — so Spark distributes one series-group per task and the
+Python kernel only ever sees one bounded pandas frame. Nothing touches
+the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+__all__ = ["lttb", "lttb_downsample"]
+
+
+def lttb(x: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets: pick ``k`` indices from a series
+    (sorted by x) that preserve its visual shape — the standard
+    dashboard downsampler. First/last points always kept; each interior
+    bucket keeps the point forming the largest triangle with the
+    previously selected point and the NEXT bucket's centroid.
+    Deterministic: ties resolve to the lowest index (argmax)."""
+    n = len(x)
+    if k >= n or k < 3:
+        return np.arange(n)
+    idx = np.empty(k, dtype=np.int64)
+    idx[0], idx[-1] = 0, n - 1
+    # bucket boundaries over the interior points [1, n-1)
+    bounds = (np.arange(k - 1) * (n - 2)) // (k - 2) + 1
+    bounds = np.concatenate([bounds, [n - 1]])
+    prev = 0
+    for b in range(k - 2):
+        lo, hi = bounds[b], bounds[b + 1]
+        nlo, nhi = bounds[b + 1], bounds[b + 2] if b + 2 < len(bounds) else n
+        cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        ax, ay = x[prev], y[prev]
+        # triangle area ∝ |(ax-cx)*(y-ay) - (ax-x)*(cy-ay)|
+        area = np.abs((ax - cx) * (y[lo:hi] - ay) - (ax - x[lo:hi]) * (cy - ay))
+        prev = lo + int(np.argmax(area))
+        idx[b + 1] = prev
+    return idx
+
+
+def lttb_downsample(
+    df: DataFrame,
+    k: int = 50,
+    series_col: str = "event_type",
+    x_col: str = "ts",
+    y_col: str = "value",
+) -> DataFrame:
+    """Downsample each series to ``k`` shape-preserving points via LTTB
+    inside ``applyInPandas`` — one task per series, kernel-local numpy,
+    no driver involvement. Output keeps the original (series, x, y)
+    columns plus the selected point's 0-based position in its series.
+
+    At 100 TB the series key is the shuffle key: a single groupBy
+    exchange co-locates each series, and the output is k rows per series
+    regardless of input size — the canonical reduce-before-collect for
+    dashboards over raw event streams."""
+    out_schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("x_epoch", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("pos", T.LongType()),
+        ]
+    )
+
+    def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([x_col, y_col], kind="mergesort").reset_index(drop=True)
+        x = pdf[x_col].astype("int64").to_numpy() / 1e9  # ns → epoch seconds
+        y = pdf[y_col].astype("float64").to_numpy()
+        keep = lttb(x, y, k)
+        return pd.DataFrame(
+            {
+                "series": pdf[series_col].iloc[keep],
+                "x_epoch": x[keep],
+                "y": y[keep],
+                "pos": keep,
+            }
+        )
+
+    return (
+        df.select(series_col, x_col, y_col)
+        .groupBy(series_col)
+        .applyInPandas(downsample, schema=out_schema)
+    )

@@ -862,6 +862,21 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ts_downsample_lttb")  # rows-only: greedy sequential selection, no SQL twin
+def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape-preserving series downsampling (LTTB,
+    operators/timeseries.py): each event_type's raw (ts, value) stream
+    reduced to 50 visually representative points — the
+    reduce-before-dashboard step that makes plotting a 100 TB stream
+    possible. One groupBy exchange co-locates each series; the greedy
+    bucket selection runs kernel-local in applyInPandas and emits k rows
+    per series. Sequential/greedy ⇒ no SQL twin; semantics pinned by
+    endpoint/monotonicity/membership tests."""
+    from .operators.timeseries import lttb_downsample
+
+    return lttb_downsample(_t(spark, sf_dir, "events"), k=50)
+
+
 @query(
     "funnel_conversion",
     """WITH s1 AS (

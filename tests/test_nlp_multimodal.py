@@ -362,3 +362,40 @@ def test_image_near_dup_pairs_finds_planted_twin(spark):
     pairs = {(r.id_a, r.id_b) for r in image_near_dup_pairs(corpus, max_hamming=6).collect()}
     assert (0, 1000) in pairs  # the byte-perturbed twin
     assert len(pairs) < 15  # distinct gradients overwhelmingly stay apart
+
+
+def test_lttb_kernel_properties():
+    import numpy as np
+
+    from data_engineering_spark.operators.timeseries import lttb
+
+    x = np.arange(500, dtype=np.float64)
+    rng = np.random.default_rng(5)
+    y = np.sin(x / 20) * 100 + rng.normal(0, 1, 500)
+    # plant an extreme spike the downsampler must keep
+    y[250] = 10_000.0
+    idx = lttb(x, y, 40)
+    assert len(idx) == 40
+    assert idx[0] == 0 and idx[-1] == 499  # endpoints always kept
+    assert (np.diff(idx) > 0).all()  # strictly increasing positions
+    assert 250 in idx  # the spike dominates its bucket's triangle
+    # identity when k >= n
+    assert (lttb(x[:10], y[:10], 20) == np.arange(10)).all()
+
+
+def test_lttb_downsample_spark_contract(spark, sf_dir):
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.timeseries import lttb_downsample
+
+    ev = load_table(spark, sf_dir, "events")
+    out = lttb_downsample(ev, k=50)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.series, []).append(r)
+    n_types = ev.select("event_type").distinct().count()
+    assert len(per) == n_types
+    for series, pts in per.items():
+        assert len(pts) == 50
+        xs = sorted(p.x_epoch for p in pts)
+        assert xs == [p.x_epoch for p in sorted(pts, key=lambda p: p.pos)]
