@@ -643,6 +643,42 @@ def a13_grouped_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a18_unpivot_long",
+    """WITH wide AS (
+         SELECT o_custkey AS cust_key,
+                round(coalesce(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 0), 2) AS st_o,
+                round(coalesce(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 0), 2) AS st_f,
+                round(coalesce(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 0), 2) AS st_p
+         FROM orders GROUP BY o_custkey)
+       SELECT cust_key, 'O' AS status, st_o AS total FROM wide
+       UNION ALL SELECT cust_key, 'F', st_f FROM wide
+       UNION ALL SELECT cust_key, 'P', st_p FROM wide""",
+)
+def a18_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — the inverse reshaping of a13's groupBy().pivot():
+    the wide per-status totals fold back to (key, status, value) long
+    form via ``stack``, the zero-copy row-generator Spark plans as a
+    single Generate over the wide relation (no join, no shuffle beyond
+    the wide aggregation itself). Wide↔long round-tripping is the
+    feature-table plumbing every training pipeline does at its
+    model-input boundary."""
+    wide = grouped_pivot(
+        _t(spark, sf_dir, "orders"),
+        key="o_custkey",
+        pivot_col="o_orderstatus",
+        pivot_values=["O", "F", "P"],
+        agg=F.sum("o_totalprice"),
+    ).select(
+        F.col("o_custkey").alias("cust_key"),
+        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(s) for s in ("O", "F", "P")],
+    )
+    return wide.select(
+        "cust_key",
+        F.expr("stack(3, 'O', O, 'F', F, 'P', P) AS (status, total)"),
+    ).select("cust_key", "status", "total")
+
+
 # ---------------------------------------------------------------------------
 # §2.5 Windows (absent in reference — exposed natively per SURVEY)
 # ---------------------------------------------------------------------------
