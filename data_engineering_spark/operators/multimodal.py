@@ -361,6 +361,8 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
         size = struct.unpack_from("<I", content, pos + 4)[0]
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV: fmt chunk shorter than 16 bytes")
             fmt, channels, sr = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt != 1 or bits != 16:

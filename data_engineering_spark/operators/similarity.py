@@ -524,16 +524,20 @@ def cosine_topk_pandas(
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             cm = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             cn = np.linalg.norm(cm, axis=1)
-            sims = (qm @ cm.T) / (qn[:, None] * cn[None, :])
+            sims = np.round((qm @ cm.T) / (qn[:, None] * cn[None, :]), 6)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(qids)):
                 s = sims[qi]
                 mask = ids != qids[qi]
                 cand = np.nonzero(mask)[0]
-                top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+                # local selection MUST use the global contract's ordering
+                # (rounded sim desc, neighbor_id asc), not batch row
+                # order — otherwise a tie straddling the local k-boundary
+                # makes output depend on partition layout
+                top = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
                 out_q.extend([qids[qi]] * len(top))
                 out_n.extend(ids[top].tolist())
-                out_s.extend(np.round(s[top], 6).tolist())
+                out_s.extend(s[top].tolist())
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
@@ -694,15 +698,19 @@ def pq_topk(
                 acc_sq += lut_sq[j, codes[:, j]]
             norms = np.sqrt(acc_sq)
             norms[norms == 0] = 1.0
-            sims = acc_dot / (qn[:, None] * norms[None, :])
+            sims = np.round(acc_dot / (qn[:, None] * norms[None, :]), 6)
             out_q, out_n, out_s = [], [], []
             for qi in range(len(qids)):
                 s = sims[qi]
                 cand = np.nonzero(ids != qids[qi])[0]
-                top = cand[np.argsort(-s[cand], kind="stable")[:k]]
+                # PQ scores tie often (shared codewords reconstruct the
+                # same sim) — local top-k must follow the global
+                # (rounded sim desc, neighbor_id asc) contract so output
+                # is partition-layout independent
+                top = cand[np.lexsort((ids[cand], -s[cand]))[:k]]
                 out_q.extend([qids[qi]] * len(top))
                 out_n.extend(ids[top].tolist())
-                out_s.extend(np.round(s[top], 6).tolist())
+                out_s.extend(s[top].tolist())
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
 
     scored = encoded.mapInPandas(score, "query_id long, neighbor_id long, sim double")

@@ -38,7 +38,13 @@ def lttb(x: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
     prev = 0
     for b in range(k - 2):
         lo, hi = bounds[b], bounds[b + 1]
-        nlo, nhi = bounds[b + 1], bounds[b + 2] if b + 2 < len(bounds) else n
+        if b < k - 3:
+            nlo, nhi = bounds[b + 1], bounds[b + 2]
+        else:
+            # last interior bucket: the next anchor is the final point —
+            # bounds[b+2] here is n-1, which would make the slice empty
+            # (NaN centroid) and silently pick the bucket's first point
+            nlo, nhi = n - 1, n
         cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
         ax, ay = x[prev], y[prev]
         # triangle area ∝ |(ax-cx)*(y-ay) - (ax-x)*(cy-ay)|

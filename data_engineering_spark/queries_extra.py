@@ -609,8 +609,8 @@ def _gradient_image_rows(n: int = 24, w: int = 64, h: int = 48):
         field = (a * xs + b * ys) * (1 + i % 3)
         arr = ((field % 256)).astype(np.uint8)[:, :, None].repeat(3, axis=2)
         rows.append((i, encode_ppm(arr)))
-    twin = bytearray(rows[0][1])  # header is "P6\n64 48\n255\n" = 14 bytes
-    for p in range(14, 14 + 30, 3):
+    twin = bytearray(rows[0][1])  # header is "P6\n64 48\n255\n" = 13 bytes
+    for p in range(13, 13 + 30, 3):  # pixel-aligned: R channel of pixels 0-9
         twin[p] = (twin[p] + 4) % 256
     rows.append((1000, bytes(twin)))
     return rows

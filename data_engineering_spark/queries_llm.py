@@ -373,14 +373,18 @@ def q_corpus_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = embedding_near_dedup(_emb(spark, sf_dir), threshold=0.4).select(
         F.col("vec_id").alias("doc_id"), "canonical_id"
     )
-    sizes = assign.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).cast("long").alias("cluster_size")
-    ).select(F.col("canonical_id").alias("rep_id"), "cluster_size")
-    kept = assign.filter(F.col("canonical_id") == F.col("doc_id")).select("doc_id")
-    return (
-        docs.join(kept, "doc_id")
-        .join(sizes, F.col("doc_id") == F.col("rep_id"))
-        .select("doc_id", "lang", "source", "n_chars", "cluster_size")
+    # cluster size via a window over the SAME relation instead of a
+    # separate groupBy branch: the quadratic near-dup subtree is
+    # referenced once, so it executes once — a second branch would
+    # recompute the whole all-pairs cosine join per branch
+    wc = Window.partitionBy("canonical_id")
+    kept = (
+        assign.withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("canonical_id") == F.col("doc_id"))
+        .select("doc_id", "cluster_size")
+    )
+    return docs.join(kept, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "cluster_size"
     )
 
 

@@ -381,6 +381,16 @@ def test_lttb_kernel_properties():
     assert 250 in idx  # the spike dominates its bucket's triangle
     # identity when k >= n
     assert (lttb(x[:10], y[:10], 20) == np.arange(10)).all()
+    # a spike in the LAST interior bucket must also survive (regression:
+    # the empty next-bucket slice produced NaN centroids and always kept
+    # that bucket's first point)
+    y2 = np.zeros(500)
+    y2[492] = 1e6
+    assert 492 in lttb(x, y2, 40)
+    # minimal k: spike anywhere must be the single interior pick
+    y3 = np.zeros(100)
+    y3[55] = 5.0
+    assert list(lttb(np.arange(100, dtype=np.float64), y3, 3)) == [0, 55, 99]
 
 
 def test_lttb_downsample_spark_contract(spark, sf_dir):
