@@ -862,6 +862,46 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_transition_matrix",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       cnt AS (
+         SELECT prev_type, event_type AS next_type,
+                CAST(count(*) AS BIGINT) AS n
+         FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT prev_type, next_type, n,
+              round(n / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+       FROM cnt""",
+)
+def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (first-order Markov counts and
+    per-source probabilities over each user's ordered event stream) —
+    the path-analysis rollup behind journey mining and next-event
+    models. One user-keyed window produces the bigrams, one partial-agg
+    groupBy counts them, and the probability normalizer is a window
+    over the tiny (types × types) matrix. Counts are integers, so the
+    probability division is bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
 @query("ts_downsample_lttb")  # rows-only: greedy sequential selection, no SQL twin
 def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-preserving series downsampling (LTTB,

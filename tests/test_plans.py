@@ -185,6 +185,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "w4_distribution_ranks": 1,       # one exchange on the segment key
         "w5_time_weighted_avg": 2,        # user-keyed window; groupBy reuses the key (AQE may keep 1)
         "ts_anomaly_zscore": 2,           # daily partial agg + one type-key window exchange
+        "events_transition_matrix": 3,    # user window + bigram agg + matrix-sized normalizer
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
