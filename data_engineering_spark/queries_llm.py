@@ -641,6 +641,49 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_inverted_index",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id,
+                unnest(regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+')) AS token
+         FROM documents)
+       SELECT token,
+              CAST(count(*) AS BIGINT) AS df,
+              string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       FROM tok WHERE length(token) > 2
+       GROUP BY token HAVING count(*) >= 10""",
+)
+def q_search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index itself — the postings-table artifact the
+    reference delegates to Elasticsearch (term → document frequency +
+    sorted posting list): explode tokens, distinct per (token, doc),
+    one token-keyed groupBy. Emitted as (token, df, comma-joined sorted
+    postings); df ≥ 10 bounds the output to index-worthy terms. At
+    100 TB the token is the natural partition key and posting lists
+    build with map-side combines — this is exactly the shape a bulk
+    index loader consumes. Postings serialize as a string because the
+    harness canonicalizer can't hash raw array cells (a2's pattern)."""
+    docs = _docs(spark, sf_dir)
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(r"regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+', 0)")).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") > 2)
+        .distinct()
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("postings"),
+        )
+        .filter(F.col("df") >= 10)
+    )
+
+
+@query(
     "corpus_prepare",
     """WITH scored AS (
          SELECT doc_id, text, lang, source,
