@@ -901,4 +901,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
         ).count()
         rows.append((method, float(round(hit / max(n_exact, 1), 4))))
+    # every recall count is materialized into `rows` above — release the
+    # baseline's storage before handing back the (local-data) result
+    exact.unpersist()
     return spark.createDataFrame(rows, "method string, recall_at_5 double")
