@@ -21,6 +21,7 @@ are unit-tested with planted near-duplicates instead.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -201,6 +202,57 @@ def minhash_signature(
     return base.select(F.col(id_col), *cols)
 
 
+def minhash_band_hashes_arrow(num_hashes: int = 32, bands: int = 8):
+    """pandas_udf: shingle-hash array → ``bands`` band-bucket longs, all
+    permutations evaluated in ONE vectorized numpy pass per Arrow batch.
+
+    The permutation family is multiply-shift over the 64-bit shingle
+    hashes (``perm_i(s) = A_i·s + B_i`` in uint64 wraparound, A_i odd) —
+    a standard universal-hash minwise family with the same banding
+    guarantees as the expression path's seeded xxhash64 rehashes, but
+    ~num_hashes× cheaper: the expression form evaluates 32 separate
+    array_min(transform(...)) passes over every shingle array, while
+    this builder concatenates the batch's shingles once and takes
+    ``minimum.reduceat`` per permutation. Constants derive from a fixed
+    splitmix64 stream — no RNG state, identical on every executor."""
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = num_hashes // bands
+
+    def _splitmix(seed: int) -> int:
+        z = (seed + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return z ^ (z >> 31)
+
+    A = np.array([( _splitmix(2 * i) | 1) for i in range(num_hashes)], dtype=np.uint64)
+    B = np.array([_splitmix(2 * i + 1) for i in range(num_hashes)], dtype=np.uint64)
+    FNV = np.uint64(1099511628211)
+
+    @pandas_udf("array<long>")
+    def band_hashes(shsets: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(s) for s in shsets), dtype=np.int64, count=len(shsets))
+        if len(lens) == 0 or lens.sum() == 0:
+            return pd.Series([[0] * bands for _ in range(len(shsets))])
+        flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shsets]).view(np.uint64)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        minima = np.empty((num_hashes, len(lens)), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(num_hashes):
+                minima[i] = np.minimum.reduceat(A[i] * flat + B[i], offsets)
+            bh = np.empty((bands, len(lens)), dtype=np.uint64)
+            for b in range(bands):
+                acc = np.full(len(lens), np.uint64(0xCBF29CE484222325))
+                for r in range(rows_per_band):
+                    acc = (acc ^ minima[b * rows_per_band + r]) * FNV
+                bh[b] = acc
+        out = bh.T.view(np.int64)
+        return pd.Series([row.tolist() for row in out])
+
+    return band_hashes
+
+
 def minhash_near_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -211,6 +263,7 @@ def minhash_near_dedup(
     threshold: float = 0.6,
     max_bucket: int | None | str = "auto",
     verify_join: str = "auto",
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """MinHash + banded LSH near-dedup → (id_a, id_b, jaccard) pairs.
 
@@ -236,6 +289,16 @@ def minhash_near_dedup(
       overhead (~1s of the r4 bench's 2.6s — the only r4 regression),
       while a sub-``_SMALL_CORPUS_BYTES`` corpus can't produce a pair
       fan-out big enough to matter even fully quadratic.
+    - ``signature_impl`` picks the signature builder: ``"arrow"``
+      (default) computes all permutations' minima and the band combine
+      in one vectorized numpy pass per Arrow batch
+      (``minhash_band_hashes_arrow`` — multiply-shift minwise family);
+      ``"expr"`` keeps the pure-expression xxhash64 form (no Python in
+      the plan, ~num_hashes interpreted passes per shingle array). Both
+      feed the identical banded join + exact-Jaccard verify, so the
+      VERIFIED output differs only where banding recall differs — the
+      equality of both impls' pair sets on the driver corpus is asserted
+      in tests.
     - ``verify_join`` controls the verify joins' strategy: both sides
       (candidate pairs, per-doc shingle sets) are data-sized, but they
       sit behind a join+distinct where the planner's size estimate
@@ -281,27 +344,38 @@ def minhash_near_dedup(
     # Signature build is a pure projection over the persisted shingle sets
     # (see minhash_signature): K seeded long rehashes folded with
     # array_min — no explode, no extra shuffle.
-    hs = sh.select(F.col(id_col), F.col("shset").alias("hs"))
-    sig = hs.select(
-        F.col(id_col),
-        *[
-            F.array_min(F.transform(F.col("hs"), lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ],
-    )
-
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-                "bh"
-            ),
+    if signature_impl == "arrow":
+        # one vectorized numpy pass computes every permutation's minimum
+        # AND the band combine — the expression form below walks each
+        # shingle array num_hashes times through interpreted transforms
+        bh_udf = minhash_band_hashes_arrow(num_hashes, bands)
+        buckets = sh.select(
+            F.col(id_col), F.posexplode(bh_udf(F.col("shset"))).alias("band", "bh")
         )
-        for b in range(bands)
-    ]
-    buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    )
+    else:
+        hs = sh.select(F.col(id_col), F.col("shset").alias("hs"))
+        sig = hs.select(
+            F.col(id_col),
+            *[
+                F.array_min(
+                    F.transform(F.col("hs"), lambda h: F.xxhash64(F.lit(i), h))
+                ).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ],
+        )
+
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+        buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+        )
     if max_bucket is not None:
         small = (
             buckets.groupBy("band", "bh")

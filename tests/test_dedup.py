@@ -500,3 +500,20 @@ def test_canonical_assignment_matches_union_find(spark):
             for r in canonical_assignment(pairs, ids, max_rounds=60).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_minhash_arrow_signature_agrees_with_expr(spark, sf_dir):
+    """The vectorized multiply-shift band hasher and the expression
+    xxhash64 path must produce the SAME verified pair set on the driver
+    corpus (both are exact-Jaccard-verified; only banding recall could
+    differ, and it doesn't here)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.dedup import minhash_near_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    expr = {(r.id_a, r.id_b, r.jaccard)
+            for r in minhash_near_dedup(docs, signature_impl="expr").collect()}
+    arrow = {(r.id_a, r.id_b, r.jaccard)
+             for r in minhash_near_dedup(docs, signature_impl="arrow").collect()}
+    assert expr == arrow
+    assert len(arrow) > 0
