@@ -252,3 +252,39 @@ def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition. Invariants (no bin overflow, every doc packed once)
     asserted in tests/test_curation.py."""
     return pack_ffd(_docs(spark, sf_dir), capacity=256, num_partitions=8)
+
+
+@query(
+    "curate_split_train_val",
+    """WITH b AS (
+         SELECT lang,
+                CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+                     % 100 AS BIGINT) AS bucket
+         FROM documents)
+       SELECT lang,
+              CASE WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'val'
+                   ELSE 'test' END AS split,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM b GROUP BY 1, 2""",
+)
+def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by md5 bucket of
+    the document id) with per-(lang, split) counts — the dataset-freeze
+    step of every training run. The split is a pure projection
+    (reproducible across reruns, backfills, engines — same md5 bucket the
+    stratified sampler uses), so membership never flaps when the corpus
+    is appended to: a doc's split depends only on its id. One partial-agg
+    groupBy; zero extra shuffles at any corpus size."""
+    from .operators.curation import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    bucket = hash_bucket("doc_id", 100)
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
