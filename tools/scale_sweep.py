@@ -28,6 +28,10 @@ KNOWN_BASELINES = {
     "sim_cosine_near_pairs",
     "dedup_ngram_exact",
     "sim_ann_recall",
+    # round-5 additions that intentionally run over an exact/quadratic
+    # pair source so their fixpoint/cluster output stays oracle-able:
+    "dedup_cluster_components",
+    "corpus_semantic_dedup",
 }
 
 
