@@ -13,10 +13,14 @@ Design for 100 TB:
   groupBy (map-side partial agg), then blocks on 16-bit sub-bands —
   Hamming-distance ≤ d pairs must agree on ≥1 of 4 bands.
 
-All stages are DataFrame ops (explode / groupBy / join); no driver-side
-loops, no UDFs. Hash functions are xxhash64 (JVM, codegen'd) — these ops
-are rows-only checked by the driver since DuckDB lacks xxhash64; semantics
-are unit-tested with planted near-duplicates instead.
+All stages are DataFrame ops (explode / groupBy / join) with no
+driver-side loops. The only Python in any plan is the two Arrow signature
+builders (minhash band hashes and simhash bit votes — vectorized numpy
+per batch, each with a zero-Python expression twin selectable via
+``signature_impl="expr"``). Hash functions are xxhash64 (JVM, codegen'd)
+or the multiply-shift family — these ops are rows-only checked by the
+driver since DuckDB lacks them; semantics are unit-tested with planted
+near-duplicates instead.
 """
 
 from __future__ import annotations
@@ -231,24 +235,40 @@ def minhash_band_hashes_arrow(num_hashes: int = 32, bands: int = 8):
 
     @pandas_udf("array<long>")
     def band_hashes(shsets: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(s) for s in shsets), dtype=np.int64, count=len(shsets))
-        if len(lens) == 0 or lens.sum() == 0:
-            return pd.Series([[0] * bands for _ in range(len(shsets))])
-        flat = np.concatenate([np.asarray(s, dtype=np.int64) for s in shsets]).view(np.uint64)
-        offsets = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        minima = np.empty((num_hashes, len(lens)), dtype=np.uint64)
+        # null/empty shingle sets (null text, whitespace-only docs) have
+        # no minhash by definition: emit an EMPTY band array so the
+        # posexplode produces no bucket rows and they never pair — the
+        # same end state as the expr path, whose null band hashes die in
+        # the null-Jaccard verify filter. Mixing them into reduceat
+        # would crash (trailing empty → out-of-range offset) or silently
+        # borrow the next row's first hash (interior empty).
+        vals = [None if s is None else np.asarray(s, dtype=np.int64) for s in shsets]
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vals), dtype=np.int64, count=len(vals)
+        )
+        valid = lens > 0
+        n_valid = int(valid.sum())
+        out: list[list[int]] = [[] for _ in range(len(vals))]
+        if n_valid == 0:
+            return pd.Series(out)
+        flat = np.concatenate([v for v in vals if v is not None and len(v)]).view(np.uint64)
+        vlens = lens[valid]
+        offsets = np.zeros(n_valid, dtype=np.int64)
+        np.cumsum(vlens[:-1], out=offsets[1:])
+        minima = np.empty((num_hashes, n_valid), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for i in range(num_hashes):
                 minima[i] = np.minimum.reduceat(A[i] * flat + B[i], offsets)
-            bh = np.empty((bands, len(lens)), dtype=np.uint64)
+            bh = np.empty((bands, n_valid), dtype=np.uint64)
             for b in range(bands):
-                acc = np.full(len(lens), np.uint64(0xCBF29CE484222325))
+                acc = np.full(n_valid, np.uint64(0xCBF29CE484222325))
                 for r in range(rows_per_band):
                     acc = (acc ^ minima[b * rows_per_band + r]) * FNV
                 bh[b] = acc
-        out = bh.T.view(np.int64)
-        return pd.Series([row.tolist() for row in out])
+        rows = bh.T.view(np.int64)
+        for pos, row in zip(np.nonzero(valid)[0], rows):
+            out[pos] = row.tolist()
+        return pd.Series(out)
 
     return band_hashes
 
@@ -341,9 +361,10 @@ def minhash_near_dedup(
         .select(F.col(id_col), shingle_hashes(text_col, n).alias("shset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Signature build is a pure projection over the persisted shingle sets
-    # (see minhash_signature): K seeded long rehashes folded with
-    # array_min — no explode, no extra shuffle.
+    # Signature build is a shuffle-free map over the persisted shingle
+    # sets either way: the arrow default is one vectorized numpy pass per
+    # Arrow batch (ArrowEvalPython in the plan, no exchange); the expr
+    # form is K seeded rehashes folded with array_min (zero Python).
     if signature_impl == "arrow":
         # one vectorized numpy pass computes every permutation's minimum
         # AND the band combine — the expression form below walks each

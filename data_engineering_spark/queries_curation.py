@@ -20,6 +20,7 @@ from .catalog import load_table
 from .operators.curation import (
     PII_PATTERNS,
     chunk_sliding,
+    hash_bucket,
     mixture_weights,
     ngram_decontaminate,
     pack_concat,
@@ -276,8 +277,6 @@ def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratified sampler uses), so membership never flaps when the corpus
     is appended to: a doc's split depends only on its id. One partial-agg
     groupBy; zero extra shuffles at any corpus size."""
-    from .operators.curation import hash_bucket
-
     docs = _docs(spark, sf_dir)
     bucket = hash_bucket("doc_id", 100)
     split = (

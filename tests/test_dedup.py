@@ -517,3 +517,23 @@ def test_minhash_arrow_signature_agrees_with_expr(spark, sf_dir):
              for r in minhash_near_dedup(docs, signature_impl="arrow").collect()}
     assert expr == arrow
     assert len(arrow) > 0
+
+
+def test_minhash_arrow_tolerates_null_and_empty_text(spark):
+    """Null-text and whitespace-only docs must not crash the arrow
+    signature builder (regression: reduceat over a trailing empty set
+    raised IndexError; None raised TypeError) and must never pair; both
+    impls agree on the real pairs around them."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing outside"
+    )
+    rows = [(1, base), (2, base), (3, None), (4, "   "), (5, "short doc"), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for impl in ("arrow", "expr"):
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_dedup(df, threshold=0.5, signature_impl=impl).collect()
+        }
+        assert (1, 2) in pairs, impl
+        assert all(3 not in p and 6 not in p and 4 not in p for p in pairs), impl
