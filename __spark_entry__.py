@@ -64,9 +64,10 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # w4_distribution_ranks, w5_time_weighted_avg, mm_audio_features,
 # corpus_semantic_dedup, search_hybrid_rrf) — lead round 6 with those
 # displaced names plus ts_anomaly_zscore, a18_unpivot_long,
-# events_transition_matrix, search_inverted_index and
-# curate_split_train_val (oracle-backed, registered after this window
-# froze), then rotate by staleness (oldest green first).
+# events_transition_matrix, search_inverted_index,
+# curate_split_train_val and curate_sample_weighted (oracle-backed,
+# registered after this window froze), then rotate by staleness
+# (oldest green first).
 registry.finalize_order(
     [
         # -- no driver signal in any round (registered mid-r4) ---------

@@ -36,6 +36,7 @@ __all__ = [
     "repetition_stats",
     "hash_bucket",
     "stratified_sample",
+    "weighted_sample",
     "ngram_decontaminate",
     "mixture_weights",
     "chunk_sliding",
@@ -357,4 +358,31 @@ def pack_ffd(
 
     return src.groupBy("pid").applyInPandas(
         pack, schema=f"{id_col} long, n_tokens int, bin_id long"
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int = 100,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row gets key = -ln(u) / w with u a hash-derived
+    uniform in (0, 1]; the k smallest keys are a weight-proportional
+    sample. Replacing the RNG with the md5-derived uniform keeps the
+    sample a pure function of the row id — stable under retries,
+    partition changes, and appends (an existing row's key never moves),
+    which df.sample(weights=...) cannot promise.
+
+    Distributed shape: the key is a projection; selection is a global
+    top-k (TakeOrdered — k rows per partition cross the wire). The key
+    rounds to 6 dp with an id tiebreak so the oracle's libm and the
+    JVM's can't disagree at the cutoff."""
+    u = (hash_bucket(id_col, 16777216).cast("double") + F.lit(1.0)) / F.lit(16777216.0)
+    key = F.round(-F.log(u) / F.col(weight_col), 6)
+    return (
+        df.withColumn("es_key", key)
+        .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -287,3 +287,30 @@ def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang", split.alias("split")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+@query(
+    "curate_sample_weighted",
+    """WITH keyed AS (
+         SELECT doc_id, lang, n_chars,
+                round(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                                 AS BIGINT) % 16777216 AS DOUBLE) + 1.0) / 16777216.0)
+                      / n_chars, 6) AS es_key
+         FROM documents)
+       SELECT doc_id, lang, n_chars, es_key
+       FROM keyed ORDER BY es_key, doc_id LIMIT 100""",
+)
+def q_curate_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/curation.py:weighted_sample — Efraimidis-Spirakis A-ES
+    with an md5-derived uniform): longer documents are proportionally
+    more likely to enter the 100-doc sample, and membership is a pure
+    function of the doc id (stable across retries, repartitions, and
+    corpus appends). Selection is a TakeOrdered top-k — k rows per
+    partition cross the wire; keys round to 6 dp with an id tiebreak so
+    both engines' ln() agree at the cutoff."""
+    from .operators.curation import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=100).select(
+        "doc_id", "lang", "n_chars", "es_key"
+    )

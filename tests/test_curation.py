@@ -206,3 +206,22 @@ def test_unigram_nll_orders_rarity(spark):
 
     assert abs(got[1] - (-math.log(5 / 6))) < 1e-6
     assert abs(got[2] - (-(math.log(5 / 6) + math.log(1 / 6)) / 2)) < 1e-6
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    """A-ES sampling: deterministic across invocations, k rows, and
+    weight-proportional — the sampled docs' mean length must exceed the
+    corpus mean (longer docs are likelier picks)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = [r.doc_id for r in weighted_sample(docs, k=50).collect()]
+    s2 = [r.doc_id for r in weighted_sample(docs, k=50).collect()]
+    assert s1 == s2  # pure function of ids
+    assert len(s1) == 50
+    sampled_mean = (
+        docs.filter(docs.doc_id.isin(s1)).agg({"n_chars": "avg"}).collect()[0][0]
+    )
+    corpus_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
+    assert sampled_mean > corpus_mean
