@@ -376,13 +376,21 @@ def weighted_sample(
     which df.sample(weights=...) cannot promise.
 
     Distributed shape: the key is a projection; selection is a global
-    top-k (TakeOrdered — k rows per partition cross the wire). The key
-    rounds to 6 dp with an id tiebreak so the oracle's libm and the
-    JVM's can't disagree at the cutoff."""
+    top-k (TakeOrdered — k rows per partition cross the wire). Ranking
+    uses the UNROUNDED key with an id tiebreak: at corpus scale the
+    k-th key shrinks like k/(N·w̄), so absolute rounding before
+    selection would quantize the whole top-k to ties and degrade the
+    sample to lowest-doc-id; the emitted ``es_key`` column is rounded
+    for cross-engine comparison only. Rows with NULL or non-positive
+    weight carry no sampling mass and are excluded (Spark sorts NULLs
+    first, DuckDB last — keeping them would also diverge the engines)."""
     u = (hash_bucket(id_col, 16777216).cast("double") + F.lit(1.0)) / F.lit(16777216.0)
-    key = F.round(-F.log(u) / F.col(weight_col), 6)
+    key = -F.log(u) / F.col(weight_col)
     return (
-        df.withColumn("es_key", key)
-        .orderBy(F.col("es_key").asc(), F.col(id_col).asc())
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_raw__", key)
+        .orderBy(F.col("__es_raw__").asc(), F.col(id_col).asc())
         .limit(k)
+        .withColumn("es_key", F.round(F.col("__es_raw__"), 6))
+        .drop("__es_raw__")
     )

@@ -21,6 +21,7 @@ from .operators.curation import (
     PII_PATTERNS,
     chunk_sliding,
     hash_bucket,
+    weighted_sample,
     mixture_weights,
     ngram_decontaminate,
     pack_concat,
@@ -293,12 +294,13 @@ def q_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curate_sample_weighted",
     """WITH keyed AS (
          SELECT doc_id, lang, n_chars,
-                round(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
-                                 AS BIGINT) % 16777216 AS DOUBLE) + 1.0) / 16777216.0)
-                      / n_chars, 6) AS es_key
-         FROM documents)
-       SELECT doc_id, lang, n_chars, es_key
-       FROM keyed ORDER BY es_key, doc_id LIMIT 100""",
+                -ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                          AS BIGINT) % 16777216 AS DOUBLE) + 1.0) / 16777216.0)
+                / n_chars AS es_raw
+         FROM documents
+         WHERE n_chars IS NOT NULL AND n_chars > 0)
+       SELECT doc_id, lang, n_chars, round(es_raw, 6) AS es_key
+       FROM keyed ORDER BY es_raw, doc_id LIMIT 100""",
 )
 def q_curate_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
@@ -307,10 +309,9 @@ def q_curate_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     more likely to enter the 100-doc sample, and membership is a pure
     function of the doc id (stable across retries, repartitions, and
     corpus appends). Selection is a TakeOrdered top-k — k rows per
-    partition cross the wire; keys round to 6 dp with an id tiebreak so
-    both engines' ln() agree at the cutoff."""
-    from .operators.curation import weighted_sample
-
+    partition cross the wire; ranking uses the unrounded key (absolute
+    rounding would quantize the whole top-k to ties at corpus scale) and
+    only the emitted column rounds for the cross-engine hash."""
     return weighted_sample(_docs(spark, sf_dir), k=100).select(
         "doc_id", "lang", "n_chars", "es_key"
     )

@@ -225,3 +225,21 @@ def test_weighted_sample_properties(spark, sf_dir):
     )
     corpus_mean = docs.agg({"n_chars": "avg"}).collect()[0][0]
     assert sampled_mean > corpus_mean
+
+
+def test_weighted_sample_null_weight_and_no_tie_collapse(spark):
+    """NULL/zero-weight rows are excluded (they'd sort NULLS FIRST in
+    Spark and seize sample slots), and ranking on the unrounded key
+    keeps the top-k weight-proportional instead of collapsing to the
+    doc_id tiebreak."""
+    from data_engineering_spark.operators.curation import weighted_sample
+
+    rows = [(i, "x" * 10, (i % 37) + 1) for i in range(500)]
+    rows += [(900, "y", None), (901, "y", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars int")
+    out = weighted_sample(df, k=20, weight_col="n_chars").collect()
+    ids = [r.doc_id for r in out]
+    assert 900 not in ids and 901 not in ids
+    assert len(ids) == 20
+    # selection must not be the 20 lowest ids (the tie-collapse symptom)
+    assert ids != sorted(ids)[:20] or set(ids) != set(range(20))
