@@ -537,3 +537,13 @@ def test_minhash_arrow_tolerates_null_and_empty_text(spark):
         }
         assert (1, 2) in pairs, impl
         assert all(3 not in p and 6 not in p and 4 not in p for p in pairs), impl
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from data_engineering_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, n_codes=2, sample=4)
