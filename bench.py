@@ -82,6 +82,15 @@ HEADLINE = [
     "sim_pq_topk",
     "cohort_retention",
     "funnel_conversion",
+    "ts_anomaly_zscore",
+    "events_transition_matrix",
+    "search_inverted_index",
+    "search_hybrid_rrf",
+    "a18_unpivot_long",
+    "curate_split_train_val",
+    "curate_sample_weighted",
+    "ts_downsample_lttb",
+    "mm_audio_features",
 ]
 
 
