@@ -55,19 +55,17 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # so no sweep slot records a weak no_oracle row.
 #
 # ROUND-6 ROTATION NOTE: if this window sweeps green, every oracle-backed
-# query has a green row from round 2+ except the simple r2 projections
-# listed above plus u1_union_all / o3_topk / p12_concat_projection
-# (displaced for the three event-analytics queries) and j2_inner_join_filter /
-# j3_semi_join / a1_listagg_distinct / a2_collect_list_sorted /
-# a6_vector_assembly / a9_rollup (displaced late-round for the six new
-# never-proven oracle queries: dedup_cluster_components,
-# w4_distribution_ranks, w5_time_weighted_avg, mm_audio_features,
-# corpus_semantic_dedup, search_hybrid_rrf) — lead round 6 with those
-# displaced names plus ts_anomaly_zscore, a18_unpivot_long,
-# events_transition_matrix, search_inverted_index,
-# curate_split_train_val and curate_sample_weighted (oracle-backed,
-# registered after this window froze), then rotate by staleness
-# (oldest green first).
+# query has a green row from round 2+ EXCEPT the names displaced this
+# round to make room for the twelve never-proven round-5 queries (which
+# outrank re-proofs per the r4 verdict's own priority): u1_union_all,
+# o3_topk, p12_concat_projection, j2_inner_join_filter, j3_semi_join,
+# j4_broadcast_lookup_join, j5_anti_join, a1_listagg_distinct,
+# a2_collect_list_sorted, a6_vector_assembly, a9_rollup,
+# a13_grouped_pivot, tpch_q4_order_priority, tpch_q6_forecast_revenue,
+# tpch_q14_promo_revenue, plus the simple r2 projections listed above —
+# lead round 6 with those displaced r2-era names (their implementations
+# are unchanged, so staleness is the only debt), then rotate by
+# oldest-green-first.
 registry.finalize_order(
     [
         # -- no driver signal in any round (registered mid-r4) ---------
@@ -105,11 +103,8 @@ registry.finalize_order(
         # -- r2-era greens: deep TPC-H ---------------------------------
         "tpch_q1_pricing_summary",
         "tpch_q3_shipping_priority",
-        "tpch_q4_order_priority",
         "tpch_q5_local_supplier",
-        "tpch_q6_forecast_revenue",
         "tpch_q10_returned_items",
-        "tpch_q14_promo_revenue",
         # -- new this round: never-proven oracle queries ---------------
         "dedup_cluster_components",
         "w4_distribution_ranks",
@@ -117,11 +112,13 @@ registry.finalize_order(
         "mm_audio_features",
         "corpus_semantic_dedup",
         "search_hybrid_rrf",
-        # -- r2-era greens: join shapes --------------------------------
-        "j4_broadcast_lookup_join",
-        "j5_anti_join",
-        # -- r2-era greens: aggregation / window / set / scalar --------
-        "a13_grouped_pivot",
+        "ts_anomaly_zscore",
+        "a18_unpivot_long",
+        "events_transition_matrix",
+        "search_inverted_index",
+        "curate_split_train_val",
+        "curate_sample_weighted",
+        # -- r2-era greens: window / search / scalar -------------------
         "w1_rank_in_group",
         "p11_fulltext_search",
         "f_scalar_pack",
