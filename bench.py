@@ -206,17 +206,36 @@ def main() -> None:
         spark.sql("DROP TABLE IF EXISTS bench_orders_b")
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The round driver keeps only the LAST 2000 chars of stdout and parses
+    # the final JSON line from that tail — with 70+ timed queries the full
+    # line exceeds the window and truncates mid-line (BENCH_r05 recorded
+    # parsed=null). So: full result goes to a file + a first (human) line,
+    # and the FINAL line is a compact variant guaranteed to fit — all
+    # metric/value/sf fields plus as many per-query timings as fit in the
+    # tail, slowest first (the ones worth reading), with a drop count.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+    compact = dict(result)
+    kept: dict[str, float] = {}
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    for k, v in slowest:
+        kept[k] = v
+        compact["queries"] = kept
+        compact["queries_dropped"] = len(timings) - len(kept)
+        if len(json.dumps(compact, separators=(",", ":"))) > 1600:
+            del kept[k]
+            compact["queries_dropped"] = len(timings) - len(kept)
+            break
+    compact["full"] = "BENCH_FULL.json"
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

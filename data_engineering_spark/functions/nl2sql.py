@@ -15,14 +15,18 @@ Supported request forms (case-insensitive):
 - ``count [rows in] TABLE [where COND]``
 - ``AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [top N]``
   with AGG ∈ total/sum/average/avg/min/max/count
+- ``AGG MEASURE in TABLE [where COND]`` (scalar, no group-by — the
+  reference's single-metric answer)
+- ``distinct COL[, COL...] from TABLE [where COND]`` (the terms-facet
+  request: enumerate a field's values)
 - ``show COL[, COL...] from TABLE [where COND] [limit N]``
 - ``top N TABLE by MEASURE``
 
 COND is ``col OP value`` terms joined by ``and``; OP ∈ = != > >= < <=
-contains (→ LIKE). Every table and column is validated against the
-supplied schema — unknown names raise ``NLQueryError`` (the reference's
-"avoid using fields that do not exist" rule, enforced instead of
-prompted).
+contains (→ LIKE) between‑and (→ BETWEEN, the reference's gte/lte range
+clause). Every table and column is validated against the supplied
+schema — unknown names raise ``NLQueryError`` (the reference's "avoid
+using fields that do not exist" rule, enforced instead of prompted).
 """
 
 from __future__ import annotations
@@ -65,9 +69,32 @@ def _value_sql(v: str) -> str:
 
 
 def _cond_sql(cond: str, cols: list[str]) -> str:
-    terms = re.split(r"\s+and\s+", cond.strip(), flags=re.I)
+    raw = re.split(r"\s+and\s+", cond.strip(), flags=re.I)
+    # Re-join range terms the "and" split broke apart: "x between 1 and 5"
+    # splits into ["x between 1", "5"] — the reference's range filters
+    # (Openapi/openai_elasticsearch.py gte/lte bool clauses) read this way.
+    terms: list[str] = []
+    i = 0
+    while i < len(raw):
+        t = raw[i]
+        if re.fullmatch(r"\s*\w+\s+between\s+\S+\s*", t, flags=re.I) and i + 1 < len(raw):
+            terms.append(f"{t.strip()} and {raw[i + 1].strip()}")
+            i += 2
+        else:
+            terms.append(t)
+            i += 1
     parts = []
     for t in terms:
+        m = re.fullmatch(
+            r"\s*(\w+)\s+between\s+(\S+)\s+and\s+(\S+)\s*", t, flags=re.I
+        )
+        if m:
+            col = m.group(1)
+            _ident(col, cols, "column")
+            parts.append(
+                f"{col} BETWEEN {_value_sql(m.group(2))} AND {_value_sql(m.group(3))}"
+            )
+            continue
         m = re.fullmatch(
             r"\s*(\w+)\s*(>=|<=|!=|=|>|<|is\s+not|is|contains)\s*(.+?)\s*",
             t,
@@ -150,6 +177,37 @@ def compile_nl(text: str, schemas: dict[str, list[str]]) -> str:
             # different rows at the LIMIT boundary).
             sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(6))}"
         return sql
+
+    # -- distinct COL[, COL...] from TABLE [where COND] ---------------
+    # (the reference's terms-facet request: enumerate a field's values)
+    m = re.fullmatch(
+        r"(?:distinct|unique)\s+([\w,\s]+?)\s+(?:from|in)\s+(\w+)(?:\s+where\s+(.+))?",
+        req,
+        flags=re.I,
+    )
+    if m:
+        table = _ident(m.group(2).lower(), list(schemas), "table")
+        cols = schemas[table]
+        sel = [_ident(c.strip(), cols, "column") for c in m.group(1).split(",")]
+        where = f" WHERE {_cond_sql(m.group(3), cols)}" if m.group(3) else ""
+        return f"SELECT DISTINCT {', '.join(sel)} FROM {table}{where}"
+
+    # -- AGG MEASURE in TABLE [where COND] (scalar — no group-by) -----
+    # (the reference's single-metric answer: one aggregated value)
+    m = re.fullmatch(
+        r"(total|sum|average|avg|min|max|count)\s+(\w+)\s+(?:in|from)\s+(\w+)"
+        r"(?:\s+where\s+(.+))?",
+        req,
+        flags=re.I,
+    )
+    if m:
+        agg = _AGGS[m.group(1).lower()]
+        table = _ident(m.group(3).lower(), list(schemas), "table")
+        cols = schemas[table]
+        measure = _ident(m.group(2), cols, "column")
+        alias = f"{agg}_{measure}"
+        where = f" WHERE {_cond_sql(m.group(4), cols)}" if m.group(4) else ""
+        return f"SELECT {agg}({measure}) AS {alias} FROM {table}{where}"
 
     # -- show COL[, COL...] from TABLE [where COND] [limit N] ---------
     m = re.fullmatch(

@@ -265,7 +265,10 @@ def minhash_band_hashes_arrow(num_hashes: int = 32, bands: int = 8):
                 for r in range(rows_per_band):
                     acc = (acc ^ minima[b * rows_per_band + r]) * FNV
                 bh[b] = acc
-        rows = bh.T.view(np.int64)
+        # reinterpret THEN transpose: a same-itemsize view on the
+        # contiguous array works on every numpy (a view on the
+        # transposed, non-contiguous array raises on numpy < 1.23)
+        rows = bh.view(np.int64).T
         for pos, row in zip(np.nonzero(valid)[0], rows):
             out[pos] = row.tolist()
         return pd.Series(out)

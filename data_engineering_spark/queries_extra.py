@@ -700,6 +700,62 @@ def q_nl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("avg_o_totalprice", F.round("avg_o_totalprice", 2))
 
 
+@query(
+    "nl_query_range",
+    """SELECT l_linestatus, round(sum(l_extendedprice), 2) AS sum_l_extendedprice
+       FROM lineitem
+       WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'N'
+       GROUP BY l_linestatus""",
+)
+def q_nl_query_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 — NL range filter: ``between … and …`` compiles to a SQL
+    BETWEEN clause (the reference prompt's gte/lte bool range,
+    Openapi/openai_elasticsearch.py:114-139), composed with a second
+    ``and``-joined equality term — the grammar must NOT split the range's
+    own "and". Oracle: the hand-written equivalent; the sum rounds to
+    cents on both sides."""
+    from .functions.nl2sql import run_nl
+
+    out = run_nl(
+        spark,
+        sf_dir,
+        "total l_extendedprice by l_linestatus in lineitem "
+        "where l_quantity between 10 and 20 and l_returnflag = N",
+    )
+    return out.withColumn("sum_l_extendedprice", F.round("sum_l_extendedprice", 2))
+
+
+@query(
+    "nl_query_distinct",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer WHERE c_acctbal > 0",
+)
+def q_nl_query_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 — NL terms-facet: ``distinct COL, COL from TABLE`` enumerates
+    a field's value combinations (the reference's terms-aggregation
+    request shape). Compiled to SELECT DISTINCT over validated columns;
+    the oracle runs the same ANSI statement."""
+    from .functions.nl2sql import run_nl
+
+    return run_nl(
+        spark, sf_dir, "distinct c_mktsegment, c_nationkey from customer where c_acctbal > 0"
+    )
+
+
+@query(
+    "nl_query_scalar",
+    """SELECT max(o_totalprice) AS max_o_totalprice
+       FROM orders WHERE o_orderstatus = 'F'""",
+)
+def q_nl_query_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 — NL scalar metric: ``AGG MEASURE in TABLE [where …]`` with no
+    group-by compiles to a single aggregated value (the reference's
+    one-number answer path). max is order-exact, so the value hash needs
+    no rounding on either side."""
+    from .functions.nl2sql import run_nl
+
+    return run_nl(spark, sf_dir, "max o_totalprice in orders where o_orderstatus = F")
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: cohort retention + calendar gap fill
 # ---------------------------------------------------------------------------
@@ -946,33 +1002,57 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view → click → purchase): a user counts
     for step k only with an event at or after their step-(k-1) time —
     the event-sequence rollup product analytics runs on clickstreams.
-    Spark-first: each stage is one user-keyed conditional min; every
-    join and aggregation shares the user_id hash partitioning, so AQE
-    plans the whole chain over a single logical shuffle family and the
-    fact is scanned once per step with the step predicate pushed to the
-    parquet scan. No windows over the full event stream, no collects;
-    at 100 TB the per-stage state is one row per surviving user."""
-    ev = _t(spark, sf_dir, "events")
-
-    def stage(prev: DataFrame | None, etype: str, tcol: str, prev_t: str) -> DataFrame:
-        e = ev.filter(F.col("event_type") == etype)
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") >= F.col(prev_t))
-        return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
-
-    s1 = stage(None, "view", "t1", "")
-    s2 = stage(s1, "click", "t2", "t1")
-    s3 = stage(s2, "purchase", "t3", "t2")
-
-    def count_row(df: DataFrame, step: str, no: int) -> DataFrame:
-        return df.agg(
-            F.lit(step).alias("step"),
-            F.lit(no).cast("long").alias("step_no"),
-            F.count(F.lit(1)).cast("long").alias("users"),
+    Spark-first: ONE user-keyed window pass computes all three stage
+    times as chained conditional mins (t2 = first click ≥ t1, t3 =
+    first purchase ≥ t2) over the same partition spec, so the fact
+    scans ONCE with the three-type IN-filter pushed to parquet and
+    shuffles ONCE on user_id; the three window mins, the per-user
+    collapse, and the final step counts all reuse that partitioning
+    (the r5 staged form scanned the fact three times and planned 8
+    exchanges for identical semantics). Per-user state is three
+    timestamps; the step rows come from one stack() over a single
+    totals row."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
         )
-
-    return (
-        count_row(s1, "view", 1)
-        .unionByName(count_row(s2, "click", 2))
-        .unionByName(count_row(s3, "purchase", 3))
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    totals = (
+        staged.groupBy("user_id")
+        .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3"))
+        .agg(
+            F.count("t1").alias("n1"),
+            F.count("t2").alias("n2"),
+            F.count("t3").alias("n3"),
+        )
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 'view', CAST(1 AS BIGINT), CAST(n1 AS BIGINT),"
+            " 'click', CAST(2 AS BIGINT), CAST(n2 AS BIGINT),"
+            " 'purchase', CAST(3 AS BIGINT), CAST(n3 AS BIGINT))"
+            " AS (step, step_no, users)"
+        )
     )

@@ -63,6 +63,36 @@ def test_is_null_predicates():
     assert sql == "SELECT count(*) AS n FROM events WHERE event_type <> 'click'"
 
 
+def test_compile_between_range():
+    """'between A and B' is one range term — the splitter must not break
+    it on the range's own 'and', even when composed with more terms."""
+    sql = compile_nl("count events where value between 5 and 10", SCHEMAS)
+    assert sql == "SELECT count(*) AS n FROM events WHERE value BETWEEN 5 AND 10"
+    sql = compile_nl(
+        "total value by event_type in events "
+        "where value between 5 and 10 and event_type = click",
+        SCHEMAS,
+    )
+    assert "WHERE value BETWEEN 5 AND 10 AND event_type = 'click'" in sql
+
+
+def test_compile_distinct_and_scalar_agg():
+    sql = compile_nl("distinct event_type from events", SCHEMAS)
+    assert sql == "SELECT DISTINCT event_type FROM events"
+    sql = compile_nl("unique event_type, user_id in events where value > 0", SCHEMAS)
+    assert sql == "SELECT DISTINCT event_type, user_id FROM events WHERE value > 0"
+    sql = compile_nl("max o_totalprice in orders", SCHEMAS)
+    assert sql == "SELECT max(o_totalprice) AS max_o_totalprice FROM orders"
+    sql = compile_nl("average value in events where event_type = click", SCHEMAS)
+    assert sql == (
+        "SELECT avg(value) AS avg_value FROM events WHERE event_type = 'click'"
+    )
+    # the scalar form must not shadow grouped aggregation
+    assert "GROUP BY" in compile_nl("average value by event_type in events", SCHEMAS)
+    with pytest.raises(NLQueryError):
+        compile_nl("distinct nope from events", SCHEMAS)
+
+
 def test_unknown_fields_rejected():
     """The reference prompts 'avoid using fields that do not exist';
     here it's enforced."""
