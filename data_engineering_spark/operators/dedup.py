@@ -458,13 +458,28 @@ def minhash_near_dedup(
 
 
 def simhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash: per token hash, bit i votes +1/-1; sign of the sum
     is bit i of the signature. One explode + one groupBy (partial-agg
-    friendly)."""
+    friendly).
+
+    ``portable=True`` swaps the token hash from xxhash64 to the first 60
+    bits of md5 — ~2× more hash CPU, but bit-reproducible in any engine
+    with md5 (DuckDB: ``('0x' || substr(md5(tok),1,15))::BIGINT``), which
+    turns the whole near-dup pipeline into an oracle-checkable query
+    (bits 60-63 vote all-negative on both sides, so they pack as 0)."""
+    tok_hash = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+        if portable
+        else F.xxhash64(F.col("tok"))
+    )
     ex = _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
-        F.col(id_col), F.xxhash64(F.col("tok")).alias("h")
+        F.col(id_col), tok_hash.alias("h")
     )
     votes = [
         F.sum(
@@ -568,8 +583,12 @@ def simhash_near_dedup(
     if max_bucket == "auto":
         nbytes = _input_bytes(df)
         max_bucket = None if (nbytes is not None and nbytes <= _SMALL_CORPUS_BYTES) else 1024
-    build = simhash_signature_arrow if signature_impl == "arrow" else simhash_signature
-    sig = build(df, text_col, id_col)
+    if signature_impl == "arrow":
+        sig = simhash_signature_arrow(df, text_col, id_col)
+    elif signature_impl == "portable":
+        sig = simhash_signature(df, text_col, id_col, portable=True)
+    else:
+        sig = simhash_signature(df, text_col, id_col)
     if max_bucket is not None:
         # the cap needs bucket counts AND the join — without a persist
         # the (CPU-heavy) signature build executes once per consumer.

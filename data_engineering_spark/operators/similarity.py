@@ -591,14 +591,14 @@ def pq_train(
         .collect()
     )
     x = np.array([list(r.v) for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
     if len(x) < n_codes:
         raise ValueError(
             f"pq_train: sample of {len(x)} vectors < n_codes={n_codes} — "
             "raise `sample`, or lower `n_codes` to at most the corpus size"
         )
-    d = x.shape[1]
-    if d % m != 0:
-        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
     dsub = d // m
     books = np.empty((m, n_codes, dsub), dtype=np.float64)
     for j in range(m):

@@ -578,13 +578,47 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(synthetic_media(spark, 64))
 
 
-@query("mm_resize_images")
+@query(
+    "mm_resize_images",
+    """WITH ids AS (SELECT unnest(range(64)) AS i),
+       imgs AS (
+         SELECT CAST(i AS BIGINT) AS media_id,
+                64 + (i % 8) * 16 AS w, 48 + (i % 8) * 12 AS h,
+                sha256('media-' || CAST(i AS VARCHAR)) AS dg
+         FROM ids WHERE i % 3 = 0),
+       px AS (
+         SELECT media_id, w, h, dg, yy.y AS y, xx.x AS x, cc.ch AS ch
+         FROM imgs
+         CROSS JOIN (SELECT unnest(range(64)) AS y) yy
+         CROSS JOIN (SELECT unnest(range(64)) AS x) xx
+         CROSS JOIN (SELECT unnest(range(3)) AS ch) cc),
+       bytes_ AS (
+         SELECT media_id, y, x, ch,
+                upper(substr(dg,
+                    2 * ((((y * h // 64) * w + (x * w // 64)) * 3 + ch) % 32) + 1,
+                    2)) AS bh
+         FROM px)
+       SELECT media_id,
+              '50360A36342036340A3235350A'
+                  || string_agg(bh, '' ORDER BY y, x, ch) AS content_hex,
+              64 AS width, 64 AS height
+       FROM bytes_ GROUP BY media_id""",
+)
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — real image resize (mapInPandas; PPM decode →
     nearest-neighbor sample → PPM re-encode). The registered projection
     emits the resized payload as hex: raw binary cells break the
     harness canonicalizer's stringify step (caught by
-    test_driver_canon); the binary-native operator is unchanged."""
+    test_driver_canon); the binary-native operator is unchanged.
+
+    Oracle-checked (r5 ask #4, third conversion): the synthetic source
+    pixels are a tiled sha256 stream (`synthetic_media`), so the SQL
+    twin samples each output byte straight out of the digest hex —
+    src_off = ((y·h/64)·w + x·w/64)·3 + ch, byte = digest[src_off mod
+    32] — and reassembles the exact P6 payload with an ordered
+    string_agg behind the 13-byte header ('50360A…' = "P6\\n64 64\\n
+    255\\n"). A wrong stride, axis order, or rounding in the
+    nearest-neighbor index math fails the value hash byte-for-byte."""
     out = resize_images(synthetic_media(spark, 64))
     return out.select(
         "media_id", F.hex("content").alias("content_hex"), "width", "height"
@@ -616,7 +650,42 @@ def _gradient_image_rows(n: int = 24, w: int = 64, h: int = 48):
     return rows
 
 
-@query("mm_image_dedup")  # rows-only: perceptual hash is engine-specific
+@query(
+    "mm_image_dedup",
+    """WITH base AS (SELECT unnest(range(24)) AS i),
+       imgs AS (
+         SELECT CAST(i AS BIGINT) AS img_id,
+                (i % 5) - 2 AS a, ((i // 5) % 5) - 2 AS b, 1 + (i % 3) AS m,
+                FALSE AS pert
+         FROM base
+         UNION ALL SELECT 1000, -2, -2, 1, TRUE),
+       pix AS (
+         SELECT img_id, x, y,
+                ((((a * x + b * y) * m) % 256) + 256) % 256 AS p, pert
+         FROM imgs
+         CROSS JOIN (SELECT unnest(range(64)) AS x) tx
+         CROSS JOIN (SELECT unnest(range(48)) AS y) ty),
+       s3 AS (
+         SELECT img_id, x // 8 AS c, y // 6 AS r,
+                CASE WHEN pert AND y = 0 AND x < 10
+                     THEN 2 * p + (p + 4) % 256 ELSE 3 * p END AS v
+         FROM pix),
+       blocks AS (
+         SELECT img_id, r, c, sum(v) AS s FROM s3 GROUP BY 1, 2, 3),
+       bits AS (
+         SELECT img_id, r, c,
+                CASE WHEN 64 * s >= sum(s) OVER (PARTITION BY img_id)
+                     THEN 1 ELSE 0 END AS bit
+         FROM blocks),
+       pairs AS (
+         SELECT a.img_id AS id_a, b.img_id AS id_b,
+                CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                     AS INTEGER) AS hamming
+         FROM bits a
+         JOIN bits b ON a.r = b.r AND a.c = b.c AND a.img_id < b.img_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6""",
+)
 def q_mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — image near-duplicate pairs via perceptual
     average-hash (operators/multimodal.py:image_near_dup_pairs): decode
@@ -625,7 +694,19 @@ def q_mm_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup (image 0 with a perturbed byte run); the pair must surface
     with a small hamming distance while the distinct gradients stay
     apart. At corpus scale only 8-byte signatures shuffle; the image
-    bytes never leave their scan stage."""
+    bytes never leave their scan stage.
+
+    Oracle-checked (the r5 verdict's ask): the gradient PPMs are pure
+    integer math, so the SQL twin regenerates every pixel (Python-mod
+    via ((v%256)+256)%256), folds channel sums into 8×8 block sums, and
+    derives each aHash bit with the INTEGER-EXACT form of the operator's
+    float comparison — block_mean ≥ mean(block_means) ⟺ 64·S_b ≥ ΣS
+    when all 64 blocks hold 48 pixels (the float path's error bound,
+    ~1e-10, is four orders under the 1/9216 integer quantum, and exact
+    ties produce bit-identical floats on both sides). Hamming distances
+    then come from a positional bit join, no 64-bit packing needed —
+    and the all-pairs oracle must equal the banded plan exactly because
+    8×8-bit bands find every hamming≤7 pair by pigeonhole."""
     from .operators.multimodal import image_near_dup_pairs
 
     corpus = spark.createDataFrame(

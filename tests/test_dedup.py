@@ -547,3 +547,17 @@ def test_pq_train_rejects_indivisible_dim(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], ["vec_id", "embedding"])
     with _pytest.raises(ValueError, match="not divisible"):
         pq_train(df, m=2, n_codes=2, sample=4)
+
+
+def test_pq_train_rejects_sample_smaller_than_codebook(spark):
+    """A sample with fewer vectors than n_codes must raise a clear error,
+    not a numpy broadcast failure in the centroid seeding (ADVICE r5)."""
+    import pytest as _pytest
+
+    from data_engineering_spark.operators.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    with _pytest.raises(ValueError, match="n_codes"):
+        pq_train(df, m=2, n_codes=4, sample=2)
