@@ -39,93 +39,88 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # verification-scheduling decision. Priority window (exactly 50, all
 # oracle-backed — finalize_order raises on rows-only entries here).
 #
-# Round-5 window. After round 4's 50/50-green sweep, the state is:
-#   - 11 oracle-backed queries have NO green driver row in any round
-#     (6 registered mid-round-4 after that round's window froze, 5 swept
-#     only in round 1 before their oracles existed) — they lead.
-#   - 13 queries are green only from round 1, but their implementations
-#     changed materially in round 4 (shingle_hashes/tokens rewrites,
-#     decontaminate broadcast removal) — their r1 rows are evidence about
-#     old code; they refresh next.
-#   - The rest of the window re-proves round-2-era greens (deep TPC-H,
-#     join shapes, streaming batch twins, flagship) oldest-first.
-# Simple r2-green projections/filters with unchanged implementations
-# (p1/p2/p5–p8, a3/a4/a7/a8/a10/a11, o1, u3/u4, f8) stay behind the
-# window in registration order; all 16 rows-only queries sink to the tail
-# so no sweep slot records a weak no_oracle row.
+# Round-6 window, executing the r5 verdict's rotation order. State after
+# round 5's 50/50-green sweep (latest-green per query computed from
+# CORRECTNESS_r01..r05):
+#   - 6 queries registered this round have never been swept (the three
+#     new nl2sql intents, the portable-simhash oracle twin, and the two
+#     rows-only→oracle conversions) — never-proven outranks re-proofs.
+#   - search_inverted_index (block-segmented postings, the r5 scale
+#     defect fix) and funnel_conversion (single-window rewrite) changed
+#     materially this round; their r5 greens are evidence about the old
+#     code, so they re-prove with the new shapes.
+#   - The 31 queries whose latest green is r3 (the r5 verdict's item 1
+#     list, verbatim) refresh next — no oracle-backed query's latest
+#     green may age past two rounds.
+#   - The remaining 11 slots take the oldest r4-era greens in
+#     registration order.
+# The 16 rows-only queries sink behind the window so no sweep slot
+# records a weak no_oracle row.
 #
-# ROUND-6 ROTATION NOTE: if this window sweeps green, every oracle-backed
-# query has a green row from round 2+ EXCEPT the names displaced this
-# round to make room for the twelve never-proven round-5 queries (which
-# outrank re-proofs per the r4 verdict's own priority): u1_union_all,
-# o3_topk, p12_concat_projection, j2_inner_join_filter, j3_semi_join,
-# j4_broadcast_lookup_join, j5_anti_join, a1_listagg_distinct,
-# a2_collect_list_sorted, a6_vector_assembly, a9_rollup,
-# a13_grouped_pivot, tpch_q4_order_priority, tpch_q6_forecast_revenue,
-# tpch_q14_promo_revenue, plus the simple r2 projections listed above —
-# lead round 6 with those displaced r2-era names (their implementations
-# are unchanged, so staleness is the only debt), then rotate by
-# oldest-green-first.
+# ROUND-7 ROTATION NOTE: if this window sweeps green, every oracle-backed
+# query's latest green is r4+ and the staleness frontier moves to the 39
+# r4-green queries NOT refreshed this round (p4/p9/p10 got slots here;
+# the frontier is the rest of the r4 list: w2/w3, f10/f17, deep TPC-H
+# q7/q8/q12/q13/q15/q17-q22, the m1-m3 merge pack, prof/dq/skew/mv,
+# j7-j10, the curation pack, nlp_embed/tokenize, st_interval_join, the
+# lake trio, a14-a16, explode_top_tokens) — lead round 7 with those,
+# oldest-first, then rotate the r5 greens.
 registry.finalize_order(
     [
-        # -- no driver signal in any round (registered mid-r4) ---------
-        "tpch_q2_min_cost_supplier",
-        "tpch_q9_product_type_profit",
-        "tpch_q11_important_stock",
-        "tpch_q16_parts_supplier_relationship",
-        "nl_query_template",
-        "dedup_ngram_exact",
-        # -- no signal: swept r1 before their oracles existed ----------
-        "nlp_keyword_extract",
-        "nlp_split_sentences",
-        "mm_media_metadata",
-        "mm_sample_frames",
-        "sim_cosine_topk_fast",
-        # -- r1-only greens whose implementations changed in r4 --------
-        "text_stats",
-        "text_token_count",
-        "text_fingerprint",
-        "text_lang_id",
-        "text_quality",
-        "dedup_exact",
-        "sim_cosine_topk",
-        "sim_cosine_near_pairs",
-        "dedup_embedding",
-        "search_tfidf_rank",
-        "search_bm25_rank",
-        "corpus_prepare",
-        "nlp_tfidf_keywords",
-        # -- headline + r1-only streaming batch twins ------------------
-        "flagship_serving_index",
-        "st_tumbling_counts",
-        "st_sliding_value_sum",
-        "st_session_windows",
-        # -- r2-era greens: deep TPC-H ---------------------------------
-        "tpch_q1_pricing_summary",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier",
-        "tpch_q10_returned_items",
-        # -- new this round: never-proven oracle queries ---------------
-        "dedup_cluster_components",
-        "w4_distribution_ranks",
-        "w5_time_weighted_avg",
-        "mm_audio_features",
-        "corpus_semantic_dedup",
-        "search_hybrid_rrf",
-        "ts_anomaly_zscore",
-        "a18_unpivot_long",
-        "events_transition_matrix",
+        # -- never swept: registered this round -------------------------
+        "nl_query_range",
+        "nl_query_distinct",
+        "nl_query_scalar",
+        "dedup_simhash_portable",
+        "mm_image_dedup",
+        "mm_resize_images",
+        # -- implementations changed this round (re-prove new shapes) ---
         "search_inverted_index",
-        "curate_split_train_val",
-        "curate_sample_weighted",
-        # -- r2-era greens: window / search / scalar -------------------
-        "w1_rank_in_group",
-        "p11_fulltext_search",
-        "f_scalar_pack",
-        # -- new round-5 event-analytics queries (oracle-backed) -------
-        "cohort_retention",
-        "ts_gap_fill",
         "funnel_conversion",
+        # -- latest green is r3: the verdict's 31-name refresh list -----
+        "u1_union_all",
+        "o3_topk",
+        "p12_concat_projection",
+        "j2_inner_join_filter",
+        "j3_semi_join",
+        "j4_broadcast_lookup_join",
+        "j5_anti_join",
+        "a1_listagg_distinct",
+        "a2_collect_list_sorted",
+        "a6_vector_assembly",
+        "a9_rollup",
+        "a13_grouped_pivot",
+        "tpch_q4_order_priority",
+        "tpch_q6_forecast_revenue",
+        "tpch_q14_promo_revenue",
+        "p1_projection_alias",
+        "p2_literal_plus_star",
+        "p5_rename_drop",
+        "p6_like_filter",
+        "p7_date_string_filter",
+        "p8_retention_cutoff_filter",
+        "a3_distinct_projection",
+        "a4_count_audit",
+        "a7_distinct_sorted_dates",
+        "a8_group_minmax",
+        "a10_cube",
+        "a11_distinct_count",
+        "o1_limit_probe",
+        "u3_intersect",
+        "u4_except",
+        "f8_case_like_normalizer",
+        # -- oldest r4-era greens, registration order -------------------
+        "p4_computed_interval_column",
+        "p9_boolean_compound_filter",
+        "p10_value_scrub",
+        "j6_asof_join",
+        "a5_last_wins_merge",
+        "w2_moving_avg",
+        "w3_lag_delta",
+        "f10_timestamp_rebuild",
+        "f17_json_extract",
+        "s2_dialect_sql_etl",
+        "tpch_q18_large_orders",
     ]
 )
 
