@@ -91,6 +91,13 @@ HEADLINE = [
     "curate_sample_weighted",
     "ts_downsample_lttb",
     "mm_audio_features",
+    # round-6 additions
+    "dedup_simhash_portable",
+    "mm_image_dedup",
+    "mm_resize_images",
+    "nl_query_range",
+    "nl_query_distinct",
+    "nl_query_scalar",
 ]
 
 
