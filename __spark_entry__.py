@@ -42,9 +42,10 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # Round-6 window, executing the r5 verdict's rotation order. State after
 # round 5's 50/50-green sweep (latest-green per query computed from
 # CORRECTNESS_r01..r05):
-#   - 6 queries registered this round have never been swept (the three
-#     new nl2sql intents, the portable-simhash oracle twin, and the two
-#     rows-only→oracle conversions) — never-proven outranks re-proofs.
+#   - 8 queries registered this round have never been swept (the three
+#     nl2sql intents, the portable simhash/minhash oracle twins, the ES
+#     query_string ranker, and the two rows-only→oracle conversions) —
+#     never-proven outranks re-proofs.
 #   - search_inverted_index (block-segmented postings, the r5 scale
 #     defect fix) and funnel_conversion (single-window rewrite) changed
 #     materially this round; their r5 greens are evidence about the old
@@ -52,7 +53,7 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #   - The 31 queries whose latest green is r3 (the r5 verdict's item 1
 #     list, verbatim) refresh next — no oracle-backed query's latest
 #     green may age past two rounds.
-#   - The remaining 11 slots take the oldest r4-era greens in
+#   - The remaining 9 slots take the oldest r4-era greens in
 #     registration order.
 # The 16 rows-only queries sink behind the window so no sweep slot
 # records a weak no_oracle row.
@@ -72,6 +73,8 @@ registry.finalize_order(
         "nl_query_distinct",
         "nl_query_scalar",
         "dedup_simhash_portable",
+        "dedup_minhash_portable",
+        "search_query_string",
         "mm_image_dedup",
         "mm_resize_images",
         # -- implementations changed this round (re-prove new shapes) ---
@@ -119,8 +122,6 @@ registry.finalize_order(
         "w3_lag_delta",
         "f10_timestamp_rebuild",
         "f17_json_extract",
-        "s2_dialect_sql_etl",
-        "tpch_q18_large_orders",
     ]
 )
 

@@ -98,6 +98,8 @@ HEADLINE = [
     "nl_query_range",
     "nl_query_distinct",
     "nl_query_scalar",
+    "dedup_minhash_portable",
+    "search_query_string",
 ]
 
 

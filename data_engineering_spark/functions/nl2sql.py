@@ -228,11 +228,37 @@ def compile_nl(text: str, schemas: dict[str, list[str]]) -> str:
     )
 
 
+class _LazySchemas(dict):
+    """Table → column-list mapping that probes a parquet footer only when
+    a table is actually referenced. ``compile_nl`` validates the ONE
+    table a request names; eagerly loading all ten warehouse schemas per
+    request cost ~5 s of footer/dtype probing at the 10× sweep — pure
+    overhead for a single-table query."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, tables: list[str]):
+        super().__init__({t: None for t in tables})
+        self._spark, self._sf_dir = spark, sf_dir
+
+    def __getitem__(self, table: str) -> list[str]:
+        from ..catalog import load_table
+
+        cols = super().__getitem__(table)
+        if cols is None:
+            cols = load_table(self._spark, self._sf_dir, table).columns
+            super().__setitem__(table, cols)
+        return cols
+
+
 def run_nl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     """Compile and execute one NL request against the warehouse views
-    (the reference's end-to-end demo flow: request → query → search)."""
-    from ..catalog import TABLES, load_table, register_views
+    (the reference's end-to-end demo flow: request → query → search).
+    Only the tables the compiled SQL references are registered — one
+    footer probe per request, not ten."""
+    from ..catalog import TABLES, load_table
 
-    register_views(spark, sf_dir)
-    schemas = {t: load_table(spark, sf_dir, t).columns for t in TABLES}
-    return spark.sql(compile_nl(text, schemas))
+    schemas = _LazySchemas(spark, sf_dir, list(TABLES))
+    sql = compile_nl(text, schemas)
+    for t in TABLES:
+        if re.search(rf"\b{t}\b", sql):
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)

@@ -185,6 +185,19 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(acc)
 
 
+def shingle_hashes_portable(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram fingerprints as LONGS from the first 60 bits of
+    md5 over the gram STRING — the engine-portable twin of
+    ``shingle_hashes`` (xxhash64 folds are Spark-specific; md5 is
+    bit-identical in DuckDB: ``('0x' || substr(md5(g),1,15))::BIGINT``).
+    ~2× the hash CPU of the fold form, paid only by the oracle-checked
+    variant."""
+    g = shingles(col, n)
+    return F.transform(
+        g, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_hashes: int = 32, n: int = 3
 ) -> DataFrame:
@@ -317,7 +330,11 @@ def minhash_near_dedup(
       in one vectorized numpy pass per Arrow batch
       (``minhash_band_hashes_arrow`` — multiply-shift minwise family);
       ``"expr"`` keeps the pure-expression xxhash64 form (no Python in
-      the plan, ~num_hashes interpreted passes per shingle array). Both
+      the plan, ~num_hashes interpreted passes per shingle array);
+      ``"portable"`` swaps every hash for md5 (seeded-md5 permutations,
+      md5 band folds over md5-60-bit shingle fingerprints) so a DuckDB
+      oracle reproduces the WHOLE pipeline bit-exactly — the
+      verification variant behind ``dedup_minhash_portable``. All
       feed the identical banded join + exact-Jaccard verify, so the
       VERIFIED output differs only where banding recall differs — the
       equality of both impls' pair sets on the driver corpus is asserted
@@ -359,9 +376,12 @@ def minhash_near_dedup(
     # Jaccard over hash sets equals the string-set Jaccard at xxhash64
     # collision odds — while the persisted relation and the verify
     # shuffle ship 8-byte longs instead of ~50-char gram strings.
+    shingle_fp = (
+        shingle_hashes_portable if signature_impl == "portable" else shingle_hashes
+    )
     sh = (
         _spread(df)
-        .select(F.col(id_col), shingle_hashes(text_col, n).alias("shset"))
+        .select(F.col(id_col), shingle_fp(text_col, n).alias("shset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Signature build is a shuffle-free map over the persisted shingle
@@ -375,6 +395,49 @@ def minhash_near_dedup(
         bh_udf = minhash_band_hashes_arrow(num_hashes, bands)
         buckets = sh.select(
             F.col(id_col), F.posexplode(bh_udf(F.col("shset"))).alias("band", "bh")
+        )
+    elif signature_impl == "portable":
+        # Engine-portable permutation family: perm_i(s) = first 60 bits
+        # of md5(f"{i}:{s}") over the decimal rendering of the portable
+        # shingle fingerprint, band hash = md5 of the comma-joined
+        # minima. No integer wraparound anywhere, so DuckDB reproduces
+        # every stage verbatim (the oracle for `dedup_minhash_portable`).
+        hs = sh.select(F.col(id_col), F.col("shset").alias("hs"))
+        sig = hs.select(
+            F.col(id_col),
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("hs"),
+                        lambda h, i=i: F.conv(
+                            F.substring(
+                                F.md5(F.concat(F.lit(f"{i}:"), h.cast("string"))), 1, 15
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                    )
+                ).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+        buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
+            id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
         )
     else:
         hs = sh.select(F.col(id_col), F.col("shset").alias("hs"))

@@ -1,8 +1,11 @@
 """LLM-data-pipeline query pack (SURVEY §2.10 north-star): dedup,
 similarity search, text analysis over the ``documents`` / ``embeddings``
-tables. Probabilistic ops (minhash/simhash/LSH) register without an oracle
-→ driver records rows-only; their semantics are unit-tested with planted
-duplicates in ``tests/test_dedup.py``.
+tables. Probabilistic ops built on engine-specific hashes (xxhash64
+minhash/simhash, LSH) register without an oracle → driver records
+rows-only; their semantics are unit-tested with planted duplicates in
+``tests/test_dedup.py``, and ``dedup_simhash_portable`` additionally
+hash-checks the whole simhash pipeline (and its banding losslessness)
+through an md5-based twin DuckDB can reproduce.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ from .operators.text import (
     fingerprint,
     lang_id,
     quality_score,
+    query_string_rank,
     text_stats,
     token_count_regex,
     winnow_fingerprints,
@@ -173,6 +177,58 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (operators/dedup.py:minhash_near_dedup):
     shingle → 32 minhashes → 8 banded buckets → verified Jaccard ≥ 0.6."""
     return minhash_near_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_minhash_portable",
+    r"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+                   FROM documents),
+       g AS (
+         SELECT doc_id,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+         FROM d),
+       sh AS (
+         SELECT DISTINCT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS s
+         FROM g, unnest(grams) AS t(gr)),
+       mh AS (
+         SELECT doc_id, i,
+                min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                        || CAST(s AS VARCHAR)), 1, 15))::BIGINT) AS m
+         FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) t(i)
+         GROUP BY 1, 2),
+       bands AS (
+         SELECT doc_id, i // 4 AS band,
+                md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
+         FROM mh GROUP BY doc_id, i // 4),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a
+         JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+       verified AS (
+         SELECT id_a, id_b,
+                round(len(list_intersect(sa.ss, sb.ss)) * 1.0 /
+                      len(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard
+         FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+                   JOIN sets sb ON cand.id_b = sb.doc_id)
+       SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6""",
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup with a HARD oracle over the ENTIRE
+    pipeline: shingling, signature minima, band bucketing, the candidate
+    join, and the exact-Jaccard verify all hash-check against a DuckDB
+    twin. The permutation family swaps multiply-shift/xxhash64 for
+    seeded md5 (perm_i(s) = first 60 bits of md5(f"{i}:{s}")) and the
+    band combine for md5 of the joined minima — pure string/md5 ops both
+    engines compute bit-identically, no wraparound arithmetic. Because
+    LSH banding is probabilistic RECALL, a green row here is the one
+    check the production twins (`dedup_minhash` arrow/expr) cannot get
+    from any all-pairs oracle: it proves the banded candidate generation
+    itself — bucket keying, dedupe, threshold — is implemented exactly,
+    not merely plausibly. ~2× the signature CPU of the arrow builder,
+    paid only by this verification variant."""
+    return minhash_near_dedup(_docs(spark, sf_dir), signature_impl="portable")
 
 
 @query("dedup_simhash")  # rows-only: xxhash64-based bits
@@ -565,6 +621,44 @@ def q_search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round(score, 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
         .limit(20)
+    )
+
+
+@query(
+    "search_query_string",
+    """WITH terms AS (SELECT unnest(['spak', 'vectr', 'src7']) AS term),
+       tt AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
+                1 AS boost
+         FROM documents
+         UNION ALL
+         SELECT doc_id, trim(lower(source)) AS tok, 5 AS boost FROM documents),
+       m AS (
+         SELECT doc_id, boost
+         FROM tt JOIN terms
+           ON abs(length(tok) - length(term)) <= 1
+          AND levenshtein(tok, term) <= 1)
+       SELECT doc_id, CAST(sum(boost) AS BIGINT) AS score
+       FROM m GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
+)
+def q_search_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``query_string`` knob surface (operators/text.py:
+    query_string_rank) — multi-field search with per-field boosts and
+    edit-distance fuzziness, the two niceties the r5 verdict listed as
+    the gap vs Openapi/openai_elasticsearch.py:160-170's serving
+    queries. The request is 'spak~1 vectr~1 src7~1' over
+    fields=[text^1, source^5]: the two planted misspellings must fuzzy-
+    match their corpus terms and the source boost must dominate the
+    ranking for src7-sourced docs. Integer boosts keep the score an
+    exact sum; DuckDB's levenshtein is the same metric, so the top-20
+    hash-checks."""
+    return query_string_rank(
+        _docs(spark, sf_dir),
+        terms=["spak", "vectr", "src7"],
+        fields={"text": 1, "source": 5},
+        fuzziness=1,
+        k=20,
     )
 
 
