@@ -187,6 +187,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "ts_anomaly_zscore": 2,           # daily partial agg + one type-key window exchange
         "events_transition_matrix": 3,    # user window + bigram agg + matrix-sized normalizer
         "search_inverted_index": 3,       # (token, block) agg + tiny df agg + df join
+        "search_query_string": 1,         # broadcast terms; ONE doc-keyed count
+        "nl_query_range": 1,              # compiled GROUP BY: partial→final agg
+        "mm_image_dedup": 3,              # 8-byte signature bands only ever shuffle
+        "dedup_simhash_portable": 4,      # expr vote groupBy + banded candidates
+        "dedup_minhash_portable": 6,      # oracle-verification variant (md5 sigs)
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -81,3 +81,29 @@ def test_derived_partsupp_invariants(spark, sf_dir):
         ps, (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey)
     ).count()
     assert hits > 0  # q9's join path is non-vacuous
+
+
+def test_query_string_rank_fuzzy_boost_semantics(spark):
+    """ES query_string knob surface on a planted corpus: exact terms at
+    fuzziness=0, misspellings recovered at fuzziness=1, and a boosted
+    field dominating the ranking."""
+    from data_engineering_spark.operators.text import query_string_rank
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark runs fast", "web"),
+            (2, "sprk runs slow", "web"),      # 'sprk' is 1 edit from 'spark'
+            (3, "nothing relevant here", "docs"),  # 'docs' 1 edit from 'doc'
+        ],
+        "doc_id long, text string, source string",
+    )
+    exact = query_string_rank(df, ["spark"], {"text": 1}, fuzziness=0, k=10)
+    assert [r.doc_id for r in exact.collect()] == [1]
+    fuzzy = query_string_rank(df, ["spark"], {"text": 1}, fuzziness=1, k=10)
+    assert {r.doc_id for r in fuzzy.collect()} == {1, 2}
+    boosted = query_string_rank(
+        df, ["spark", "doc"], {"text": 1, "source": 10}, fuzziness=1, k=10
+    ).collect()
+    # doc 3 matches only via the boosted source field but must outrank
+    # the text-only matches
+    assert boosted[0].doc_id == 3 and boosted[0].score == 10
