@@ -32,6 +32,7 @@ using fields that do not exist" rule, enforced instead of prompted).
 from __future__ import annotations
 
 import re
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -123,7 +124,7 @@ def _cond_sql(cond: str, cols: list[str]) -> str:
     return " AND ".join(parts)
 
 
-def compile_nl(text: str, schemas: dict[str, list[str]]) -> str:
+def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
     """Compile one constrained NL request to one Spark-SQL string.
 
     ``schemas`` maps table name → column list (what the reference ships
@@ -228,25 +229,34 @@ def compile_nl(text: str, schemas: dict[str, list[str]]) -> str:
     )
 
 
-class _LazySchemas(dict):
+class _LazySchemas(Mapping):
     """Table → column-list mapping that probes a parquet footer only when
     a table is actually referenced. ``compile_nl`` validates the ONE
     table a request names; eagerly loading all ten warehouse schemas per
     request cost ~5 s of footer/dtype probing at the 10× sweep — pure
-    overhead for a single-table query."""
+    overhead for a single-table query. A real ``Mapping`` (not a dict
+    with placeholder values) so every access path — ``[]``, ``get``,
+    ``items``, ``values`` — goes through the lazy loader."""
 
     def __init__(self, spark: SparkSession, sf_dir: str, tables: list[str]):
-        super().__init__({t: None for t in tables})
+        self._tables = list(tables)
+        self._cache: dict[str, list[str]] = {}
         self._spark, self._sf_dir = spark, sf_dir
 
     def __getitem__(self, table: str) -> list[str]:
         from ..catalog import load_table
 
-        cols = super().__getitem__(table)
-        if cols is None:
-            cols = load_table(self._spark, self._sf_dir, table).columns
-            super().__setitem__(table, cols)
-        return cols
+        if table not in self._tables:
+            raise KeyError(table)
+        if table not in self._cache:
+            self._cache[table] = load_table(self._spark, self._sf_dir, table).columns
+        return self._cache[table]
+
+    def __iter__(self):
+        return iter(self._tables)
+
+    def __len__(self) -> int:
+        return len(self._tables)
 
 
 def run_nl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:

@@ -37,6 +37,16 @@ from .text import fingerprint, tokens
 # over), so minhash_near_dedup's "auto" mode leaves the joins to AQE.
 _SMALL_CORPUS_BYTES = 4 << 20
 
+
+def _md5_60bits(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative LONG — THE portable hash
+    every oracle-checked dedup variant shares. Must stay bit-identical
+    to the DuckDB idiom ``('0x' || substr(md5(x),1,15))::BIGINT``; the
+    three portable pipelines (shingle fingerprints, minhash permutation
+    family, simhash token hash) all route through this one expression so
+    the cross-engine invariant lives in one place."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
 __all__ = [
     "exact_dedup",
     "shingles",
@@ -193,9 +203,7 @@ def shingle_hashes_portable(col: Column | str, n: int = 3) -> Column:
     ~2× the hash CPU of the fold form, paid only by the oracle-checked
     variant."""
     g = shingles(col, n)
-    return F.transform(
-        g, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-    )
+    return F.transform(g, _md5_60bits)
 
 
 def minhash_signature(
@@ -409,13 +417,9 @@ def minhash_near_dedup(
                 F.array_min(
                     F.transform(
                         F.col("hs"),
-                        lambda h, i=i: F.conv(
-                            F.substring(
-                                F.md5(F.concat(F.lit(f"{i}:"), h.cast("string"))), 1, 15
-                            ),
-                            16,
-                            10,
-                        ).cast("long"),
+                        lambda h, i=i: _md5_60bits(
+                            F.concat(F.lit(f"{i}:"), h.cast("string"))
+                        ),
                     )
                 ).alias(f"mh{i}")
                 for i in range(num_hashes)
@@ -536,11 +540,7 @@ def simhash_signature(
     with md5 (DuckDB: ``('0x' || substr(md5(tok),1,15))::BIGINT``), which
     turns the whole near-dup pipeline into an oracle-checkable query
     (bits 60-63 vote all-negative on both sides, so they pack as 0)."""
-    tok_hash = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-        if portable
-        else F.xxhash64(F.col("tok"))
-    )
+    tok_hash = _md5_60bits(F.col("tok")) if portable else F.xxhash64(F.col("tok"))
     ex = _spread(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).select(
         F.col(id_col), tok_hash.alias("h")
     )
@@ -649,7 +649,13 @@ def simhash_near_dedup(
     if signature_impl == "arrow":
         sig = simhash_signature_arrow(df, text_col, id_col)
     elif signature_impl == "portable":
-        sig = simhash_signature(df, text_col, id_col, portable=True)
+        # bits=61: the 60-bit md5 token hash can never set bits 60-63,
+        # so their votes are all -1 — computing them only fattens the
+        # 8-byte-per-bit vote state through the groupBy. 61 keeps the
+        # packing range(bits-1) = bits 0..59, exactly the SQL twin's
+        # range(60); packed signatures are unchanged (the dropped bits
+        # packed as 0 before).
+        sig = simhash_signature(df, text_col, id_col, bits=61, portable=True)
     else:
         sig = simhash_signature(df, text_col, id_col)
     if max_bucket is not None:

@@ -193,7 +193,7 @@ def query_string_rank(
     terms: list[str],
     fields: dict[str, int],
     id_col: str = "doc_id",
-    fuzziness: int = 1,
+    fuzziness: int | dict[str, int] = 1,
     k: int = 20,
 ) -> DataFrame:
     """Elasticsearch ``query_string`` semantics over warehouse columns —
@@ -207,7 +207,11 @@ def query_string_rank(
       exact sum — no float-ordering hazard in the top-k);
     - **fuzziness**: a token matches a query term when
       ``levenshtein(tok, term) <= fuzziness`` (JVM-side expression, the
-      same function DuckDB exposes for the oracle).
+      same function DuckDB exposes for the oracle). Pass a
+      ``{field: N}`` dict for per-field fuzziness (ES sets fuzziness per
+      clause); a field at 0 joins on plain equality — a hash join, and
+      the discriminative choice for low-cardinality keyword fields whose
+      whole value space sits within one edit of itself.
 
     Scale shape: each field arm explodes tokens inside its scan stage and
     matches against the tiny broadcast term list (``fuzziness``+length
@@ -219,13 +223,18 @@ def query_string_rank(
     terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
     arms = []
     for field, boost in fields.items():
+        fz = fuzziness[field] if isinstance(fuzziness, dict) else fuzziness
         toks = df.select(F.col(id_col), F.explode(tokens(field)).alias("tok"))
+        cond = (
+            F.col("tok") == F.col("term")
+            if fz == 0
+            else (F.abs(F.length("tok") - F.length("term")) <= fz)
+            & (F.levenshtein(F.col("tok"), F.col("term")) <= fz)
+        )
         arms.append(
-            toks.join(
-                F.broadcast(terms_df),
-                (F.abs(F.length("tok") - F.length("term")) <= fuzziness)
-                & (F.levenshtein(F.col("tok"), F.col("term")) <= fuzziness),
-            ).select(F.col(id_col), F.lit(boost).alias("boost"))
+            toks.join(F.broadcast(terms_df), cond).select(
+                F.col(id_col), F.lit(boost).alias("boost")
+            )
         )
     matches = arms[0]
     for a in arms[1:]:

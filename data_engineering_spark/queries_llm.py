@@ -227,8 +227,14 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     from any all-pairs oracle: it proves the banded candidate generation
     itself — bucket keying, dedupe, threshold — is implemented exactly,
     not merely plausibly. ~2× the signature CPU of the arrow builder,
-    paid only by this verification variant."""
-    return minhash_near_dedup(_docs(spark, sf_dir), signature_impl="portable")
+    paid only by this verification variant. ``max_bucket=None`` keeps
+    the documented exactness unconditional: the ``"auto"`` hot-bucket
+    purge (engaged past 4 MB of input) has no counterpart in the SQL
+    twin, so a >1024-doc bucket at a bigger oracle SF would purge on the
+    Spark side only and flag a phantom red."""
+    return minhash_near_dedup(
+        _docs(spark, sf_dir), signature_impl="portable", max_bucket=None
+    )
 
 
 @query("dedup_simhash")  # rows-only: xxhash64-based bits
@@ -269,8 +275,12 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands find every hamming≤3 pair by pigeonhole — this green row is
     therefore also a proof of the blocking scheme's losslessness, which
     the xxhash64 production twins (`dedup_simhash`, `dedup_simhash_arrow`)
-    inherit structurally."""
-    return simhash_near_dedup(_docs(spark, sf_dir), signature_impl="portable")
+    inherit structurally. ``max_bucket=None`` keeps that equality
+    unconditional — the ``"auto"`` hot-bucket purge has no SQL-twin
+    counterpart (see `dedup_minhash_portable`)."""
+    return simhash_near_dedup(
+        _docs(spark, sf_dir), signature_impl="portable", max_bucket=None
+    )
 
 
 @query("dedup_simhash_arrow")  # rows-only: pandas-hash-based bits
@@ -627,37 +637,41 @@ def q_search_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "search_query_string",
     """WITH terms AS (SELECT unnest(['spak', 'vectr', 'src7']) AS term),
-       tt AS (
-         SELECT doc_id,
-                unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok,
-                1 AS boost
-         FROM documents
-         UNION ALL
-         SELECT doc_id, trim(lower(source)) AS tok, 5 AS boost FROM documents),
-       m AS (
-         SELECT doc_id, boost
-         FROM tt JOIN terms
-           ON abs(length(tok) - length(term)) <= 1
-          AND levenshtein(tok, term) <= 1)
+       tm AS (
+         SELECT doc_id, 1 AS boost
+         FROM (SELECT doc_id,
+                      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               FROM documents) t
+         JOIN terms ON abs(length(tok) - length(term)) <= 1
+                   AND levenshtein(tok, term) <= 1),
+       sm AS (
+         SELECT doc_id, 5 AS boost
+         FROM (SELECT doc_id, trim(lower(source)) AS tok FROM documents) s
+         JOIN terms ON tok = term),
+       m AS (SELECT * FROM tm UNION ALL SELECT * FROM sm)
        SELECT doc_id, CAST(sum(boost) AS BIGINT) AS score
        FROM m GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
 )
 def q_search_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES ``query_string`` knob surface (operators/text.py:
     query_string_rank) — multi-field search with per-field boosts and
-    edit-distance fuzziness, the two niceties the r5 verdict listed as
-    the gap vs Openapi/openai_elasticsearch.py:160-170's serving
-    queries. The request is 'spak~1 vectr~1 src7~1' over
-    fields=[text^1, source^5]: the two planted misspellings must fuzzy-
-    match their corpus terms and the source boost must dominate the
-    ranking for src7-sourced docs. Integer boosts keep the score an
-    exact sum; DuckDB's levenshtein is the same metric, so the top-20
-    hash-checks."""
+    per-field edit-distance fuzziness, the two niceties the r5 verdict
+    listed as the gap vs Openapi/openai_elasticsearch.py:160-170's
+    serving queries. The request is 'spak~1 vectr~1 src7' over
+    fields=[text^1~1, source^5~0]: the two planted misspellings must
+    fuzzy-match their corpus terms, while the source clause is EXACT —
+    the src0-src19 keyword space sits entirely within one edit of
+    itself, so a fuzzy source term would boost 11/20 sources and reduce
+    the top-20 to a doc_id tiebreak a mis-weighted boost could still
+    pass (the round-6 review's finding). Exact matching boosts only the
+    ~5% src7 docs, making the +5 weighting itself the thing the hash
+    checks. Integer boosts keep the score an exact sum; DuckDB's
+    levenshtein is the same metric."""
     return query_string_rank(
         _docs(spark, sf_dir),
         terms=["spak", "vectr", "src7"],
         fields={"text": 1, "source": 5},
-        fuzziness=1,
+        fuzziness={"text": 1, "source": 0},
         k=20,
     )
 
