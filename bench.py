@@ -100,6 +100,9 @@ HEADLINE = [
     "nl_query_scalar",
     "dedup_minhash_portable",
     "search_query_string",
+    "mm_pixel_features",
+    "text_winnow_fingerprints",
+    "dedup_shared_passages",
 ]
 
 

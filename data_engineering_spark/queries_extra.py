@@ -544,6 +544,66 @@ def q_mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(synthetic_media(spark, 64), digest="hex")
 
 
+@query(
+    "mm_pixel_features",
+    """WITH ids AS (SELECT unnest(range(64)) AS i),
+       imgs AS (SELECT CAST(i AS BIGINT) AS media_id,
+                       64 + (i % 8) * 16 AS w, 48 + (i % 8) * 12 AS h,
+                       sha256('media-' || CAST(i AS VARCHAR)) AS dg
+                FROM ids WHERE i % 3 = 0),
+       px AS (
+         SELECT media_id, w, h, ty.y AS y, tx.x AS x,
+                ('0x'||substr(dg, 2*(((ty.y*w+tx.x)*3+0)%32)+1, 2))::BIGINT AS b0,
+                ('0x'||substr(dg, 2*(((ty.y*w+tx.x)*3+1)%32)+1, 2))::BIGINT AS b1,
+                ('0x'||substr(dg, 2*(((ty.y*w+tx.x)*3+2)%32)+1, 2))::BIGINT AS b2
+         FROM imgs, unnest(range(h)) ty(y), unnest(range(w)) tx(x)),
+       s AS (
+         SELECT media_id, w, h,
+                sum(b0) AS s0, sum(b1) AS s1, sum(b2) AS s2,
+                sum(b0+b1+b2) AS sg, sum((b0+b1+b2)*(b0+b1+b2)) AS sg2,
+                sum(CASE WHEN y < h//2 AND x < w//2 THEN b0+b1+b2 ELSE 0 END) AS g0,
+                sum(CASE WHEN y < h//2 AND x >= w//2 THEN b0+b1+b2 ELSE 0 END) AS g1,
+                sum(CASE WHEN y >= h//2 AND x < w//2 THEN b0+b1+b2 ELSE 0 END) AS g2,
+                sum(CASE WHEN y >= h//2 AND x >= w//2 THEN b0+b1+b2 ELSE 0 END) AS g3
+         FROM px GROUP BY 1, 2, 3),
+       f AS (
+         SELECT media_id,
+                s0/255.0/(w*h) AS f0, s1/255.0/(w*h) AS f1, s2/255.0/(w*h) AS f2,
+                sqrt(sg2/(765.0*765.0)/(w*h)
+                     - (sg/765.0/(w*h))*(sg/765.0/(w*h))) AS f3,
+                g0/765.0/((h//2)*(w//2)) AS f4,
+                g1/765.0/((h//2)*(w-w//2)) AS f5,
+                g2/765.0/((h-h//2)*(w//2)) AS f6,
+                g3/765.0/((h-h//2)*(w-w//2)) AS f7
+         FROM s)
+       SELECT media_id, CAST(d AS BIGINT) AS dim,
+              round(CAST(v AS REAL)::DOUBLE, 6) AS val
+       FROM f, LATERAL (VALUES (0, f0), (1, f1), (2, f2), (3, f3),
+                               (4, f4), (5, f5), (6, f6), (7, f7)) t(d, v)""",
+)
+def q_mm_pixel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — the REAL pixel-statistics feature path of
+    `extract_features`, hash-checked: the image subset of the synthetic
+    media corpus decodes to sha256-stream pixels the SQL twin rebuilds
+    byte-for-byte, then every feature derives from INTEGER channel sums
+    (means, population std via (n, Σs, Σs²), quadrant means), so both
+    engines feed one IEEE division/sqrt chain with exact inputs. The
+    emitted value is round(f32(v), 6) on both sides — the operator's
+    array<float> cells emulated in SQL with a REAL cast — which
+    collapses the ~1e-12 two-pass-vs-closed-form variance gap without
+    hiding a wrong stride, channel order, or quadrant boundary. The
+    digest-fold fallback (audio/video rows) stays under the rows-only
+    `mm_extract_features`: IEEE-754-reinterpreting sha256 bytes (NaN/Inf
+    included) has no portable SQL form."""
+    media = synthetic_media(spark, 64).filter(F.col("kind") == "image")
+    out = extract_features(media)
+    return out.select("media_id", F.posexplode("feature").alias("dim", "val")).select(
+        "media_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("val").cast("double"), 6).alias("val"),
+    )
+
+
 @query("mm_extract_features")
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — mapInPandas feature extraction over binary payloads

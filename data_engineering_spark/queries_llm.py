@@ -140,11 +140,60 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
 
-@query("text_winnow_fingerprints")  # rows-only: xxhash64 grams are Spark-specific
+# B^(k-1-j) mod 2^64 for the winnowing rolling hash (k=8, B=1000003) —
+# the same constants the numpy kernel builds; inlined as decimals so the
+# DuckDB twin folds the identical polynomial.
+_WINNOW_W = [pow(1000003, 7 - j, 1 << 64) for j in range(8)]
+_WINNOW_TERMS = " + ".join(
+    f"unicode(substr(s, i+{j + 1}, 1))::HUGEINT * {_WINNOW_W[j]}::HUGEINT"
+    for j in range(8)
+)
+
+_WINNOW_ORACLE = f"""
+WITH d0 AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+  FROM documents WHERE text IS NOT NULL AND text <> ''),
+d AS (
+  -- pad only when SHORT: DuckDB rpad also TRUNCATES longer strings
+  SELECT doc_id, CASE WHEN length(nrm) < 8 THEN rpad(nrm, 8, ' ') ELSE nrm END AS s
+  FROM d0),
+pos AS (
+  SELECT doc_id, s, length(s) - 7 AS n, t.i AS i
+  FROM d, unnest(range(length(s) - 7)) t(i)),
+h AS (
+  SELECT doc_id, n, i,
+         CAST(({_WINNOW_TERMS}) % 18446744073709551616::HUGEINT AS HUGEINT) AS hv
+  FROM pos),
+mins AS (
+  SELECT doc_id, n, i,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM h),
+sel AS (
+  SELECT doc_id, m FROM mins WHERE n > 4 AND i <= n - 4
+  UNION ALL
+  SELECT doc_id, min(hv) AS m FROM h WHERE n <= 4 GROUP BY doc_id),
+u AS (SELECT DISTINCT doc_id, m FROM sel)
+SELECT doc_id, CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+                    THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp
+FROM u
+"""
+
+
+@query("text_winnow_fingerprints", _WINNOW_ORACLE)
 def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed rolling-hash fingerprints (MOSS scheme) per document —
     position-robust shared-passage detection; overlap joins on the
     exploded fingerprints find plagiarized/boilerplate spans.
+
+    Oracle-checked (was rows-only until r6): the polynomial rolling hash
+    is pure mod-2^64 arithmetic over ASCII code points, so DuckDB folds
+    the identical Σ byte·B^(k-1-j) in HUGEINT, takes the same 4-wide
+    sliding-window minima with a ROWS window frame, and reproduces every
+    fingerprint bit-for-bit — including the uint64→int64 wraparound and
+    the whole-doc minimum for sub-window documents. A wrong weight
+    order, off-by-one in the window frame, or a pad-vs-truncate slip
+    (DuckDB's rpad truncates!) fails the 53k-row value hash.
 
     Registered in exploded (doc_id, fp) form: that is both the join-ready
     shape downstream consumers use and a canonicalizable one — the
@@ -342,7 +391,46 @@ def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_exact(_docs(spark, sf_dir))
 
 
-@query("dedup_shared_passages")  # rows-only: rolling-hash prints are engine-specific
+# winnowing constants for the 16-char-gram passage prints
+_PASSAGE_W = [pow(1000003, 15 - j, 1 << 64) for j in range(16)]
+_PASSAGE_TERMS = " + ".join(
+    f"unicode(substr(s, i+{j + 1}, 1))::HUGEINT * {_PASSAGE_W[j]}::HUGEINT"
+    for j in range(16)
+)
+
+_PASSAGE_ORACLE = f"""
+WITH d0 AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
+  FROM documents WHERE text IS NOT NULL AND text <> ''),
+d AS (
+  SELECT doc_id, CASE WHEN length(nrm) < 16 THEN rpad(nrm, 16, ' ') ELSE nrm END AS s
+  FROM d0),
+pos AS (
+  SELECT doc_id, s, length(s) - 15 AS n, t.i AS i
+  FROM d, unnest(range(length(s) - 15)) t(i)),
+h AS (
+  SELECT doc_id, n, i,
+         CAST(({_PASSAGE_TERMS}) % 18446744073709551616::HUGEINT AS HUGEINT) AS hv
+  FROM pos),
+mins AS (
+  SELECT doc_id, n, i,
+         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+  FROM h),
+sel AS (
+  SELECT doc_id, m FROM mins WHERE n > 8 AND i <= n - 8
+  UNION ALL
+  SELECT doc_id, min(hv) AS m FROM h WHERE n <= 8 GROUP BY doc_id),
+u AS (SELECT DISTINCT doc_id, m FROM sel),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_prints
+  FROM u a JOIN u b ON a.m = b.m AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT * FROM pairs WHERE shared_prints >= 8
+"""
+
+
+@query("dedup_shared_passages", _PASSAGE_ORACLE)
 def q_dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage detection: explode winnowed fingerprints, self-join
     on the print, count prints per doc pair — pairs above the threshold
@@ -352,7 +440,12 @@ def q_dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the fingerprint: collisions are bucket-local, never all-pairs.
     Parameters (16-char grams, window 8, ≥8 shared prints) tuned on the
     driver corpus: recovers exactly the 25 minhash-verified near-dup
-    pairs; 8-char grams drown in template phrases (60k pairs)."""
+    pairs; 8-char grams drown in template phrases (60k pairs).
+
+    Oracle-checked (was rows-only until r6): same HUGEINT rolling-hash
+    twin as `text_winnow_fingerprints` at k=16/window=8, plus the
+    print-keyed pair count — so the whole passage-detection pipeline,
+    not just the fingerprints, hash-checks cross-engine."""
     fps = (
         _docs(spark, sf_dir)
         .select("doc_id", F.explode(winnow_fingerprints("text", k=16, window=8)).alias("fp"))
