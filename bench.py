@@ -103,6 +103,7 @@ HEADLINE = [
     "mm_pixel_features",
     "text_winnow_fingerprints",
     "dedup_shared_passages",
+    "dedup_minhash_canonical_portable",
 ]
 
 

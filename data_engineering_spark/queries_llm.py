@@ -228,39 +228,49 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dedup(_docs(spark, sf_dir))
 
 
+# The portable (all-md5) MinHash+LSH pipeline as a reusable CTE chain:
+# shingles → 60-bit fingerprints → 32 seeded minima → 8 md5 band folds →
+# banded candidates → exact-Jaccard verify. Shared by the pair query and
+# the canonicalization chain so the cross-engine pipeline definition
+# lives in one place.
+_MINHASH_PORTABLE_CTES = r"""
+d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+  FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS s
+  FROM g, unnest(grams) AS t(gr)),
+mh AS (
+  SELECT doc_id, i,
+         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                 || CAST(s AS VARCHAR)), 1, 15))::BIGINT) AS m
+  FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) t(i)
+  GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
+  FROM mh GROUP BY doc_id, i // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+verified AS (
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.ss, sb.ss)) * 1.0 /
+               len(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard
+  FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+            JOIN sets sb ON cand.id_b = sb.doc_id)
+"""
+
+
 @query(
     "dedup_minhash_portable",
-    r"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
-                   FROM documents),
-       g AS (
-         SELECT doc_id,
-                list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
-                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
-         FROM d),
-       sh AS (
-         SELECT DISTINCT doc_id, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS s
-         FROM g, unnest(grams) AS t(gr)),
-       mh AS (
-         SELECT doc_id, i,
-                min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
-                                        || CAST(s AS VARCHAR)), 1, 15))::BIGINT) AS m
-         FROM sh CROSS JOIN (SELECT unnest(range(32)) AS i) t(i)
-         GROUP BY 1, 2),
-       bands AS (
-         SELECT doc_id, i // 4 AS band,
-                md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
-         FROM mh GROUP BY doc_id, i // 4),
-       cand AS (
-         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a
-         JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-       sets AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
-       verified AS (
-         SELECT id_a, id_b,
-                round(len(list_intersect(sa.ss, sb.ss)) * 1.0 /
-                      len(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard
-         FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
-                   JOIN sets sb ON cand.id_b = sb.doc_id)
+    f"""WITH {_MINHASH_PORTABLE_CTES}
        SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6""",
 )
 def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,6 +479,38 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = minhash_near_dedup(docs)
     # early-exit convergence: typical cost is (cluster depth + 1) rounds
+    return canonical_assignment(pairs, docs.select("doc_id"))
+
+
+@query(
+    "dedup_minhash_canonical_portable",
+    f"""WITH RECURSIVE {_MINHASH_PORTABLE_CTES},
+       pairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.6),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+       walk(src, label) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.src, w.label FROM edges e JOIN walk w ON w.src = e.dst)
+       SELECT src AS doc_id, min(label) AS canonical_id,
+              min(label) < src AS is_dup
+       FROM walk GROUP BY src""",
+)
+def q_dedup_minhash_canonical_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup chain — MinHash+LSH pairs → label-propagation
+    canonical ids — with a hard oracle end to end: the portable md5
+    pipeline supplies deterministic pairs DuckDB reproduces exactly
+    (`dedup_minhash_portable`), and the recursive CTE computes the same
+    min-reachable-id fixpoint as `canonical_assignment`'s iterative
+    propagation (the `dedup_cluster_components` pattern, now applied to
+    the REAL candidate generator instead of the quadratic exact
+    baseline). One green row gates four stages at once: shingling,
+    banded candidate recall, Jaccard verification, and the distributed
+    connected-components loop."""
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_near_dedup(
+        docs, signature_impl="portable", max_bucket=None
+    ).select("id_a", "id_b")
     return canonical_assignment(pairs, docs.select("doc_id"))
 
 
