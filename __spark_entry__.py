@@ -57,7 +57,7 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #     green may age past two rounds.
 #   - The remaining 5 slots take the oldest r4-era greens in
 #     registration order.
-# The 16 rows-only queries sink behind the window so no sweep slot
+# The 15 rows-only queries sink behind the window so no sweep slot
 # records a weak no_oracle row.
 #
 # ROUND-7 ROTATION NOTE: if this window sweeps green, every oracle-backed

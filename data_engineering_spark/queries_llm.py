@@ -140,40 +140,58 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_docs(spark, sf_dir))
 
 
-# B^(k-1-j) mod 2^64 for the winnowing rolling hash (k=8, B=1000003) —
-# the same constants the numpy kernel builds; inlined as decimals so the
-# DuckDB twin folds the identical polynomial.
-_WINNOW_W = [pow(1000003, 7 - j, 1 << 64) for j in range(8)]
-_WINNOW_TERMS = " + ".join(
-    f"unicode(substr(s, i+{j + 1}, 1))::HUGEINT * {_WINNOW_W[j]}::HUGEINT"
-    for j in range(8)
-)
+def _winnow_oracle_ctes(k: int, window: int) -> str:
+    """CTE chain reproducing ``operators/text.py:winnow_fingerprints`` in
+    DuckDB for gram size ``k`` and window ``window``: the mod-2^64
+    polynomial rolling hash in HUGEINT (weights B^(k-1-j) inlined as
+    decimals — the same pow() the numpy kernel builds), sliding-window
+    minima via a ROWS frame, the whole-doc minimum for sub-window docs,
+    and per-doc distinct. Ends with CTE ``u(doc_id, m)`` (m = uint64
+    fingerprint as HUGEINT). One generator for both the k=8 fingerprint
+    oracle and the k=16 passage oracle, so the skeleton can't drift
+    one-sided from the kernel.
 
-_WINNOW_ORACLE = f"""
-WITH d0 AS (
+    Cross-engine contract: valid for the driver corpus's printable-ASCII
+    text (code point == utf-8 byte — the same invariant `nlp_embed_text`
+    documents) with no exotic whitespace; the Python kernel hashes utf-8
+    BYTES of ``' '.join(t.split())`` while this twin hashes CODE POINTS
+    of the regexp-collapsed string, and RE2's ``\\s`` is narrower than
+    ``str.split()`` for \\v and unicode spaces."""
+    W = [pow(1000003, k - 1 - j, 1 << 64) for j in range(k)]
+    terms = " + ".join(
+        f"unicode(substr(s, i+{j + 1}, 1))::HUGEINT * {W[j]}::HUGEINT"
+        for j in range(k)
+    )
+    return f"""
+d0 AS (
   SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
   FROM documents WHERE text IS NOT NULL AND text <> ''),
 d AS (
   -- pad only when SHORT: DuckDB rpad also TRUNCATES longer strings
-  SELECT doc_id, CASE WHEN length(nrm) < 8 THEN rpad(nrm, 8, ' ') ELSE nrm END AS s
+  SELECT doc_id,
+         CASE WHEN length(nrm) < {k} THEN rpad(nrm, {k}, ' ') ELSE nrm END AS s
   FROM d0),
 pos AS (
-  SELECT doc_id, s, length(s) - 7 AS n, t.i AS i
-  FROM d, unnest(range(length(s) - 7)) t(i)),
+  SELECT doc_id, s, length(s) - {k - 1} AS n, t.i AS i
+  FROM d, unnest(range(length(s) - {k - 1})) t(i)),
 h AS (
   SELECT doc_id, n, i,
-         CAST(({_WINNOW_TERMS}) % 18446744073709551616::HUGEINT AS HUGEINT) AS hv
+         CAST(({terms}) % 18446744073709551616::HUGEINT AS HUGEINT) AS hv
   FROM pos),
 mins AS (
   SELECT doc_id, n, i,
          min(hv) OVER (PARTITION BY doc_id ORDER BY i
-                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+                       ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS m
   FROM h),
 sel AS (
-  SELECT doc_id, m FROM mins WHERE n > 4 AND i <= n - 4
+  SELECT doc_id, m FROM mins WHERE n > {window} AND i <= n - {window}
   UNION ALL
-  SELECT doc_id, min(hv) AS m FROM h WHERE n <= 4 GROUP BY doc_id),
-u AS (SELECT DISTINCT doc_id, m FROM sel)
+  SELECT doc_id, min(hv) AS m FROM h WHERE n <= {window} GROUP BY doc_id),
+u AS (SELECT DISTINCT doc_id, m FROM sel)"""
+
+
+_WINNOW_ORACLE = f"""
+WITH {_winnow_oracle_ctes(8, 4)}
 SELECT doc_id, CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
                     THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp
 FROM u
@@ -401,37 +419,8 @@ def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_exact(_docs(spark, sf_dir))
 
 
-# winnowing constants for the 16-char-gram passage prints
-_PASSAGE_W = [pow(1000003, 15 - j, 1 << 64) for j in range(16)]
-_PASSAGE_TERMS = " + ".join(
-    f"unicode(substr(s, i+{j + 1}, 1))::HUGEINT * {_PASSAGE_W[j]}::HUGEINT"
-    for j in range(16)
-)
-
 _PASSAGE_ORACLE = f"""
-WITH d0 AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nrm
-  FROM documents WHERE text IS NOT NULL AND text <> ''),
-d AS (
-  SELECT doc_id, CASE WHEN length(nrm) < 16 THEN rpad(nrm, 16, ' ') ELSE nrm END AS s
-  FROM d0),
-pos AS (
-  SELECT doc_id, s, length(s) - 15 AS n, t.i AS i
-  FROM d, unnest(range(length(s) - 15)) t(i)),
-h AS (
-  SELECT doc_id, n, i,
-         CAST(({_PASSAGE_TERMS}) % 18446744073709551616::HUGEINT AS HUGEINT) AS hv
-  FROM pos),
-mins AS (
-  SELECT doc_id, n, i,
-         min(hv) OVER (PARTITION BY doc_id ORDER BY i
-                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
-  FROM h),
-sel AS (
-  SELECT doc_id, m FROM mins WHERE n > 8 AND i <= n - 8
-  UNION ALL
-  SELECT doc_id, min(hv) AS m FROM h WHERE n <= 8 GROUP BY doc_id),
-u AS (SELECT DISTINCT doc_id, m FROM sel),
+WITH {_winnow_oracle_ctes(16, 8)},
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_prints
   FROM u a JOIN u b ON a.m = b.m AND a.doc_id < b.doc_id
@@ -478,8 +467,9 @@ def q_dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop-list."""
     docs = _docs(spark, sf_dir)
     pairs = minhash_near_dedup(docs)
-    # early-exit convergence: typical cost is (cluster depth + 1) rounds
-    return canonical_assignment(pairs, docs.select("doc_id"))
+    # early-exit convergence: typical cost is (cluster depth + 1) rounds;
+    # 25 is headroom for deep drift chains, free once converged
+    return canonical_assignment(pairs, docs.select("doc_id"), max_rounds=25)
 
 
 @query(
@@ -511,7 +501,11 @@ def q_dedup_minhash_canonical_portable(spark: SparkSession, sf_dir: str) -> Data
     pairs = minhash_near_dedup(
         docs, signature_impl="portable", max_bucket=None
     ).select("id_a", "id_b")
-    return canonical_assignment(pairs, docs.select("doc_id"))
+    # max_rounds=25: the oracle computes the FULL fixpoint, so the Spark
+    # loop needs headroom beyond any plausible cluster eccentricity (the
+    # dedup_cluster_components convention); early-exit makes the extra
+    # rounds free once converged (this corpus: 2 rounds).
+    return canonical_assignment(pairs, docs.select("doc_id"), max_rounds=25)
 
 
 @query(
