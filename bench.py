@@ -98,6 +98,7 @@ HEADLINE = [
     "nl_query_range",
     "nl_query_distinct",
     "nl_query_scalar",
+    "nl_query_cardinality",
     "dedup_minhash_portable",
     "search_query_string",
     "mm_pixel_features",

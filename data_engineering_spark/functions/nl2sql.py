@@ -17,6 +17,8 @@ Supported request forms (case-insensitive):
   with AGG ∈ total/sum/average/avg/min/max/count
 - ``AGG MEASURE in TABLE [where COND]`` (scalar, no group-by — the
   reference's single-metric answer)
+- ``count distinct COL by DIM in TABLE [where COND] [top N]`` (the ES
+  cardinality aggregation: unique X per Y)
 - ``distinct COL[, COL...] from TABLE [where COND]`` (the terms-facet
   request: enumerate a field's values)
 - ``show COL[, COL...] from TABLE [where COND] [limit N]``
@@ -150,6 +152,30 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
         return (
             f"SELECT * FROM {table} ORDER BY {measure} DESC LIMIT {int(m.group(1))}"
         )
+
+    # -- count distinct COL by DIM in TABLE [where COND] [top N] ------
+    # (the reference's ES cardinality aggregation: how many unique X per Y)
+    m = re.fullmatch(
+        r"count\s+(?:distinct|unique)\s+(\w+)\s+by\s+(\w+(?:\s+and\s+\w+)*)"
+        r"\s+(?:in|from)\s+(\w+)(?:\s+where\s+(.+?))?(?:\s+top\s+(\d+))?",
+        req,
+        flags=re.I,
+    )
+    if m:
+        table = _ident(m.group(3).lower(), list(schemas), "table")
+        cols = schemas[table]
+        measure = _ident(m.group(1), cols, "column")
+        dims = [_ident(d, cols, "column") for d in re.split(r"\s+and\s+", m.group(2), flags=re.I)]
+        alias = f"n_distinct_{measure}"
+        where = f" WHERE {_cond_sql(m.group(4), cols)}" if m.group(4) else ""
+        dim_list = ", ".join(dims)
+        sql = (
+            f"SELECT {dim_list}, count(DISTINCT {measure}) AS {alias} "
+            f"FROM {table}{where} GROUP BY {dim_list}"
+        )
+        if m.group(5):
+            sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(5))}"
+        return sql
 
     # -- AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [top N] --
     m = re.fullmatch(

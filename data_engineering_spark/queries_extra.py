@@ -883,6 +883,26 @@ def q_nl_query_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nl_query_cardinality",
+    """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_distinct_o_custkey
+       FROM orders WHERE o_totalprice > 5000
+       GROUP BY o_orderstatus""",
+)
+def q_nl_query_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 — NL cardinality metric: ``count distinct COL by DIM`` compiles
+    to a grouped COUNT(DISTINCT …) — the ES cardinality aggregation the
+    reference's dashboards request (unique employees per department
+    shape). Exact integer output, no rounding needed."""
+    from .functions.nl2sql import run_nl
+
+    return run_nl(
+        spark,
+        sf_dir,
+        "count distinct o_custkey by o_orderstatus in orders where o_totalprice > 5000",
+    )
+
+
+@query(
     "nl_query_scalar",
     """SELECT max(o_totalprice) AS max_o_totalprice
        FROM orders WHERE o_orderstatus = 'F'""",

@@ -76,6 +76,21 @@ def test_compile_between_range():
     assert "WHERE value BETWEEN 5 AND 10 AND event_type = 'click'" in sql
 
 
+def test_compile_count_distinct_by():
+    sql = compile_nl("count distinct user_id by event_type in events", SCHEMAS)
+    assert sql == (
+        "SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id "
+        "FROM events GROUP BY event_type"
+    )
+    sql = compile_nl(
+        "count unique user_id by event_type in events where value > 0 top 2", SCHEMAS
+    )
+    assert sql.endswith("ORDER BY n_distinct_user_id DESC, event_type LIMIT 2")
+    # must not shadow the plain count or the count-agg-by forms
+    assert compile_nl("count events", SCHEMAS) == "SELECT count(*) AS n FROM events"
+    assert "count(value)" in compile_nl("count value by event_type in events", SCHEMAS)
+
+
 def test_compile_distinct_and_scalar_agg():
     sql = compile_nl("distinct event_type from events", SCHEMAS)
     assert sql == "SELECT DISTINCT event_type FROM events"
