@@ -42,9 +42,10 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # Round-6 window, executing the r5 verdict's rotation order. State after
 # round 5's 50/50-green sweep (latest-green per query computed from
 # CORRECTNESS_r01..r05):
-#   - 13 never-proven oracle rows from this round lead: the four
+#   - 14 never-proven oracle rows from this round lead: the four
 #     nl2sql intents, the portable simhash/minhash twins, the ES
 #     query_string ranker, the oracle-chained minhash canonicalization,
+#     the two-pass Misra-Gries heavy hitters,
 #     the new pixel-features query, and the four
 #     rows-only→oracle conversions (image dedup, image resize, winnow
 #     fingerprints, shared passages) — never-proven outranks re-proofs.
@@ -55,7 +56,7 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #   - The 31 queries whose latest green is r3 (the r5 verdict's item 1
 #     list, verbatim) refresh next — no oracle-backed query's latest
 #     green may age past two rounds.
-#   - The remaining 4 slots take the oldest r4-era greens in
+#   - The remaining 3 slots take the oldest r4-era greens in
 #     registration order.
 # The 15 rows-only queries sink behind the window so no sweep slot
 # records a weak no_oracle row.
@@ -75,6 +76,7 @@ registry.finalize_order(
         "nl_query_distinct",
         "nl_query_scalar",
         "nl_query_cardinality",
+        "prof_heavy_hitters",
         "dedup_simhash_portable",
         "dedup_minhash_portable",
         "dedup_minhash_canonical_portable",
@@ -123,7 +125,6 @@ registry.finalize_order(
         "p4_computed_interval_column",
         "p9_boolean_compound_filter",
         "p10_value_scrub",
-        "j6_asof_join",
     ]
 )
 

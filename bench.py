@@ -105,6 +105,7 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "dedup_shared_passages",
     "dedup_minhash_canonical_portable",
+    "prof_heavy_hitters",
 ]
 
 

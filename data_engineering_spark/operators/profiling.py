@@ -37,6 +37,7 @@ __all__ = [
     "expect_referential_integrity",
     "run_expectations",
     "skew_report",
+    "heavy_hitters",
 ]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
@@ -146,4 +147,67 @@ def skew_report(df: DataFrame, key: str, top: int = 20) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), F.col("key_value"))
         .limit(top)
+    )
+
+
+def heavy_hitters(df: DataFrame, key: str, k: int = 8) -> DataFrame:
+    """EXACT frequent items over a high-cardinality key WITHOUT a
+    full-cardinality shuffle: two-pass distributed Misra-Gries.
+
+    Pass 1 runs a weighted Misra-Gries summary (capacity ``k``) inside
+    each scan partition via ``mapInPandas`` — bounded state, no shuffle —
+    and emits each partition's surviving candidate values. Pigeonhole
+    guarantee: any value with GLOBAL count > n/(k+1) exceeds
+    n_p/(k+1) in at least one partition, so it survives that
+    partition's summary and reaches the candidate set. Pass 2 computes
+    exact counts for the candidates only (broadcast semi-join, so the
+    shuffle carries candidate rows, not the key's full cardinality) and
+    keeps values with ``cnt·(k+1) > n`` — an integer comparison, no
+    float threshold. The two passes make the output EXACTLY the set a
+    full groupBy-count + HAVING would produce, which is what the DuckDB
+    oracle checks; only the work shape differs: at a 100 TB fact with a
+    billion-cardinality key, the naive form shuffles a billion groups
+    while this shuffles ≤ k·partitions candidates plus their rows.
+
+    ``skew_report`` is the exact-histogram sibling (one full-key
+    shuffle, top-N); this is what replaces it when the key cardinality
+    itself is the problem.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([T.StructField("value", T.StringType())])
+
+    def mg_partition(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            # vectorized per batch: value_counts collapses the batch to
+            # its distinct values, so the Python-side merge is O(unique)
+            vc = pdf["__hh__"].value_counts()
+            for v, c in vc.items():
+                counts[v] = counts.get(v, 0) + int(c)
+            while len(counts) > k:
+                m = min(counts.values())
+                counts = {v: c - m for v, c in counts.items() if c > m}
+        yield pd.DataFrame({"value": list(counts.keys())})
+
+    keyed = df.select(F.col(key).cast("string").alias("__hh__"))
+    # no .distinct() on the candidates: a left-semi probe is insensitive
+    # to build-side duplicates, and the dedup would cost an exchange the
+    # sketch pass exists to avoid (the list is ≤ k·partitions rows)
+    cands = keyed.mapInPandas(mg_partition, schema=out_schema)
+    exact = (
+        keyed.join(F.broadcast(cands), keyed["__hh__"] == cands["value"], "left_semi")
+        .groupBy("__hh__")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    total = F.broadcast(keyed.agg(F.count(F.lit(1)).cast("long").alias("__tot__")))
+    return (
+        exact.join(total)
+        .filter(F.col("cnt") * (k + 1) > F.col("__tot__"))
+        .select(
+            F.col("__hh__").alias("value"),
+            "cnt",
+            F.round(F.col("cnt") / F.col("__tot__"), 6).alias("share"),
+        )
     )

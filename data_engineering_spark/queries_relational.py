@@ -2181,6 +2181,31 @@ def q_skew_top_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "prof_heavy_hitters",
+    """WITH c AS (SELECT o_orderstatus AS value, CAST(count(*) AS BIGINT) AS cnt
+                  FROM orders GROUP BY 1),
+       t AS (SELECT sum(cnt) AS tot FROM c)
+       SELECT value, cnt, round(cnt / (tot * 1.0), 6) AS share
+       FROM c, t WHERE cnt * 4 > tot""",
+)
+def q_prof_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items via two-pass distributed Misra-Gries
+    (operators/profiling.py:heavy_hitters, k=3 → threshold n/4): pass 1
+    is a bounded-state per-partition sketch (mapInPandas, no shuffle),
+    pass 2 exact-counts only the surviving candidates through a
+    broadcast semi-join. The MG pigeonhole guarantee makes the final
+    thresholded output EXACTLY the full-groupBy answer — which is what
+    the oracle computes — while the work shape shuffles candidates, not
+    the key's cardinality. On orders.o_orderstatus the two ~49% statuses
+    pass and the ~2.6% 'P' is correctly cut; the sketch-vs-exact
+    equivalence on adversarial skew is property-tested in
+    tests/test_profiling.py."""
+    from .operators.profiling import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "orders"), "o_orderstatus", k=3)
+
+
+@query(
     "j8_range_join",
     """SELECT r.r_name AS band, CAST(count(*) AS BIGINT) AS n_orders,
               round(sum(o.o_totalprice), 2) AS total_price

@@ -55,3 +55,52 @@ def test_skew_report(spark):
     got = skew_report(df, "k", top=3).collect()
     assert [(r.key_value, r.cnt) for r in got] == [("hot", 6), ("warm", 3), ("a_cold", 1)]
     assert abs(got[0].share - 6 / 11) < 1e-6
+
+
+def test_heavy_hitters_matches_exact_on_planted_skew(spark):
+    """Two-pass Misra-Gries must return EXACTLY the full-groupBy answer
+    (values with cnt*(k+1) > n, exact counts) on an adversarially
+    skewed, adversarially partitioned key — the pigeonhole guarantee
+    pass 2 relies on."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.profiling import heavy_hitters
+
+    # zipf-ish: one mega key, a mid key, and a long tail of singletons
+    rows = (
+        [("hot",)] * 500
+        + [("warm",)] * 200
+        + [(f"tail{i}",) for i in range(300)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(7)  # scatter the hot key
+    for k in (2, 4, 8):
+        got = {
+            (r.value, r.cnt)
+            for r in heavy_hitters(df, "k", k=k).collect()
+        }
+        exact = {
+            (r.k, r.cnt)
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .filter(F.col("cnt") * (k + 1) > 1000)
+            .collect()
+        }
+        assert got == exact, (k, got, exact)
+    # k=2 → threshold 333: only 'hot'; k=8 → threshold 111: hot+warm
+    assert {v for v, _ in {
+        (r.value, r.cnt) for r in heavy_hitters(df, "k", k=2).collect()
+    }} == {"hot"}
+    assert {v for v, _ in {
+        (r.value, r.cnt) for r in heavy_hitters(df, "k", k=8).collect()
+    }} == {"hot", "warm"}
+
+
+def test_heavy_hitters_candidate_stage_is_map_only(spark, sf_dir):
+    """The sketch pass must not shuffle: only the candidate-filtered
+    exact count and the 1-row total may exchange."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.profiling import heavy_hitters
+    from data_engineering_spark.plans.explain import shuffle_count
+
+    out = heavy_hitters(load_table(spark, sf_dir, "orders"), "o_orderstatus", k=3)
+    assert shuffle_count(out) <= 2, shuffle_count(out)
