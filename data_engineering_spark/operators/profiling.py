@@ -151,63 +151,72 @@ def skew_report(df: DataFrame, key: str, top: int = 20) -> DataFrame:
 
 
 def heavy_hitters(df: DataFrame, key: str, k: int = 8) -> DataFrame:
-    """EXACT frequent items over a high-cardinality key WITHOUT a
-    full-cardinality shuffle: two-pass distributed Misra-Gries.
+    """EXACT frequent items over a high-cardinality NON-NULL key WITHOUT
+    a full-cardinality shuffle: two-pass distributed Misra-Gries.
 
     Pass 1 runs a weighted Misra-Gries summary (capacity ``k``) inside
     each scan partition via ``mapInPandas`` — bounded state, no shuffle —
-    and emits each partition's surviving candidate values. Pigeonhole
+    emitting each partition's surviving candidate values plus its row
+    count (so the grand total needs NO extra scan). Pigeonhole
     guarantee: any value with GLOBAL count > n/(k+1) exceeds
     n_p/(k+1) in at least one partition, so it survives that
-    partition's summary and reaches the candidate set. Pass 2 computes
-    exact counts for the candidates only (broadcast semi-join, so the
-    shuffle carries candidate rows, not the key's full cardinality) and
-    keeps values with ``cnt·(k+1) > n`` — an integer comparison, no
-    float threshold. The two passes make the output EXACTLY the set a
-    full groupBy-count + HAVING would produce, which is what the DuckDB
-    oracle checks; only the work shape differs: at a 100 TB fact with a
-    billion-cardinality key, the naive form shuffles a billion groups
-    while this shuffles ≤ k·partitions candidates plus their rows.
+    partition's summary and reaches the candidate set. The summary is
+    collected — it is ≤ (k+1)·partitions rows, the same bounded-collect
+    class as the PQ codebook — and pass 2 exact-counts only the
+    candidates through a broadcast semi-join, keeping values with
+    ``cnt·(k+1) > n`` (an integer comparison, no float threshold). Two
+    scans total; the output is EXACTLY the set a full groupBy-count +
+    HAVING would produce over non-null keys — which is what the DuckDB
+    oracle checks — while the one shuffle carries candidate rows, not
+    the key's cardinality (a billion-cardinality key at 100 TB shuffles
+    ≤ k·partitions candidates plus their rows).
 
-    ``skew_report`` is the exact-histogram sibling (one full-key
-    shuffle, top-N); this is what replaces it when the key cardinality
-    itself is the problem.
+    NULL keys are excluded from both the candidates and the total —
+    frequency-of-missing is a data-quality question (``expect_not_null``
+    / ``profile_columns``), not a heavy-hitter one, and silently
+    counting nulls in the denominator while never reporting them would
+    skew every share. ``skew_report`` is the exact-histogram sibling
+    (one full-key shuffle, top-N); this is what replaces it when the
+    key cardinality itself is the problem.
     """
     import pandas as pd
-    from pyspark.sql import types as T
 
-    out_schema = T.StructType([T.StructField("value", T.StringType())])
+    spark = df.sparkSession
 
     def mg_partition(batches):
         counts: dict[str, int] = {}
+        total = 0
         for pdf in batches:
             # vectorized per batch: value_counts collapses the batch to
-            # its distinct values, so the Python-side merge is O(unique)
+            # its distinct values (dropping nulls), so the Python-side
+            # merge is O(unique per batch)
             vc = pdf["__hh__"].value_counts()
+            total += int(vc.sum())
             for v, c in vc.items():
                 counts[v] = counts.get(v, 0) + int(c)
             while len(counts) > k:
                 m = min(counts.values())
                 counts = {v: c - m for v, c in counts.items() if c > m}
-        yield pd.DataFrame({"value": list(counts.keys())})
+        yield pd.DataFrame(
+            {"value": list(counts.keys()) + [None], "n": [0] * len(counts) + [total]}
+        )
 
-    keyed = df.select(F.col(key).cast("string").alias("__hh__"))
-    # no .distinct() on the candidates: a left-semi probe is insensitive
-    # to build-side duplicates, and the dedup would cost an exchange the
-    # sketch pass exists to avoid (the list is ≤ k·partitions rows)
-    cands = keyed.mapInPandas(mg_partition, schema=out_schema)
+    keyed = df.select(F.col(key).cast("string").alias("__hh__")).filter(
+        F.col("__hh__").isNotNull()
+    )
+    summary = keyed.mapInPandas(mg_partition, schema="value string, n long").collect()
+    total = sum(r.n for r in summary)
+    values = sorted({r.value for r in summary if r.value is not None})
+    if not values or total == 0:
+        return spark.createDataFrame([], "value string, cnt long, share double")
+    cands = spark.createDataFrame([(v,) for v in values], "value string")
     exact = (
         keyed.join(F.broadcast(cands), keyed["__hh__"] == cands["value"], "left_semi")
         .groupBy("__hh__")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    total = F.broadcast(keyed.agg(F.count(F.lit(1)).cast("long").alias("__tot__")))
-    return (
-        exact.join(total)
-        .filter(F.col("cnt") * (k + 1) > F.col("__tot__"))
-        .select(
-            F.col("__hh__").alias("value"),
-            "cnt",
-            F.round(F.col("cnt") / F.col("__tot__"), 6).alias("share"),
-        )
+    return exact.filter(F.col("cnt") * (k + 1) > F.lit(total)).select(
+        F.col("__hh__").alias("value"),
+        "cnt",
+        F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
     )

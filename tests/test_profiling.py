@@ -71,6 +71,7 @@ def test_heavy_hitters_matches_exact_on_planted_skew(spark):
         [("hot",)] * 500
         + [("warm",)] * 200
         + [(f"tail{i}",) for i in range(300)]
+        + [(None,)] * 400  # null keys: excluded from candidates AND total
     )
     df = spark.createDataFrame(rows, "k string").repartition(7)  # scatter the hot key
     for k in (2, 4, 8):
@@ -80,7 +81,8 @@ def test_heavy_hitters_matches_exact_on_planted_skew(spark):
         }
         exact = {
             (r.k, r.cnt)
-            for r in df.groupBy("k")
+            for r in df.filter(F.col("k").isNotNull())
+            .groupBy("k")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .filter(F.col("cnt") * (k + 1) > 1000)
             .collect()
