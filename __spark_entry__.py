@@ -62,7 +62,7 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # records a weak no_oracle row.
 #
 # ROUND-7 ROTATION NOTE: if this window sweeps green, every oracle-backed
-# query's latest green is r4+ and the staleness frontier moves to the 39
+# query's latest green is r4+ and the staleness frontier moves to the 47
 # r4-green queries NOT refreshed this round (p4/p9/p10 got slots here;
 # the frontier is the rest of the r4 list: w2/w3, f10/f17, deep TPC-H
 # q7/q8/q12/q13/q15/q17-q22, the m1-m3 merge pack, prof/dq/skew/mv,
