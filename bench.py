@@ -108,6 +108,18 @@ HEADLINE = [
     "prof_heavy_hitters",
 ]
 
+# Oracle-verification variants: portable md5-seeded twins whose only job
+# is to make the probabilistic pipelines hash-checkable in DuckDB. The
+# production paths (arrow/xxhash signatures) are what a deployment runs;
+# these re-derive everything through md5 so the oracle can follow along,
+# at several times the cost. Kept in the bench for plan-health tracking,
+# but totaled separately so the production trend stays readable.
+VERIFICATION_VARIANTS = {
+    "dedup_simhash_portable",
+    "dedup_minhash_portable",
+    "dedup_minhash_canonical_portable",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -221,10 +233,18 @@ def main() -> None:
         spark.sql("DROP TABLE IF EXISTS bench_orders_b")
 
     total = round(sum(timings.values()), 3)
+    # Tier split (r6 verdict item 3): the md5-seeded portable twins are
+    # oracle-verification variants that never run in production (the
+    # arrow/xxhash paths are the defaults), but they cost ~12 s of the
+    # headline total — reporting them inline obscured the production
+    # trend round-over-round. Both tier totals ride the compact line.
+    verification = {k: v for k, v in timings.items() if k in VERIFICATION_VARIANTS}
     result = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
+        "headline_production_sec": round(total - sum(verification.values()), 3),
+        "verification_variants_sec": round(sum(verification.values()), 3),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -239,6 +259,8 @@ def main() -> None:
         json.dump(result, f)
     print(json.dumps(result))
     compact = dict(result)
+    compact["full"] = "BENCH_FULL.json"  # set BEFORE the length check so
+    # the 1600-char bound below is the bound actually enforced
     kept: dict[str, float] = {}
     slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
     for k, v in slowest:
@@ -249,7 +271,6 @@ def main() -> None:
             del kept[k]
             compact["queries_dropped"] = len(timings) - len(kept)
             break
-    compact["full"] = "BENCH_FULL.json"
     print(json.dumps(compact, separators=(",", ":")))
 
 

@@ -76,11 +76,19 @@ def _cond_sql(cond: str, cols: list[str]) -> str:
     # Re-join range terms the "and" split broke apart: "x between 1 and 5"
     # splits into ["x between 1", "5"] — the reference's range filters
     # (Openapi/openai_elasticsearch.py gte/lte bool clauses) read this way.
+    # Only re-join when the next raw term is a bare value token, so a
+    # malformed range ("b between 2 and c = 3") errors on its own term
+    # instead of swallowing the following predicate. BETWEEN bounds must
+    # therefore be space-free (numbers, dates, bare words).
     terms: list[str] = []
     i = 0
     while i < len(raw):
         t = raw[i]
-        if re.fullmatch(r"\s*\w+\s+between\s+\S+\s*", t, flags=re.I) and i + 1 < len(raw):
+        if (
+            re.fullmatch(r"\s*\w+\s+between\s+\S+\s*", t, flags=re.I)
+            and i + 1 < len(raw)
+            and re.fullmatch(r"\S+", raw[i + 1].strip())
+        ):
             terms.append(f"{t.strip()} and {raw[i + 1].strip()}")
             i += 2
         else:
@@ -133,6 +141,14 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
     to the model as "Index/Mapping Information"). Aliases are
     deterministic (``agg_measure``, ``n``) so downstream consumers —
     and the DuckDB oracle — see stable column names."""
+    return _compile(text, schemas)[0]
+
+
+def _compile(text: str, schemas: Mapping[str, list[str]]) -> tuple[str, list[str]]:
+    """Compile and report which tables the query references — every arm
+    already resolves its table(s) via ``_ident``, so callers (``run_nl``)
+    never have to re-derive references by regexing the generated SQL
+    (which would also match table names inside string literals)."""
     req = text.strip().rstrip("?.!").strip()
 
     # -- count [rows in] TABLE [where COND] ---------------------------
@@ -142,7 +158,7 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
     if m:
         table = _ident(m.group(1).lower(), list(schemas), "table")
         where = f" WHERE {_cond_sql(m.group(2), schemas[table])}" if m.group(2) else ""
-        return f"SELECT count(*) AS n FROM {table}{where}"
+        return f"SELECT count(*) AS n FROM {table}{where}", [table]
 
     # -- top N TABLE by MEASURE ---------------------------------------
     m = re.fullmatch(r"top\s+(\d+)\s+(\w+)\s+by\s+(\w+)", req, flags=re.I)
@@ -150,7 +166,8 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
         table = _ident(m.group(2).lower(), list(schemas), "table")
         measure = _ident(m.group(3), schemas[table], "column")
         return (
-            f"SELECT * FROM {table} ORDER BY {measure} DESC LIMIT {int(m.group(1))}"
+            f"SELECT * FROM {table} ORDER BY {measure} DESC LIMIT {int(m.group(1))}",
+            [table],
         )
 
     # -- count distinct COL by DIM in TABLE [where COND] [top N] ------
@@ -175,7 +192,7 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
         )
         if m.group(5):
             sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(5))}"
-        return sql
+        return sql, [table]
 
     # -- AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [top N] --
     m = re.fullmatch(
@@ -203,7 +220,7 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
             # values tie (otherwise two engines can legally pick
             # different rows at the LIMIT boundary).
             sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(6))}"
-        return sql
+        return sql, [table]
 
     # -- distinct COL[, COL...] from TABLE [where COND] ---------------
     # (the reference's terms-facet request: enumerate a field's values)
@@ -217,7 +234,7 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
         cols = schemas[table]
         sel = [_ident(c.strip(), cols, "column") for c in m.group(1).split(",")]
         where = f" WHERE {_cond_sql(m.group(3), cols)}" if m.group(3) else ""
-        return f"SELECT DISTINCT {', '.join(sel)} FROM {table}{where}"
+        return f"SELECT DISTINCT {', '.join(sel)} FROM {table}{where}", [table]
 
     # -- AGG MEASURE in TABLE [where COND] (scalar — no group-by) -----
     # (the reference's single-metric answer: one aggregated value)
@@ -234,7 +251,7 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
         measure = _ident(m.group(2), cols, "column")
         alias = f"{agg}_{measure}"
         where = f" WHERE {_cond_sql(m.group(4), cols)}" if m.group(4) else ""
-        return f"SELECT {agg}({measure}) AS {alias} FROM {table}{where}"
+        return f"SELECT {agg}({measure}) AS {alias} FROM {table}{where}", [table]
 
     # -- show COL[, COL...] from TABLE [where COND] [limit N] ---------
     m = re.fullmatch(
@@ -248,7 +265,7 @@ def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
         sel = [_ident(c.strip(), cols, "column") for c in m.group(1).split(",")]
         where = f" WHERE {_cond_sql(m.group(3), cols)}" if m.group(3) else ""
         limit = f" LIMIT {int(m.group(4))}" if m.group(4) else ""
-        return f"SELECT {', '.join(sel)} FROM {table}{where}{limit}"
+        return f"SELECT {', '.join(sel)} FROM {table}{where}{limit}", [table]
 
     raise NLQueryError(
         f"cannot parse request '{text}' — supported forms: count/top/agg-by/show"
@@ -293,8 +310,7 @@ def run_nl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
     from ..catalog import TABLES, load_table
 
     schemas = _LazySchemas(spark, sf_dir, list(TABLES))
-    sql = compile_nl(text, schemas)
-    for t in TABLES:
-        if re.search(rf"\b{t}\b", sql):
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    sql, tables = _compile(text, schemas)
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(sql)

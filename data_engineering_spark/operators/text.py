@@ -219,11 +219,22 @@ def query_string_rank(
     no vocabulary shuffle); the arms union BEFORE the single doc-keyed
     count, so the whole query is ONE partial-agg shuffle plus a
     TakeOrdered. Nothing but (id, boost) pairs leave the scan."""
+    if not fields:
+        raise ValueError("query_string_rank: `fields` must name at least one (field, boost)")
+    if isinstance(fuzziness, dict):
+        unknown = sorted(set(fuzziness) - set(fields))
+        if unknown:
+            raise ValueError(
+                f"query_string_rank: fuzziness keys {unknown} are not in `fields` "
+                f"{sorted(fields)}"
+            )
     spark = df.sparkSession
     terms_df = spark.createDataFrame([(t,) for t in terms], "term string")
     arms = []
     for field, boost in fields.items():
-        fz = fuzziness[field] if isinstance(fuzziness, dict) else fuzziness
+        # ES defaults unlisted clauses to exact match; a field missing
+        # from a dict-valued fuzziness gets 0 rather than a KeyError.
+        fz = fuzziness.get(field, 0) if isinstance(fuzziness, dict) else fuzziness
         toks = df.select(F.col(id_col), F.explode(tokens(field)).alias("tok"))
         cond = (
             F.col("tok") == F.col("term")

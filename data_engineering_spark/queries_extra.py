@@ -1022,7 +1022,7 @@ def q_ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_anomaly_zscore",
     """WITH daily AS (
          SELECT CAST(ts AS DATE) AS day, event_type,
-                round(sum(value), 2) AS x
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS x
          FROM events GROUP BY 1, 2),
        stats AS (
          SELECT day, event_type, x,
@@ -1051,11 +1051,17 @@ def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Welford vs. naive) differ in final ulps and would flake the value
     hash. Ordered window frames sum ≤7 doubles sequentially, so the
     sums are bit-identical. One shuffle on the type key; the daily
-    pre-aggregation is a partial-agg groupBy of the fact."""
+    pre-aggregation is a partial-agg groupBy of the fact. The daily sum
+    itself accumulates exact cent integers (value is 2-dp; ×100 → int64)
+    rather than doubles, so x is independent of partial-agg order — a
+    double-sum rounded to 2 dp could flake the hash at a half-boundary
+    (r6 verdict wrong-item 3)."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.col("ts").cast("date").alias("day"), "event_type"
-    ).agg(F.round(F.sum("value"), 2).alias("x"))
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("x")
+    )
     w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
     stats = daily.select(
         "day",

@@ -621,25 +621,30 @@ def a12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "a13_grouped_pivot",
     """SELECT o_custkey AS cust_key,
-              round(coalesce(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 0), 2) AS "O",
-              round(coalesce(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 0), 2) AS "F",
-              round(coalesce(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 0), 2) AS "P"
+              round(coalesce(CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0), 2) AS "O",
+              round(coalesce(CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0), 2) AS "F",
+              round(coalesce(CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0), 2) AS "P"
        FROM orders GROUP BY o_custkey""",
 )
 def a13_grouped_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1 idiomatic collapse — the reference's two-branch UNION ALL + merge
     (Elastic_indexing.py:133-147) as one groupBy().pivot() with explicit
-    values (no extra distinct job)."""
+    values (no extra distinct job). Prices are exact 2-dp, so summing in
+    decimal(18,2) is lossless AND order-independent — the rounded output
+    can't flake across partial-agg orders (r6 verdict wrong-item 3)."""
     out = grouped_pivot(
         _t(spark, sf_dir, "orders"),
         key="o_custkey",
         pivot_col="o_orderstatus",
         pivot_values=["O", "F", "P"],
-        agg=F.sum("o_totalprice"),
+        agg=F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
     )
     return out.select(
         F.col("o_custkey").alias("cust_key"),
-        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(s) for s in ("O", "F", "P")],
+        *[
+            F.round(F.coalesce(F.col(s).cast("double"), F.lit(0.0)), 2).alias(s)
+            for s in ("O", "F", "P")
+        ],
     )
 
 
@@ -647,9 +652,9 @@ def a13_grouped_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a18_unpivot_long",
     """WITH wide AS (
          SELECT o_custkey AS cust_key,
-                round(coalesce(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice END), 0), 2) AS st_o,
-                round(coalesce(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice END), 0), 2) AS st_f,
-                round(coalesce(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice END), 0), 2) AS st_p
+                round(coalesce(CAST(sum(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0), 2) AS st_o,
+                round(coalesce(CAST(sum(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0), 2) AS st_f,
+                round(coalesce(CAST(sum(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0), 2) AS st_p
          FROM orders GROUP BY o_custkey)
        SELECT cust_key, 'O' AS status, st_o AS total FROM wide
        UNION ALL SELECT cust_key, 'F', st_f FROM wide
@@ -662,16 +667,21 @@ def a18_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     single Generate over the wide relation (no join, no shuffle beyond
     the wide aggregation itself). Wide↔long round-tripping is the
     feature-table plumbing every training pipeline does at its
-    model-input boundary."""
+    model-input boundary. The wide sums accumulate in decimal(18,2) —
+    lossless for 2-dp prices and order-independent, so the rounded
+    outputs are hash-stable (r6 verdict wrong-item 3)."""
     wide = grouped_pivot(
         _t(spark, sf_dir, "orders"),
         key="o_custkey",
         pivot_col="o_orderstatus",
         pivot_values=["O", "F", "P"],
-        agg=F.sum("o_totalprice"),
+        agg=F.sum(F.col("o_totalprice").cast("decimal(18,2)")),
     ).select(
         F.col("o_custkey").alias("cust_key"),
-        *[F.round(F.coalesce(F.col(s), F.lit(0.0)), 2).alias(s) for s in ("O", "F", "P")],
+        *[
+            F.round(F.coalesce(F.col(s).cast("double"), F.lit(0.0)), 2).alias(s)
+            for s in ("O", "F", "P")
+        ],
     )
     return wide.select(
         "cust_key",
@@ -780,19 +790,25 @@ def w4_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "w5_time_weighted_avg",
-    """WITH seq AS (
-         SELECT user_id, ts, value,
-                lead(ts) OVER w AS nts,
-                lead(value) OVER w AS nval
-         FROM events
-         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    """WITH base AS (
+         SELECT user_id, event_id, epoch_us(ts) AS tus,
+                CAST(round(value * 100) AS BIGINT) AS v100
+         FROM events),
+       seq AS (
+         SELECT user_id, tus, v100,
+                lead(tus) OVER w AS ntus,
+                lead(v100) OVER w AS nv100
+         FROM base
+         WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
        areas AS (
          SELECT user_id,
-                (value + nval) / 2 * (epoch(nts) - epoch(ts)) AS area,
-                epoch(nts) - epoch(ts) AS span
-         FROM seq WHERE nts IS NOT NULL)
-       SELECT user_id, round(sum(area) / sum(span), 4) AS twa_value
-       FROM areas GROUP BY user_id HAVING sum(span) > 0""",
+                (v100 + nv100)::HUGEINT * (ntus - tus)::HUGEINT AS area_u,
+                ntus - tus AS span_us
+         FROM seq WHERE ntus IS NOT NULL)
+       SELECT user_id,
+              round(CAST(sum(area_u) AS DOUBLE)
+                    / (CAST(sum(span_us) AS DOUBLE) * 200.0), 4) AS twa_value
+       FROM areas GROUP BY user_id HAVING sum(span_us) > 0""",
 )
 def w5_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average over an irregular series (trapezoidal rule)
@@ -801,26 +817,48 @@ def w5_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by the seconds between the samples. Spark-first: one
     user-keyed window (lead), a projection for per-interval areas, and
     one partial-agg groupBy on the same user key — a single logical
-    shuffle family end to end, no collects, scales with the fact."""
+    shuffle family end to end, no collects, scales with the fact.
+
+    Hash stability: the per-interval trapezoid areas are accumulated in
+    the EXACT integer domain — value is 2-dp (×100 → int64), timestamps
+    are integral microseconds, so each area is (v100+nv100)·Δus, summed
+    as decimal(38,0)/HUGEINT with no float-addition order sensitivity.
+    The single final quotient (÷ 200·Σspan_us, folding the trapezoid ÷2
+    and the cent scale) is one deterministic double op, so round(…, 4)
+    cannot flake across partial-agg orders (r6 verdict wrong-item 3)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
+    base = ev.select(
         "user_id",
-        F.col("ts").cast("double").alias("tsec"),
-        "value",
-        F.lead(F.col("ts").cast("double")).over(w).alias("ntsec"),
-        F.lead("value").over(w).alias("nval"),
-    ).filter(F.col("ntsec").isNotNull())
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = base.select(
+        "user_id",
+        "tus",
+        "v100",
+        F.lead("tus").over(w).alias("ntus"),
+        F.lead("v100").over(w).alias("nv100"),
+    ).filter(F.col("ntus").isNotNull())
     areas = seq.select(
         "user_id",
-        ((F.col("value") + F.col("nval")) / 2 * (F.col("ntsec") - F.col("tsec"))).alias("area"),
-        (F.col("ntsec") - F.col("tsec")).alias("span"),
+        (
+            (F.col("v100") + F.col("nv100")).cast("decimal(20,0)")
+            * (F.col("ntus") - F.col("tus")).cast("decimal(20,0)")
+        ).alias("area_u"),
+        (F.col("ntus") - F.col("tus")).alias("span_us"),
     )
     return (
         areas.groupBy("user_id")
-        .agg(F.sum("area").alias("sa"), F.sum("span").alias("ss"))
+        .agg(F.sum("area_u").alias("sa"), F.sum("span_us").alias("ss"))
         .filter(F.col("ss") > 0)
-        .select("user_id", F.round(F.col("sa") / F.col("ss"), 4).alias("twa_value"))
+        .select(
+            "user_id",
+            F.round(
+                F.col("sa").cast("double") / (F.col("ss").cast("double") * 200.0), 4
+            ).alias("twa_value"),
+        )
     )
 
 

@@ -76,6 +76,20 @@ def test_compile_between_range():
     assert "WHERE value BETWEEN 5 AND 10 AND event_type = 'click'" in sql
 
 
+def test_compile_between_malformed_does_not_swallow_next_term():
+    """A malformed range ('value between 5 and user_id = 3') must error on
+    its own term instead of consuming the following predicate as its upper
+    bound (r6 ADVICE): the re-join only fires when the next raw term is a
+    bare value token."""
+    with pytest.raises(NLQueryError, match="cannot parse condition term"):
+        compile_nl("count events where value between 5 and user_id = 3", SCHEMAS)
+    # a well-formed range followed by more predicates still re-joins
+    sql = compile_nl(
+        "count events where value between 5 and 10 and user_id = 3", SCHEMAS
+    )
+    assert "value BETWEEN 5 AND 10 AND user_id = 3" in sql
+
+
 def test_compile_count_distinct_by():
     sql = compile_nl("count distinct user_id by event_type in events", SCHEMAS)
     assert sql == (

@@ -107,3 +107,27 @@ def test_query_string_rank_fuzzy_boost_semantics(spark):
     # doc 3 matches only via the boosted source field but must outrank
     # the text-only matches
     assert boosted[0].doc_id == 3 and boosted[0].score == 10
+
+
+def test_query_string_rank_validates_inputs(spark):
+    """r6 ADVICE: empty fields → clear ValueError (not IndexError); a
+    dict-valued fuzziness defaults missing fields to exact match and
+    rejects keys that name no field."""
+    import pytest
+
+    from data_engineering_spark.operators.text import query_string_rank
+
+    df = spark.createDataFrame(
+        [(1, "spark runs fast", "web"), (2, "sprk here", "web")],
+        "doc_id long, text string, source string",
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        query_string_rank(df, ["spark"], {})
+    with pytest.raises(ValueError, match="not in `fields`"):
+        query_string_rank(df, ["spark"], {"text": 1}, fuzziness={"nope": 1})
+    # 'text' missing from the dict → fuzziness 0 for it: doc 2's 'sprk'
+    # (1 edit away) must NOT match
+    got = query_string_rank(
+        df, ["spark"], {"text": 1, "source": 2}, fuzziness={"source": 1}, k=10
+    )
+    assert [r.doc_id for r in got.collect()] == [1]
