@@ -22,6 +22,10 @@ Supported request forms (case-insensitive):
 - ``distinct COL[, COL...] from TABLE [where COND]`` (the terms-facet
   request: enumerate a field's values)
 - ``show COL[, COL...] from TABLE [where COND] [limit N]``
+- ``show COLS from TABLE [where COND] with [its] DIM info`` (the
+  reference's cross-index flow: hits from one index + a keyed lookup
+  merging a second index's fields — compiled to one broadcast lookup
+  join; the (fk, pk) pair is inferred from the two schemas)
 - ``top N TABLE by MEASURE``
 
 COND is ``col OP value`` terms joined by ``and``; OP ∈ = != > >= < <=
@@ -71,7 +75,7 @@ def _value_sql(v: str) -> str:
     return "'" + v.replace("'", "''") + "'"
 
 
-def _cond_sql(cond: str, cols: list[str]) -> str:
+def _cond_sql(cond: str, cols: list[str], qual: str = "") -> str:
     raw = re.split(r"\s+and\s+", cond.strip(), flags=re.I)
     # Re-join range terms the "and" split broke apart: "x between 1 and 5"
     # splits into ["x between 1", "5"] — the reference's range filters
@@ -103,7 +107,7 @@ def _cond_sql(cond: str, cols: list[str]) -> str:
             col = m.group(1)
             _ident(col, cols, "column")
             parts.append(
-                f"{col} BETWEEN {_value_sql(m.group(2))} AND {_value_sql(m.group(3))}"
+                f"{qual}{col} BETWEEN {_value_sql(m.group(2))} AND {_value_sql(m.group(3))}"
             )
             continue
         m = re.fullmatch(
@@ -124,14 +128,45 @@ def _cond_sql(cond: str, cols: list[str]) -> str:
                 val.strip().strip("'\"").replace("'", "''")
                 .replace("!", "!!").replace("%", "!%").replace("_", "!_")
             )
-            parts.append(f"{col} LIKE '%{needle}%' ESCAPE '!'")
+            parts.append(f"{qual}{col} LIKE '%{needle}%' ESCAPE '!'")
         elif op in ("is", "is not") and val.strip().strip("'\"").lower() == "null":
-            parts.append(f"{col} IS {'NOT ' if op == 'is not' else ''}NULL")
+            parts.append(f"{qual}{col} IS {'NOT ' if op == 'is not' else ''}NULL")
         elif op == "is not":
-            parts.append(f"{col} <> {_value_sql(val)}")
+            parts.append(f"{qual}{col} <> {_value_sql(val)}")
         else:
-            parts.append(f"{col} {_OPS[op]} {_value_sql(val)}")
+            parts.append(f"{qual}{col} {_OPS[op]} {_value_sql(val)}")
     return " AND ".join(parts)
+
+
+def _infer_join_key(
+    fact: str, fact_cols: list[str], dim: str, dim_cols: list[str]
+) -> tuple[str, str]:
+    """Resolve the ONE (fk, pk) pair linking two tables from their schemas.
+
+    Two deterministic conventions cover the warehouse: TPC-H prefixed
+    keys (``o_custkey`` ↔ ``c_custkey`` — same suffix after the table
+    prefix, suffix contains 'key') and identical ``*_id``/key column
+    names (``doc_id`` ↔ ``doc_id``). Zero or multiple candidates raise
+    ``NLQueryError`` — the compiler never picks a join key silently,
+    mirroring the reference's only-existing-fields rule."""
+
+    def suf(c: str) -> str:
+        return c.split("_", 1)[1] if "_" in c else c
+
+    pairs: list[tuple[str, str]] = []
+    for fc in fact_cols:
+        for dc in dim_cols:
+            if fc == dc and (fc.endswith("_id") or "key" in fc):
+                pairs.append((fc, dc))
+            elif fc != dc and "key" in suf(fc) and suf(fc) == suf(dc):
+                pairs.append((fc, dc))
+    uniq = sorted(set(pairs))
+    if len(uniq) != 1:
+        raise NLQueryError(
+            f"cannot infer a unique join key between '{fact}' and '{dim}': "
+            f"candidates {uniq or 'none'}"
+        )
+    return uniq[0]
 
 
 def compile_nl(text: str, schemas: Mapping[str, list[str]]) -> str:
@@ -252,6 +287,37 @@ def _compile(text: str, schemas: Mapping[str, list[str]]) -> tuple[str, list[str
         alias = f"{agg}_{measure}"
         where = f" WHERE {_cond_sql(m.group(4), cols)}" if m.group(4) else ""
         return f"SELECT {agg}({measure}) AS {alias} FROM {table}{where}", [table]
+
+    # -- show COLS from TABLE [where COND] with [its] DIM info --------
+    # (the reference's cross-index flow: top search hits from one index,
+    # then a keyed lookup into a second index whose fields merge into the
+    # result — Openapi/openai_elasticsearch.py:224-292. Compiled as ONE
+    # broadcast lookup join over the registered views; the join key pair
+    # is inferred from the schemas, never guessed from the text.)
+    m = re.fullmatch(
+        r"show\s+([\w,\s]+?)\s+from\s+(\w+)(?:\s+where\s+(.+?))?"
+        r"\s+with\s+(?:its\s+)?(\w+)\s+info",
+        req,
+        flags=re.I,
+    )
+    if m:
+        fact = _ident(m.group(2).lower(), list(schemas), "table")
+        dim = _ident(m.group(4).lower(), list(schemas), "table")
+        fcols, dcols = schemas[fact], schemas[dim]
+        sel = [_ident(c.strip(), fcols, "column") for c in m.group(1).split(",")]
+        fk, pk = _infer_join_key(fact, fcols, dim, dcols)
+        where = f" WHERE {_cond_sql(m.group(3), fcols, qual='f.')}" if m.group(3) else ""
+        # BROADCAST hint: the dim side of the reference's lookup is a
+        # point-query-sized index; at warehouse scale it's the small
+        # side, so the join must never shuffle the fact. DuckDB parses
+        # /*+ … */ as a plain block comment, so the twin runs verbatim.
+        fact_sel = ", ".join(f"f.{c}" for c in sel)
+        dim_sel = ", ".join(f"d.{c}" for c in dcols)
+        return (
+            f"SELECT /*+ BROADCAST(d) */ {fact_sel}, {dim_sel} "
+            f"FROM {fact} f JOIN {dim} d ON f.{fk} = d.{pk}{where}",
+            [fact, dim],
+        )
 
     # -- show COL[, COL...] from TABLE [where COND] [limit N] ---------
     m = re.fullmatch(

@@ -393,6 +393,7 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    seed_hash: str = "xxhash64",
 ) -> list[list[float]]:
     """Coarse-quantizer training: ``n_cells`` corpus vectors chosen by
     xxhash64 order of their ids seed the codebook (deterministic k-means
@@ -403,9 +404,21 @@ def ivf_train(
     centroid vectors. Empty cells keep their previous centroid. Seeding
     uses no RNG; refinement means are floating-point sums whose partition
     order may vary in the last ulp — harmless for cell assignment, which
-    is why the oracle-facing default is ``refine_iters=0``."""
+    is why the oracle-facing default is ``refine_iters=0``.
+
+    ``seed_hash="md5"`` orders the seeding by the md5 hex string of the
+    id instead of xxhash64 — equally arbitrary-but-deterministic, and
+    reproducible in DuckDB, which makes the whole unrefined IVF pipeline
+    (seeding → assignment → nprobe scan → top-k) hash-checkable
+    cross-engine. Collisions: full md5 over distinct ids is injective
+    for any practical corpus, so the order is total."""
+    h = (
+        F.md5(F.col(id_col).cast("string"))
+        if seed_hash == "md5"
+        else F.xxhash64(F.col(id_col).cast("string"))
+    )
     rows = (
-        corpus.select(as_double(vec_col).alias("v"), F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+        corpus.select(as_double(vec_col).alias("v"), h.alias("h"))
         .orderBy("h")
         .limit(n_cells)
         .collect()
@@ -460,6 +473,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine_iters: int = 0,
+    seed_hash: str = "xxhash64",
 ) -> DataFrame:
     """IVF approximate top-k — the second ANN scale path beside
     ``lsh_topk``. Corpus vectors are assigned to their nearest-centroid
@@ -469,7 +483,9 @@ def ivf_topk(
     map, the probe join shuffles corpus rows once by cell, and per-cell
     scoring is a local problem ~``n_cells/nprobe``× smaller than brute
     force."""
-    cents = ivf_train(corpus, n_cells, id_col, vec_col, refine_iters=refine_iters)
+    cents = ivf_train(
+        corpus, n_cells, id_col, vec_col, refine_iters=refine_iters, seed_hash=seed_hash
+    )
     assign_one = _cell_ranker(cents, 1)
     probe_n = _cell_ranker(cents, nprobe)
     c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv"))

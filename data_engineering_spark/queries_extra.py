@@ -917,6 +917,33 @@ def q_nl_query_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_nl(spark, sf_dir, "max o_totalprice in orders where o_orderstatus = F")
 
 
+@query(
+    "nl_query_join",
+    """SELECT f.o_orderkey, f.o_totalprice,
+              d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment
+       FROM orders f JOIN customer d ON f.o_custkey = d.c_custkey
+       WHERE f.o_totalprice > 450000""",
+)
+def q_nl_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 — NL cross-table lookup: the reference's end-to-end flow
+    finishes with a SECOND index query keyed by the first result's
+    emp_no, merging that document's fields into the answer
+    (Openapi/openai_elasticsearch.py:224-292). ``… with its DIM info``
+    compiles that chain to ONE broadcast lookup join over the registered
+    views — the (fk, pk) pair is inferred from the two schemas
+    (o_custkey ↔ c_custkey), never from the text, and both sides are
+    column-validated. Scale: the dim side broadcasts; the fact is
+    filtered in its scan and never shuffles."""
+    from .functions.nl2sql import run_nl
+
+    return run_nl(
+        spark,
+        sf_dir,
+        "show o_orderkey, o_totalprice from orders "
+        "where o_totalprice > 450000 with its customer info",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: cohort retention + calendar gap fill
 # ---------------------------------------------------------------------------

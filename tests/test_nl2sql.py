@@ -11,8 +11,9 @@ from data_engineering_spark.catalog import load_table
 from data_engineering_spark.functions.nl2sql import NLQueryError, compile_nl, run_nl
 
 SCHEMAS = {
-    "orders": ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
     "events": ["event_id", "ts", "user_id", "event_type", "value"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
 }
 
 
@@ -88,6 +89,43 @@ def test_compile_between_malformed_does_not_swallow_next_term():
         "count events where value between 5 and 10 and user_id = 3", SCHEMAS
     )
     assert "value BETWEEN 5 AND 10 AND user_id = 3" in sql
+
+
+def test_compile_join_intent():
+    """'with its DIM info' compiles the reference's cross-index lookup
+    (search hits + keyed fetch of a second index's fields,
+    Openapi/openai_elasticsearch.py:224-292) to ONE broadcast lookup
+    join; the key pair comes from the schemas, never the text."""
+    sql = compile_nl(
+        "show o_orderkey, o_totalprice from orders "
+        "where o_totalprice > 100 with its customer info",
+        SCHEMAS,
+    )
+    assert "JOIN customer d ON f.o_custkey = d.c_custkey" in sql
+    assert "/*+ BROADCAST(d) */" in sql
+    assert "WHERE f.o_totalprice > 100" in sql  # cond binds to the fact side
+    # every dim column merges into the result (the reference's _source list)
+    for c in SCHEMAS["customer"]:
+        assert f"d.{c}" in sql
+    # 'its' is optional; unknown tables/columns still rejected
+    assert "JOIN" in compile_nl("show o_orderkey from orders with customer info", SCHEMAS)
+    with pytest.raises(NLQueryError, match="unknown table"):
+        compile_nl("show o_orderkey from orders with its nope info", SCHEMAS)
+    with pytest.raises(NLQueryError, match="unknown column"):
+        compile_nl("show bogus from orders with its customer info", SCHEMAS)
+
+
+def test_compile_join_intent_requires_unique_key():
+    """Zero key candidates (or several) must raise, not guess."""
+    with pytest.raises(NLQueryError, match="cannot infer a unique join key"):
+        compile_nl("show event_id from events with its orders info", SCHEMAS)
+    two_keys = dict(
+        SCHEMAS,
+        lineitem=["l_orderkey", "l_partkey", "l_extendedprice"],
+        bridge=["b_orderkey", "b_partkey"],
+    )
+    with pytest.raises(NLQueryError, match="candidates \\["):
+        compile_nl("show l_extendedprice from lineitem with its bridge info", two_keys)
 
 
 def test_compile_count_distinct_by():

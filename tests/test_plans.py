@@ -193,6 +193,7 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_simhash_portable": 4,      # expr vote groupBy + banded candidates
         "dedup_minhash_portable": 6,      # oracle-verification variant (md5 sigs)
         "prof_heavy_hitters": 2,          # map-only sketch; candidate count + 1-row total
+        "nl_query_join": 0,               # dim broadcasts: fact never shuffles
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
