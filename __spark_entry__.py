@@ -39,92 +39,91 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # verification-scheduling decision. Priority window (exactly 50, all
 # oracle-backed — finalize_order raises on rows-only entries here).
 #
-# Round-6 window, executing the r5 verdict's rotation order. State after
-# round 5's 50/50-green sweep (latest-green per query computed from
-# CORRECTNESS_r01..r05):
-#   - 14 never-proven oracle rows from this round lead: the four
-#     nl2sql intents, the portable simhash/minhash twins, the ES
-#     query_string ranker, the oracle-chained minhash canonicalization,
-#     the two-pass Misra-Gries heavy hitters,
-#     the new pixel-features query, and the four
-#     rows-only→oracle conversions (image dedup, image resize, winnow
-#     fingerprints, shared passages) — never-proven outranks re-proofs.
-#   - search_inverted_index (block-segmented postings, the r5 scale
-#     defect fix) and funnel_conversion (single-window rewrite) changed
-#     materially this round; their r5 greens are evidence about the old
-#     code, so they re-prove with the new shapes.
-#   - The 31 queries whose latest green is r3 (the r5 verdict's item 1
-#     list, verbatim) refresh next — no oracle-backed query's latest
-#     green may age past two rounds.
-#   - The remaining 3 slots take the oldest r4-era greens in
-#     registration order.
-# The 15 rows-only queries sink behind the window so no sweep slot
-# records a weak no_oracle row.
+# Round-7 window, executing the r6 verdict's item-1 rotation. State after
+# round 6's 50/50-green sweep (latest-green per query computed from
+# CORRECTNESS_r01..r06: r6=50, r5=48, r4=47):
+#   - 3 never-hash-proven oracle rows lead: the nl2sql join intent
+#     (new this round) and the LSH/IVF ANN paths, whose rows-only r1
+#     entries predate the hash-exact portable twins they now carry —
+#     never-proven outranks re-proofs.
+#   - The 47 queries whose latest green is r4 (the r6 verdict's item-1
+#     frontier, verbatim) fill the rest, in registration order — no
+#     oracle-backed query's latest green may age past two rounds.
+# Exactly 50; the r5/r6 cohorts (48+50 greens) are within budget and
+# rotate next round. The 13 rows-only queries sink behind the window so
+# no sweep slot records a weak no_oracle row.
 #
-# ROUND-7 ROTATION NOTE: if this window sweeps green, every oracle-backed
-# query's latest green is r4+ and the staleness frontier moves to the 47
-# r4-green queries NOT refreshed this round (p4/p9/p10 got slots here;
-# the frontier is the rest of the r4 list: w2/w3, f10/f17, deep TPC-H
-# q7/q8/q12/q13/q15/q17-q22, the m1-m3 merge pack, prof/dq/skew/mv,
-# j7-j10, the curation pack, nlp_embed/tokenize, st_interval_join, the
-# lake trio, a14-a16, explode_top_tokens) — lead round 7 with those,
-# oldest-first, then rotate the r5 greens.
+# w5_time_weighted_avg / ts_anomaly_zscore / a13_grouped_pivot /
+# a18_unpivot_long changed this round (order-stable fixed-point
+# aggregation, closing r6 ADVICE item 3); their r5/r6 greens predate the
+# new shapes, so each was re-proven locally at BOTH sf0.01 and sf0.1 via
+# tools/check_correctness.py this round, and they lead the ROUND-8 window
+# alongside the r5 cohort.
+#
+# ROUND-8 ROTATION NOTE: if this window sweeps green, the staleness
+# frontier moves to the 48 r5-green queries (w1/w4/w5, the event pack,
+# cohort_retention, the five text_* oracles, f_scalar_pack, tpch
+# q1-q3/q5/q9-q11/q16, flagship pair, search tfidf/bm25/rrf, the dedup/
+# sim oracle baselines, corpus pack, mm metadata/frames/audio, nlp
+# keywords ×2, nl_query_template, st tumbling/sliding/session, a18,
+# ts_anomaly et al.) plus the four changed-this-round queries above and
+# any round-7 additions (st_streaming_dedup's batch twin registers at
+# position 51). That is ~50 — lead round 8 with never-proven additions,
+# then the changed four, then the r5 cohort oldest-first.
 registry.finalize_order(
     [
-        # -- never swept: registered this round -------------------------
-        "nl_query_range",
-        "nl_query_distinct",
-        "nl_query_scalar",
-        "nl_query_cardinality",
-        "prof_heavy_hitters",
-        "dedup_simhash_portable",
-        "dedup_minhash_portable",
-        "dedup_minhash_canonical_portable",
-        "search_query_string",
-        "mm_pixel_features",
-        "text_winnow_fingerprints",
-        "dedup_shared_passages",
-        "mm_image_dedup",
-        "mm_resize_images",
-        # -- implementations changed this round (re-prove new shapes) ---
-        "search_inverted_index",
-        "funnel_conversion",
-        # -- latest green is r3: the verdict's 31-name refresh list -----
-        "u1_union_all",
-        "o3_topk",
-        "p12_concat_projection",
-        "j2_inner_join_filter",
-        "j3_semi_join",
-        "j4_broadcast_lookup_join",
-        "j5_anti_join",
-        "a1_listagg_distinct",
-        "a2_collect_list_sorted",
-        "a6_vector_assembly",
-        "a9_rollup",
-        "a13_grouped_pivot",
-        "tpch_q4_order_priority",
-        "tpch_q6_forecast_revenue",
-        "tpch_q14_promo_revenue",
-        "p1_projection_alias",
-        "p2_literal_plus_star",
-        "p5_rename_drop",
-        "p6_like_filter",
-        "p7_date_string_filter",
-        "p8_retention_cutoff_filter",
-        "a3_distinct_projection",
-        "a4_count_audit",
-        "a7_distinct_sorted_dates",
-        "a8_group_minmax",
-        "a10_cube",
-        "a11_distinct_count",
-        "o1_limit_probe",
-        "u3_intersect",
-        "u4_except",
-        "f8_case_like_normalizer",
-        # -- oldest r4-era greens, registration order -------------------
-        "p4_computed_interval_column",
-        "p9_boolean_compound_filter",
-        "p10_value_scrub",
+        # -- never hash-proven oracle rows ------------------------------
+        "nl_query_join",
+        "sim_lsh_topk",
+        "sim_ivf_topk",
+        # -- latest green is r4: the verdict's 47-name frontier ---------
+        "j6_asof_join",
+        "a5_last_wins_merge",
+        "w2_moving_avg",
+        "w3_lag_delta",
+        "f10_timestamp_rebuild",
+        "f17_json_extract",
+        "s2_dialect_sql_etl",
+        "tpch_q18_large_orders",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q15_top_supplier",
+        "tpch_q20_part_suppliers",
+        "a15_percentiles",
+        "j7_cross_join",
+        "a16_nested_doc_assembly",
+        "a14_grouping_sets",
+        "explode_top_tokens",
+        "tpch_q7_volume_shipping",
+        "tpch_q8_market_share",
+        "tpch_q12_late_shipments",
+        "tpch_q13_order_distribution",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_global_sales_opportunity",
+        "m1_merge_upsert",
+        "m2_cdc_apply",
+        "m3_scd2_dimension",
+        "prof_orders_profile",
+        "dq_expectations",
+        "skew_top_keys",
+        "j8_range_join",
+        "j9_salted_join",
+        "j10_fuzzy_join",
+        "mv_incremental_refresh",
+        "curate_pii_redact",
+        "curate_quality_repetition",
+        "curate_sample_stratified",
+        "curate_decontaminate",
+        "curate_mixture_weights",
+        "curate_pack_concat",
+        "curate_chunk_sliding",
+        "curate_unigram_nll",
+        "nlp_embed_text",
+        "nlp_tokenize_pandas",
+        "st_interval_join",
+        "lake_time_travel",
+        "lake_delete_scan",
+        "lake_zorder_scan",
     ]
 )
 
