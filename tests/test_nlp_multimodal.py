@@ -118,10 +118,61 @@ def test_korean_analyzer_strips_josa_and_endings():
     assert strip_josa("분석하는") == "분석"
     # latin/numeric untouched
     assert strip_josa("spark3") == "spark3"
+    # 만났다 is an irregular contraction (만나+았다) the stripper can't
+    # reach — the round-7 lemma table resolves it to the stem 만나
     assert analyze_korean("학교에서 친구를 만났다 Spark 분석") == [
-        "학교", "친구", "만났다", "spark", "분석",
+        "학교", "친구", "만나", "spark", "분석",
     ]
     assert analyze_korean(None) == []
+
+
+def test_korean_lemma_table_resolves_irregular_inflections():
+    """Planted forms from every irregular class the suffix stripper
+    MISSES (the stem itself mutates): the dictionary layer must resolve
+    them, and the stripper alone must demonstrably not."""
+    from data_engineering_spark.operators.korean import (
+        analyze_korean,
+        analyze_korean_tagged,
+        strip_josa,
+    )
+
+    planted = {
+        "어려운": "어렵",        # ㅂ-irregular adnominal
+        "추워서": "춥",          # ㅂ-irregular causal
+        "고마웠다": "고맙",      # ㅂ-irregular past
+        "몰랐습니다": "모르",    # 르-irregular past formal
+        "달라서": "다르",        # 르-irregular
+        "들었습니다": "듣",      # ㄷ-irregular
+        "지어": "짓",            # ㅅ-irregular
+        "그런": "그렇",          # ㅎ-irregular adnominal
+        "썼다": "쓰",            # 으-deletion
+        "예뻤다": "예쁘",        # vowel contraction
+        "됐습니다": "되",        # contracted 되었습니다
+        "만났다": "만나",        # contracted 만나+았다
+    }
+    for surface, lemma in planted.items():
+        assert analyze_korean(surface) == [lemma], surface
+        # the stripper alone cannot produce the mutated-stem lemma —
+        # regression guard that the dictionary layer is load-bearing
+        assert strip_josa(surface) != lemma, surface
+
+    # general-ending layer (regular stems the old stripper also missed)
+    assert analyze_korean("없습니다") == ["없"]
+    assert analyze_korean("받았다") == ["받"]
+    # stacked particles
+    assert analyze_korean("학교에서는") == ["학교"]
+    assert analyze_korean("사람들이") == ["사람"]
+    # dictionary re-check after a josa strip keeps whole-word guards
+    assert analyze_korean("가을") == ["가을"]
+
+    # pynori do_analysis shape + the reference's commented NNG/NNP/VA
+    # filter (pynori_test.py:14-19) as pos_keep
+    tagged = analyze_korean_tagged("학교에서는 어려워요")
+    assert tagged["termAtt"] == ["학교", "에서는", "어렵"]
+    assert tagged["posTagAtt"] == ["NNG", "J", "VA"]
+    assert analyze_korean(
+        "어려운 데이터를 분석하는 Spark3 엔진", pos_keep={"NNG", "NNP", "VA"}
+    ) == ["어렵", "데이터", "분석", "엔진"]
 
 
 def test_korean_keyword_extract_unifies_inflections(spark):
@@ -153,8 +204,9 @@ def test_korean_tokenizer_pandas_udf(spark):
 
     df = spark.createDataFrame([(1, "학교에서 공부를 합니다")], ["id", "text"])
     out = df.select(tokenize_korean_pandas("text").alias("toks")).collect()[0].toks
-    # 합니다 survives standalone (stripping it would leave an empty stem)
-    assert out == ["학교", "공부", "합니다"]
+    # standalone 합니다 resolves through the lemma table to the stem 하
+    # (the stripper alone would leave it whole — empty-stem guard)
+    assert out == ["학교", "공부", "하"]
 
 
 def test_decode_image_ppm_roundtrip_and_bmp():
