@@ -106,6 +106,7 @@ HEADLINE = [
     "dedup_shared_passages",
     "dedup_minhash_canonical_portable",
     "prof_heavy_hitters",
+    "st_streaming_dedup",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job
@@ -118,6 +119,9 @@ VERIFICATION_VARIANTS = {
     "dedup_simhash_portable",
     "dedup_minhash_portable",
     "dedup_minhash_canonical_portable",
+    # 4-batch incremental replay of the minhash ingest under portable
+    # signatures — the production surface is the foreachBatch sink
+    "st_streaming_dedup",
 }
 
 

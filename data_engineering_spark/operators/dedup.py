@@ -52,7 +52,9 @@ __all__ = [
     "shingles",
     "shingle_hashes",
     "minhash_signature",
+    "minhash_band_buckets",
     "minhash_near_dedup",
+    "jaccard_verify_pairs",
     "simhash_signature",
     "simhash_signature_arrow",
     "simhash_near_dedup",
@@ -378,7 +380,6 @@ def minhash_near_dedup(
     if max_bucket == "auto":
         max_bucket = None if _is_small() else 1024
 
-    rows_per_band = num_hashes // bands
     # Shingle sets are carried as hash-composed LONGS end to end (see
     # shingle_hashes): signatures only ever rehash them, and the verify
     # Jaccard over hash sets equals the string-set Jaccard at xxhash64
@@ -392,10 +393,60 @@ def minhash_near_dedup(
         .select(F.col(id_col), shingle_fp(text_col, n).alias("shset"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Signature build is a shuffle-free map over the persisted shingle
-    # sets either way: the arrow default is one vectorized numpy pass per
-    # Arrow batch (ArrowEvalPython in the plan, no exchange); the expr
-    # form is K seeded rehashes folded with array_min (zero Python).
+    buckets = minhash_band_buckets(
+        sh, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        signature_impl=signature_impl,
+    )
+    if max_bucket is not None:
+        small = (
+            buckets.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .filter(F.col("__bn__") <= max_bucket)
+            .select("band", "bh")
+        )
+        # same (band, bh) keying as the self-join below — AQE reuses the
+        # exchange, so the cap costs no extra corpus shuffle
+        buckets = buckets.join(small, ["band", "bh"])
+    left = buckets.alias("a")
+    right = buckets.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return jaccard_verify_pairs(
+        cand, sh, id_col=id_col, threshold=threshold, hint_verify=hint_verify
+    )
+
+
+def minhash_band_buckets(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    signature_impl: str = "arrow",
+) -> DataFrame:
+    """Shingle sets → exploded LSH band buckets ``(id, band, bh)``.
+
+    ``sh`` carries ``(id_col, shset)`` where ``shset`` is the hashed
+    shingle array (``shingle_hashes`` for arrow/expr impls,
+    ``shingle_hashes_portable`` for the md5 verification family). Shared
+    by ``minhash_near_dedup`` (one-shot self-join) and the incremental
+    streaming ingest (``streaming/incremental_dedup.py``), which joins a
+    micro-batch's buckets against a persisted corpus index instead —
+    identical bucket keying is what makes incremental ≡ one-shot.
+
+    Signature build is a shuffle-free map over the shingle sets either
+    way: the arrow default is one vectorized numpy pass per Arrow batch
+    (ArrowEvalPython in the plan, no exchange); the expr form is K
+    seeded rehashes folded with array_min (zero Python)."""
+    rows_per_band = num_hashes // bands
     if signature_impl == "arrow":
         # one vectorized numpy pass computes every permutation's minimum
         # AND the band combine — the expression form below walks each
@@ -411,17 +462,26 @@ def minhash_near_dedup(
         # minima. No integer wraparound anywhere, so DuckDB reproduces
         # every stage verbatim (the oracle for `dedup_minhash_portable`).
         hs = sh.select(F.col(id_col), F.col("shset").alias("hs"))
+
+        # The seed must be closed over with a SINGLE-parameter lambda: a
+        # two-parameter lambda (the old `lambda h, i=i:` spelling) is
+        # interpreted by F.transform as (element, INDEX) — the default
+        # is discarded, `i` binds to the index Column, and the f-string
+        # bakes that Column's auto-named repr into the seed. Seeds were
+        # then stable within one plan but different per plan
+        # construction: the one-shot oracle still passed (the VERIFIED
+        # pair set is seed-insensitive at oracle SFs) but any two plans
+        # disagreed on signatures — caught when the incremental replay
+        # hashed each micro-batch under different "seeds" than the
+        # corpus index.
+        def _perm(i: int):
+            pref = F.lit(f"{i}:")
+            return lambda h: _md5_60bits(F.concat(pref, h.cast("string")))
+
         sig = hs.select(
             F.col(id_col),
             *[
-                F.array_min(
-                    F.transform(
-                        F.col("hs"),
-                        lambda h, i=i: _md5_60bits(
-                            F.concat(F.lit(f"{i}:"), h.cast("string"))
-                        ),
-                    )
-                ).alias(f"mh{i}")
+                F.array_min(F.transform(F.col("hs"), _perm(i))).alias(f"mh{i}")
                 for i in range(num_hashes)
             ],
         )
@@ -467,36 +527,27 @@ def minhash_near_dedup(
         buckets = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")).select(
             id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
         )
-    if max_bucket is not None:
-        small = (
-            buckets.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__bn__"))
-            .filter(F.col("__bn__") <= max_bucket)
-            .select("band", "bh")
-        )
-        # same (band, bh) keying as the self-join below — AQE reuses the
-        # exchange, so the cap costs no extra corpus shuffle
-        buckets = buckets.join(small, ["band", "bh"])
-    left = buckets.alias("a")
-    right = buckets.alias("b")
-    cand = (
-        left.join(
-            right,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # Semi-reduce the shingle relation to docs that are actually in a
-    # candidate pair before the pairwise joins: in the common low-dup
-    # regime this turns two full-corpus shuffles of the (wide) shingle
-    # arrays into one narrow id semi-join plus two joins over the tiny
-    # survivor set; in the high-dup regime it is never worse than the
-    # full shuffles it replaces. cand is persisted (it feeds the id set
-    # and the verify) so the bucket self-join runs once.
+    return buckets
+
+
+def jaccard_verify_pairs(
+    cand: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    hint_verify: bool = False,
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs → exact-Jaccard-verified
+    ``(id_a, id_b, jaccard ≥ threshold)`` against the shingle relation
+    ``sh`` = ``(id_col, shset)``. ``cand`` should be persisted by the
+    caller when it also feeds other consumers.
+
+    Semi-reduces the shingle relation to docs that are actually in a
+    candidate pair before the pairwise joins: in the common low-dup
+    regime this turns two full-corpus shuffles of the (wide) shingle
+    arrays into one narrow id semi-join plus two joins over the tiny
+    survivor set; in the high-dup regime it is never worse than the
+    full shuffles it replaces."""
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .unionByName(cand.select(F.col("id_b").alias(id_col)))

@@ -314,6 +314,39 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "st_streaming_dedup",
+    f"""WITH {_MINHASH_PORTABLE_CTES}
+       SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.6""",
+)
+def q_st_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental corpus dedup, batch-replayed and oracled
+    (streaming/incremental_dedup.py — the recurring op a training-data
+    pipeline runs daily: which of today's docs near-duplicate anything
+    already ingested; the reference's Airflow daily-incremental +
+    bulk-flush shapes composed, ``Airflow_week.py:26-29,146-152`` /
+    ``Elastic_indexing.py:120-166``). The corpus is folded through
+    ``ingest_minhash_batch`` in 4 deterministic micro-batches — each
+    batch's band buckets probe the accumulated corpus index, shingle
+    sets are fetched only for candidate ids — and the unioned pair log
+    is hash-checked against the SAME one-shot DuckDB twin as
+    ``dedup_minhash_portable``. A green row proves the central
+    incremental-dedup invariant end to end: LSH collision is a per-pair
+    predicate, so batched ingestion in scheduler order emits exactly
+    the one-shot pair set, each pair exactly once (by the batch of its
+    later-arriving member). The REAL foreachBatch execution of the same
+    ingest (parquet-backed index/store, replay-idempotent dynamic
+    partition overwrite) is asserted batch-parity in
+    ``tests/test_streaming.py``. ``max_bucket=None`` for the twin's
+    unconditional exactness, as with the other portable variants."""
+    from .streaming.incremental_dedup import incremental_minhash_replay
+
+    return incremental_minhash_replay(
+        _docs(spark, sf_dir), n_batches=4, signature_impl="portable",
+        max_bucket=None,
+    )
+
+
 @query("dedup_simhash")  # rows-only: xxhash64-based bits
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures, banded

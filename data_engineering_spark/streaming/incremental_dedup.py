@@ -1,0 +1,256 @@
+"""Streaming incremental corpus dedup (the daily 100 TB-pipeline op).
+
+The reference runs its corpus jobs as scheduled daily incrementals
+(``Talent_Opportunity_Platform/Airflow_week.py:26-29,146-152``) and bulk
+document flushes (``Elastic_indexing.py:120-166``); a training-data
+pipeline at scale composes those two shapes into ONE recurring operator:
+ingest today's documents, find which of them near-duplicate *anything
+already in the corpus* (or each other), and admit only novel docs. This
+module implements that operator on Structured Streaming ``foreachBatch``
+over the repo's proven MinHash+LSH layer (``operators/dedup.py``).
+
+Key invariant (what the oracle checks): an LSH pair collides iff some
+band hash matches — a per-PAIR predicate, independent of how the corpus
+was split into micro-batches. So ingesting the corpus in ANY batch
+order emits EXACTLY the one-shot ``minhash_near_dedup`` pair set, each
+pair exactly once: a pair is emitted by the micro-batch of its
+later-arriving member (both-new pairs by their shared batch). The
+registered ``st_streaming_dedup`` query replays a deterministic 4-way
+split through the same ``ingest_minhash_batch`` the sink uses and is
+hash-checked against the SAME DuckDB twin as ``dedup_minhash_portable``
+— incremental ≡ one-shot, cross-engine.
+
+100 TB design:
+
+- **State is two append-only parquet tables**, not driver memory: the
+  bucket index ``(doc_id, band, bh)`` (8 rows/doc, ~3 long-ish cols)
+  and the shingle store ``(doc_id, shset)``. Both partitioned by
+  ``ingest_batch`` so a replayed micro-batch overwrites exactly its own
+  partition (dynamic partition overwrite = the S12 idempotent-append
+  pattern) — foreachBatch redelivery cannot double-count state.
+- **Each micro-batch touches batch-sized data + index probes**: the
+  batch's buckets join the corpus index on (band, bh) — with the index
+  bucketed/sorted on disk by (band, bh) this is an index lookup, not a
+  corpus scan; shingle sets are fetched ONLY for candidate ids via the
+  semi-join inside ``jaccard_verify_pairs``. Nothing recomputes
+  signatures of old docs.
+- **Hot buckets**: ``max_bucket`` drops (band, bh) buckets whose
+  *post-append* population exceeds the cap, same policy and default as
+  the batch operator — an exact-dup mega-cluster belongs to the cheap
+  hash-groupBy ``exact_dedup`` pass, not to pairwise verification.
+- **Emitted pairs are append-only** under the same ``ingest_batch``
+  partitioning, so the pair log is also replay-idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    jaccard_verify_pairs,
+    minhash_band_buckets,
+    shingle_hashes,
+    shingle_hashes_portable,
+)
+
+__all__ = [
+    "batch_shingles_and_buckets",
+    "ingest_minhash_batch",
+    "incremental_minhash_sink",
+    "incremental_minhash_replay",
+]
+
+
+def batch_shingles_and_buckets(
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    signature_impl: str = "arrow",
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's ``(shingle sets, band buckets)`` — the only
+    signature work incremental ingest ever does for these docs."""
+    shingle_fp = (
+        shingle_hashes_portable if signature_impl == "portable" else shingle_hashes
+    )
+    sh_new = batch_df.select(F.col(id_col), shingle_fp(text_col, n).alias("shset"))
+    bk_new = minhash_band_buckets(
+        sh_new, id_col=id_col, num_hashes=num_hashes, bands=bands,
+        signature_impl=signature_impl,
+    )
+    return sh_new, bk_new
+
+
+def ingest_minhash_batch(
+    sh_new: DataFrame,
+    bk_new: DataFrame,
+    index_bk: DataFrame | None,
+    store_sh: DataFrame | None,
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_bucket: int | None = None,
+    hint_verify: bool = False,
+) -> DataFrame:
+    """One incremental step: new docs vs (corpus ∪ batch) → verified
+    ``(id_a, id_b, jaccard)`` pairs, each unordered pair exactly once.
+
+    ``index_bk`` / ``store_sh`` are the pre-batch corpus state (None on
+    the first batch). The candidate join is new-side driven — the corpus
+    index is only probed on the batch's (band, bh) keys, never
+    self-joined, so old-vs-old pairs (already emitted by earlier
+    batches) cannot reappear. ``least/greatest`` + distinct collapses
+    the a<b / b<a double-count for both-new pairs."""
+    all_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
+    if max_bucket is not None:
+        # cap on the POST-append population, mirroring the batch
+        # operator's policy: a bucket that big is an exact-dup cluster,
+        # not near-dup work
+        small = (
+            all_bk.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .filter(F.col("__bn__") <= max_bucket)
+            .select("band", "bh")
+        )
+        bk_probe = bk_new.join(small, ["band", "bh"])
+        all_bk = all_bk.join(small, ["band", "bh"])
+    else:
+        bk_probe = bk_new
+    from pyspark import StorageLevel
+
+    a, b = bk_probe.alias("a"), all_bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+        # persisted for the same reason as the one-shot operator: cand
+        # feeds the verify AND the candidate-id semi-reduction (twice),
+        # so without this the index probe join runs three times
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    all_sh = sh_new if store_sh is None else store_sh.unionByName(sh_new)
+    return jaccard_verify_pairs(
+        cand, all_sh, id_col=id_col, threshold=threshold, hint_verify=hint_verify
+    )
+
+
+def incremental_minhash_sink(
+    index_dir: str,
+    store_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int | None = 1024,
+    signature_impl: str = "arrow",
+):
+    """foreachBatch sink: maintain the corpus bucket index + shingle
+    store and append each batch's new-vs-corpus near-dup pairs.
+
+    All three tables are partitioned by ``ingest_batch`` and written
+    with dynamic partition overwrite, so a redelivered micro-batch
+    replaces its own partitions instead of double-appending — the S12
+    idempotency pattern, asserted in ``tests/test_streaming.py``."""
+    from ..sources.writers import partition_overwrite
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh_new, bk_new = batch_shingles_and_buckets(
+            batch_df, text_col, id_col, num_hashes, bands, n, signature_impl
+        )
+        sh_new = sh_new.persist()
+        bk_new = bk_new.persist()
+        try:
+            # prior state = every partition EXCEPT this batch's own (a
+            # replay must not see its first attempt's partial writes)
+            index_bk = store_sh = None
+            try:
+                index_bk = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .drop("ingest_batch")
+                )
+                store_sh = (
+                    spark.read.parquet(store_dir)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .drop("ingest_batch")
+                )
+            except Exception:  # noqa: BLE001 — first batch: state dirs don't exist yet
+                index_bk = store_sh = None
+            pairs = ingest_minhash_batch(
+                sh_new, bk_new, index_bk, store_sh,
+                id_col=id_col, threshold=threshold, max_bucket=max_bucket,
+            )
+            tag = F.lit(batch_id).alias("ingest_batch")
+            partition_overwrite(
+                pairs.select("id_a", "id_b", "jaccard", tag), pairs_dir, "ingest_batch"
+            )
+            partition_overwrite(bk_new.select("*", tag), index_dir, "ingest_batch")
+            partition_overwrite(sh_new.select("*", tag), store_dir, "ingest_batch")
+        finally:
+            sh_new.unpersist()
+            bk_new.unpersist()
+
+    return sink
+
+
+def incremental_minhash_replay(
+    docs: DataFrame,
+    n_batches: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_bucket: int | None = None,
+    signature_impl: str = "arrow",
+) -> DataFrame:
+    """Batch replay of the incremental ingest: fold ``docs`` through
+    ``ingest_minhash_batch`` in ``n_batches`` deterministic micro-batches
+    (``pmod(xxhash64(id), n_batches)`` — arrival order a scheduler might
+    produce, not id order) and union the emitted pairs.
+
+    This is the oracle surface for the streaming sink: with
+    ``signature_impl="portable"`` the union is hash-checked against the
+    same DuckDB twin as ``dedup_minhash_portable``, proving
+    incremental ≡ one-shot on the whole pipeline. The real
+    foreachBatch execution of the same ingest is asserted for batch
+    parity in ``tests/test_streaming.py``."""
+    from pyspark import StorageLevel
+
+    assigned = docs.withColumn(
+        "__b__", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    index_bk = store_sh = out = None
+    for k in range(n_batches):
+        part = assigned.filter(F.col("__b__") == k).drop("__b__")
+        sh_new, bk_new = batch_shingles_and_buckets(
+            part, text_col, id_col, num_hashes, bands, n, signature_impl
+        )
+        # persisted: each batch's state feeds ITS ingest and every later
+        # batch's corpus side — without this the portable md5 signature
+        # tree re-evaluates O(n_batches) times
+        sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
+        bk_new = bk_new.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = ingest_minhash_batch(
+            sh_new, bk_new, index_bk, store_sh,
+            id_col=id_col, threshold=threshold, max_bucket=max_bucket,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+        index_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
+        store_sh = sh_new if store_sh is None else store_sh.unionByName(sh_new)
+    return out

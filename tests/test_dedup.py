@@ -561,3 +561,51 @@ def test_pq_train_rejects_sample_smaller_than_codebook(spark):
     )
     with _pytest.raises(ValueError, match="n_codes"):
         pq_train(df, m=2, n_codes=4, sample=2)
+
+
+def test_portable_minhash_seeds_are_plan_independent(spark, sf_dir):
+    """Regression for the two-parameter-lambda seed bug: inside
+    F.transform, `lambda h, i=i:` binds i to the array-INDEX column
+    (the default is discarded) and the seed f-string bakes in that
+    Column's auto-generated repr — seeds were stable within one plan
+    but different on every plan construction, so any two independently
+    built portable plans (e.g. a streaming micro-batch vs the corpus
+    index it probes) disagreed on every signature. Assert the seeded
+    minimum equals the md5 ground truth computed in plain Python, which
+    also pins bit-exactness to the DuckDB twin's
+    ('0x' || substr(md5(i || ':' || s), 1, 15))::BIGINT idiom."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.dedup import (
+        minhash_band_buckets,
+        shingle_hashes_portable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull()).limit(5)
+    sh = docs.select("doc_id", shingle_hashes_portable("text").alias("shset"))
+    rows = {r.doc_id: r.shset for r in sh.collect()}
+
+    def md5_60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def band_hash(shset, band, rows_per_band=4):
+        minima = [
+            min(md5_60(f"{i}:{s}") for s in shset)
+            for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ]
+        return hashlib.md5(",".join(str(m) for m in minima).encode()).hexdigest()
+
+    # two INDEPENDENT plan constructions must agree with the ground
+    # truth (under the bug each construction had its own "seeds")
+    for _ in range(2):
+        bk = minhash_band_buckets(sh, signature_impl="portable")
+        got = {
+            (r.doc_id, r.band): r.bh
+            for r in bk.collect()
+            if rows.get(r.doc_id)
+        }
+        for (doc_id, band), bh in got.items():
+            assert bh == band_hash(rows[doc_id], band), (doc_id, band)

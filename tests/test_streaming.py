@@ -444,3 +444,66 @@ def test_multi_microbatch_incremental_aggregation(spark, sf_dir, tmp_path):
     )
     want = {r.event_type: r.cnt for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert {r.event_type: r.cnt for r in got} == want
+
+
+def test_incremental_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """North-star pipeline op: foreachBatch MinHash ingest over a real
+    multi-file document stream emits EXACTLY the one-shot near-dup pair
+    set — incremental ≡ batch regardless of micro-batching (LSH
+    collision is per-pair, so each pair surfaces once, at its
+    later-arriving member's batch). Also asserts replay idempotency:
+    re-running a batch_id replaces its state/pair partitions instead of
+    double-appending (dynamic partition overwrite, the S12 pattern)."""
+    from data_engineering_spark.operators.dedup import minhash_near_dedup
+    from data_engineering_spark.streaming.incremental_dedup import (
+        incremental_minhash_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+
+    index_dir = str(tmp_path / "bucket_index")
+    store_dir = str(tmp_path / "shingle_store")
+    pairs_dir = str(tmp_path / "pairs")
+    sink = incremental_minhash_sink(
+        index_dir, store_dir, pairs_dir, max_bucket=None
+    )
+
+    raw = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(src)
+    )
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(pairs_dir).select("id_a", "id_b", "jaccard")
+    want = minhash_near_dedup(docs, max_bucket=None)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # replayed micro-batch (same batch_id, same docs — a foreachBatch
+    # retry after a mid-write failure) must leave every output byte-
+    # equivalent: the batch's own state/pair partitions are overwritten,
+    # never double-appended, and its prior partial state is excluded
+    # from the corpus side while re-deriving pairs
+    idx = spark.read.parquet(index_dir)
+    assert idx.select("ingest_batch").distinct().count() == 3
+    idx_count = idx.count()  # snapshot BEFORE the replay rewrites files
+    last_batch = int(idx.agg(F.max("ingest_batch").alias("m")).collect()[0].m)
+    replay_ids = (
+        spark.read.parquet(store_dir)
+        .filter(F.col("ingest_batch") == last_batch)
+        .select("doc_id")
+    )
+    sink(docs.join(replay_ids, "doc_id", "left_semi"), last_batch)
+    got2 = spark.read.parquet(pairs_dir).select("id_a", "id_b", "jaccard")
+    assert got2.count() == want.count()
+    assert got2.exceptAll(want).count() == 0
+    assert spark.read.parquet(index_dir).count() == idx_count
