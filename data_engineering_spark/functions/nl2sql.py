@@ -312,9 +312,22 @@ def _compile(text: str, schemas: Mapping[str, list[str]]) -> tuple[str, list[str
         # side, so the join must never shuffle the fact. DuckDB parses
         # /*+ … */ as a plain block comment, so the twin runs verbatim.
         fact_sel = ", ".join(f"f.{c}" for c in sel)
-        dim_sel = ", ".join(f"d.{c}" for c in dcols)
+        # dim columns must not collide with the emitted fact columns —
+        # under the identical-name key convention (fk == pk) the dim key
+        # duplicates a selected fact column and the result would carry
+        # two same-named columns (ambiguous downstream, breaks the
+        # oracle's by-name compare). The join key is dropped when its
+        # value is already present (f.fk = d.pk on an inner join);
+        # any other same-named dim column keeps its value under a
+        # dim-prefixed alias.
+        dim_parts = []
+        for c in dcols:
+            if c == pk and fk == pk and fk in sel:
+                continue
+            dim_parts.append(f"d.{c} AS {dim}_{c}" if c in sel else f"d.{c}")
+        all_sel = ", ".join([fact_sel, *dim_parts]) if dim_parts else fact_sel
         return (
-            f"SELECT /*+ BROADCAST(d) */ {fact_sel}, {dim_sel} "
+            f"SELECT /*+ BROADCAST(d) */ {all_sel} "
             f"FROM {fact} f JOIN {dim} d ON f.{fk} = d.{pk}{where}",
             [fact, dim],
         )

@@ -77,13 +77,37 @@ _JOSA = sorted(
         "에서는", "에서도", "에서만", "에게는", "에게도", "으로는",
         "으로도", "으로만", "까지는", "까지도", "부터는", "와는", "과는",
         "이라는", "이라고", "라고",
-        # plural 들 + case particle
-        "들이", "들을", "들은", "들의", "들도", "들과", "들에게",
-        "만의", "만을", "만이", "만은",
         "은", "는", "이", "가", "을", "를", "의", "에", "도", "만",
         "와", "과", "로", "랑", "나", "든",
     ],
     key=len,
+    reverse=True,
+)
+
+# Particle stacks whose FIRST syllable is itself a common noun ending
+# (plural 들, delimiter 만): many high-frequency nouns end in 들/만
+# (아들 son, 하늘들 …, 자만 …), so these strip only under the strict
+# ≥2-syllable-stem guard that protects single-syllable particles —
+# aggressive multi-syllable stripping would turn 아들이 into 아.
+_JOSA_NOUNY = sorted(
+    [
+        "들이", "들을", "들은", "들의", "들도", "들과", "들에게",
+        "만의", "만을", "만이", "만은",
+    ],
+    key=len,
+    reverse=True,
+)
+
+# (particle, min_stem_syllables, fall_through) merged longest-first:
+# nouny stacks keep the strict ≥2 guard and FALL THROUGH to shorter
+# particles when it fails (아들이 → guard blocks 들이 → plain 이 strips
+# → 아들); plain multi-syllable particles strip with ≥1 and
+# single-syllable ones require ≥2 (가을 stays whole), both terminal on
+# a match as before.
+_JOSA_GUARDED = sorted(
+    [(j, 2, True) for j in _JOSA_NOUNY]
+    + [(j, 1 if len(j) >= 2 else 2, False) for j in _JOSA],
+    key=lambda t: len(t[0]),
     reverse=True,
 )
 
@@ -138,12 +162,14 @@ def strip_josa(token: str) -> str:
         if token.endswith(e) and len(token) - len(e) >= 1:
             token = token[: -len(e)]
             break
-    for j in _JOSA:
+    for j, min_stem, fall_through in _JOSA_GUARDED:
         if token.endswith(j):
             stem = len(token) - len(j)
-            if (len(j) >= 2 and stem >= 1) or (len(j) == 1 and stem >= 2):
+            if stem >= min_stem:
                 token = token[:stem]
-            break
+                break
+            if not fall_through:
+                break
     return token
 
 
@@ -159,14 +185,15 @@ def _analyze_hangul(tok: str) -> list[tuple[str, str]]:
             stem = tok[: -len(e)]
             lem = _LEMMAS.get(stem)
             return [lem if lem is not None else (stem, cls), (e, "E")]
-    for j in _JOSA:
+    for j, min_stem, fall_through in _JOSA_GUARDED:
         if tok.endswith(j):
             n = len(tok) - len(j)
-            if (len(j) >= 2 and n >= 1) or (len(j) == 1 and n >= 2):
+            if n >= min_stem:
                 stem = tok[:n]
                 lem = _LEMMAS.get(stem)
                 return [lem if lem is not None else (stem, "NNG"), (j, "J")]
-            break
+            if not fall_through:
+                break
     return [(tok, "NNG")]
 
 
@@ -180,7 +207,10 @@ def analyze_korean_tagged(text: str) -> dict[str, list[str]]:
     if isinstance(text, str):
         for tok in _WORD_RE.findall(text):
             if _HANGUL_RE.search(tok):
-                pairs = _analyze_hangul(tok)
+                # lower() is a no-op on Hangul but normalizes the Latin
+                # half of mixed tokens (IT업계 → it업계), keeping case
+                # variants of the same term unified like the SL branch
+                pairs = _analyze_hangul(tok.lower())
             elif _NUM_RE.fullmatch(tok):
                 pairs = [(tok, "SN")]
             else:

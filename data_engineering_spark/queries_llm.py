@@ -1216,9 +1216,14 @@ def q_sim_cosine_topk_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+# Mirrors _cell_ranker's zero-norm guard (norm 0 → divisor 1.0, sim 0):
+# without the CASE an all-zero embedding divides by NaN in DuckDB while
+# the Spark side ranks it deterministically, flipping its cell.
 _IVF_CELL_SIM = """(list_dot_product(s.v, c.v)
-                    / (sqrt(list_dot_product(s.v, s.v))
-                     * sqrt(list_dot_product(c.v, c.v))))"""
+                    / (CASE WHEN list_dot_product(s.v, s.v) = 0 THEN 1.0
+                            ELSE sqrt(list_dot_product(s.v, s.v)) END
+                     * CASE WHEN list_dot_product(c.v, c.v) = 0 THEN 1.0
+                            ELSE sqrt(list_dot_product(c.v, c.v)) END))"""
 
 
 @query(
@@ -1263,7 +1268,12 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked, not just scores. The registered config is unrefined
     (refine_iters=0): Lloyd means are order-dependent float sums with no
     portable SQL form. Refinement stays a first-class param; its recall
-    gain is measured rows-only in sim_ann_recall (ivf_nprobe8_refined)."""
+    gain is measured rows-only in sim_ann_recall (ivf_nprobe8_refined).
+    Residual cross-engine risk (accepted, same ulp class as
+    lsh_buckets_pandas documents): assignment sims are BLAS matmuls on
+    the Spark side vs sequential folds in DuckDB — a corpus vector whose
+    two nearest centroids tie within a last-ulp could land in a
+    different cell; not observed on the driver data at either SF."""
     emb = _emb(spark, sf_dir)
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), n_cells=16, nprobe=4, k=5, seed_hash="md5"

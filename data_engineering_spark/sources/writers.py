@@ -62,12 +62,18 @@ def truncate_and_load(df: DataFrame, table_dir: str) -> int:
     return df.sparkSession.read.parquet(table_dir).count()
 
 
-def partition_overwrite(df: DataFrame, table_dir: str, partition_col: str) -> int:
+def partition_overwrite(
+    df: DataFrame, table_dir: str, partition_col: str, count_rows: bool = True
+) -> int:
     """S12 — replace exactly the date partitions present in ``df``
     (``BkupRs.py:272-280``: ``delete … where bkup_dt='{d}'`` + append).
     Dynamic partition overwrite touches only those directories — re-runs
     are idempotent, other partitions untouched. At 100 TB this is the
-    difference between rewriting a table and rewriting a day."""
+    difference between rewriting a table and rewriting a day.
+
+    ``count_rows=False`` skips the audit count and returns -1: the
+    count re-executes ``df``'s plan, which callers writing expensive
+    derived frames (the incremental-dedup sink) must not pay twice."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -75,7 +81,7 @@ def partition_overwrite(df: DataFrame, table_dir: str, partition_col: str) -> in
         df.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return df.count()
+    return df.count() if count_rows else -1
 
 
 def full_overwrite(df: DataFrame, table_dir: str) -> int:

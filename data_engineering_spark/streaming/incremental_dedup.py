@@ -35,9 +35,15 @@ hash-checked against the SAME DuckDB twin as ``dedup_minhash_portable``
   semi-join inside ``jaccard_verify_pairs``. Nothing recomputes
   signatures of old docs.
 - **Hot buckets**: ``max_bucket`` drops (band, bh) buckets whose
-  *post-append* population exceeds the cap, same policy and default as
-  the batch operator — an exact-dup mega-cluster belongs to the cheap
-  hash-groupBy ``exact_dedup`` pass, not to pairwise verification.
+  *post-append* population exceeds the cap (counted only over the
+  batch's own keys — a batch-sized semi-join, not a corpus re-agg) —
+  an exact-dup mega-cluster belongs to the cheap hash-groupBy
+  ``exact_dedup`` pass, not to pairwise verification. A capped stream's
+  pair log keeps pairs emitted BEFORE a bucket crossed the cap (they
+  were true near-dups when verified; an append-only log does not
+  retract), so capped incremental output is a superset of the capped
+  one-shot run — the strict incremental ≡ one-shot equivalence the
+  oracle checks is for ``max_bucket=None``.
 - **Emitted pairs are append-only** under the same ``ingest_batch``
   partitioning, so the pair log is also replay-idempotent.
 """
@@ -93,23 +99,38 @@ def ingest_minhash_batch(
     threshold: float = 0.6,
     max_bucket: int | None = None,
     hint_verify: bool = False,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """One incremental step: new docs vs (corpus ∪ batch) → verified
     ``(id_a, id_b, jaccard)`` pairs, each unordered pair exactly once.
+    Returns ``(pairs, cand)`` — ``cand`` is the persisted candidate
+    relation backing ``pairs``; the caller unpersists it once the pairs
+    are materialized (the sink does, after its writes commit).
 
     ``index_bk`` / ``store_sh`` are the pre-batch corpus state (None on
     the first batch). The candidate join is new-side driven — the corpus
     index is only probed on the batch's (band, bh) keys, never
     self-joined, so old-vs-old pairs (already emitted by earlier
     batches) cannot reappear. ``least/greatest`` + distinct collapses
-    the a<b / b<a double-count for both-new pairs."""
+    the a<b / b<a double-count for both-new pairs.
+
+    ``max_bucket`` caps on the post-append population of the BATCH's
+    bucket keys. Note the cap makes the pair log prefix-sensitive by
+    construction: pairs emitted before a bucket crossed the cap stay in
+    the append-only log (they were true verified near-dups when
+    emitted), while a one-shot run with the same cap would drop that
+    whole bucket — incremental ≡ one-shot holds unconditionally only
+    for ``max_bucket=None``, which is what the ``st_streaming_dedup``
+    oracle checks."""
     all_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
     if max_bucket is not None:
-        # cap on the POST-append population, mirroring the batch
-        # operator's policy: a bucket that big is an exact-dup cluster,
-        # not near-dup work
+        # cap on the POST-append population — but only the batch's own
+        # (band, bh) keys can appear in the probe join, so count ONLY
+        # those: the semi-join keeps the cap's cost batch-sized instead
+        # of re-aggregating the whole corpus index every micro-batch
+        batch_keys = bk_new.select("band", "bh").distinct()
         small = (
-            all_bk.groupBy("band", "bh")
+            all_bk.join(batch_keys, ["band", "bh"], "left_semi")
+            .groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("__bn__"))
             .filter(F.col("__bn__") <= max_bucket)
             .select("band", "bh")
@@ -139,9 +160,10 @@ def ingest_minhash_batch(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     all_sh = sh_new if store_sh is None else store_sh.unionByName(sh_new)
-    return jaccard_verify_pairs(
+    pairs = jaccard_verify_pairs(
         cand, all_sh, id_col=id_col, threshold=threshold, hint_verify=hint_verify
     )
+    return pairs, cand
 
 
 def incremental_minhash_sink(
@@ -167,15 +189,23 @@ def incremental_minhash_sink(
     from ..sources.writers import partition_overwrite
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         sh_new, bk_new = batch_shingles_and_buckets(
             batch_df, text_col, id_col, num_hashes, bands, n, signature_impl
         )
         sh_new = sh_new.persist()
         bk_new = bk_new.persist()
+        cand = None
         try:
             # prior state = every partition EXCEPT this batch's own (a
-            # replay must not see its first attempt's partial writes)
+            # replay must not see its first attempt's partial writes).
+            # ONLY a missing state dir (the first batch) downgrades to
+            # an empty corpus — any other read error must propagate so
+            # Structured Streaming fails and retries the batch, instead
+            # of silently deduping the batch against nothing and
+            # committing a wrong pair partition.
             index_bk = store_sh = None
             try:
                 index_bk = (
@@ -188,21 +218,30 @@ def incremental_minhash_sink(
                     .filter(F.col("ingest_batch") != batch_id)
                     .drop("ingest_batch")
                 )
-            except Exception:  # noqa: BLE001 — first batch: state dirs don't exist yet
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex) and "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                    raise
                 index_bk = store_sh = None
-            pairs = ingest_minhash_batch(
+            pairs, cand = ingest_minhash_batch(
                 sh_new, bk_new, index_bk, store_sh,
                 id_col=id_col, threshold=threshold, max_bucket=max_bucket,
             )
             tag = F.lit(batch_id).alias("ingest_batch")
             partition_overwrite(
-                pairs.select("id_a", "id_b", "jaccard", tag), pairs_dir, "ingest_batch"
+                pairs.select("id_a", "id_b", "jaccard", tag),
+                pairs_dir, "ingest_batch", count_rows=False,
             )
-            partition_overwrite(bk_new.select("*", tag), index_dir, "ingest_batch")
-            partition_overwrite(sh_new.select("*", tag), store_dir, "ingest_batch")
+            partition_overwrite(
+                bk_new.select("*", tag), index_dir, "ingest_batch", count_rows=False
+            )
+            partition_overwrite(
+                sh_new.select("*", tag), store_dir, "ingest_batch", count_rows=False
+            )
         finally:
             sh_new.unpersist()
             bk_new.unpersist()
+            if cand is not None:
+                cand.unpersist()
 
     return sink
 
@@ -246,7 +285,10 @@ def incremental_minhash_replay(
         # tree re-evaluates O(n_batches) times
         sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
         bk_new = bk_new.persist(StorageLevel.MEMORY_AND_DISK)
-        pairs = ingest_minhash_batch(
+        # cand stays persisted for the lifetime of the returned (lazy)
+        # union — bounded at n_batches cached relations per replay, the
+        # same leak class the one-shot operator accepts per run
+        pairs, _cand = ingest_minhash_batch(
             sh_new, bk_new, index_bk, store_sh,
             id_col=id_col, threshold=threshold, max_bucket=max_bucket,
         )

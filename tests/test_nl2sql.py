@@ -115,6 +115,29 @@ def test_compile_join_intent():
         compile_nl("show bogus from orders with its customer info", SCHEMAS)
 
 
+def test_compile_join_intent_dedups_colliding_columns():
+    """Identical-name key convention (doc_id ↔ doc_id): the dim's copy
+    of the join key is redundant (equal to the selected fact column on
+    an inner join) and must be dropped, and any other same-named dim
+    column must come back under a dim-prefixed alias — duplicate output
+    names are ambiguous downstream and break a by-name compare."""
+    schemas = dict(
+        SCHEMAS,
+        chunks=["doc_id", "text"],
+        docmeta=["doc_id", "lang", "text"],
+    )
+    sql = compile_nl("show doc_id, text from chunks with its docmeta info", schemas)
+    select_list = sql.split(" FROM ")[0]
+    assert "f.doc_id" in select_list and "f.text" in select_list
+    assert "d.doc_id" not in select_list  # redundant join-key copy dropped
+    assert "d.text AS docmeta_text" in select_list  # collision aliased, value kept
+    assert "d.lang" in select_list
+    assert "ON f.doc_id = d.doc_id" in sql
+    # key not selected → the dim copy is the only one, keep it plain
+    sql2 = compile_nl("show text from chunks with its docmeta info", schemas)
+    assert "d.doc_id" in sql2.split(" FROM ")[0]
+
+
 def test_compile_join_intent_requires_unique_key():
     """Zero key candidates (or several) must raise, not guess."""
     with pytest.raises(NLQueryError, match="cannot infer a unique join key"):

@@ -164,6 +164,15 @@ def test_korean_lemma_table_resolves_irregular_inflections():
     assert analyze_korean("사람들이") == ["사람"]
     # dictionary re-check after a josa strip keeps whole-word guards
     assert analyze_korean("가을") == ["가을"]
+    # nouny particle stacks (들*/만*) keep the strict ≥2-syllable guard
+    # and fall through to the shorter particle: 아들이 is 아들+이, NOT
+    # 아+들이 (review finding: the aggressive stack strip ate 아들)
+    assert analyze_korean("아들이 학교에 갔다") == ["아들", "학교", "가"]
+    assert analyze_korean("학생들이") == ["학생"]
+    assert strip_josa("아들을") == "아들"
+    # mixed Hangul-Latin tokens lowercase their Latin half, unifying
+    # case variants with the pure-Latin SL branch (review finding)
+    assert analyze_korean("IT업계에서 Spark 도입") == ["it업계", "spark", "도입"]
 
     # pynori do_analysis shape + the reference's commented NNG/NNP/VA
     # filter (pynori_test.py:14-19) as pos_keep
