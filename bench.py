@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_minhash_canonical_portable",
     "prof_heavy_hitters",
     "st_streaming_dedup",
+    "sim_pq_topk_portable",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job
@@ -122,6 +123,9 @@ VERIFICATION_VARIANTS = {
     # 4-batch incremental replay of the minhash ingest under portable
     # signatures — the production surface is the foreachBatch sink
     "st_streaming_dedup",
+    # md5-seeded unrefined-codebook PQ — production sim_pq_topk keeps
+    # the Lloyd-refined books
+    "sim_pq_topk_portable",
 }
 
 

@@ -580,6 +580,7 @@ def pq_train(
     vec_col: str = "embedding",
     sample: int = 2048,
     iters: int = 4,
+    seed_hash: str = "xxhash64",
 ) -> np.ndarray:
     """Train per-subspace codebooks for product quantization.
 
@@ -590,6 +591,14 @@ def pq_train(
     are the first ``n_codes`` sample subvectors, and Lloyd iterations run
     in fixed numpy order. Empty clusters keep their previous centroid.
 
+    ``seed_hash="md5"`` orders the sample by the md5 hex string of the id
+    instead (same arbitrary-but-deterministic role, reproducible in
+    DuckDB) — with ``iters=0`` the codebook is then a pure SELECTION of
+    corpus subvectors, bit-exact cross-engine, which is what the
+    ``sim_pq_topk_portable`` oracle runs (Lloyd means are
+    order-dependent float sums with no portable SQL form, same
+    reasoning as ``ivf_train``).
+
     Scale shape: training touches only a bounded sample (one
     ``limit(sample).collect()`` — ~1 MB for 2048×64 doubles); the
     resulting codebook is m×n_codes×(d/m) floats = d×n_codes values
@@ -597,11 +606,13 @@ def pq_train(
 
     Returns an ndarray of shape ``(m, n_codes, d // m)``.
     """
+    h = (
+        F.md5(F.col(id_col).cast("string"))
+        if seed_hash == "md5"
+        else F.xxhash64(F.col(id_col).cast("string"))
+    )
     rows = (
-        corpus.select(
-            as_double(vec_col).alias("v"),
-            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
-        )
+        corpus.select(as_double(vec_col).alias("v"), h.alias("h"))
         .orderBy("h")
         .limit(sample)
         .collect()

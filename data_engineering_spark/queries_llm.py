@@ -1297,6 +1297,71 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, emb.filter(F.col("vec_id") < 10), m=8, n_codes=16, k=5)
 
 
+@query(
+    "sim_pq_topk_portable",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       seeds AS (
+         SELECT v, CAST(row_number() OVER (
+                    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER) - 1 AS code
+         FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16),
+       js AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS j),
+       cents AS (
+         SELECT j.j, s.code, s.v[j.j*8 + 1 : j.j*8 + 8] AS cv
+         FROM seeds s CROSS JOIN js j),
+       enc AS (
+         SELECT vec_id, j, code, cv FROM (
+           SELECT s.vec_id, c.j, c.code, c.cv,
+                  row_number() OVER (
+                    PARTITION BY s.vec_id, c.j
+                    ORDER BY list_distance(s.v[c.j*8+1 : c.j*8+8], c.cv), c.code
+                  ) AS r
+           FROM e s CROSS JOIN cents c) t
+         WHERE r = 1),
+       q AS (SELECT vec_id, v,
+                    CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
+                         ELSE sqrt(list_dot_product(v, v)) END AS qn
+             FROM e WHERE vec_id < 10),
+       scored AS (
+         SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+                round(sum(list_dot_product(q.v[enc.j*8+1 : enc.j*8+8], enc.cv))
+                      / (any_value(q.qn) *
+                         CASE WHEN sum(list_dot_product(enc.cv, enc.cv)) = 0 THEN 1.0
+                              ELSE sqrt(sum(list_dot_product(enc.cv, enc.cv))) END),
+                      6) AS sim
+         FROM enc JOIN q ON q.vec_id <> enc.vec_id
+         GROUP BY q.vec_id, enc.vec_id)
+       SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rnk
+             FROM scored) t
+       WHERE rnk <= 5""",
+)
+def q_sim_pq_topk_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ top-k with a HARD oracle — completes the hash-proven ANN trio
+    (LSH pass(r7), IVF pass(r7), now PQ): the DuckDB twin re-derives the
+    md5-seeded codebook (``iters=0`` makes each per-subspace codebook a
+    pure SELECTION of the first 16 md5-ordered corpus subvectors —
+    bit-exact cross-engine, no Lloyd float sums), every corpus code
+    assignment (argmin centroid per subspace, ties to the lowest code —
+    numpy argmin's first-match vs the twin's ``ORDER BY dist, code``),
+    and the full ADC score: sum_j dot(q_j, c_{j,code}) over
+    |q|·sqrt(sum_j |c_{j,code}|²), zero-norm divisors mapped to 1.0 in
+    both engines exactly as ``pq_topk``'s numpy does. Production
+    ``sim_pq_topk`` keeps the Lloyd-refined codebook (iters=4, better
+    quantizer) and stays rows-only — this variant proves the PQ
+    machinery itself: subspace slicing, encoding, LUT scoring, local
+    top-k. Residual risk is the accepted ulp class (BLAS/numpy
+    reductions vs sequential SQL folds inside round(·, 6) and argmin
+    near-ties), identical to sim_ivf_topk/sim_cosine_topk_fast."""
+    from .operators.similarity import pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, m=8, n_codes=16, iters=0, seed_hash="md5")
+    return pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), m=8, n_codes=16, k=5, books=books
+    )
+
+
 @query("sim_ann_recall")  # rows-only: self-measuring quality metric
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of each ANN scale path against the exact brute-force
