@@ -108,6 +108,7 @@ HEADLINE = [
     "prof_heavy_hitters",
     "st_streaming_dedup",
     "sim_pq_topk_portable",
+    "st_streaming_embed_dedup",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

@@ -347,6 +347,89 @@ def q_st_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_bucket_sql(
+    dim: int = 64,
+    planes: int = 8,
+    band: int = 0,
+    vec: str = "CAST(embedding AS DOUBLE[])",
+) -> str:
+    """DuckDB twin of ``operators/similarity.py:lsh_bucket``: the SAME
+    seeded-LCG hyperplanes (portable constants, no RNG state) inlined as
+    double literals, one sign bit per plane folded into the bucket int.
+    ``repr`` round-trips each double exactly, so both engines take the
+    sign of the identical dot product. ``band`` selects the independent
+    plane family (plane index ``band*planes + p``, exactly
+    ``lsh_buckets_pandas``'s row layout)."""
+    from .operators.similarity import _hyperplane
+
+    arms = []
+    for p in range(planes):
+        vals = ", ".join(repr(v) for v in _hyperplane(dim, band * planes + p))
+        arms.append(
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{vals}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(arms)
+
+
+def _embed_dedup_twin_sql(dim: int = 64, planes: int = 8, bands: int = 8) -> str:
+    """One-shot DuckDB twin of the hyperplane-LSH embedding near-dedup
+    PAIR set: every band signature re-derived from the inlined LCG
+    planes, banded equi-join candidates, exact-cosine verify. The
+    incremental replay must reproduce it exactly (band collision is a
+    per-pair predicate over per-vector signatures)."""
+    band_exprs = ", ".join(
+        _lsh_bucket_sql(dim, planes, band=b, vec="v") for b in range(bands)
+    )
+    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sigs AS (SELECT vec_id, v, [{band_exprs}] AS bks FROM e),
+       bk AS (SELECT vec_id, generate_subscripts(bks, 1) - 1 AS band,
+                     unnest(bks) AS bh
+              FROM sigs),
+       cand AS (
+         SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bk a JOIN bk b
+           ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
+       pairs AS (
+         SELECT id_a, id_b,
+                round(list_dot_product(x.v, y.v)
+                      / (sqrt(list_dot_product(x.v, x.v))
+                       * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+         FROM cand JOIN e x ON x.vec_id = cand.id_a
+                   JOIN e y ON y.vec_id = cand.id_b)
+       SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4"""
+
+
+@query("st_streaming_embed_dedup", _embed_dedup_twin_sql())
+def q_st_streaming_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental EMBEDDING near-dedup — the vector-modality
+    twin of ``st_streaming_dedup`` (streaming/incremental_dedup.py):
+    each micro-batch's banded hyperplane signatures (one Arrow matmul)
+    probe the corpus bucket index, exact cosine verifies candidates
+    only, and state/pairs append under replay-idempotent
+    ``ingest_batch`` partitions. Because the seeded-LCG planes are
+    portable constants (``repr``-inlined doubles, as in sim_lsh_topk),
+    this oracle is hash-exact on the PRODUCTION configuration — no md5
+    verification variant needed: the DuckDB twin re-derives all 8 band
+    signatures, the banded candidate join, and the cosine≥0.9 verify,
+    and the 4-batch replay must emit exactly that one-shot pair set.
+    Registered at threshold 0.4 (the regime dedup_embedding's all-pairs
+    oracle also checks) so the row is non-vacuous on the driver's
+    isotropic embeddings — at the production dedup threshold 0.9 the
+    corpus has zero true near-dups and the oracle would prove an empty
+    set; the banded∩verified contract is threshold-independent.
+    Complements ``dedup_embedding_bucketed`` (same signatures; that
+    query's canonical-assignment output stays rows-only because LSH
+    recall is probabilistic — here the PAIR log itself is the contract,
+    so it oracles exactly). The real foreachBatch execution is
+    batch-parity-asserted in tests/test_streaming.py."""
+    from .streaming.incremental_dedup import incremental_embedding_replay
+
+    return incremental_embedding_replay(
+        _emb(spark, sf_dir), dim=64, n_batches=4, threshold=0.4, max_bucket=None
+    )
+
+
 @query("dedup_simhash")  # rows-only: xxhash64-based bits
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures, banded
@@ -1136,23 +1219,6 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding cannot serve it."""
     return embedding_near_dedup_bucketed(_emb(spark, sf_dir), threshold=0.9, dim=64)
 
-
-def _lsh_bucket_sql(dim: int = 64, planes: int = 8) -> str:
-    """DuckDB twin of ``operators/similarity.py:lsh_bucket``: the SAME
-    seeded-LCG hyperplanes (portable constants, no RNG state) inlined as
-    double literals, one sign bit per plane folded into the bucket int.
-    ``repr`` round-trips each double exactly, so both engines take the
-    sign of the identical dot product."""
-    from .operators.similarity import _hyperplane
-
-    arms = []
-    for p in range(planes):
-        vals = ", ".join(repr(v) for v in _hyperplane(dim, p))
-        arms.append(
-            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-            f"[{vals}]) >= 0 THEN {1 << p} ELSE 0 END)"
-        )
-    return " + ".join(arms)
 
 
 @query(

@@ -65,6 +65,10 @@ __all__ = [
     "ingest_minhash_batch",
     "incremental_minhash_sink",
     "incremental_minhash_replay",
+    "batch_embedding_buckets",
+    "ingest_embedding_batch",
+    "incremental_embedding_sink",
+    "incremental_embedding_replay",
 ]
 
 
@@ -88,6 +92,61 @@ def batch_shingles_and_buckets(
         signature_impl=signature_impl,
     )
     return sh_new, bk_new
+
+
+def _probe_candidates(
+    bk_new: DataFrame,
+    index_bk: DataFrame | None,
+    id_col: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Batch bucket rows ``(id, band, bh)`` probing the corpus index →
+    persisted distinct candidate pairs ``(id_a, id_b)``, each unordered
+    pair exactly once. New-side driven: the index is only probed on the
+    batch's keys, never self-joined, so old-vs-old pairs (already
+    emitted by earlier batches) cannot reappear; ``least/greatest`` +
+    distinct collapses the double-count for both-new pairs. Shared by
+    the MinHash (text) and hyperplane-LSH (embedding) ingests — the
+    bucket key semantics are identical, only the signature and the
+    verify differ."""
+    from pyspark import StorageLevel
+
+    all_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
+    if max_bucket is not None:
+        # cap on the POST-append population — but only the batch's own
+        # (band, bh) keys can appear in the probe join, so count ONLY
+        # those: the semi-join keeps the cap's cost batch-sized instead
+        # of re-aggregating the whole corpus index every micro-batch
+        batch_keys = bk_new.select("band", "bh").distinct()
+        small = (
+            all_bk.join(batch_keys, ["band", "bh"], "left_semi")
+            .groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bn__"))
+            .filter(F.col("__bn__") <= max_bucket)
+            .select("band", "bh")
+        )
+        bk_probe = bk_new.join(small, ["band", "bh"])
+        all_bk = all_bk.join(small, ["band", "bh"])
+    else:
+        bk_probe = bk_new
+    a, b = bk_probe.alias("a"), all_bk.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+        # persisted for the same reason as the one-shot operator: cand
+        # feeds the verify AND the candidate-id semi-reduction (twice),
+        # so without this the index probe join runs three times
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
 
 def ingest_minhash_batch(
@@ -121,44 +180,7 @@ def ingest_minhash_batch(
     whole bucket — incremental ≡ one-shot holds unconditionally only
     for ``max_bucket=None``, which is what the ``st_streaming_dedup``
     oracle checks."""
-    all_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
-    if max_bucket is not None:
-        # cap on the POST-append population — but only the batch's own
-        # (band, bh) keys can appear in the probe join, so count ONLY
-        # those: the semi-join keeps the cap's cost batch-sized instead
-        # of re-aggregating the whole corpus index every micro-batch
-        batch_keys = bk_new.select("band", "bh").distinct()
-        small = (
-            all_bk.join(batch_keys, ["band", "bh"], "left_semi")
-            .groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__bn__"))
-            .filter(F.col("__bn__") <= max_bucket)
-            .select("band", "bh")
-        )
-        bk_probe = bk_new.join(small, ["band", "bh"])
-        all_bk = all_bk.join(small, ["band", "bh"])
-    else:
-        bk_probe = bk_new
-    from pyspark import StorageLevel
-
-    a, b = bk_probe.alias("a"), all_bk.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
-        )
-        .distinct()
-        # persisted for the same reason as the one-shot operator: cand
-        # feeds the verify AND the candidate-id semi-reduction (twice),
-        # so without this the index probe join runs three times
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    cand = _probe_candidates(bk_new, index_bk, id_col, max_bucket)
     all_sh = sh_new if store_sh is None else store_sh.unionByName(sh_new)
     pairs = jaccard_verify_pairs(
         cand, all_sh, id_col=id_col, threshold=threshold, hint_verify=hint_verify
@@ -295,4 +317,193 @@ def incremental_minhash_replay(
         out = pairs if out is None else out.unionByName(pairs)
         index_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
         store_sh = sh_new if store_sh is None else store_sh.unionByName(sh_new)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding modality: hyperplane-LSH incremental near-dup ingest
+# ---------------------------------------------------------------------------
+
+
+def batch_embedding_buckets(
+    batch_df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch's ``(vectors, band buckets)``: the banded
+    random-hyperplane signature of ``embedding_near_dedup_bucketed``,
+    computed in one Arrow matmul per batch (seeded-LCG planes — portable
+    constants, so the DuckDB oracle re-derives every signature). Bucket
+    rows are keyed (id, band, bh) to share ``_probe_candidates`` with
+    the MinHash ingest."""
+    from ..operators.similarity import as_double, lsh_buckets_pandas
+
+    v_new = batch_df.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v")
+    )
+    bk_new = v_new.select(
+        "vec_id",
+        F.posexplode(lsh_buckets_pandas(F.col("v"), dim, planes, bands)).alias(
+            "band", "bh"
+        ),
+    )
+    return v_new, bk_new
+
+
+def ingest_embedding_batch(
+    v_new: DataFrame,
+    bk_new: DataFrame,
+    index_bk: DataFrame | None,
+    store_v: DataFrame | None,
+    threshold: float = 0.9,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One incremental step for embeddings: new vectors vs
+    (corpus ∪ batch) → cosine-verified ``(id_a, id_b, sim)`` pairs, each
+    unordered pair exactly once. Same contract as
+    ``ingest_minhash_batch`` (returns ``(pairs, cand)``; caller
+    unpersists ``cand``); band collision is a per-pair predicate over
+    deterministic signatures, so batched ingestion with
+    ``max_bucket=None`` emits exactly the one-shot pair set (the capped
+    stream's log is a superset of the capped one-shot, as with text)."""
+    from ..operators.similarity import l2_norm, pair_dot_pandas
+
+    cand = _probe_candidates(bk_new, index_bk, "vec_id", max_bucket)
+    all_v = v_new if store_v is None else store_v.unionByName(v_new)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("vec_id"))
+        .unionByName(cand.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    v_c = all_v.join(cand_ids, "vec_id", "left_semi")
+    va = v_c.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
+    ).withColumn("na", l2_norm(F.col("va")))
+    vb = v_c.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
+    ).withColumn("nb", l2_norm(F.col("vb")))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "sim",
+            F.round(
+                pair_dot_pandas(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select("id_a", "id_b", "sim")
+    )
+    return pairs, cand
+
+
+def incremental_embedding_sink(
+    index_dir: str,
+    store_dir: str,
+    pairs_dir: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    bands: int = 8,
+    threshold: float = 0.9,
+    max_bucket: int | None = 256,
+):
+    """foreachBatch sink for embedding streams — the vector-modality
+    twin of ``incremental_minhash_sink`` with identical state layout
+    (``ingest_batch``-partitioned bucket index + vector store + pair
+    log, replay-idempotent via dynamic partition overwrite) and the
+    same missing-dir-only downgrade on first batch."""
+    from ..sources.writers import partition_overwrite
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        v_new, bk_new = batch_embedding_buckets(
+            batch_df, dim, id_col, vec_col, planes, bands
+        )
+        v_new = v_new.persist()
+        bk_new = bk_new.persist()
+        cand = None
+        try:
+            index_bk = store_v = None
+            try:
+                index_bk = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .drop("ingest_batch")
+                )
+                store_v = (
+                    spark.read.parquet(store_dir)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .drop("ingest_batch")
+                )
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex) and "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                    raise
+                index_bk = store_v = None
+            pairs, cand = ingest_embedding_batch(
+                v_new, bk_new, index_bk, store_v,
+                threshold=threshold, max_bucket=max_bucket,
+            )
+            tag = F.lit(batch_id).alias("ingest_batch")
+            partition_overwrite(
+                pairs.select("id_a", "id_b", "sim", tag),
+                pairs_dir, "ingest_batch", count_rows=False,
+            )
+            partition_overwrite(
+                bk_new.select("*", tag), index_dir, "ingest_batch", count_rows=False
+            )
+            partition_overwrite(
+                v_new.select("*", tag), store_dir, "ingest_batch", count_rows=False
+            )
+        finally:
+            v_new.unpersist()
+            bk_new.unpersist()
+            if cand is not None:
+                cand.unpersist()
+
+    return sink
+
+
+def incremental_embedding_replay(
+    emb: DataFrame,
+    dim: int,
+    n_batches: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    bands: int = 8,
+    threshold: float = 0.9,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Batch replay of the embedding ingest (same deterministic
+    ``pmod(xxhash64(id), n_batches)`` arrival order as the text replay);
+    the union of per-batch pair logs is the oracle surface for
+    ``st_streaming_embed_dedup`` — hash-checked against the one-shot
+    DuckDB twin that re-derives every hyperplane signature."""
+    from pyspark import StorageLevel
+
+    assigned = emb.withColumn(
+        "__b__", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    index_bk = store_v = out = None
+    for k in range(n_batches):
+        part = assigned.filter(F.col("__b__") == k).drop("__b__")
+        v_new, bk_new = batch_embedding_buckets(part, dim, id_col, vec_col, planes, bands)
+        v_new = v_new.persist(StorageLevel.MEMORY_AND_DISK)
+        bk_new = bk_new.persist(StorageLevel.MEMORY_AND_DISK)
+        pairs, _cand = ingest_embedding_batch(
+            v_new, bk_new, index_bk, store_v,
+            threshold=threshold, max_bucket=max_bucket,
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+        index_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
+        store_v = v_new if store_v is None else store_v.unionByName(v_new)
     return out

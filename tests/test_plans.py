@@ -194,10 +194,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_minhash_portable": 6,      # oracle-verification variant (md5 sigs)
         "prof_heavy_hitters": 2,          # map-only sketch; candidate count + 1-row total
         "nl_query_join": 0,               # dim broadcasts: fact never shuffles
-        # 4-fold incremental replay: static plan-tree count, where each
+        # 4-fold incremental replays: static plan-tree counts, where each
         # batch's cand/verify chain repeats cached subtrees — the gate is
         # that a refactor adding an exchange per ingest step jumps ≥4
         "st_streaming_dedup": 90,
+        "st_streaming_embed_dedup": 50,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

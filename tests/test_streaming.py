@@ -507,3 +507,59 @@ def test_incremental_minhash_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got2.count() == want.count()
     assert got2.exceptAll(want).count() == 0
     assert spark.read.parquet(index_dir).count() == idx_count
+
+
+def test_incremental_embedding_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Embedding-modality incremental ingest: the foreachBatch sink over
+    a real multi-file embedding stream emits exactly the one-batch
+    (n=1) replay's pair set — batching must not change the pair log —
+    and a replayed micro-batch leaves every output byte-equivalent."""
+    from data_engineering_spark.streaming.incremental_dedup import (
+        incremental_embedding_replay,
+        incremental_embedding_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "emb_src")
+    emb.repartition(3).write.parquet(src)
+
+    index_dir = str(tmp_path / "emb_index")
+    store_dir = str(tmp_path / "emb_store")
+    pairs_dir = str(tmp_path / "emb_pairs")
+    sink = incremental_embedding_sink(
+        index_dir, store_dir, pairs_dir, dim=64, threshold=0.4, max_bucket=None
+    )
+
+    raw = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "emb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(pairs_dir).select("id_a", "id_b", "sim")
+    want = incremental_embedding_replay(
+        emb, dim=64, n_batches=1, threshold=0.4, max_bucket=None
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    idx = spark.read.parquet(index_dir)
+    idx_count = idx.count()
+    last_batch = int(idx.agg(F.max("ingest_batch").alias("m")).collect()[0].m)
+    replay_ids = (
+        spark.read.parquet(store_dir)
+        .filter(F.col("ingest_batch") == last_batch)
+        .select("vec_id")
+    )
+    sink(emb.join(replay_ids, "vec_id", "left_semi"), last_batch)
+    got2 = spark.read.parquet(pairs_dir).select("id_a", "id_b", "sim")
+    assert got2.count() == want.count()
+    assert got2.exceptAll(want).count() == 0
+    assert spark.read.parquet(index_dir).count() == idx_count
