@@ -127,6 +127,10 @@ VERIFICATION_VARIANTS = {
     # md5-seeded unrefined-codebook PQ — production sim_pq_topk keeps
     # the Lloyd-refined books
     "sim_pq_topk_portable",
+    # 4-batch embedding-ingest replay (hash-exact on the production
+    # plane family, but still a replay-verification shape — the
+    # production surface is the foreachBatch sink)
+    "st_streaming_embed_dedup",
 }
 
 
