@@ -60,16 +60,25 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # tools/check_correctness.py this round, and they lead the ROUND-8 window
 # alongside the r5 cohort.
 #
-# ROUND-8 ROTATION NOTE: if this window sweeps green, the staleness
-# frontier moves to the 48 r5-green queries (w1/w4/w5, the event pack,
-# cohort_retention, the five text_* oracles, f_scalar_pack, tpch
-# q1-q3/q5/q9-q11/q16, flagship pair, search tfidf/bm25/rrf, the dedup/
-# sim oracle baselines, corpus pack, mm metadata/frames/audio, nlp
-# keywords ×2, nl_query_template, st tumbling/sliding/session, a18,
-# ts_anomaly et al.) plus the four changed-this-round queries above and
-# any round-7 additions (st_streaming_dedup's batch twin registers at
-# position 51). That is ~50 — lead round 8 with never-proven additions,
-# then the changed four, then the r5 cohort oldest-first.
+# ROUND-8 ROTATION NOTE: if this window sweeps green, lead round 8 with
+# (in this order):
+#   1. The 3 round-7 additions, never driver-proven (each locally green
+#      at BOTH SFs this round): st_streaming_dedup,
+#      st_streaming_embed_dedup, sim_pq_topk_portable.
+#   2. The queries whose SHAPES changed in round 7 after their last
+#      driver green (each re-proven locally at both SFs post-change):
+#      dedup_minhash_portable + dedup_minhash_canonical_portable (the
+#      two-parameter-lambda seed fix made the md5 permutation family
+#      actually plan-independent), w5_time_weighted_avg /
+#      ts_anomaly_zscore / a13_grouped_pivot / a18_unpivot_long
+#      (order-stable fixed-point aggregation).
+#   3. The r5-green cohort oldest-first (w1/w4, the event pack,
+#      cohort_retention, the five text_* oracles, f_scalar_pack, tpch
+#      q1-q3/q5/q9-q11/q16, flagship pair, search tfidf/bm25/rrf, the
+#      dedup/sim oracle baselines, corpus pack, mm metadata/frames/
+#      audio, nlp keywords ×2, nl_query_template,
+#      st tumbling/sliding/session) to fill the remaining ~41 slots.
+# The r6/r7 cohorts rotate in round 9.
 registry.finalize_order(
     [
         # -- never hash-proven oracle rows ------------------------------
