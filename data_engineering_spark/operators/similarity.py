@@ -219,8 +219,10 @@ def lsh_buckets_pandas(vec: Column, dim: int, planes: int, bands: int) -> Column
     """All ``bands`` LSH buckets in ONE Arrow-batched matmul: X @ Hᵀ →
     sign bits → per-band bit-packed ints, returned as ``array<long>``
     (index = band). Identical values to ``lsh_bucket`` (same seeded
-    hyperplanes, >= 0 sign convention; float64 matmul vs fold can differ
-    only on exact-zero dots, measure-zero for real embeddings). The
+    hyperplanes, >= 0 sign convention; float64 matmul vs fold can
+    differ only when a plane dot lands within a last-ulp of zero —
+    different accumulation orders round to opposite signs there;
+    measure-zero for real embeddings). The
     plane matrix is planes×bands×dim floats closed over driver-side —
     a codebook-sized broadcast, same contract as the IVF centroids."""
     import numpy as np

@@ -372,7 +372,13 @@ def _lsh_bucket_sql(
     return " + ".join(arms)
 
 
-def _embed_dedup_twin_sql(dim: int = 64, planes: int = 8, bands: int = 8) -> str:
+_EMBED_DEDUP_THRESHOLD = 0.4  # single source for the Spark call AND the twin
+
+
+def _embed_dedup_twin_sql(
+    dim: int = 64, planes: int = 8, bands: int = 8,
+    threshold: float = _EMBED_DEDUP_THRESHOLD,
+) -> str:
     """One-shot DuckDB twin of the hyperplane-LSH embedding near-dedup
     PAIR set: every band signature re-derived from the inlined LCG
     planes, banded equi-join candidates, exact-cosine verify. The
@@ -393,11 +399,13 @@ def _embed_dedup_twin_sql(dim: int = 64, planes: int = 8, bands: int = 8) -> str
        pairs AS (
          SELECT id_a, id_b,
                 round(list_dot_product(x.v, y.v)
-                      / (sqrt(list_dot_product(x.v, x.v))
-                       * sqrt(list_dot_product(y.v, y.v))), 6) AS sim
+                      / (CASE WHEN list_dot_product(x.v, x.v) = 0 THEN 1.0
+                              ELSE sqrt(list_dot_product(x.v, x.v)) END
+                       * CASE WHEN list_dot_product(y.v, y.v) = 0 THEN 1.0
+                              ELSE sqrt(list_dot_product(y.v, y.v)) END), 6) AS sim
          FROM cand JOIN e x ON x.vec_id = cand.id_a
                    JOIN e y ON y.vec_id = cand.id_b)
-       SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4"""
+       SELECT id_a, id_b, sim FROM pairs WHERE sim >= {threshold}"""
 
 
 @query("st_streaming_embed_dedup", _embed_dedup_twin_sql())
@@ -409,10 +417,16 @@ def q_st_streaming_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, and state/pairs append under replay-idempotent
     ``ingest_batch`` partitions. Because the seeded-LCG planes are
     portable constants (``repr``-inlined doubles, as in sim_lsh_topk),
-    this oracle is hash-exact on the PRODUCTION configuration — no md5
+    this oracle checks the PRODUCTION configuration — no md5
     verification variant needed: the DuckDB twin re-derives all 8 band
-    signatures, the banded candidate join, and the cosine≥0.9 verify,
-    and the 4-batch replay must emit exactly that one-shot pair set.
+    signatures, the banded candidate join, and the cosine verify, and
+    the 4-batch replay must emit exactly that one-shot pair set. One
+    residual-risk class beyond sim_lsh_topk (whose Spark side folds
+    sequentially like DuckDB): signatures here come from
+    lsh_buckets_pandas's BLAS matmul, so a plane dot within a last-ulp
+    of zero could take the opposite sign from DuckDB's sequential fold
+    and flip a band — the accepted ulp class sim_ivf_topk documents;
+    not observed at either SF.
     Registered at threshold 0.4 (the regime dedup_embedding's all-pairs
     oracle also checks) so the row is non-vacuous on the driver's
     isotropic embeddings — at the production dedup threshold 0.9 the
@@ -426,7 +440,8 @@ def q_st_streaming_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.incremental_dedup import incremental_embedding_replay
 
     return incremental_embedding_replay(
-        _emb(spark, sf_dir), dim=64, n_batches=4, threshold=0.4, max_bucket=None
+        _emb(spark, sf_dir), dim=64, n_batches=4,
+        threshold=_EMBED_DEDUP_THRESHOLD, max_bucket=None,
     )
 
 

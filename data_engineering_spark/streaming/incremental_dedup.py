@@ -188,6 +188,102 @@ def ingest_minhash_batch(
     return pairs, cand
 
 
+def _incremental_sink(index_dir, store_dir, pairs_dir, batch_fn, ingest_fn, pair_cols):
+    """Modality-independent foreachBatch shell: ``batch_fn(batch_df)``
+    derives this batch's ``(store_new, bk_new)``; ``ingest_fn(store_new,
+    bk_new, index_bk, store_old)`` returns ``(pairs, cand)``. All three
+    tables are partitioned by ``ingest_batch`` and written with dynamic
+    partition overwrite, so a redelivered micro-batch replaces its own
+    partitions instead of double-appending — the S12 idempotency
+    pattern, asserted in ``tests/test_streaming.py``. Shared by the
+    text (MinHash) and embedding (hyperplane) sinks so a fix to the
+    retry/downgrade/write protocol cannot miss one modality."""
+    from ..sources.writers import partition_overwrite
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch_df.sparkSession
+        store_new, bk_new = batch_fn(batch_df)
+        store_new = store_new.persist()
+        bk_new = bk_new.persist()
+        cand = None
+        try:
+            # prior state = every partition EXCEPT this batch's own (a
+            # replay must not see its first attempt's partial writes).
+            # ONLY a missing state dir (the first batch) downgrades to
+            # an empty corpus — any other read error must propagate so
+            # Structured Streaming fails and retries the batch, instead
+            # of silently deduping the batch against nothing and
+            # committing a wrong pair partition.
+            index_bk = store_old = None
+            try:
+                index_bk = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .drop("ingest_batch")
+                )
+                store_old = (
+                    spark.read.parquet(store_dir)
+                    .filter(F.col("ingest_batch") != batch_id)
+                    .drop("ingest_batch")
+                )
+            except AnalysisException as ex:
+                if "PATH_NOT_FOUND" not in str(ex) and "UNABLE_TO_INFER_SCHEMA" not in str(ex):
+                    raise
+                index_bk = store_old = None
+            pairs, cand = ingest_fn(store_new, bk_new, index_bk, store_old)
+            tag = F.lit(batch_id).alias("ingest_batch")
+            partition_overwrite(
+                pairs.select(*pair_cols, tag),
+                pairs_dir, "ingest_batch", count_rows=False,
+            )
+            partition_overwrite(
+                bk_new.select("*", tag), index_dir, "ingest_batch", count_rows=False
+            )
+            partition_overwrite(
+                store_new.select("*", tag), store_dir, "ingest_batch", count_rows=False
+            )
+        finally:
+            store_new.unpersist()
+            bk_new.unpersist()
+            if cand is not None:
+                cand.unpersist()
+
+    return sink
+
+
+def _incremental_replay(df, id_col, n_batches, batch_fn, ingest_fn) -> DataFrame:
+    """Modality-independent batch replay: fold ``df`` through
+    ``ingest_fn`` in ``n_batches`` deterministic micro-batches
+    (``pmod(xxhash64(id), n_batches)`` — arrival order a scheduler might
+    produce, not id order) and union the emitted pairs. The oracle
+    surface for both streaming sinks: the union must equal the one-shot
+    DuckDB twin (incremental ≡ one-shot)."""
+    from pyspark import StorageLevel
+
+    assigned = df.withColumn(
+        "__b__", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    index_bk = store_old = out = None
+    for k in range(n_batches):
+        part = assigned.filter(F.col("__b__") == k).drop("__b__")
+        store_new, bk_new = batch_fn(part)
+        # persisted: each batch's state feeds ITS ingest and every later
+        # batch's corpus side — without this the signature tree
+        # re-evaluates O(n_batches) times
+        store_new = store_new.persist(StorageLevel.MEMORY_AND_DISK)
+        bk_new = bk_new.persist(StorageLevel.MEMORY_AND_DISK)
+        # cand stays persisted for the lifetime of the returned (lazy)
+        # union — bounded at n_batches cached relations per replay, the
+        # same leak class the one-shot operator accepts per run
+        pairs, _cand = ingest_fn(store_new, bk_new, index_bk, store_old)
+        out = pairs if out is None else out.unionByName(pairs)
+        index_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
+        store_old = store_new if store_old is None else store_old.unionByName(store_new)
+    return out
+
+
 def incremental_minhash_sink(
     index_dir: str,
     store_dir: str,
@@ -202,70 +298,19 @@ def incremental_minhash_sink(
     signature_impl: str = "arrow",
 ):
     """foreachBatch sink: maintain the corpus bucket index + shingle
-    store and append each batch's new-vs-corpus near-dup pairs.
-
-    All three tables are partitioned by ``ingest_batch`` and written
-    with dynamic partition overwrite, so a redelivered micro-batch
-    replaces its own partitions instead of double-appending — the S12
-    idempotency pattern, asserted in ``tests/test_streaming.py``."""
-    from ..sources.writers import partition_overwrite
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        sh_new, bk_new = batch_shingles_and_buckets(
-            batch_df, text_col, id_col, num_hashes, bands, n, signature_impl
-        )
-        sh_new = sh_new.persist()
-        bk_new = bk_new.persist()
-        cand = None
-        try:
-            # prior state = every partition EXCEPT this batch's own (a
-            # replay must not see its first attempt's partial writes).
-            # ONLY a missing state dir (the first batch) downgrades to
-            # an empty corpus — any other read error must propagate so
-            # Structured Streaming fails and retries the batch, instead
-            # of silently deduping the batch against nothing and
-            # committing a wrong pair partition.
-            index_bk = store_sh = None
-            try:
-                index_bk = (
-                    spark.read.parquet(index_dir)
-                    .filter(F.col("ingest_batch") != batch_id)
-                    .drop("ingest_batch")
-                )
-                store_sh = (
-                    spark.read.parquet(store_dir)
-                    .filter(F.col("ingest_batch") != batch_id)
-                    .drop("ingest_batch")
-                )
-            except AnalysisException as ex:
-                if "PATH_NOT_FOUND" not in str(ex) and "UNABLE_TO_INFER_SCHEMA" not in str(ex):
-                    raise
-                index_bk = store_sh = None
-            pairs, cand = ingest_minhash_batch(
-                sh_new, bk_new, index_bk, store_sh,
-                id_col=id_col, threshold=threshold, max_bucket=max_bucket,
-            )
-            tag = F.lit(batch_id).alias("ingest_batch")
-            partition_overwrite(
-                pairs.select("id_a", "id_b", "jaccard", tag),
-                pairs_dir, "ingest_batch", count_rows=False,
-            )
-            partition_overwrite(
-                bk_new.select("*", tag), index_dir, "ingest_batch", count_rows=False
-            )
-            partition_overwrite(
-                sh_new.select("*", tag), store_dir, "ingest_batch", count_rows=False
-            )
-        finally:
-            sh_new.unpersist()
-            bk_new.unpersist()
-            if cand is not None:
-                cand.unpersist()
-
-    return sink
+    store and append each batch's new-vs-corpus near-dup pairs (the
+    shared ``_incremental_sink`` shell bound to the MinHash batch and
+    ingest functions)."""
+    return _incremental_sink(
+        index_dir, store_dir, pairs_dir,
+        batch_fn=lambda b: batch_shingles_and_buckets(
+            b, text_col, id_col, num_hashes, bands, n, signature_impl
+        ),
+        ingest_fn=lambda sh, bk, ib, so: ingest_minhash_batch(
+            sh, bk, ib, so, id_col=id_col, threshold=threshold, max_bucket=max_bucket
+        ),
+        pair_cols=("id_a", "id_b", "jaccard"),
+    )
 
 
 def incremental_minhash_replay(
@@ -280,44 +325,21 @@ def incremental_minhash_replay(
     max_bucket: int | None = None,
     signature_impl: str = "arrow",
 ) -> DataFrame:
-    """Batch replay of the incremental ingest: fold ``docs`` through
-    ``ingest_minhash_batch`` in ``n_batches`` deterministic micro-batches
-    (``pmod(xxhash64(id), n_batches)`` — arrival order a scheduler might
-    produce, not id order) and union the emitted pairs.
-
-    This is the oracle surface for the streaming sink: with
+    """Batch replay of the MinHash incremental ingest — with
     ``signature_impl="portable"`` the union is hash-checked against the
     same DuckDB twin as ``dedup_minhash_portable``, proving
     incremental ≡ one-shot on the whole pipeline. The real
     foreachBatch execution of the same ingest is asserted for batch
     parity in ``tests/test_streaming.py``."""
-    from pyspark import StorageLevel
-
-    assigned = docs.withColumn(
-        "__b__", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    index_bk = store_sh = out = None
-    for k in range(n_batches):
-        part = assigned.filter(F.col("__b__") == k).drop("__b__")
-        sh_new, bk_new = batch_shingles_and_buckets(
-            part, text_col, id_col, num_hashes, bands, n, signature_impl
-        )
-        # persisted: each batch's state feeds ITS ingest and every later
-        # batch's corpus side — without this the portable md5 signature
-        # tree re-evaluates O(n_batches) times
-        sh_new = sh_new.persist(StorageLevel.MEMORY_AND_DISK)
-        bk_new = bk_new.persist(StorageLevel.MEMORY_AND_DISK)
-        # cand stays persisted for the lifetime of the returned (lazy)
-        # union — bounded at n_batches cached relations per replay, the
-        # same leak class the one-shot operator accepts per run
-        pairs, _cand = ingest_minhash_batch(
-            sh_new, bk_new, index_bk, store_sh,
-            id_col=id_col, threshold=threshold, max_bucket=max_bucket,
-        )
-        out = pairs if out is None else out.unionByName(pairs)
-        index_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
-        store_sh = sh_new if store_sh is None else store_sh.unionByName(sh_new)
-    return out
+    return _incremental_replay(
+        docs, id_col, n_batches,
+        batch_fn=lambda b: batch_shingles_and_buckets(
+            b, text_col, id_col, num_hashes, bands, n, signature_impl
+        ),
+        ingest_fn=lambda sh, bk, ib, so: ingest_minhash_batch(
+            sh, bk, ib, so, id_col=id_col, threshold=threshold, max_bucket=max_bucket
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -368,8 +390,20 @@ def ingest_embedding_batch(
     unpersists ``cand``); band collision is a per-pair predicate over
     deterministic signatures, so batched ingestion with
     ``max_bucket=None`` emits exactly the one-shot pair set (the capped
-    stream's log is a superset of the capped one-shot, as with text)."""
+    stream's log is a superset of the capped one-shot, as with text).
+
+    Zero-norm vectors (an embedding service emitting zeros for an empty
+    doc) map their divisor to 1.0 — the repo-wide guard policy
+    (``pq_topk``, ``_cell_ranker``) — so their sim is 0 and they are
+    filtered. Without the guard 0/0 = NaN, and Spark evaluates
+    NaN ≥ threshold as TRUE: a cluster of zero vectors (which collide
+    in EVERY band — all dot products are 0 ≥ 0) would flood the pair
+    log with quadratically many NaN 'near-duplicates'. The DuckDB twin
+    carries the same CASE guard."""
     from ..operators.similarity import l2_norm, pair_dot_pandas
+
+    def _guarded(n):
+        return F.when(n == 0, F.lit(1.0)).otherwise(n)
 
     cand = _probe_candidates(bk_new, index_bk, "vec_id", max_bucket)
     all_v = v_new if store_v is None else store_v.unionByName(v_new)
@@ -381,10 +415,10 @@ def ingest_embedding_batch(
     v_c = all_v.join(cand_ids, "vec_id", "left_semi")
     va = v_c.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    ).withColumn("na", l2_norm(F.col("va")))
+    ).withColumn("na", _guarded(l2_norm(F.col("va"))))
     vb = v_c.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    ).withColumn("nb", l2_norm(F.col("vb")))
+    ).withColumn("nb", _guarded(l2_norm(F.col("vb"))))
     pairs = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
@@ -414,62 +448,21 @@ def incremental_embedding_sink(
     threshold: float = 0.9,
     max_bucket: int | None = 256,
 ):
-    """foreachBatch sink for embedding streams — the vector-modality
-    twin of ``incremental_minhash_sink`` with identical state layout
-    (``ingest_batch``-partitioned bucket index + vector store + pair
-    log, replay-idempotent via dynamic partition overwrite) and the
-    same missing-dir-only downgrade on first batch."""
-    from ..sources.writers import partition_overwrite
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
-        spark = batch_df.sparkSession
-        v_new, bk_new = batch_embedding_buckets(
-            batch_df, dim, id_col, vec_col, planes, bands
-        )
-        v_new = v_new.persist()
-        bk_new = bk_new.persist()
-        cand = None
-        try:
-            index_bk = store_v = None
-            try:
-                index_bk = (
-                    spark.read.parquet(index_dir)
-                    .filter(F.col("ingest_batch") != batch_id)
-                    .drop("ingest_batch")
-                )
-                store_v = (
-                    spark.read.parquet(store_dir)
-                    .filter(F.col("ingest_batch") != batch_id)
-                    .drop("ingest_batch")
-                )
-            except AnalysisException as ex:
-                if "PATH_NOT_FOUND" not in str(ex) and "UNABLE_TO_INFER_SCHEMA" not in str(ex):
-                    raise
-                index_bk = store_v = None
-            pairs, cand = ingest_embedding_batch(
-                v_new, bk_new, index_bk, store_v,
-                threshold=threshold, max_bucket=max_bucket,
-            )
-            tag = F.lit(batch_id).alias("ingest_batch")
-            partition_overwrite(
-                pairs.select("id_a", "id_b", "sim", tag),
-                pairs_dir, "ingest_batch", count_rows=False,
-            )
-            partition_overwrite(
-                bk_new.select("*", tag), index_dir, "ingest_batch", count_rows=False
-            )
-            partition_overwrite(
-                v_new.select("*", tag), store_dir, "ingest_batch", count_rows=False
-            )
-        finally:
-            v_new.unpersist()
-            bk_new.unpersist()
-            if cand is not None:
-                cand.unpersist()
-
-    return sink
+    """foreachBatch sink for embedding streams — the shared
+    ``_incremental_sink`` shell (``ingest_batch``-partitioned bucket
+    index + vector store + pair log, replay-idempotent dynamic
+    partition overwrite, missing-dir-only downgrade) bound to the
+    hyperplane batch and ingest functions."""
+    return _incremental_sink(
+        index_dir, store_dir, pairs_dir,
+        batch_fn=lambda b: batch_embedding_buckets(
+            b, dim, id_col, vec_col, planes, bands
+        ),
+        ingest_fn=lambda v, bk, ib, so: ingest_embedding_batch(
+            v, bk, ib, so, threshold=threshold, max_bucket=max_bucket
+        ),
+        pair_cols=("id_a", "id_b", "sim"),
+    )
 
 
 def incremental_embedding_replay(
@@ -483,27 +476,16 @@ def incremental_embedding_replay(
     threshold: float = 0.9,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Batch replay of the embedding ingest (same deterministic
-    ``pmod(xxhash64(id), n_batches)`` arrival order as the text replay);
-    the union of per-batch pair logs is the oracle surface for
-    ``st_streaming_embed_dedup`` — hash-checked against the one-shot
-    DuckDB twin that re-derives every hyperplane signature."""
-    from pyspark import StorageLevel
-
-    assigned = emb.withColumn(
-        "__b__", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    index_bk = store_v = out = None
-    for k in range(n_batches):
-        part = assigned.filter(F.col("__b__") == k).drop("__b__")
-        v_new, bk_new = batch_embedding_buckets(part, dim, id_col, vec_col, planes, bands)
-        v_new = v_new.persist(StorageLevel.MEMORY_AND_DISK)
-        bk_new = bk_new.persist(StorageLevel.MEMORY_AND_DISK)
-        pairs, _cand = ingest_embedding_batch(
-            v_new, bk_new, index_bk, store_v,
-            threshold=threshold, max_bucket=max_bucket,
-        )
-        out = pairs if out is None else out.unionByName(pairs)
-        index_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
-        store_v = v_new if store_v is None else store_v.unionByName(v_new)
-    return out
+    """Batch replay of the embedding ingest; the union of per-batch
+    pair logs is the oracle surface for ``st_streaming_embed_dedup`` —
+    hash-checked against the one-shot DuckDB twin that re-derives every
+    hyperplane signature."""
+    return _incremental_replay(
+        emb, id_col, n_batches,
+        batch_fn=lambda b: batch_embedding_buckets(
+            b, dim, id_col, vec_col, planes, bands
+        ),
+        ingest_fn=lambda v, bk, ib, so: ingest_embedding_batch(
+            v, bk, ib, so, threshold=threshold, max_bucket=max_bucket
+        ),
+    )
