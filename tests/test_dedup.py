@@ -609,3 +609,54 @@ def test_portable_minhash_seeds_are_plan_independent(spark, sf_dir):
         }
         for (doc_id, band), bh in got.items():
             assert bh == band_hash(rows[doc_id], band), (doc_id, band)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("n_batches", [2, 3, 5])
+def test_incremental_replay_is_batching_invariant(spark, n_batches):
+    """The central incremental-dedup invariant, pinned across batch
+    counts on a planted corpus: ANY micro-batching must emit exactly
+    the one-shot (n=1) pair set, for both modalities. This is the
+    invariant that exposed the plan-dependent portable-seed bug — keep
+    it exercised at more than one split."""
+    from data_engineering_spark.streaming.incremental_dedup import (
+        incremental_embedding_replay,
+        incremental_minhash_replay,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a completely different document about spark query optimization",
+        "yet another text concerning distributed joins and shuffles here",
+        "korean analytics pipelines ingest documents daily at scale now",
+    ]
+    rows = []
+    for i in range(20):
+        t = base[i % 4]
+        if i >= 16:  # planted near-dups: one token changed
+            t = t.replace(t.split()[0], "THE", 1)
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    one = incremental_minhash_replay(docs, n_batches=1, max_bucket=None)
+    multi = incremental_minhash_replay(docs, n_batches=n_batches, max_bucket=None)
+    assert one.count() > 0  # planted dups make the invariant non-vacuous
+    assert multi.count() == one.count()
+    assert multi.exceptAll(one).count() == 0
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(20, 16))
+    vecs[16:] = vecs[:4] + rng.normal(scale=0.01, size=(4, 16))  # near-dups
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    eone = incremental_embedding_replay(emb, dim=16, n_batches=1, threshold=0.9, max_bucket=None)
+    emulti = incremental_embedding_replay(emb, dim=16, n_batches=n_batches, threshold=0.9, max_bucket=None)
+    assert eone.count() > 0
+    assert emulti.count() == eone.count()
+    assert emulti.exceptAll(eone).count() == 0
