@@ -76,30 +76,9 @@ def _size_bytes(conf_value: str) -> int:
     return int(v) * mult
 
 
-def _input_bytes(df: DataFrame) -> int | None:
-    """Total on-disk bytes of the DataFrame's input files, or None when
-    unknowable from the driver (no file source, or a non-local scheme
-    where stat-ing every file isn't free). Pure driver-side fs metadata —
-    no Spark job, no RDD conversion."""
-    import os
-    from urllib.parse import unquote, urlparse
-
-    try:
-        files = df.inputFiles()
-    except Exception:  # noqa: BLE001 — e.g. streaming frames
-        return None
-    if not files:
-        return None
-    total = 0
-    for f in files:
-        u = urlparse(f)
-        if u.scheme not in ("", "file"):
-            return None
-        try:
-            total += os.path.getsize(unquote(u.path))
-        except OSError:
-            return None
-    return total
+# moved to operators/joins.py (shared by every size-conditional hint);
+# kept under the old private name for this module's call sites
+from .joins import input_bytes as _input_bytes  # noqa: E402
 
 
 def _spread(df: DataFrame) -> DataFrame:

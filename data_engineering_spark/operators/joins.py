@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "input_bytes",
     "left_join_chain",
     "semi_join",
     "anti_join",
@@ -23,6 +24,36 @@ __all__ = [
     "salted_join",
     "fuzzy_join",
 ]
+
+
+def input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of the DataFrame's input files, or None when
+    unknowable from the driver (no file source, or a non-local scheme
+    where stat-ing every file isn't free). Pure driver-side fs metadata —
+    no Spark job, no RDD conversion. The gate behind every size-
+    conditional hint in the repo: a FORCED broadcast/shuffle hint must
+    never apply to a relation that grows with the corpus (the 300×
+    probe caught the flagship force-broadcasting a 4.5 M-row customer
+    dim — 2× super-linear from driver-side broadcast build alone)."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(unquote(u.path))
+        except OSError:
+            return None
+    return total
 
 
 def left_join_chain(fact: DataFrame, dims: Sequence[tuple[DataFrame, Column | str, bool]]) -> DataFrame:

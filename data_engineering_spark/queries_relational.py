@@ -72,10 +72,27 @@ def flagship_serving_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.3 end-to-end slice. Scale shape: lineitem⋈orders is the only
     fact-fact shuffle (bucketing both on orderkey makes it co-located);
     the aggregated priority table and the customer 2-col projection are
-    broadcast — the fact crosses the network at most once."""
+    broadcast — the fact crosses the network at most once.
+
+    The broadcast hints are SIZE-GATED (same policy as
+    minhash_near_dedup's verify_join="auto"): customer and the
+    per-customer rollup grow with the corpus, so past the gate the
+    hints drop and AQE picks the join from runtime sizes. Measured at
+    the 300× synthetic (SCALE §6b-r7): forcing the two 4.5 M-row
+    broadcasts ran 93–115 s vs 42–90 s letting AQE decide — the wide
+    aggregated-string rows blow up ~10× from parquet to the in-memory
+    broadcast relation, which is why the gate is 16 MB of parquet
+    rather than the session's 64 MB plan threshold. Under the gate the
+    hints apply at oracle/bench SFs (plan asserted in test_plans)."""
+    from .operators.joins import input_bytes
+
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # customer bytes bound the cardinality of BOTH broadcast sides (the
+    # rollup has ≤ one row per custkey)
+    cbytes = input_bytes(_t(spark, sf_dir, "customer"))
+    dims_small = cbytes is not None and cbytes <= (16 << 20)
 
     # The reference (and the oracle SQL) computes two per-status group-bys
     # glued with UNION ALL and re-aggregated (Elastic_indexing.py:133-147).
@@ -95,8 +112,8 @@ def flagship_serving_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem,
         [
             (orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"), False),
-            (t, F.col("o_custkey") == F.col("cust_key"), True),
-            (customer, F.col("o_custkey") == F.col("c_custkey"), True),
+            (t, F.col("o_custkey") == F.col("cust_key"), dims_small),
+            (customer, F.col("o_custkey") == F.col("c_custkey"), dims_small),
         ],
     )
     return joined.select(
