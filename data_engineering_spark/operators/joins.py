@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "input_bytes",
+    "broadcast_if_small",
     "left_join_chain",
     "semi_join",
     "anti_join",
@@ -54,6 +55,28 @@ def input_bytes(df: DataFrame) -> int | None:
         except OSError:
             return None
     return total
+
+
+def broadcast_if_small(df: DataFrame, limit: int = 16 << 20) -> DataFrame:
+    """``F.broadcast(df)`` only when the relation's input files total
+    ≤ ``limit`` bytes (16 MB of parquet by default — sized for the ~10×
+    parquet→in-memory-row blowup against the session's 64 MB plan
+    threshold); otherwise the frame is returned unhinted and AQE picks
+    the join from runtime sizes.
+
+    Use for every forced broadcast whose side SCALES WITH THE CORPUS
+    (filtered customer/supplier/part dims, per-key aggregates): at
+    bench/oracle SFs the hint applies and the plan is the asserted
+    broadcast shape; at warehouse scale forcing it measured 2× slower
+    than AQE's choice on the flagship (SCALE §6b-r7 300× probe).
+    Fixed-size relations (nation/region, 1-row scalar aggregates,
+    calendar spines) keep plain ``F.broadcast`` — they never grow.
+    ``inputFiles`` on a derived frame resolves to its source scans, so
+    the gate is a conservative upper bound for aggregates (a per-part
+    average gates on lineitem's bytes — at the SFs where that matters
+    the aggregate is genuinely too big to force anyway)."""
+    nbytes = input_bytes(df)
+    return F.broadcast(df) if (nbytes is not None and nbytes <= limit) else df
 
 
 def left_join_chain(fact: DataFrame, dims: Sequence[tuple[DataFrame, Column | str, bool]]) -> DataFrame:

@@ -24,7 +24,14 @@ from .functions.scalar import (
     to_char_yyyymmdd,
 )
 from .operators.aggregations import assemble_vector, distinct_sorted, grouped_pivot, last_wins_merge
-from .operators.joins import anti_join, asof_join, broadcast_lookup_join, left_join_chain, semi_join
+from .operators.joins import (
+    anti_join,
+    asof_join,
+    broadcast_if_small,
+    broadcast_lookup_join,
+    left_join_chain,
+    semi_join,
+)
 from .registry import query
 
 
@@ -350,7 +357,7 @@ def j3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    return semi_join(o, F.broadcast(members), F.col("o_custkey") == F.col("c_custkey")).select(
+    return semi_join(o, broadcast_if_small(members), F.col("o_custkey") == F.col("c_custkey")).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("total")
     )
 
@@ -1155,7 +1162,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -1190,9 +1197,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            broadcast_if_small(s),
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1285,7 +1292,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
@@ -1315,7 +1322,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
         .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
     )
 
@@ -1349,7 +1356,7 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(big, o.o_orderkey == big.big_orderkey, "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(broadcast_if_small(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum("l_quantity").alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -1382,7 +1389,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#19") & F.col("p_size").between(20, 40) & F.col("l_quantity").between(20, 40))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -1452,7 +1459,7 @@ def tpch_q20_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     shippers = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select("l_suppkey").distinct()
+        l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey).select("l_suppkey").distinct()
     )
     s = _t(spark, sf_dir, "supplier")
     return (
@@ -1696,7 +1703,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
         .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, l.l_orderkey == o.o_orderkey)
@@ -1799,7 +1806,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .select("p_partkey")
     )
     l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
-    branded = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+    branded = l.join(broadcast_if_small(p), l.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     avg_qty = (
@@ -1807,7 +1814,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         .agg((F.avg("l_quantity") * 0.2).alias("qty_cap"))
     )
     return (
-        branded.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("ap_key"))
+        branded.join(broadcast_if_small(avg_qty), F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_cap"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -1866,7 +1873,7 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)),
         )
         .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )

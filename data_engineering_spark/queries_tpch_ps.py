@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_table
+from .operators.joins import broadcast_if_small
 from .registry import query
 
 
@@ -126,8 +127,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     euro = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(broadcast_if_small(p), ps.ps_partkey == p.p_partkey)
+        .join(broadcast_if_small(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -177,11 +178,11 @@ def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(
-            F.broadcast(ps),
+            broadcast_if_small(ps),
             (l.l_partkey == ps.ps_partkey) & (l.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(broadcast_if_small(p), l.l_partkey == p.p_partkey)
+        .join(broadcast_if_small(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -225,7 +226,7 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     base = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(broadcast_if_small(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("ps_partkey")
         .agg(F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("raw_value"))
@@ -269,8 +270,8 @@ def tpch_q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> Da
         .select(F.col("s_suppkey").alias("ps_suppkey"))
     )
     return (
-        ps.join(F.broadcast(flagged), "ps_suppkey", "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(broadcast_if_small(flagged), "ps_suppkey", "left_anti")
+        .join(broadcast_if_small(p), ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("ps_suppkey").cast("long").alias("supplier_cnt"))
     )
