@@ -390,6 +390,19 @@ def run_nl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
 
     schemas = _LazySchemas(spark, sf_dir, list(TABLES))
     sql, tables = _compile(text, schemas)
+    dfs = {}
     for t in tables:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        dfs[t] = load_table(spark, sf_dir, t)
+        dfs[t].createOrReplaceTempView(t)
+    if "/*+ BROADCAST(d) */" in sql and len(tables) == 2:
+        # The join intent's dim (second referenced table) scales with
+        # the corpus — same trap as the flagship's forced dim
+        # broadcasts (SCALE §6b-r7): past the gate, drop the hint and
+        # let AQE pick the join. DuckDB parses the hint as a comment
+        # either way, so the oracle semantics are unchanged.
+        from ..operators.joins import input_bytes
+
+        nbytes = input_bytes(dfs[tables[1]])
+        if nbytes is None or nbytes > (16 << 20):
+            sql = sql.replace("/*+ BROADCAST(d) */ ", "")
     return spark.sql(sql)
