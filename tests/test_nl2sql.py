@@ -198,3 +198,34 @@ def test_run_nl_matches_dataframe_api(spark, sf_dir):
     got = run_nl(spark, sf_dir, "count orders where o_orderstatus = F").collect()[0].n
     want = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").count()
     assert got == want
+
+
+def test_compile_nl_never_miscompiles_garbage():
+    """Totality fuzz: arbitrary word-salad either compiles to valid SQL
+    for a recognized intent or raises NLQueryError — no other exception
+    class, no silent mis-compile. Deterministic generator (no RNG
+    state) over the grammar's keyword vocabulary and junk tokens."""
+    import itertools
+
+    from data_engineering_spark.functions.nl2sql import NLQueryError, compile_nl
+
+    vocab = [
+        "show", "count", "top", "from", "where", "with", "its", "info",
+        "by", "in", "between", "and", "limit", "distinct", "orders",
+        "customer", "o_orderkey", "bogus", ">", "5", "zz", ",",
+    ]
+    n_ok = n_err = 0
+    seeds = ["count orders", "top 5 orders by o_totalprice",
+             "show o_orderkey from orders with its customer info"]
+    for text in itertools.chain(
+        seeds,
+        (" ".join(c) for c in
+         itertools.islice(itertools.product(vocab, repeat=3), 0, None, 7)),
+    ):
+        try:
+            sql = compile_nl(text, SCHEMAS)
+            assert sql.upper().startswith("SELECT"), text
+            n_ok += 1
+        except NLQueryError:
+            n_err += 1
+    assert n_ok >= len(seeds) and n_err > 0  # both branches exercised
