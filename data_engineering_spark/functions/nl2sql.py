@@ -400,9 +400,12 @@ def run_nl(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
         # broadcasts (SCALE §6b-r7): past the gate, drop the hint and
         # let AQE pick the join. DuckDB parses the hint as a comment
         # either way, so the oracle semantics are unchanged.
-        from ..operators.joins import input_bytes
+        from ..operators.joins import BROADCAST_GATE_BYTES, input_bytes
 
         nbytes = input_bytes(dfs[tables[1]])
-        if nbytes is None or nbytes > (16 << 20):
-            sql = sql.replace("/*+ BROADCAST(d) */ ", "")
+        if nbytes is None or nbytes > BROADCAST_GATE_BYTES:
+            # first occurrence only: the real hint always directly
+            # follows SELECT; a user value could legally contain the
+            # same characters inside a quoted literal
+            sql = sql.replace("/*+ BROADCAST(d) */ ", "", 1)
     return spark.sql(sql)

@@ -57,7 +57,13 @@ def input_bytes(df: DataFrame) -> int | None:
     return total
 
 
-def broadcast_if_small(df: DataFrame, limit: int = 16 << 20) -> DataFrame:
+# The single gate every size-conditional broadcast hint shares: 16 MB of
+# parquet, sized for the ~10× parquet→in-memory-row blowup against the
+# session's 64 MB plan threshold. Retune HERE only.
+BROADCAST_GATE_BYTES = 16 << 20
+
+
+def broadcast_if_small(df: DataFrame, limit: int = BROADCAST_GATE_BYTES) -> DataFrame:
     """``F.broadcast(df)`` only when the relation's input files total
     ≤ ``limit`` bytes (16 MB of parquet by default — sized for the ~10×
     parquet→in-memory-row blowup against the session's 64 MB plan
@@ -74,7 +80,14 @@ def broadcast_if_small(df: DataFrame, limit: int = 16 << 20) -> DataFrame:
     ``inputFiles`` on a derived frame resolves to its source scans, so
     the gate is a conservative upper bound for aggregates (a per-part
     average gates on lineitem's bytes — at the SFs where that matters
-    the aggregate is genuinely too big to force anyway)."""
+    the aggregate is genuinely too big to force anyway).
+
+    Unknowable size (``input_bytes`` → None: non-local scheme, no file
+    source) deliberately means NO hint — forcing a broadcast whose size
+    cannot be bounded is exactly the trap this helper exists to close;
+    AQE still broadcasts genuinely-small sides from runtime stats
+    (unless the user disables it with threshold = -1, in which case
+    un-hinted shuffles are the conservative outcome we want)."""
     nbytes = input_bytes(df)
     return F.broadcast(df) if (nbytes is not None and nbytes <= limit) else df
 

@@ -85,8 +85,12 @@ def run_daily(
     t1 = spark.read.parquet(f"{warehouse_dir}/t1_order_summary")
     cust = spark.table("customer")
     nation = spark.table("nation")
+    from ..operators.joins import broadcast_if_small
+
     mart = (
-        t1.join(F.broadcast(cust), t1.o_custkey == cust.c_custkey)
+        # customer scales with the corpus → size-gated hint; nation is
+        # fixed 25 rows → plain broadcast stays
+        t1.join(broadcast_if_small(cust), t1.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
             F.lit(batch_date).alias("bkup_dt"),

@@ -25,10 +25,12 @@ from .functions.scalar import (
 )
 from .operators.aggregations import assemble_vector, distinct_sorted, grouped_pivot, last_wins_merge
 from .operators.joins import (
+    BROADCAST_GATE_BYTES,
     anti_join,
     asof_join,
     broadcast_if_small,
     broadcast_lookup_join,
+    input_bytes,
     left_join_chain,
     semi_join,
 )
@@ -91,15 +93,14 @@ def flagship_serving_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast relation, which is why the gate is 16 MB of parquet
     rather than the session's 64 MB plan threshold. Under the gate the
     hints apply at oracle/bench SFs (plan asserted in test_plans)."""
-    from .operators.joins import input_bytes
-
     lineitem = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     # customer bytes bound the cardinality of BOTH broadcast sides (the
-    # rollup has ≤ one row per custkey)
-    cbytes = input_bytes(_t(spark, sf_dir, "customer"))
-    dims_small = cbytes is not None and cbytes <= (16 << 20)
+    # rollup has ≤ one row per custkey); the projected frame resolves to
+    # the same input files, so no second table load is needed
+    cbytes = input_bytes(customer)
+    dims_small = cbytes is not None and cbytes <= BROADCAST_GATE_BYTES
 
     # The reference (and the oracle SQL) computes two per-status group-bys
     # glued with UNION ALL and re-aggregated (Elastic_indexing.py:133-147).

@@ -4,6 +4,7 @@ must not collide."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -611,9 +612,6 @@ def test_portable_minhash_seeds_are_plan_independent(spark, sf_dir):
             assert bh == band_hash(rows[doc_id], band), (doc_id, band)
 
 
-import pytest
-
-
 @pytest.mark.parametrize("n_batches", [2, 3, 5])
 def test_incremental_replay_is_batching_invariant(spark, n_batches):
     """The central incremental-dedup invariant, pinned across batch
@@ -645,8 +643,6 @@ def test_incremental_replay_is_batching_invariant(spark, n_batches):
     assert one.count() > 0  # planted dups make the invariant non-vacuous
     assert multi.count() == one.count()
     assert multi.exceptAll(one).count() == 0
-
-    import numpy as np
 
     rng = np.random.RandomState(7)
     vecs = rng.normal(size=(20, 16))
