@@ -109,6 +109,7 @@ HEADLINE = [
     "st_streaming_dedup",
     "sim_pq_topk_portable",
     "st_streaming_embed_dedup",
+    "dedup_ngram_jaccard_portable",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job
@@ -131,6 +132,9 @@ VERIFICATION_VARIANTS = {
     # plane family, but still a replay-verification shape — the
     # production surface is the foreachBatch sink)
     "st_streaming_embed_dedup",
+    # string-gram twin of the blocked n-gram chain — production keeps
+    # the xxhash64 fingerprints
+    "dedup_ngram_jaccard_portable",
 }
 
 

@@ -785,6 +785,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     block_keys: int = 4,
     max_bucket: int = 64,
+    gram_impl: str = "xxhash",
 ) -> DataFrame:
     """n-gram Jaccard near-dup with discriminative blocking: each doc is
     keyed by its ``block_keys`` RAREST shingles (by corpus document
@@ -797,12 +798,20 @@ def ngram_jaccard_pairs(
     phrases are rare enough that near-dups share their rarest ones (25/25
     recall vs the minhash ground truth at sf0.01). Verify compares
     xxhash64'd shingle arrays (long compares, not string compares). For
-    corpora where minhash's probabilistic recall is unacceptable."""
+    corpora where minhash's probabilistic recall is unacceptable.
+
+    ``gram_impl="portable"`` swaps the xxhash64 fingerprints for the raw
+    gram STRINGS, so every step — gram sets, document frequencies, the
+    (doc_freq, gram) rarest-key ranking, bucket purge, candidate join,
+    exact Jaccard — is engine-portable and a DuckDB twin reproduces the
+    whole blocking heuristic bit-exactly (tie-breaks order on the gram
+    string both engines compare as plain bytes). String churn makes it
+    ~1.5× the gram-stage CPU of the hashed path; paid only by the
+    oracle-checked variant, same trade as the md5 minhash twin."""
     from pyspark.sql import Window
 
-    sh = _spread(df).select(
-        F.col(id_col), shingle_hashes(text_col, n).alias("shset")
-    )
+    gram = shingles(text_col, n) if gram_impl == "portable" else shingle_hashes(text_col, n)
+    sh = _spread(df).select(F.col(id_col), gram.alias("shset"))
     tok = sh.select(F.col(id_col), F.explode("shset").alias("blk"))
     freq = tok.groupBy("blk").agg(F.count(F.lit(1)).alias("doc_freq"))
     ranked = (

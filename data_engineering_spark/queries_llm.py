@@ -501,7 +501,8 @@ def q_dedup_simhash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dedup(_docs(spark, sf_dir), signature_impl="arrow")
 
 
-@query("dedup_ngram_jaccard")  # rows-only: blocking heuristic has no SQL twin
+@query("dedup_ngram_jaccard")  # rows-only: xxhash64 grams are Spark-specific;
+# the blocking logic itself is hash-proven by dedup_ngram_jaccard_portable
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked n-gram Jaccard near-dup (threshold 0.5)."""
     return ngram_jaccard_pairs(_docs(spark, sf_dir))
@@ -548,6 +549,53 @@ def q_dedup_ngram_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_jaccard_pairs_exact
 
     return ngram_jaccard_pairs_exact(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_ngram_jaccard_portable",
+    r"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+       g AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+             FROM d),
+       sh AS (SELECT DISTINCT doc_id, gr FROM g, unnest(grams) AS t(gr)),
+       freq AS (SELECT gr, CAST(count(*) AS BIGINT) AS doc_freq FROM sh GROUP BY gr),
+       ranked AS (
+         SELECT doc_id, gr FROM (
+           SELECT s.doc_id, s.gr,
+                  row_number() OVER (PARTITION BY s.doc_id
+                                     ORDER BY f.doc_freq ASC, s.gr ASC) AS rn
+           FROM sh s JOIN freq f USING (gr)
+           WHERE f.doc_freq <= 64) r
+         WHERE rn <= 4),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ranked a JOIN ranked b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+       sets AS (SELECT doc_id, list(gr) AS ss FROM sh GROUP BY doc_id)
+       SELECT id_a, id_b,
+              round(len(list_intersect(sa.ss, sb.ss)) * 1.0 /
+                    len(list_distinct(list_concat(sa.ss, sb.ss))), 6) AS jaccard
+       FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+                 JOIN sets sb ON cand.id_b = sb.doc_id
+       WHERE round(len(list_intersect(sa.ss, sb.ss)) * 1.0 /
+                   len(list_distinct(list_concat(sa.ss, sb.ss))), 6) >= 0.5""",
+)
+def q_dedup_ngram_jaccard_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup with a HARD oracle over the
+    BLOCKING HEURISTIC itself — the check `dedup_ngram_exact` (all-pairs
+    baseline) cannot provide: a blocked variant could silently drop
+    candidates and still agree with the exact baseline wherever blocking
+    happens to recall them. This twin swaps xxhash64 gram fingerprints
+    for the raw gram strings (``gram_impl="portable"``), so DuckDB
+    re-derives every stage — distinct gram sets, per-gram document
+    frequency, the ≤64 non-discriminative-bucket purge, the
+    (doc_freq, gram) rarest-4 ranking with its string tie-break, the
+    same-key candidate join, and the exact-Jaccard verify — and the
+    driver hash-compares the pair set. Proves the production blocking
+    logic (`operators/dedup.py:ngram_jaccard_pairs`) exactly, not merely
+    its output where recall was lucky; same verification-variant trade
+    as `dedup_minhash_portable` (string-gram CPU paid only here)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), gram_impl="portable")
 
 
 _PASSAGE_ORACLE = f"""

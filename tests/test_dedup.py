@@ -147,6 +147,28 @@ def test_ngram_jaccard_pairs(planted):
     assert (1, 3) in pairs and 0.4 <= pairs[(1, 3)] < 1.0
 
 
+def test_ngram_jaccard_portable_agrees_with_hashed(spark, sf_dir):
+    """The string-gram oracle twin and the xxhash64 production path must
+    emit the same (pair, jaccard) set: set semantics (distinct grams,
+    intersect/union sizes) are hash-invariant, and the blocking key order
+    (doc_freq, gram) differs between them ONLY when two grams tie on
+    doc_freq AND the hash order inverts the string order — which can
+    swap which rarest-4 keys a doc blocks on but, on the planted corpus,
+    must not change the verified pair set."""
+    from data_engineering_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    portable = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, gram_impl="portable").collect()
+    }
+    assert hashed == portable
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [

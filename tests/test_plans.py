@@ -199,6 +199,10 @@ def test_shuffle_budgets(spark, sf_dir):
         # that a refactor adding an exchange per ingest step jumps ≥4
         "st_streaming_dedup": 90,
         "st_streaming_embed_dedup": 50,
+        # blocked gram chain: freq agg, rank window, candidate self-join,
+        # pair distinct, two verify joins — every post-blocking exchange
+        # moves candidate-bounded rows, never the corpus
+        "dedup_ngram_jaccard_portable": 10,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
