@@ -110,6 +110,7 @@ HEADLINE = [
     "sim_pq_topk_portable",
     "st_streaming_embed_dedup",
     "dedup_ngram_jaccard_portable",
+    "ts_downsample_lttb_portable",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job
@@ -135,6 +136,8 @@ VERIFICATION_VARIANTS = {
     # string-gram twin of the blocked n-gram chain — production keeps
     # the xxhash64 fingerprints
     "dedup_ngram_jaccard_portable",
+    # exact-integer LTTB recursion — production keeps the numpy kernel
+    "ts_downsample_lttb_portable",
 }
 
 

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["lttb", "lttb_downsample"]
+__all__ = ["lttb", "lttb_downsample", "lttb_fixed", "lttb_downsample_portable"]
 
 
 def lttb(x: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
@@ -90,6 +90,102 @@ def lttb_downsample(
                 "x_epoch": x[keep],
                 "y": y[keep],
                 "pos": keep,
+            }
+        )
+
+    return (
+        df.select(series_col, x_col, y_col)
+        .groupBy(series_col)
+        .applyInPandas(downsample, schema=out_schema)
+    )
+
+
+def lttb_fixed(x: list, y: list, k: int) -> list:
+    """LTTB selection over INTEGER coordinates with exact (arbitrary-
+    precision) arithmetic — the engine-portable twin of :func:`lttb`.
+
+    Same greedy algorithm, but the bucket centroid is never divided out:
+    with centroid (sx/cnt, sy/cnt), the triangle area comparison is
+    multiplied through by cnt, so every candidate's figure of merit
+
+        |(ax·cnt − sx)·(y − ay) − (ax − x)·(sy − ay·cnt)|
+
+    is a plain integer — no float summation order, no rounding, no
+    argmax tie decided by the last bit of a pairwise-summed mean. That
+    makes the selection reproducible by any engine with exact integer
+    arithmetic (DuckDB runs the identical recursion in HUGEINT), which
+    is what turns the 'greedy sequential selection' into an
+    oracle-checkable query. Products reach ~1e24 (µs·count·fixed-point
+    span), so the kernel runs on Python ints, not numpy int64."""
+    n = len(x)
+    if k >= n or k < 3:
+        return list(range(n))
+    bounds = [(b * (n - 2)) // (k - 2) + 1 for b in range(k - 1)] + [n - 1]
+    keep = [0]
+    prev = 0
+    for b in range(k - 2):
+        lo, hi = bounds[b], bounds[b + 1]
+        nlo, nhi = (bounds[b + 1], bounds[b + 2]) if b < k - 3 else (n - 1, n)
+        cnt = nhi - nlo
+        sx, sy = sum(x[nlo:nhi]), sum(y[nlo:nhi])
+        ax, ay = x[prev], y[prev]
+        best = None
+        for p in range(lo, hi):
+            area2 = abs((ax * cnt - sx) * (y[p] - ay) - (ax - x[p]) * (sy - ay * cnt))
+            if best is None or area2 > best[0]:
+                best = (area2, p)
+        prev = best[1]
+        keep.append(prev)
+    keep.append(n - 1)
+    return keep
+
+
+def lttb_downsample_portable(
+    df: DataFrame,
+    k: int = 50,
+    series_col: str = "event_type",
+    x_col: str = "ts",
+    y_col: str = "value",
+) -> DataFrame:
+    """Exact-arithmetic LTTB downsampling — the oracle-verification twin
+    of :func:`lttb_downsample`. Identical distribution shape (one
+    groupBy exchange, kernel-local selection, k rows out per series) but
+    the kernel quantizes to integers first — x as epoch MICROSECONDS, y
+    as round-half-up 1e-6 fixed point — and selects via
+    :func:`lttb_fixed`, so a DuckDB recursive CTE re-derives the full
+    greedy recursion bit-for-bit (same quantization: ``epoch_us(ts)``,
+    ``floor(value*1e6 + 0.5)``). Output carries the selected point's
+    original double ``y`` untouched plus exact-integer ``x_us``, so the
+    driver's value hash has no float-derived column at all. The
+    quantization can in principle pick a different point than the
+    float kernel where two triangle areas differ only in the sub-1e-6
+    tail — which is exactly the tie the float path resolves by
+    summation-order luck; the fixed-point rule is the deterministic one.
+    Python-int loop ≈ O(points) per series: the verification-variant
+    cost, paid only here (production keeps the numpy kernel)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("pos", T.LongType()),
+            T.StructField("x_us", T.LongType()),
+            T.StructField("y", T.DoubleType()),
+        ]
+    )
+
+    def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([x_col, y_col], kind="mergesort").reset_index(drop=True)
+        # Arrow hands the kernel datetime64[ns]; ns → µs is an exact
+        # integer floor-div (micros-precision inputs have zero sub-µs)
+        x = (pdf[x_col].astype("int64") // 1000).tolist()
+        yv = pdf[y_col].to_numpy(dtype="float64")
+        yf = np.floor(yv * 1e6 + 0.5).astype("int64").tolist()
+        keep = lttb_fixed(x, yf, k)
+        return pd.DataFrame(
+            {
+                "series": pdf[series_col].iloc[keep],
+                "pos": np.asarray(keep, dtype="int64"),
+                "x_us": [x[p] for p in keep],
+                "y": yv[keep],
             }
         )
 

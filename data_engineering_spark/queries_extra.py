@@ -1152,7 +1152,9 @@ def q_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ts_downsample_lttb")  # rows-only: greedy sequential selection, no SQL twin
+@query("ts_downsample_lttb")  # rows-only: float numpy kernel is summation-
+# order-specific; the greedy recursion itself is hash-proven by
+# ts_downsample_lttb_portable's exact-integer twin
 def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape-preserving series downsampling (LTTB,
     operators/timeseries.py): each event_type's raw (ts, value) stream
@@ -1160,11 +1162,99 @@ def q_ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce-before-dashboard step that makes plotting a 100 TB stream
     possible. One groupBy exchange co-locates each series; the greedy
     bucket selection runs kernel-local in applyInPandas and emits k rows
-    per series. Sequential/greedy ⇒ no SQL twin; semantics pinned by
-    endpoint/monotonicity/membership tests."""
+    per series. The float kernel's pairwise-summed centroids have no
+    bit-stable SQL twin, so this row stays rows-only — but the greedy
+    recursion itself is hash-proven by `ts_downsample_lttb_portable`
+    (exact-integer twin, DuckDB recursive CTE); endpoints/monotonicity/
+    membership are additionally pinned by tests."""
     from .operators.timeseries import lttb_downsample
 
     return lttb_downsample(_t(spark, sf_dir, "events"), k=50)
+
+
+# The exact-integer LTTB recursion as one DuckDB recursive CTE (k = 50 →
+# 48 interior buckets, last interior bucket anchors on the final point).
+# `sel` carries (series, bucket, previously-selected point); each step
+# joins the next bucket's candidate points with the precomputed
+# next-bucket centroid sums and picks via min() over a struct — DuckDB
+# compares structs lexicographically, so (−area², pos, …) is exactly the
+# kernel's "largest area, ties to lowest index" rule, in HUGEINT.
+_LTTB_PORTABLE_ORACLE = """
+WITH RECURSIVE
+pts AS (
+  SELECT event_type AS series,
+         epoch_us(ts) AS x,
+         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS yf,
+         value AS y,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, value) - 1 AS pos,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+big AS (SELECT DISTINCT series, n FROM pts WHERE n > 50),
+bkt AS (
+  SELECT series, n, b,
+         (b * (n - 2)) // 48 + 1 AS lo,
+         ((b + 1) * (n - 2)) // 48 + 1 AS hi
+  FROM big CROSS JOIN (SELECT unnest(range(48)) AS b) t),
+nxt AS (
+  SELECT bk.series, bk.b,
+         CAST(count(*) AS HUGEINT) AS cnt,
+         CAST(sum(p.x) AS HUGEINT) AS sx,
+         CAST(sum(p.yf) AS HUGEINT) AS sy
+  FROM bkt bk
+  JOIN bkt bk2 ON bk2.series = bk.series AND bk2.b = bk.b + 1
+  JOIN pts p ON p.series = bk.series AND p.pos >= bk2.lo AND p.pos < bk2.hi
+  WHERE bk.b < 47
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT p.series, 47, CAST(1 AS HUGEINT), CAST(p.x AS HUGEINT), CAST(p.yf AS HUGEINT)
+  FROM pts p JOIN big USING (series) WHERE p.pos = big.n - 1),
+sel AS (
+  SELECT series, CAST(-1 AS BIGINT) AS b, pos, x AS px, yf AS pyf
+  FROM pts WHERE pos = 0 AND n > 50
+  UNION ALL
+  SELECT u.series, u.b, u.pick.p AS pos, u.pick.x AS px, u.pick.yf AS pyf FROM (
+    SELECT s.series, s.b + 1 AS b,
+           min(struct_pack(
+                 na := -abs((CAST(s.px AS HUGEINT) * nx.cnt - nx.sx) * (p.yf - s.pyf)
+                            - CAST(s.px - p.x AS HUGEINT)
+                              * (nx.sy - CAST(s.pyf AS HUGEINT) * nx.cnt)),
+                 p := p.pos, x := p.x, yf := p.yf)) AS pick
+    FROM sel s
+    JOIN bkt bk ON bk.series = s.series AND bk.b = s.b + 1
+    JOIN nxt nx ON nx.series = s.series AND nx.b = s.b + 1
+    JOIN pts p ON p.series = s.series AND p.pos >= bk.lo AND p.pos < bk.hi
+    GROUP BY s.series, s.b
+  ) u),
+all_sel AS (
+  SELECT series, pos FROM sel
+  UNION ALL
+  SELECT series, n - 1 FROM big
+  UNION ALL
+  SELECT series, pos FROM pts WHERE n <= 50)
+SELECT p.series, p.pos, p.x AS x_us, p.y
+FROM all_sel a JOIN pts p ON p.series = a.series AND p.pos = a.pos
+"""
+
+
+@query("ts_downsample_lttb_portable", _LTTB_PORTABLE_ORACLE)
+def q_ts_downsample_lttb_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling with a HARD oracle over the greedy recursion —
+    the query this pack long claimed impossible ('sequential/greedy ⇒ no
+    SQL twin'). The twin quantizes to integers (x = epoch µs, y = 1e-6
+    fixed point) and multiplies the centroid division out of the
+    triangle-area comparison, so the whole selection is exact integer
+    arithmetic; a DuckDB RECURSIVE CTE then replays the per-bucket
+    argmax chain in HUGEINT and the driver hash-compares the selected
+    points. Proves bucket boundaries, the next-bucket centroid
+    (including the last-bucket → final-point anchor edge case), the
+    area formula, and the ties-to-lowest-index rule — everything the
+    production kernel's monotonicity/membership tests could only
+    sample. Production (`ts_downsample_lttb`) keeps the float numpy
+    kernel; this is its verification variant (same single groupBy
+    exchange, k rows per series)."""
+    from .operators.timeseries import lttb_downsample_portable
+
+    return lttb_downsample_portable(_t(spark, sf_dir, "events"), k=50)
 
 
 @query(

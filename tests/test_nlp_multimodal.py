@@ -454,6 +454,29 @@ def test_lttb_kernel_properties():
     assert list(lttb(np.arange(100, dtype=np.float64), y3, 3)) == [0, 55, 99]
 
 
+def test_lttb_fixed_agrees_with_float_kernel():
+    """The exact-integer kernel must pick the same points as the float
+    kernel away from quantization ties: same series (µs x, 1e-6
+    fixed-point y vs epoch-seconds/double), same spike, same endpoints.
+    Planted spikes dominate their buckets by orders of magnitude, so a
+    sub-1e-6 quantization delta can never flip the argmax here."""
+    import numpy as np
+
+    from data_engineering_spark.operators.timeseries import lttb, lttb_fixed
+
+    rng = np.random.default_rng(11)
+    n = 600
+    x_us = (1_700_000_000_000_000 + np.arange(n) * 60_000_000).astype("int64")
+    y = np.round(np.sin(np.arange(n) / 15) * 100 + rng.normal(0, 1, n), 3)
+    y[311] = 10_000.0
+    f_idx = lttb(x_us / 1e6, y, 40)
+    i_idx = lttb_fixed(x_us.tolist(), np.floor(y * 1e6 + 0.5).astype("int64").tolist(), 40)
+    assert list(f_idx) == list(i_idx)
+    assert 311 in i_idx
+    # identity branch
+    assert lttb_fixed(x_us[:7].tolist(), y[:7].astype("int64").tolist(), 40) == list(range(7))
+
+
 def test_lttb_downsample_spark_contract(spark, sf_dir):
     from data_engineering_spark.catalog import load_table
     from data_engineering_spark.operators.timeseries import lttb_downsample

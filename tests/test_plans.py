@@ -203,6 +203,8 @@ def test_shuffle_budgets(spark, sf_dir):
         # pair distinct, two verify joins — every post-blocking exchange
         # moves candidate-bounded rows, never the corpus
         "dedup_ngram_jaccard_portable": 10,
+        # one series-key exchange; the greedy selection is kernel-local
+        "ts_downsample_lttb_portable": 1,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
