@@ -111,6 +111,7 @@ HEADLINE = [
     "st_streaming_embed_dedup",
     "dedup_ngram_jaccard_portable",
     "ts_downsample_lttb_portable",
+    "curate_pack_ffd_portable",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job
@@ -138,6 +139,9 @@ VERIFICATION_VARIANTS = {
     "dedup_ngram_jaccard_portable",
     # exact-integer LTTB recursion — production keeps the numpy kernel
     "ts_downsample_lttb_portable",
+    # md5-partitioned FFD packing — production namespaces bins by
+    # spark_partition_id
+    "curate_pack_ffd_portable",
 }
 
 

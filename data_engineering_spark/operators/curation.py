@@ -305,6 +305,7 @@ def pack_ffd(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int | None = None,
+    partition_impl: str = "spark",
 ) -> DataFrame:
     """First-fit-decreasing sequence packing, parallel form: documents are
     hash-partitioned by id, each partition bin-packs its docs FFD into
@@ -325,15 +326,28 @@ def pack_ffd(
     ``block``-doc chunks of the size-sorted order — bins never span
     blocks, bounding the scan at O(docs x block) = linear. The quality
     loss is the same partial-tail-bins argument the partition split
-    already makes, applied once more."""
+    already makes, applied once more.
+
+    ``partition_impl="portable"`` swaps ``spark_partition_id`` (an
+    execution artifact no other engine can reproduce) for the md5
+    bucket of the doc id (:func:`hash_bucket` % ``num_partitions``).
+    Identical algorithm, identical distribution shape (one group-key
+    exchange), but the group assignment — and therefore every bin id —
+    becomes a pure function of the data, so a DuckDB recursive CTE can
+    replay the whole FFD recursion and hash-match the packing. Also the
+    right choice whenever bin assignments must survive reruns/backfills
+    (same reproducibility argument as the md5 split/sampler)."""
     import pandas as pd
 
     block = 4096
 
     src = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
-    if num_partitions:
-        src = src.repartition(num_partitions, id_col)
-    src = src.withColumn("pid", F.spark_partition_id())
+    if partition_impl == "portable":
+        src = src.withColumn("pid", hash_bucket(id_col, num_partitions or 8))
+    else:
+        if num_partitions:
+            src = src.repartition(num_partitions, id_col)
+        src = src.withColumn("pid", F.spark_partition_id())
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["n_tokens", id_col], ascending=[False, True])

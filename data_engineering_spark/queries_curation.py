@@ -247,13 +247,82 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_nll(_docs(spark, sf_dir))
 
 
-@query("curate_pack_ffd")  # rows-only: partition-local bin ids have no SQL twin
+@query("curate_pack_ffd")  # rows-only: spark_partition_id bin namespaces
+# are execution artifacts; the FFD recursion itself is hash-proven by
+# curate_pack_ffd_portable's md5-partitioned twin
 def q_pack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-fit-decreasing packing, parallel form (operators/curation.py:
     pack_ffd): each partition packs independently, bin ids namespaced by
     partition. Invariants (no bin overflow, every doc packed once)
     asserted in tests/test_curation.py."""
     return pack_ffd(_docs(spark, sf_dir), capacity=256, num_partitions=8)
+
+
+# The per-group FFD loop as a DuckDB recursive CTE: state = (group, rank,
+# open-bin remaining-capacity list); each step consumes the group's next
+# doc in (tokens DESC, id) order, puts it in the FIRST bin that fits
+# (NULLIF(list_position(...), 0) — DuckDB signals "no fit" as 0) or opens
+# a new bin, and re-derives the same 4096-doc block reset the kernel uses
+# to bound its scan. Bin ids namespace as (md5-pid << 40) + local index,
+# exactly the kernel's arithmetic.
+_PACK_FFD_PORTABLE_ORACLE = r"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS t,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 8 AS pid
+  FROM documents),
+rk AS (
+  SELECT doc_id, t, pid,
+         row_number() OVER (PARTITION BY pid ORDER BY t DESC, doc_id) AS r
+  FROM d),
+st AS (
+  SELECT pid, CAST(0 AS BIGINT) AS r, CAST([] AS BIGINT[]) AS bins,
+         CAST(0 AS BIGINT) AS bin_base,
+         CAST(NULL AS BIGINT) AS local_bin, CAST(NULL AS BIGINT) AS doc_id,
+         CAST(NULL AS BIGINT) AS t
+  FROM (SELECT DISTINCT pid FROM rk)
+  UNION ALL
+  SELECT u.pid, u.r,
+         CASE WHEN u.idx IS NULL THEN list_append(u.ebins, greatest(256 - u.t, 0))
+              ELSE list_concat(list_concat(u.ebins[1:u.idx-1], [u.ebins[u.idx] - u.t]),
+                               u.ebins[u.idx+1:]) END AS bins,
+         u.ebase AS bin_base,
+         CASE WHEN u.idx IS NULL THEN u.ebase + len(u.ebins)
+              ELSE u.ebase + u.idx - 1 END AS local_bin,
+         u.doc_id, u.t
+  FROM (
+    SELECT s.pid, k.r, k.doc_id, k.t,
+           CASE WHEN s.r > 0 AND s.r % 4096 = 0 THEN CAST([] AS BIGINT[]) ELSE s.bins END AS ebins,
+           CASE WHEN s.r > 0 AND s.r % 4096 = 0 THEN s.bin_base + len(s.bins) ELSE s.bin_base END AS ebase,
+           NULLIF(list_position(
+             list_transform(CASE WHEN s.r > 0 AND s.r % 4096 = 0
+                                 THEN CAST([] AS BIGINT[]) ELSE s.bins END,
+                            x -> x >= k.t), true), 0) AS idx
+    FROM st s JOIN rk k ON k.pid = s.pid AND k.r = s.r + 1
+  ) u)
+SELECT doc_id, CAST(t AS INTEGER) AS n_tokens, (pid << 40) + local_bin AS bin_id
+FROM st WHERE doc_id IS NOT NULL
+"""
+
+
+@query("curate_pack_ffd_portable", _PACK_FFD_PORTABLE_ORACLE)
+def q_pack_ffd_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing with a HARD oracle over the
+    packing recursion — the second 'sequential ⇒ no SQL twin' claim
+    retired this round (after LTTB). The only engine-specific piece of
+    `pack_ffd` was the `spark_partition_id` bin namespace; swapping it
+    for the md5 doc-id bucket (`partition_impl="portable"`) makes every
+    bin id a pure function of the data, and a DuckDB RECURSIVE CTE
+    replays the exact greedy loop — size-sorted order, first-fit scan,
+    open-bin state, oversized-doc zero-capacity bins, the 4096-doc
+    block reset — so the driver hash-compares (doc, n_tokens, bin_id)
+    triples. Same single group-key exchange and O(docs × block) kernel
+    as production; the md5 grouping is also what a rerun-stable
+    deployment should use (bin membership survives repartitioning)."""
+    return pack_ffd(
+        _docs(spark, sf_dir), capacity=256, num_partitions=8, partition_impl="portable"
+    )
 
 
 @query(

@@ -136,6 +136,34 @@ def test_pack_ffd_invariants(spark, sf_dir):
     assert again == {(r["doc_id"], r["bin_id"]) for r in rows}
 
 
+def test_pack_ffd_portable_is_layout_independent(spark, sf_dir):
+    """The md5-partitioned variant's bin ids must be a pure function of
+    the data: identical assignments no matter how the input is
+    physically partitioned — the property spark_partition_id namespacing
+    cannot have, and the one that makes the DuckDB oracle possible.
+    Same packing invariants as the spark-pid path."""
+    from data_engineering_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r["doc_id"], r["bin_id"])
+        for r in pack_ffd(docs, capacity=256, partition_impl="portable").collect()
+    }
+    b = {
+        (r["doc_id"], r["bin_id"])
+        for r in pack_ffd(
+            docs.repartition(13), capacity=256, partition_impl="portable"
+        ).collect()
+    }
+    assert a == b
+    fill: dict[int, int] = {}
+    rows = pack_ffd(docs, capacity=256, partition_impl="portable").collect()
+    for r in rows:
+        fill[r["bin_id"]] = fill.get(r["bin_id"], 0) + r["n_tokens"]
+    assert all(v <= 256 for v in fill.values())
+    assert len({r["doc_id"] for r in rows}) == len(rows) == docs.count()
+
+
 def test_mixture_weights_flatten(spark):
     rows = [(i, "tok " * 10, "en") for i in range(30)] + [
         (100 + i, "tok " * 10, "de") for i in range(10)

@@ -205,6 +205,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_ngram_jaccard_portable": 10,
         # one series-key exchange; the greedy selection is kernel-local
         "ts_downsample_lttb_portable": 1,
+        # one md5-group exchange; the FFD loop is kernel-local
+        "curate_pack_ffd_portable": 1,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
