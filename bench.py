@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_portable",
     "ts_downsample_lttb_portable",
     "curate_pack_ffd_portable",
+    "nlp_subword_tokenize",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

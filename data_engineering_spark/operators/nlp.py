@@ -41,6 +41,8 @@ __all__ = [
     "tfidf_keywords",
     "SplitSentences",
     "split_sentences",
+    "subword_vocab",
+    "subword_encode_words",
 ]
 
 _WORD_RE = re.compile(r"[A-Za-z0-9가-힣]+")
@@ -226,3 +228,86 @@ def split_sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
         f"""SELECT d.{id_col}, s.sent_no, s.sentence
             FROM __split_sentences_in d, LATERAL split_sentences_udtf(d.{text_col}) s"""
     )
+
+
+def subword_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 24,
+    max_len: int = 4,
+) -> list[str]:
+    """Frequency-derived subword vocabulary: the ``vocab_size`` highest-
+    weight substrings (length 2..``max_len``) of the corpus's words,
+    weighted by word occurrence count, ties broken by the substring
+    itself so the cutoff is deterministic in any engine.
+
+    Scale shape — everything after the first aggregation is
+    VOCABULARY-bounded, not corpus-bounded: one partial-agg shuffle
+    produces (distinct word, count); the substring explode fans out over
+    distinct words only (≤ |vocab| · max_len² rows, regardless of corpus
+    size); the top-N is a TakeOrdered; and the returned list is
+    ``vocab_size`` strings — a bounded driver transfer in the same class
+    as the PQ/IVF codebook collects. A real deployment would persist the
+    list and reuse it across runs (training the vocabulary is a once-
+    per-corpus step, like any tokenizer's)."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    subs = (
+        words.select(
+            "word",
+            "wc",
+            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+        )
+        .select(
+            "word", "wc", "s", F.explode(F.sequence(F.lit(2), F.lit(max_len))).alias("l")
+        )
+        .filter(F.col("s") + F.col("l") - 1 <= F.length("word"))
+        .select(F.expr("substring(word, s, l)").alias("sub"), "wc")
+        .groupBy("sub")
+        .agg(F.sum("wc").alias("weight"))
+    )
+    top = subs.orderBy(F.col("weight").desc(), F.col("sub")).limit(vocab_size)
+    return [r["sub"] for r in top.collect()]
+
+
+def subword_encode_words(
+    words_df: DataFrame, vocab: list[str], word_col: str = "word"
+) -> DataFrame:
+    """Greedy longest-match-first subword segmentation (the WordPiece
+    decode rule) of each DISTINCT word against a fixed vocabulary: at
+    every position take the longest vocabulary substring starting there,
+    falling back to the single character when nothing matches — total,
+    deterministic, and a pure function of (word, vocab), which is what
+    lets a DuckDB recursive CTE replay it token by token.
+
+    The vocabulary rides the Arrow UDF closure (it is vocab_size
+    strings — broadcast-by-closure, no join), and the input is the
+    distinct-words frame, so a 100 TB corpus pays the Python loop once
+    per VOCABULARY entry, not once per token occurrence — dictionary-
+    encode first, join back after, the same trick every columnar engine
+    plays. Swap ``vocab`` for a trained BPE/WordPiece list to get a real
+    tokenizer; the greedy rule is exactly WordPiece's."""
+    vset = set(vocab)
+    mx = max((len(v) for v in vocab), default=1)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def enc(ws: pd.Series) -> pd.Series:
+        out = []
+        for word in ws:
+            toks: list[str] = []
+            p, n = 0, len(word)
+            while p < n:
+                t = word[p]
+                for l in range(min(mx, n - p), 1, -1):
+                    if word[p : p + l] in vset:
+                        t = word[p : p + l]
+                        break
+                toks.append(t)
+                p += len(t)
+            out.append(toks)
+        return pd.Series(out)
+
+    return words_df.withColumn("subtokens", enc(word_col))

@@ -192,6 +192,86 @@ def q_nlp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Greedy longest-match subword segmentation, end to end in SQL: vocab =
+# top-24 substrings (len 2..4) of the distinct words weighted by word
+# frequency (ties → substring ASC, so the cutoff is deterministic); the
+# encoder is a recursive CTE advancing one token per step — the LEFT
+# JOIN probes every vocab entry at the current position and
+# max(matched length) with a coalesce-to-1 fallback is exactly
+# "longest match, else single char".
+_SUBWORD_ORACLE = r"""
+WITH RECURSIVE
+w AS (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+        FROM documents)
+  GROUP BY 1),
+subs AS (
+  SELECT substr(word, s, l) AS sub, CAST(sum(wc) AS BIGINT) AS weight
+  FROM w
+  CROSS JOIN (SELECT unnest(range(1, 61)) AS s) ss
+  CROSS JOIN (SELECT unnest(range(2, 5)) AS l) ll
+  WHERE s + l - 1 <= len(word)
+  GROUP BY 1),
+vocab AS (SELECT sub, len(sub) AS sl FROM subs ORDER BY weight DESC, sub LIMIT 24),
+enc AS (
+  SELECT word, CAST(1 AS BIGINT) AS pos, CAST([] AS VARCHAR[]) AS toks FROM w
+  UNION ALL
+  SELECT u.word, u.pos + u.tlen, list_append(u.toks, substr(u.word, u.pos, u.tlen))
+  FROM (
+    SELECT e.word, e.pos, e.toks,
+           coalesce(max(CASE WHEN substr(e.word, e.pos, v.sl) = v.sub THEN v.sl END), 1) AS tlen
+    FROM enc e LEFT JOIN vocab v ON substr(e.word, e.pos, v.sl) = v.sub
+    WHERE e.pos <= len(e.word)
+    GROUP BY e.word, e.pos, e.toks
+  ) u)
+SELECT e.word, w.wc AS word_freq,
+       CAST(len(e.toks) AS BIGINT) AS n_subwords,
+       array_to_string(e.toks, '|') AS subtokens
+FROM enc e JOIN w USING (word)
+WHERE e.pos > len(e.word)
+"""
+
+
+@query("nlp_subword_tokenize", _SUBWORD_ORACLE)
+def q_nlp_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization (WordPiece's greedy longest-match rule) with
+    the vocabulary DERIVED from the corpus and the whole pipeline —
+    vocabulary selection AND per-word segmentation — hash-checked
+    against a DuckDB twin. Upgrades the regex token counter
+    (`text_token_count`) to a real segmenter: `subword_vocab` takes the
+    top-24 frequency-weighted substrings (deterministic tie-break), and
+    `subword_encode_words` greedily segments each distinct word,
+    single-char fallback for uncovered spans.
+
+    Scale shape (operators/nlp.py): the corpus is scanned once for word
+    counts; everything downstream — substring explode, vocab top-k,
+    the Python encode loop — runs over DISTINCT words (dictionary
+    encoding), so cost scales with vocabulary, not tokens. The vocab is
+    a bounded TakeOrdered collect riding the UDF closure; swapping in a
+    trained BPE/WordPiece list is the production seam (same greedy
+    rule). Output is one row per distinct word (word, corpus frequency,
+    subword count, '|'-joined segmentation) — the tokenizer's full
+    behavior surface, hash-compared."""
+    from .operators.nlp import subword_encode_words, subword_vocab
+    from .operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("word_freq"))
+    )
+    vocab = subword_vocab(docs, vocab_size=24, max_len=4)
+    enc = subword_encode_words(words, vocab)
+    return enc.select(
+        "word",
+        F.col("word_freq").cast("long").alias("word_freq"),
+        F.size("subtokens").cast("long").alias("n_subwords"),
+        F.concat_ws("|", "subtokens").alias("subtokens"),
+    )
+
+
 @query(
     "nlp_split_sentences",
     """WITH planted AS (

@@ -25,6 +25,34 @@ def test_tokenize_pandas(spark):
     assert toks == ["hello", "world", "hello"]
 
 
+def test_subword_greedy_longest_match(spark):
+    """The greedy rule, pinned on a crafted vocab: longest vocabulary
+    match wins at each position, uncovered spans fall back to single
+    chars, empty input yields no tokens, and the derived vocab's
+    tie-break is deterministic."""
+    from data_engineering_spark.operators.nlp import subword_encode_words, subword_vocab
+
+    words = spark.createDataFrame(
+        [("interstellar",), ("stellar",), ("xyz",), ("",)], ["word"]
+    )
+    vocab = ["inter", "stell", "ar", "in", "te"]
+    got = {
+        r.word: list(r.subtokens)
+        for r in subword_encode_words(words, vocab).collect()
+    }
+    assert got["interstellar"] == ["inter", "stell", "ar"]  # longest beats "in"/"te"
+    assert got["stellar"] == ["stell", "ar"]
+    assert got["xyz"] == ["x", "y", "z"]  # single-char fallback
+    assert got[""] == []
+    # vocab derivation: deterministic and frequency-ordered
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab cd cd")], ["doc_id", "text"]
+    )
+    v = subword_vocab(docs, vocab_size=3, max_len=3)
+    assert v[0] == "ab"  # weight 6 (3 occurrences of 'abab' x 2 positions)
+    assert len(v) == 3 == len(set(v))
+
+
 def test_keyword_extract_grouped(spark):
     rows = [
         (1, "spark spark spark shuffle shuffle join"),

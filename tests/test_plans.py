@@ -207,6 +207,8 @@ def test_shuffle_budgets(spark, sf_dir):
         "ts_downsample_lttb_portable": 1,
         # one md5-group exchange; the FFD loop is kernel-local
         "curate_pack_ffd_portable": 1,
+        # one word-count partial agg; encode runs over distinct words
+        "nlp_subword_tokenize": 1,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
