@@ -113,6 +113,7 @@ HEADLINE = [
     "ts_downsample_lttb_portable",
     "curate_pack_ffd_portable",
     "nlp_subword_tokenize",
+    "nlp_subword_doc_tokens",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

@@ -199,8 +199,7 @@ def q_nlp_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JOIN probes every vocab entry at the current position and
 # max(matched length) with a coalesce-to-1 fallback is exactly
 # "longest match, else single char".
-_SUBWORD_ORACLE = r"""
-WITH RECURSIVE
+_SUBWORD_CTES = r"""
 w AS (
   SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
   FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
@@ -224,12 +223,17 @@ enc AS (
     FROM enc e LEFT JOIN vocab v ON substr(e.word, e.pos, v.sl) = v.sub
     WHERE e.pos <= len(e.word)
     GROUP BY e.word, e.pos, e.toks
-  ) u)
-SELECT e.word, w.wc AS word_freq,
-       CAST(len(e.toks) AS BIGINT) AS n_subwords,
-       array_to_string(e.toks, '|') AS subtokens
-FROM enc e JOIN w USING (word)
-WHERE e.pos > len(e.word)
+  ) u),
+done AS (SELECT word, toks FROM enc WHERE pos > len(word))
+"""
+
+_SUBWORD_ORACLE = f"""
+WITH RECURSIVE
+{_SUBWORD_CTES}
+SELECT d.word, w.wc AS word_freq,
+       CAST(len(d.toks) AS BIGINT) AS n_subwords,
+       array_to_string(d.toks, '|') AS subtokens
+FROM done d JOIN w USING (word)
 """
 
 
@@ -269,6 +273,50 @@ def q_nlp_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("word_freq").cast("long").alias("word_freq"),
         F.size("subtokens").cast("long").alias("n_subwords"),
         F.concat_ws("|", "subtokens").alias("subtokens"),
+    )
+
+
+@query(
+    "nlp_subword_doc_tokens",
+    f"""WITH RECURSIVE
+{_SUBWORD_CTES},
+wn AS (SELECT word, CAST(len(toks) AS BIGINT) AS n FROM done),
+tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+        FROM documents)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wn.n) AS BIGINT) AS n_subwords
+FROM tok t JOIN wn USING (word)
+GROUP BY t.doc_id""",
+)
+def q_nlp_subword_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword token counts — the number every training
+    pipeline actually bills, packs, and mixes by. Demonstrates the
+    dictionary-encode-then-join-back pattern at document level: the
+    greedy segmenter runs once per DISTINCT word (vocabulary-bounded),
+    the resulting (word → n_subwords) map is broadcast (it is the
+    vocabulary, small by construction), and the corpus pays one
+    explode + broadcast-join + doc-keyed partial agg — two corpus-side
+    shuffles total, none proportional to vocabulary size. Oracle: the
+    same recursive segmentation CTEs joined back to the exploded token
+    stream."""
+    from .operators.nlp import subword_encode_words, subword_vocab
+    from .operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens("text")).alias("word"))
+    words = tok.select("word").distinct()
+    vocab = subword_vocab(docs, vocab_size=24, max_len=4)
+    wn = subword_encode_words(words, vocab).select(
+        "word", F.size("subtokens").cast("long").alias("n")
+    )
+    return (
+        tok.join(F.broadcast(wn), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n").cast("long").alias("n_subwords"),
+        )
     )
 
 

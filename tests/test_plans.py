@@ -209,6 +209,9 @@ def test_shuffle_budgets(spark, sf_dir):
         "curate_pack_ffd_portable": 1,
         # one word-count partial agg; encode runs over distinct words
         "nlp_subword_tokenize": 1,
+        # distinct-words agg + doc-keyed partial agg; the word→count map
+        # joins back as a broadcast
+        "nlp_subword_doc_tokens": 2,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
