@@ -42,6 +42,7 @@ __all__ = [
     "SplitSentences",
     "split_sentences",
     "subword_vocab",
+    "subword_vocab_from_words",
     "subword_encode_words",
 ]
 
@@ -249,17 +250,38 @@ def subword_vocab(
     ``vocab_size`` strings — a bounded driver transfer in the same class
     as the PQ/IVF codebook collects. A real deployment would persist the
     list and reuse it across runs (training the vocabulary is a once-
-    per-corpus step, like any tokenizer's)."""
+    per-corpus step, like any tokenizer's).
+
+    Callers that already hold the (word, count) frame should pass it to
+    :func:`subword_vocab_from_words` instead — this wrapper exists for
+    the raw-corpus entry point and pays the word-count aggregation
+    itself."""
     words = (
         df.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
+    return subword_vocab_from_words(words, vocab_size=vocab_size, max_len=max_len)
+
+
+def subword_vocab_from_words(
+    words_df: DataFrame,
+    vocab_size: int = 24,
+    max_len: int = 4,
+    word_col: str = "word",
+    weight_col: str = "wc",
+) -> list[str]:
+    """Vocabulary selection from a precomputed (distinct word, weight)
+    frame — the substring explode, weighting, and deterministic top-N of
+    :func:`subword_vocab` without re-aggregating the corpus. Queries
+    that already build the word-count frame for their own output reuse
+    it here, so the corpus is scanned once per job, not once per
+    consumer."""
     subs = (
-        words.select(
-            "word",
-            "wc",
-            F.explode(F.sequence(F.lit(1), F.length("word"))).alias("s"),
+        words_df.select(
+            F.col(word_col).alias("word"),
+            F.col(weight_col).alias("wc"),
+            F.explode(F.sequence(F.lit(1), F.length(word_col))).alias("s"),
         )
         .select(
             "word", "wc", "s", F.explode(F.sequence(F.lit(2), F.lit(max_len))).alias("l")

@@ -174,9 +174,16 @@ def lttb_downsample_portable(
 
     def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([x_col, y_col], kind="mergesort").reset_index(drop=True)
-        # Arrow hands the kernel datetime64[ns]; ns → µs is an exact
-        # integer floor-div (micros-precision inputs have zero sub-µs)
-        x = (pdf[x_col].astype("int64") // 1000).tolist()
+        # unit-independent epoch-µs: a bare astype("int64") would read ns
+        # OR µs depending on which datetime64 unit the Arrow conversion
+        # hands the kernel, silently shifting x by 1000×; normalizing
+        # through datetime64[us] is exact for micros-precision inputs
+        # under either unit (tz-aware input is wall-clock = UTC here,
+        # the session tz prepare_session pins)
+        xi = pd.DatetimeIndex(pdf[x_col])
+        if xi.tz is not None:
+            xi = xi.tz_localize(None)
+        x = xi.to_numpy(dtype="datetime64[us]").astype("int64").tolist()
         yv = pdf[y_col].to_numpy(dtype="float64")
         yf = np.floor(yv * 1e6 + 0.5).astype("int64").tolist()
         keep = lttb_fixed(x, yf, k)

@@ -208,7 +208,7 @@ w AS (
 subs AS (
   SELECT substr(word, s, l) AS sub, CAST(sum(wc) AS BIGINT) AS weight
   FROM w
-  CROSS JOIN (SELECT unnest(range(1, 61)) AS s) ss
+  CROSS JOIN unnest(range(1, len(word) + 1)) AS ss(s)
   CROSS JOIN (SELECT unnest(range(2, 5)) AS l) ll
   WHERE s + l - 1 <= len(word)
   GROUP BY 1),
@@ -257,7 +257,7 @@ def q_nlp_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule). Output is one row per distinct word (word, corpus frequency,
     subword count, '|'-joined segmentation) — the tokenizer's full
     behavior surface, hash-compared."""
-    from .operators.nlp import subword_encode_words, subword_vocab
+    from .operators.nlp import subword_encode_words, subword_vocab_from_words
     from .operators.text import tokens as _tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -266,7 +266,9 @@ def q_nlp_subword_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("word_freq"))
     )
-    vocab = subword_vocab(docs, vocab_size=24, max_len=4)
+    # vocab derives from the SAME word-count frame the output reuses —
+    # one corpus aggregation per job, not one per consumer
+    vocab = subword_vocab_from_words(words, vocab_size=24, max_len=4, weight_col="word_freq")
     enc = subword_encode_words(words, vocab)
     return enc.select(
         "word",
@@ -300,14 +302,16 @@ def q_nlp_subword_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles total, none proportional to vocabulary size. Oracle: the
     same recursive segmentation CTEs joined back to the exploded token
     stream."""
-    from .operators.nlp import subword_encode_words, subword_vocab
+    from .operators.nlp import subword_encode_words, subword_vocab_from_words
     from .operators.text import tokens as _tokens
 
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens("text")).alias("word"))
-    words = tok.select("word").distinct()
-    vocab = subword_vocab(docs, vocab_size=24, max_len=4)
-    wn = subword_encode_words(words, vocab).select(
+    # one word-keyed aggregation serves both consumers: vocab weights
+    # and the distinct-word list the encoder segments
+    words = tok.groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    vocab = subword_vocab_from_words(words, vocab_size=24, max_len=4)
+    wn = subword_encode_words(words.select("word"), vocab).select(
         "word", F.size("subtokens").cast("long").alias("n")
     )
     return (

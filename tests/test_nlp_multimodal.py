@@ -53,6 +53,40 @@ def test_subword_greedy_longest_match(spark):
     assert len(v) == 3 == len(set(v))
 
 
+def test_subword_oracle_parity_on_long_words(spark, tmp_path):
+    """Regression (review finding): the DuckDB twin originally capped
+    substring start positions at 60, so a 61+-char token diverged the
+    two vocab derivations. Plant a 70-char word and hash-compare the
+    full Spark pipeline against the oracle SQL on the same parquet."""
+    import duckdb
+
+    import data_engineering_spark.queries_extra  # noqa: F401  (registers)
+    from data_engineering_spark.registry import ORACLE, QUERIES
+
+    long_word = "x" + "ab" * 34 + "z"  # 70 chars
+    assert len(long_word) == 70
+    rows = [(1, f"{long_word} hello world"), (2, "hello world hello"), (3, long_word)]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(
+        sf_dir + "/documents.parquet"
+    )
+    got = {
+        (r.word): (r.word_freq, r.n_subwords, r.subtokens)
+        for r in QUERIES["nlp_subword_tokenize"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = {
+        w: (f, n, s)
+        for w, f, n, s in con.execute(ORACLE["nlp_subword_tokenize"]).fetchall()
+    }
+    assert got == want
+    assert long_word in got and got[long_word][1] >= 2  # actually segmented
+
+
 def test_keyword_extract_grouped(spark):
     rows = [
         (1, "spark spark spark shuffle shuffle join"),
