@@ -114,6 +114,10 @@ HEADLINE = [
     "curate_pack_ffd_portable",
     "nlp_subword_tokenize",
     "nlp_subword_doc_tokens",
+    # round-7 continuation additions
+    "dedup_keep_best",
+    "curate_mixture_temperature",
+    "curate_token_budget",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

@@ -39,6 +39,9 @@ __all__ = [
     "weighted_sample",
     "ngram_decontaminate",
     "mixture_weights",
+    "mixture_temperature",
+    "prefix_sum",
+    "token_budget_select",
     "chunk_sliding",
     "unigram_nll",
     "pack_concat",
@@ -407,4 +410,183 @@ def weighted_sample(
         .limit(k)
         .withColumn("es_key", F.round(F.col("__es_raw__"), 6))
         .drop("__es_raw__")
+    )
+
+
+def mixture_temperature(
+    df: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain-mixture weights: sampling probability
+    p_s ∝ share_s^alpha — the multilingual/domain balancing rule (mT5's
+    alpha-sampling) between "proportional" (alpha=1) and "uniform"
+    (alpha=0) that up-samples small domains without flattening the
+    mixture entirely. Emits, per stratum, its natural token share, the
+    temperature-scaled sampling probability, and the boost factor
+    (p_s / share_s) a sampler applies on top of natural frequency.
+
+    Only ``alpha=0.5`` is offered cross-engine-checkable: share^0.5 is
+    ``sqrt``, which IEEE 754 requires to be correctly rounded, so both
+    engines produce bit-identical doubles; a general ``pow`` is only
+    within-1-ulp in Java and could flake a rounded hash (the repo's
+    oracle-pitfall notes). Other alphas work but are excluded from the
+    oracle contract.
+
+    Hash stability: the normalizer Z = Σ_s share_s^alpha is a float sum
+    whose addition order Spark does not fix, so each sqrt is quantized
+    to an exact integer (round(sqrt·1e9) — ~9 significant digits, far
+    beyond the 6 emitted) and Z is summed in the integer domain; the
+    final probabilities are single deterministic double divisions (the
+    same order-stable fixed-point discipline as w5/ts_anomaly/a18).
+
+    Distributed shape: one partial-aggregated groupBy on a tiny key
+    domain scans the corpus; everything after operates on ≤|strata| rows
+    (two 1-row broadcast joins). Zero corpus re-shuffles at any scale."""
+    if alpha != 0.5:
+        raise ValueError(
+            "mixture_temperature: only alpha=0.5 (sqrt) is supported — "
+            "general pow() is not cross-engine deterministic"
+        )
+    per = (
+        df.groupBy(strata_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
+        )
+        # per feeds three consumers (total, sq, z); without pinning,
+        # Catalyst duplicates the corpus-agg subtree per consumer and the
+        # corpus scans three times. Checkpointing the ≤|strata|-row result
+        # makes the corpus scan exactly once at any scale.
+        .localCheckpoint(eager=True)
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("total_tokens"))
+    scaled = per.join(F.broadcast(total)).withColumn(
+        "sq9",
+        F.round(F.sqrt(F.col("n_tokens") / F.col("total_tokens")) * 1e9).cast("long"),
+    )
+    z = scaled.agg(F.sum("sq9").cast("double").alias("z9"))
+    share = F.col("n_tokens") / F.col("total_tokens")
+    p = F.col("sq9") / F.col("z9")
+    return (
+        scaled.join(F.broadcast(z))
+        .select(
+            strata_col,
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(p, 6).alias("temp_weight"),
+            F.round(p / share, 6).alias("boost"),
+        )
+    )
+
+
+def prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed exact prefix sum over a totally ordered frame — the
+    scale-correct replacement for ``sum().over(Window.orderBy(...))``,
+    which moves EVERY row into one partition (Spark's own WindowExec
+    warning). Three bounded steps instead:
+
+    1. range-partition + sort on the order key, pinned with an eager
+       ``localCheckpoint`` so later passes see the same boundaries
+       (range sampling is otherwise re-drawn per action) and the sorted
+       shuffle output is computed once;
+    2. per-partition sums → running offsets: a driver pass over
+       #partitions rows (bounded by cluster layout, not data — the same
+       bounded-collect argument as the Misra-Gries candidate ledger);
+    3. one in-order Arrow pass per partition (``mapInPandas``) carrying
+       the running total from the partition's offset.
+
+    ``value_col`` must be integral (cast to long): per-row prefix sums
+    are then exact and independent of where the range boundaries fall,
+    so the output is deterministic whenever ``order_cols`` is a total
+    order (tie-break on the id column).
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    n_parts = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ordered = (
+        df.withColumn(value_col, F.col(value_col).cast("long"))
+        .repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    part_sums = ordered.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(part_sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += int(row["s"] or 0)
+
+    schema = T.StructType(
+        list(ordered.schema.fields) + [T.StructField(out_col, T.LongType())]
+    )
+
+    def running(pdf_iter):
+        run: int | None = None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets.get(int(pdf["_pid"].iloc[0]), 0)
+            cum = pdf[value_col].astype("int64").cumsum() + run
+            run = int(cum.iloc[-1])
+            out = pdf.copy()
+            out[out_col] = cum
+            yield out
+
+    return ordered.mapInPandas(running, schema=schema).drop("_pid")
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: rank
+    documents by quality score (descending, id tie-break) and keep the
+    longest prefix whose cumulative token count stays within ``budget``
+    — the "best N billion tokens" dataset-freeze step of a training-data
+    pipeline. Because cumulative tokens are monotone, the ``<= budget``
+    filter IS the greedy prefix (no doc after the first overflow can
+    re-enter), and the output size is bounded by the budget itself,
+    not the corpus.
+
+    The quality key reuses :func:`..operators.text.quality_score`'s
+    deterministic per-row projection (rounded to 6 dp BEFORE ranking so
+    both engines rank the same doubles); the cumulative count runs
+    through :func:`prefix_sum`, so no single-partition window appears at
+    any corpus size."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    quality = F.round(0.5 * ttr + 0.5 * F.least(n / F.lit(200.0), F.lit(1.0)), 6)
+    scored = df.select(
+        F.col(id_col),
+        quality.alias("quality"),
+        n.cast("int").alias("n_tokens"),
+    )
+    cum = prefix_sum(
+        scored,
+        [F.col("quality").desc(), F.col(id_col).asc()],
+        "n_tokens",
+        out_col="cum_tokens",
+        num_partitions=num_partitions,
+    )
+    return cum.filter(F.col("cum_tokens") <= budget).select(
+        id_col,
+        "quality",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "cum_tokens",
     )

@@ -49,6 +49,7 @@ def _md5_60bits(c: Column) -> Column:
 
 __all__ = [
     "exact_dedup",
+    "keep_best_dedup",
     "shingles",
     "shingle_hashes",
     "minhash_signature",
@@ -132,6 +133,59 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         df.withColumn("fp", fingerprint(text_col))
         .groupBy("fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def keep_best_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-aware exact dedup: within each normalized-text fingerprint
+    cluster keep the HIGHEST-QUALITY document (id as the tie-break), not
+    the lowest id — the survivor-selection rule a production corpus
+    actually wants, since near-identical scrapes differ in boilerplate
+    and truncation. Emits the survivor plus the cluster's bookkeeping
+    (dup_count and the token count reclaimed by dropping the rest).
+
+    Determinism: the ordering key is the 6-dp-ROUNDED quality (the same
+    per-row projection as ``operators/text.py:quality_score``, which the
+    engines reproduce bit-identically) paired with the unique id, so
+    ``max(struct(quality, -id, ...))`` is a total order — the struct max
+    can never fall through to its payload fields.
+
+    Distributed shape: all scoring happens in the scan stage; ONE
+    fingerprint-keyed shuffle with partial aggregation carries
+    (fp, 24-byte struct) — same exchange profile as ``exact_dedup``."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    quality = F.round(0.5 * ttr + 0.5 * F.least(n / F.lit(200.0), F.lit(1.0)), 6)
+    base = df.select(
+        fingerprint(text_col).alias("fp"),
+        F.col(id_col),
+        quality.alias("quality"),
+        n.cast("long").alias("n_tokens"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("quality").alias("q"),
+            (-F.col(id_col)).alias("nid"),
+            F.col("n_tokens").alias("nt"),
+        )
+    ).alias("best")
+    return (
+        base.groupBy("fp")
+        .agg(
+            best,
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+            F.sum("n_tokens").alias("cluster_tokens"),
+        )
+        .select(
+            "fp",
+            (-F.col("best.nid")).alias(id_col),
+            F.col("best.q").alias("quality"),
+            "dup_count",
+            (F.col("cluster_tokens") - F.col("best.nt")).alias("dropped_tokens"),
+        )
     )
 
 

@@ -22,6 +22,7 @@ from .operators.curation import (
     chunk_sliding,
     hash_bucket,
     weighted_sample,
+    mixture_temperature,
     mixture_weights,
     ngram_decontaminate,
     pack_concat,
@@ -29,6 +30,7 @@ from .operators.curation import (
     pii_redact,
     repetition_stats,
     stratified_sample,
+    token_budget_select,
     unigram_nll,
 )
 from .registry import query
@@ -384,3 +386,63 @@ def q_curate_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(_docs(spark, sf_dir), k=100).select(
         "doc_id", "lang", "n_chars", "es_key"
     )
+
+
+@query(
+    "curate_mixture_temperature",
+    f"""WITH per AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY lang
+        ), tot AS (
+          SELECT CAST(sum(n_tokens) AS DOUBLE) AS total_tokens FROM per
+        ), sq AS (
+          SELECT lang, n_docs, n_tokens, total_tokens,
+                 CAST(round(sqrt(n_tokens / total_tokens) * 1e9) AS BIGINT) AS sq9
+          FROM per, tot
+        ), z AS (SELECT CAST(sum(sq9) AS DOUBLE) AS z9 FROM sq)
+        SELECT lang, n_docs, n_tokens,
+               round(n_tokens / total_tokens, 6) AS token_share,
+               round(sq9 / z9, 6) AS temp_weight,
+               round((sq9 / z9) / (n_tokens / total_tokens), 6) AS boost
+        FROM sq, z""",
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (operators/curation.py:
+    mixture_temperature, alpha=0.5): sampling weight ∝ sqrt(token share)
+    — the mT5-style up-sampling of small languages. sqrt (IEEE-exact in
+    both engines) + integer-quantized normalizer keep the rounded hash
+    order-stable; the corpus sees one partial-agg groupBy, everything
+    downstream is |strata|-row broadcasts."""
+    return mixture_temperature(_docs(spark, sf_dir))
+
+
+@query(
+    "curate_token_budget",
+    f"""WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), q AS (
+          SELECT doc_id,
+                 round(0.5 * (len(list_distinct(toks)) / len(toks))
+                     + 0.5 * least(len(toks) / 200.0, 1.0), 6) AS quality,
+                 CAST(len(toks) AS INTEGER) AS n_tokens
+          FROM t
+        ), c AS (
+          SELECT doc_id, quality, n_tokens,
+                 SUM(CAST(n_tokens AS BIGINT))
+                     OVER (ORDER BY quality DESC, doc_id) AS cum_tokens
+          FROM q
+        )
+        SELECT doc_id, quality, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 15000""",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection under a 15k-token budget
+    (operators/curation.py:token_budget_select) — the "best N tokens"
+    dataset freeze. The oracle's global ordered window is exactly what
+    the production path must NOT do (it single-partitions the corpus);
+    the Spark side runs the distributed prefix sum instead
+    (range-partition → per-partition offsets → in-order Arrow pass),
+    so the hash-equality here proves the scalable cumsum equals the
+    textbook window at any partitioning."""
+    return token_budget_select(_docs(spark, sf_dir), budget=15000)

@@ -17,6 +17,7 @@ from .catalog import load_table
 from .operators.dedup import (
     canonical_assignment,
     exact_dedup,
+    keep_best_dedup,
     minhash_near_dedup,
     ngram_jaccard_pairs,
     simhash_near_dedup,
@@ -237,6 +238,40 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: min-id per md5 fingerprint (operators/dedup.py)."""
     return exact_dedup(_docs(spark, sf_dir))
+
+
+@query(
+    "dedup_keep_best",
+    r"""WITH t AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ), q AS (
+          SELECT doc_id, fp,
+                 round(0.5 * (len(list_distinct(toks)) / len(toks))
+                     + 0.5 * least(len(toks) / 200.0, 1.0), 6) AS quality,
+                 CAST(len(toks) AS BIGINT) AS nt
+          FROM t
+        ), r AS (
+          SELECT fp, doc_id, quality, nt,
+                 row_number() OVER (PARTITION BY fp
+                                    ORDER BY quality DESC, doc_id) AS rn,
+                 CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count,
+                 CAST(sum(nt) OVER (PARTITION BY fp) AS BIGINT) AS tot
+          FROM q
+        )
+        SELECT fp, doc_id, quality, dup_count, tot - nt AS dropped_tokens
+        FROM r WHERE rn = 1""",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection (operators/dedup.py:
+    keep_best_dedup): per exact-dup cluster, keep the highest-quality
+    doc (id tie-break) and report the reclaimed token count — the
+    survivor rule a production corpus wants over min-id. Single
+    fingerprint-keyed partial-agg shuffle; the oracle's per-cluster
+    window proves the struct-max aggregation picks the identical row."""
+    return keep_best_dedup(_docs(spark, sf_dir))
 
 
 @query("dedup_minhash")  # rows-only: xxhash64 signatures are Spark-specific

@@ -271,3 +271,122 @@ def test_weighted_sample_null_weight_and_no_tie_collapse(spark):
     assert len(ids) == 20
     # selection must not be the 20 lowest ids (the tie-collapse symptom)
     assert ids != sorted(ids)[:20] or set(ids) != set(range(20))
+
+
+# ---------------------------------------------------------------------------
+# prefix_sum / token_budget_select / mixture_temperature / keep_best_dedup
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_sum_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from data_engineering_spark.operators.curation import prefix_sum
+
+    rows = [(i, (i * 37) % 11, (i * 13) % 7 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long, v long").repartition(7)
+    got = {
+        r["id"]: r["cum"]
+        for r in prefix_sum(
+            df, [F.col("k").asc(), F.col("id").asc()], "v", out_col="cum",
+            num_partitions=5,
+        ).collect()
+    }
+    w = Window.orderBy(F.col("k").asc(), F.col("id").asc())
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_layout_independent(spark):
+    """The cumsum is a pure function of the total order — identical under
+    any input partitioning and any internal partition count."""
+    from data_engineering_spark.operators.curation import prefix_sum
+
+    rows = [(i, (i * 7) % 5, i % 9 + 1) for i in range(120)]
+    outs = []
+    for in_parts, n_parts in ((1, 3), (13, 8), (4, 1)):
+        df = spark.createDataFrame(rows, "id long, k long, v long").repartition(
+            in_parts
+        )
+        outs.append(
+            sorted(
+                (r["id"], r["cum"])
+                for r in prefix_sum(
+                    df,
+                    [F.col("k").asc(), F.col("id").asc()],
+                    "v",
+                    out_col="cum",
+                    num_partitions=n_parts,
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_token_budget_select_greedy_prefix(spark):
+    from data_engineering_spark.operators.curation import token_budget_select
+
+    # quality = 0.5*ttr + 0.5*min(n/200, 1): all-distinct tokens → ttr 1,
+    # so longer docs rank higher; doc 4's repeated word sinks it.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d"),
+            (3, "x y"),
+            (4, "w w w w w w w w w w"),
+        ],
+    )
+    got = token_budget_select(df, budget=12).orderBy("cum_tokens").collect()
+    # rank: doc1 (8 toks) > doc2 (4) > doc3 (2) > doc4; budget 12 fits 1+2.
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert [r["cum_tokens"] for r in got] == [8, 12]
+    # cumulative tokens are monotone and within budget
+    assert all(r["cum_tokens"] <= 12 for r in got)
+
+
+def test_mixture_temperature_contract(spark):
+    import pytest
+
+    from data_engineering_spark.operators.curation import mixture_temperature
+
+    df = spark.createDataFrame(
+        [(1, "en", "a b c d e f g h i j k l m n o p"), (2, "zh", "x y")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in mixture_temperature(df).collect()}
+    # probabilities sum to 1 (up to the 6-dp rounding of each term)
+    assert abs(rows["en"]["temp_weight"] + rows["zh"]["temp_weight"] - 1.0) < 2e-6
+    # sqrt-scaling boosts the small stratum, damps the large one
+    assert rows["zh"]["boost"] > 1.0 > rows["en"]["boost"]
+    # and preserves the share ordering
+    assert rows["en"]["temp_weight"] > rows["zh"]["temp_weight"]
+    with pytest.raises(ValueError):
+        mixture_temperature(df, alpha=0.3)
+
+
+def test_keep_best_dedup_survivor(spark):
+    from data_engineering_spark.operators.dedup import keep_best_dedup
+
+    # docs 1/2/3 are the same text modulo case/whitespace (one cluster);
+    # within it quality ties (identical normalized text) → lowest id wins.
+    # docs 10/11 differ in text length → the longer, higher-quality one
+    # survives even though its id is higher.
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox"),
+            (2, "The  quick Brown fox"),
+            (3, "THE QUICK BROWN FOX"),
+            (10, "alpha beta"),
+            (11, "alpha beta gamma delta epsilon zeta"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in keep_best_dedup(df).collect()}
+    assert set(got) == {1, 10, 11}
+    assert got[1]["dup_count"] == 3
+    assert got[1]["dropped_tokens"] == 8  # two dropped 4-token dups
+    assert got[10]["dup_count"] == 1 and got[10]["dropped_tokens"] == 0

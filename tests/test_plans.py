@@ -212,6 +212,15 @@ def test_shuffle_budgets(spark, sf_dir):
         # distinct-words agg + doc-keyed partial agg; the word→count map
         # joins back as a broadcast
         "nlp_subword_doc_tokens": 2,
+        # one fp-keyed partial-agg groupBy, scoring inside the scan
+        "dedup_keep_best": 1,
+        # post-checkpoint exchanges operate on ≤|strata|-row frames only;
+        # the corpus agg before the checkpoint is the single corpus pass
+        "curate_mixture_temperature": 3,
+        # the visible plan is the post-checkpoint Arrow pass (0 exchanges);
+        # the pinned lineage holds the one range-partition of the corpus
+        # plus the pid-sum agg over #partitions rows
+        "curate_token_budget": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
