@@ -118,6 +118,7 @@ HEADLINE = [
     "dedup_keep_best",
     "curate_mixture_temperature",
     "curate_token_budget",
+    "curate_boilerplate_strip",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

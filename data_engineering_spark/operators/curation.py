@@ -43,6 +43,7 @@ __all__ = [
     "prefix_sum",
     "token_budget_select",
     "chunk_sliding",
+    "boilerplate_strip",
     "unigram_nll",
     "pack_concat",
     "pack_ffd",
@@ -589,4 +590,55 @@ def token_budget_select(
         "quality",
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "cum_tokens",
+    )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block: int = 8,
+    min_df: int = 3,
+) -> DataFrame:
+    """Corpus-frequent boilerplate removal (the CCNet/RefinedWeb stage):
+    segment each document into non-overlapping ``block``-token blocks,
+    count each block's document frequency, and strip blocks appearing in
+    ``min_df``-or-more documents — headers, banners, and copied passages
+    that per-document quality filters cannot see. Emits per doc the
+    block counts and the cleaned text (NULL when everything was
+    boilerplate — exact-dup clusters strip to nothing by construction).
+
+    Distributed shape: segmentation is :func:`chunk_sliding` with
+    stride = window (pure array fan-out, zero shuffle); doc frequency
+    is a (doc, block)-distinct + block-keyed partial agg; the surviving
+    boilerplate set is df-thresholded — tiny in natural corpora, so it
+    rides back as a broadcast (``broadcast_if_small``-gated: in
+    adversarial all-dup data AQE decides instead); reconstruction is
+    ONE doc-keyed groupBy whose collect_list is bounded by the doc's
+    own block count. Three corpus-scaling exchanges total, none wider
+    than (id, block)."""
+    from .joins import broadcast_if_small
+
+    chunks = chunk_sliding(df, window=block, stride=block, text_col=text_col,
+                           id_col=id_col)
+    dfreq = (
+        chunks.select(id_col, "chunk_text")
+        .distinct()
+        .groupBy("chunk_text")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    bp = dfreq.filter(F.col("df") >= min_df).withColumn("is_bp", F.lit(True))
+    marked = chunks.join(
+        broadcast_if_small(bp.select("chunk_text", "is_bp")), "chunk_text", "left"
+    ).withColumn("is_bp", F.coalesce(F.col("is_bp"), F.lit(False)))
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("chunk_id"), F.col("chunk_text"), F.col("is_bp")))
+    )
+    clean = F.transform(
+        F.filter(ordered, lambda x: ~x["is_bp"]), lambda x: x["chunk_text"]
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("is_bp").cast("long")).cast("long").alias("n_bp_blocks"),
+        F.when(F.size(clean) > 0, F.concat_ws(" ", clean)).alias("clean_text"),
     )

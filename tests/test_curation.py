@@ -390,3 +390,29 @@ def test_keep_best_dedup_survivor(spark):
     assert got[1]["dup_count"] == 3
     assert got[1]["dropped_tokens"] == 8  # two dropped 4-token dups
     assert got[10]["dup_count"] == 1 and got[10]["dropped_tokens"] == 0
+
+
+def test_boilerplate_strip_planted(spark):
+    from data_engineering_spark.operators.curation import boilerplate_strip
+
+    header = "terms of service apply to this mirror site"  # 8 tokens
+    df = _docs(
+        spark,
+        [
+            (1, header + " unique alpha content one two three four five"),
+            (2, header + " other beta content six seven eight nine ten"),
+            (3, header + " third gamma content lorem ipsum dolor sit amet"),
+            (4, header),  # entirely boilerplate
+            (5, "completely unrelated text with no shared blocks at all"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in boilerplate_strip(df).collect()}
+    # the shared 8-token header block (df=4) is stripped everywhere
+    for i in (1, 2, 3):
+        assert got[i]["n_bp_blocks"] == 1
+        assert not got[i]["clean_text"].startswith("terms")
+    # doc 4 was nothing but boilerplate → NULL clean text
+    assert got[4]["n_blocks"] == 1 and got[4]["clean_text"] is None
+    # doc 5 untouched
+    assert got[5]["n_bp_blocks"] == 0
+    assert got[5]["clean_text"] == "completely unrelated text with no shared blocks at all"

@@ -221,6 +221,9 @@ def test_shuffle_budgets(spark, sf_dir):
         # the pinned lineage holds the one range-partition of the corpus
         # plus the pid-sum agg over #partitions rows
         "curate_token_budget": 0,
+        # (doc, block) distinct + block-df agg + doc-keyed rebuild; the
+        # df-thresholded boilerplate set joins back as a broadcast
+        "curate_boilerplate_strip": 3,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
