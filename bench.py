@@ -119,6 +119,7 @@ HEADLINE = [
     "curate_mixture_temperature",
     "curate_token_budget",
     "curate_boilerplate_strip",
+    "curate_dsir_select",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

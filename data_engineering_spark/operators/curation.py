@@ -44,6 +44,7 @@ __all__ = [
     "token_budget_select",
     "chunk_sliding",
     "boilerplate_strip",
+    "dsir_weights",
     "unigram_nll",
     "pack_concat",
     "pack_ffd",
@@ -275,6 +276,106 @@ def chunk_sliding(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     ).filter(F.col("n_chunk_tokens") > 0)
+
+
+def _hashed_ngram_stream(
+    df: DataFrame, text_col: str, id_col: str, buckets: int
+) -> DataFrame:
+    """Per-doc bag of hashed n-gram features (unigrams + bigrams, WITH
+    multiplicity — DSIR's bag-of-hashed-ngrams representation) as one
+    exploded (id, bucket) stream. The fan-out happens inside the scan
+    stage (array build + explode, no exchange); bucketing reuses the
+    md5-based ``hash_bucket`` so the assignment is bit-identical in any
+    engine."""
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m), lambda a, b: F.concat_ws(" ", a, b)
+    )
+    feats = F.transform(F.concat(toks, bigrams), lambda g: hash_bucket(g, buckets))
+    return df.select(F.col(id_col), F.explode(feats).alias("b"))
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): fit
+    bag-of-hashed-ngram unigram models on the ``target`` distribution (p)
+    and the raw ``corpus`` (q), then score each corpus doc with its log
+    importance weight  log w(x) = Σ_b c_b(x) · ln(p̂_b / q̂_b)  under
+    add-one smoothing — the standard cheap proxy for "select raw data
+    that looks like the curated target". Emits per corpus doc the feature
+    count and ``logw_micro``, the weight in 1e-6 fixed point.
+
+    Fixed-point contract: the per-BUCKET term ln(p_b+1) − ln(P+B) −
+    ln(q_b+1) + ln(Q+B) is rounded to an integer micro-unit once, on the
+    ≤``buckets``-row term table, and per-doc scores are exact INTEGER
+    sums of those terms — order-independent under any partial-agg
+    schedule (the repo's oracle-pitfall rule: never hash a rounded
+    quotient of an order-nondeterministic float sum). Every ln argument
+    is an exactly-representable integer, so both engines see identical
+    doubles.
+
+    Scale shape (100 TB): the corpus fans out to hashed features inside
+    its scan; p/q statistics are partial-agg shuffles onto ≤``buckets``
+    keys (the term table is parameter-bounded, NOT data-bounded, so its
+    broadcast back is safe by construction); scoring is the feature
+    stream joined to that broadcast plus ONE doc-keyed partial agg. The
+    corpus is scanned twice (q-counts, scoring) — at scale, persist the
+    q-count table per ingest batch instead of recomputing; ``target`` is
+    the curated set and is small by definition."""
+    feats = _hashed_ngram_stream(corpus, text_col, id_col, buckets)
+    q = feats.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
+    # Totals ride as single-partition windows over the ≤`buckets`-row
+    # count tables (trivial exchanges) rather than separate .agg()
+    # branches, which would duplicate the corpus-scale aggregation
+    # subtree in the plan. p's total is computed BEFORE the left join so
+    # target-only buckets still count toward P; the post-join max() just
+    # propagates that constant onto unmatched rows.
+    w = Window.partitionBy()
+    p = (
+        _hashed_ngram_stream(target, text_col, id_col, buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .select("b", "pc", F.sum("pc").over(w).cast("double").alias("pt"))
+    )
+    term = (
+        q.join(F.broadcast(p), "b", "left")
+        .select(
+            "b",
+            "qc",
+            F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
+            F.sum("qc").over(w).cast("double").alias("qt"),
+            F.coalesce(F.max("pt").over(w), F.lit(0.0)).alias("pt"),
+        )
+        .select(
+            "b",
+            F.round(
+                (
+                    F.log(F.col("pc") + F.lit(1))
+                    - F.log(F.col("pt") + F.lit(float(buckets)))
+                    - F.log(F.col("qc") + F.lit(1))
+                    + F.log(F.col("qt") + F.lit(float(buckets)))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(term), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("t").cast("long").alias("logw_micro"),
+        )
+    )
 
 
 def unigram_nll(

@@ -21,6 +21,7 @@ from .operators.curation import (
     PII_PATTERNS,
     boilerplate_strip,
     chunk_sliding,
+    dsir_weights,
     hash_bucket,
     weighted_sample,
     mixture_temperature,
@@ -480,3 +481,55 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters strip to NULL). Three corpus-scaling exchanges, none wider
     than (id, 8-token block)."""
     return boilerplate_strip(_docs(spark, sf_dir))
+
+
+@query(
+    "curate_dsir_select",
+    f"""WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), u AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(g), 1, 6))::BIGINT % 4096 AS b
+          FROM (
+            SELECT doc_id, unnest(toks) AS g FROM t
+            UNION ALL
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+            FROM t, unnest(range(1, len(toks))) AS r(i)
+          )
+        ), q AS (
+          SELECT b, count(*) AS qc FROM u GROUP BY b
+        ), p AS (
+          SELECT b, count(*) AS pc
+          FROM u JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b
+        ), tot AS (
+          SELECT (SELECT sum(qc) FROM q)::DOUBLE AS qt,
+                 (SELECT sum(pc) FROM p)::DOUBLE AS pt
+        ), term AS (
+          SELECT q.b,
+                 CAST(round((ln(coalesce(pc, 0) + 1) - ln(pt + 4096)
+                             - ln(qc + 1) + ln(qt + 4096)) * 1e6) AS BIGINT) AS t
+          FROM q LEFT JOIN p USING (b), tot
+        ), s AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(sum(t) AS BIGINT) AS logw_micro
+          FROM u JOIN term USING (b) GROUP BY doc_id
+        )
+        SELECT s.doc_id, d.lang, s.n_feats, s.logw_micro
+        FROM s JOIN documents d USING (doc_id)
+        ORDER BY s.logw_micro DESC, s.doc_id LIMIT 200""",
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/curation.py:dsir_weights): score
+    every corpus doc by its hashed-bigram importance weight toward the
+    English-language target slice, keep the top 200. The weight math is
+    1e-6 fixed point on the parameter-bounded bucket table, so the
+    per-doc integer sums hash-match DuckDB exactly; selection is a
+    TakeOrdered (no global sort), and the 200 survivors broadcast back
+    for the lang column."""
+    docs = _docs(spark, sf_dir)
+    w = dsir_weights(docs, docs.filter(F.col("lang") == "en"), buckets=4096)
+    top = w.orderBy(F.col("logw_micro").desc(), "doc_id").limit(200)
+    return top.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_feats", "logw_micro"
+    )

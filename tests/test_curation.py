@@ -416,3 +416,27 @@ def test_boilerplate_strip_planted(spark):
     # doc 5 untouched
     assert got[5]["n_bp_blocks"] == 0
     assert got[5]["clean_text"] == "completely unrelated text with no shared blocks at all"
+
+
+def test_dsir_weights_ranks_target_like_docs(spark):
+    from data_engineering_spark.operators.curation import dsir_weights
+
+    # target domain: cooking text; off-domain: legal text. A held-out
+    # cooking doc must outscore every legal doc under the target model.
+    corpus = _docs(
+        spark,
+        [
+            (1, "simmer the garlic butter sauce and season the roast"),
+            (2, "whisk the eggs then fold in sugar and flour gently"),
+            (3, "the party of the first part hereby waives liability"),
+            (4, "pursuant to clause nine the agreement is terminated"),
+            (5, "season the sauce then simmer the butter and garlic"),
+        ],
+    )
+    target = corpus.filter("doc_id in (1, 2)")
+    got = {r["doc_id"]: r for r in dsir_weights(corpus, target, buckets=512).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    # feature count = unigrams + bigrams = 2*len - 1
+    assert got[1]["n_feats"] == 17
+    # the held-out cooking doc beats both legal docs
+    assert got[5]["logw_micro"] > max(got[3]["logw_micro"], got[4]["logw_micro"])

@@ -224,6 +224,10 @@ def test_shuffle_budgets(spark, sf_dir):
         # (doc, block) distinct + block-df agg + doc-keyed rebuild; the
         # df-thresholded boilerplate set joins back as a broadcast
         "curate_boilerplate_strip": 3,
+        # corpus-scaling: bucket-count agg + doc-keyed score agg; plus the
+        # target's bucket agg and two single-partition totals windows over
+        # the ≤4096-row (parameter-bounded) count tables
+        "curate_dsir_select": 5,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
