@@ -120,6 +120,7 @@ HEADLINE = [
     "curate_token_budget",
     "curate_boilerplate_strip",
     "curate_dsir_select",
+    "curate_shard_shuffle",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

@@ -41,6 +41,7 @@ __all__ = [
     "mixture_weights",
     "mixture_temperature",
     "prefix_sum",
+    "shard_shuffle",
     "token_budget_select",
     "chunk_sliding",
     "boilerplate_strip",
@@ -647,6 +648,36 @@ def prefix_sum(
             yield out
 
     return ordered.mapInPandas(running, schema=schema).drop("_pid")
+
+
+def shard_shuffle(
+    df: DataFrame,
+    shard_size: int = 64,
+    seed: str = "shuffle-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global corpus shuffle → training-shard assignment:
+    order the corpus by md5(seed:id) (a seeded pseudo-random but fully
+    reproducible permutation — rerunning the job, or appending then
+    re-sharding, yields the same order for the same keys), then cut the
+    permutation into fixed-size shards. This is the "shuffle the corpus
+    before training" step every pretraining pipeline runs; doing it with
+    ``ORDER BY random()`` is non-reproducible, and doing it with a
+    global ``row_number()`` window moves 100 TB into ONE partition.
+
+    Built on :func:`prefix_sum`: range-partition on the md5 key, count
+    within partitions, offset by a #partitions-row driver pass — the
+    global rank is exact and the widest exchange is the range partition
+    itself. Emits (id, shard, pos_in_shard)."""
+    h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+    base = df.select(F.col(id_col), h.alias("_h"), F.lit(1).alias("_one"))
+    ranked = prefix_sum(base, [F.col("_h"), F.col(id_col)], "_one", out_col="_pos")
+    idx = F.col("_pos") - F.lit(1)
+    return ranked.select(
+        id_col,
+        F.floor(idx / F.lit(shard_size)).cast("long").alias("shard"),
+        (idx % F.lit(shard_size)).cast("long").alias("pos_in_shard"),
+    )
 
 
 def token_budget_select(

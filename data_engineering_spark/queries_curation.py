@@ -31,6 +31,7 @@ from .operators.curation import (
     pack_ffd,
     pii_redact,
     repetition_stats,
+    shard_shuffle,
     stratified_sample,
     token_budget_select,
     unigram_nll,
@@ -533,3 +534,26 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "n_feats", "logw_micro"
     )
+
+
+@query(
+    "curate_shard_shuffle",
+    """WITH r AS (
+          SELECT doc_id,
+                 row_number() OVER (
+                     ORDER BY md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1 AS idx
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(idx // 64 AS BIGINT) AS shard,
+               CAST(idx % 64 AS BIGINT) AS pos_in_shard
+        FROM r""",
+)
+def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle → 64-doc training shards
+    (operators/curation.py:shard_shuffle): seeded md5 permutation ranked
+    by the distributed prefix sum, so the 100 TB-safe range-partitioned
+    rank hash-matches the oracle's textbook single-partition
+    row_number() window exactly."""
+    return shard_shuffle(_docs(spark, sf_dir), shard_size=64)

@@ -440,3 +440,21 @@ def test_dsir_weights_ranks_target_like_docs(spark):
     assert got[1]["n_feats"] == 17
     # the held-out cooking doc beats both legal docs
     assert got[5]["logw_micro"] > max(got[3]["logw_micro"], got[4]["logw_micro"])
+
+
+def test_shard_shuffle_layout_independent_and_balanced(spark):
+    from data_engineering_spark.operators.curation import shard_shuffle
+
+    rows = [(i, f"doc {i}") for i in range(1, 301)]
+    df = _docs(spark, rows)
+    a = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+         for r in shard_shuffle(df, shard_size=50).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos_in_shard"])
+         for r in shard_shuffle(df.repartition(7), shard_size=50).collect()}
+    assert a == b  # assignment is a pure function of the keys
+    # 300 docs / 50 per shard = 6 full shards, every slot filled once
+    from collections import Counter
+    sizes = Counter(s for s, _ in a.values())
+    assert sizes == {s: 50 for s in range(6)}
+    positions = sorted(p for s, p in a.values() if s == 0)
+    assert positions == list(range(50))

@@ -228,6 +228,9 @@ def test_shuffle_budgets(spark, sf_dir):
         # target's bucket agg and two single-partition totals windows over
         # the ≤4096-row (parameter-bounded) count tables
         "curate_dsir_select": 5,
+        # the pinned lineage holds the one md5-key range partition; rank
+        # offsets are a #partitions-row driver pass (same as token_budget)
+        "curate_shard_shuffle": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
