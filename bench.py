@@ -121,6 +121,8 @@ HEADLINE = [
     "curate_boilerplate_strip",
     "curate_dsir_select",
     "curate_shard_shuffle",
+    "search_significant_terms",
+    "search_more_like_this",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

@@ -26,6 +26,8 @@ __all__ = [
     "lang_id",
     "quality_score",
     "query_string_rank",
+    "significant_terms",
+    "more_like_this",
 ]
 
 # BPE-ish pre-tokenizer: word pieces or single non-space symbols.
@@ -254,5 +256,134 @@ def query_string_rank(
         matches.groupBy(id_col)
         .agg(F.sum("boost").cast("long").alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def significant_terms(
+    df: DataFrame,
+    foreground,
+    k: int = 20,
+    min_doc_count: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Elasticsearch ``significant_terms`` aggregation: terms that are
+    UNUSUALLY frequent in a foreground slice relative to the whole index
+    — ES's "what is this bucket about" primitive, scored with ES's JLH
+    heuristic ``(fg% − bg%) · (fg% / bg%)`` over document frequencies.
+    ``foreground`` is a boolean Column picking the slice (ES: the bucket
+    under a filter agg).
+
+    Portability contract: doc frequencies and set sizes are exact longs;
+    the JLH score is a fixed sequence of IEEE divisions/multiplications
+    over those integers (each operation correctly rounded by the
+    standard, unlike transcendental fns), so ``jlh_micro`` is
+    bit-identical in any IEEE engine.
+
+    Scale shape: ONE distinct (doc, term) projection feeds both
+    frequency tables (background = vocabulary-keyed partial agg;
+    foreground = same under the filter); the fg⋈bg vocabulary join is
+    left to AQE — a stratum vocabulary is data-sized, never a safe
+    forced broadcast; set sizes ride as a broadcast 1-row agg; ranking
+    is a TakeOrdered. Nothing wider than (doc, term) leaves a scan."""
+    dt = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        foreground.alias("_fg"),
+    )
+    bg = dt.groupBy("term").agg(
+        F.count(F.lit(1)).alias("bgc"),
+        F.sum(F.col("_fg").cast("long")).alias("fgc"),
+    )
+    tot = F.broadcast(
+        df.agg(
+            F.count(F.lit(1)).cast("double").alias("B"),
+            F.sum(foreground.cast("long")).cast("double").alias("Fg"),
+        )
+    )
+    fgr = F.col("fgc").cast("double") / F.col("Fg")
+    bgr = F.col("bgc").cast("double") / F.col("B")
+    return (
+        bg.filter(F.col("fgc") >= min_doc_count)
+        .join(tot)
+        .select(
+            "term",
+            F.col("fgc").cast("long").alias("fg_docs"),
+            F.col("bgc").cast("long").alias("bg_docs"),
+            F.round(((fgr - bgr) * (fgr / bgr)) * F.lit(1e6))
+            .cast("long")
+            .alias("jlh_micro"),
+        )
+        .orderBy(F.col("jlh_micro").desc(), "term")
+        .limit(k)
+    )
+
+
+def more_like_this(
+    df: DataFrame,
+    like_id: int,
+    k: int = 15,
+    max_query_terms: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Elasticsearch ``more_like_this`` query: pick the source doc's
+    ``max_query_terms`` most distinctive terms (tf·idf, ES's term
+    selection), then rank every other doc by the summed idf of the query
+    terms it contains — "find documents like this one" without an
+    embedding model.
+
+    Portability contract: idf = ln((N+1)/(df+1)) is rounded to 1e-6
+    fixed point once, on the source-doc-bounded term table (≤ the
+    source's distinct terms — tiny); query-term selection is
+    tf·idf_micro, an exact integer product; per-doc scores are exact
+    integer sums of matched idf_micro.
+
+    Scale shape: the source doc filters down inside its scan (at 100 TB
+    this is a partition-pruned point lookup); its term stats need one
+    df count over the corpus' distinct (doc, term) stream SEMI-JOINED to
+    the broadcast source vocabulary (the corpus never shuffles more than
+    matched rows); scoring joins the same stream to the ≤10-term
+    broadcast and runs ONE doc-keyed partial agg + TakeOrdered."""
+    dt = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    src_tf = (
+        df.filter(F.col(id_col) == like_id)
+        .select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = F.broadcast(df.agg(F.count(F.lit(1)).cast("double").alias("N")))
+    dfreq = (
+        dt.join(F.broadcast(src_tf.select("term")), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    q_terms = (
+        src_tf.join(dfreq, "term")
+        .join(n_docs)
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("N") + F.lit(1.0)) / (F.col("df") + F.lit(1)).cast("double"))
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("idf_micro"),
+            "tf",
+        )
+        .orderBy((F.col("tf") * F.col("idf_micro")).desc(), "term")
+        .limit(max_query_terms)
+    )
+    return (
+        dt.filter(F.col(id_col) != like_id)
+        .join(F.broadcast(q_terms.select("term", "idf_micro")), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+            F.sum("idf_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), F.col(id_col))
         .limit(k)
     )

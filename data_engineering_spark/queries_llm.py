@@ -37,7 +37,9 @@ from .operators.text import (
     fingerprint,
     lang_id,
     quality_score,
+    more_like_this,
     query_string_rank,
+    significant_terms,
     text_stats,
     token_count_regex,
     winnow_fingerprints,
@@ -1564,3 +1566,77 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # baseline's storage before handing back the (local-data) result
     exact.unpersist()
     return spark.createDataFrame(rows, "method string, recall_at_5 double")
+
+
+@query(
+    "search_significant_terms",
+    r"""WITH dt AS (
+          SELECT doc_id, (lang = 'de') AS fg,
+                 unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+          FROM documents
+        ), bg AS (
+          SELECT term, count(*) AS bgc,
+                 sum(CASE WHEN fg THEN 1 ELSE 0 END) AS fgc
+          FROM dt GROUP BY term
+        ), tot AS (
+          SELECT count(*)::DOUBLE AS B,
+                 sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::DOUBLE AS Fg
+          FROM documents
+        )
+        SELECT term,
+               CAST(fgc AS BIGINT) AS fg_docs,
+               CAST(bgc AS BIGINT) AS bg_docs,
+               CAST(round(((fgc / Fg - bgc / B) * ((fgc / Fg) / (bgc / B))) * 1e6)
+                    AS BIGINT) AS jlh_micro
+        FROM bg, tot WHERE fgc >= 3
+        ORDER BY jlh_micro DESC, term LIMIT 20""",
+)
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES significant_terms aggregation (operators/text.py:
+    significant_terms): terms unusually frequent in the German slice vs
+    the whole index, JLH-scored. Doc frequencies stay exact longs; the
+    score is a fixed IEEE mul/div sequence over them, so the 1e-6
+    fixed-point rank is engine-portable. One (doc, term) fan-out, one
+    vocabulary-keyed partial agg, TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    return significant_terms(docs, F.col("lang") == "de")
+
+
+@query(
+    "search_more_like_this",
+    r"""WITH t AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ), dt AS (
+          SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t
+        ), src_tf AS (
+          SELECT unnest(toks) AS term FROM t WHERE doc_id = 7
+        ), tf AS (
+          SELECT term, count(*) AS tf FROM src_tf GROUP BY term
+        ), dfreq AS (
+          SELECT dt.term, count(*) AS df
+          FROM dt JOIN tf USING (term) GROUP BY dt.term
+        ), n AS (SELECT count(*)::DOUBLE AS N FROM documents),
+        qterms AS (
+          SELECT term,
+                 CAST(round(ln((N + 1.0) / CAST(df + 1 AS DOUBLE)) * 1e6)
+                      AS BIGINT) AS idf_micro,
+                 tf
+          FROM tf JOIN dfreq USING (term), n
+          ORDER BY tf * idf_micro DESC, term LIMIT 10
+        )
+        SELECT dt.doc_id,
+               CAST(count(*) AS BIGINT) AS n_matched_terms,
+               CAST(sum(idf_micro) AS BIGINT) AS score_micro
+        FROM dt JOIN qterms USING (term)
+        WHERE dt.doc_id <> 7
+        GROUP BY dt.doc_id
+        ORDER BY score_micro DESC, dt.doc_id LIMIT 15""",
+)
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES more_like_this (operators/text.py:more_like_this): doc 7's ten
+    most distinctive terms (tf·idf, fixed-point on the source-bounded
+    term table), every other doc ranked by summed matched idf — exact
+    integer scores, engine-portable. The corpus shuffles only matched
+    (doc, term) rows; term stats broadcast."""
+    return more_like_this(_docs(spark, sf_dir), like_id=7, k=15)

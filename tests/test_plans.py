@@ -231,6 +231,12 @@ def test_shuffle_budgets(spark, sf_dir):
         # the pinned lineage holds the one md5-key range partition; rank
         # offsets are a #partitions-row driver pass (same as token_budget)
         "curate_shard_shuffle": 0,
+        # one vocabulary-keyed partial agg + the 1-row set-size agg;
+        # ranking is a TakeOrdered
+        "search_significant_terms": 2,
+        # source tf, matched-term df, doc-keyed score aggs + tiny totals;
+        # query terms ride as a ≤10-row broadcast
+        "search_more_like_this": 5,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -131,3 +131,46 @@ def test_query_string_rank_validates_inputs(spark):
         df, ["spark"], {"text": 1, "source": 2}, fuzziness={"source": 1}, k=10
     )
     assert [r.doc_id for r in got.collect()] == [1]
+
+
+def test_significant_terms_surfaces_slice_specific_vocabulary(spark):
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.text import significant_terms
+
+    # "kubernetes" is exclusive to the fg slice; "the" is uniform noise.
+    fg = [(i, "the kubernetes cluster scaled the pods") for i in range(1, 5)]
+    bg = [(i, "the report summarized the quarterly numbers") for i in range(5, 21)]
+    df = spark.createDataFrame(fg + bg, "doc_id long, text string")
+    got = significant_terms(
+        df, F.col("doc_id") <= 4, k=5, min_doc_count=3
+    ).collect()
+    terms = [r["term"] for r in got]
+    # the slice-exclusive vocabulary fills the top ranks...
+    assert set(terms[:4]) == {"kubernetes", "cluster", "pods", "scaled"}
+    top = {r["term"]: r for r in got}
+    kube = top["kubernetes"]
+    assert kube["fg_docs"] == 4 and kube["bg_docs"] == 4
+    assert kube["jlh_micro"] > 0
+    # ...while a term uniform across fg and bg scores exactly zero
+    assert top["the"]["jlh_micro"] == 0
+
+
+def test_more_like_this_prefers_shared_rare_terms(spark):
+    from data_engineering_spark.operators.text import more_like_this
+
+    df = spark.createDataFrame(
+        [
+            (1, "quantum entanglement drives the qubit decoherence study"),
+            (2, "entanglement and qubit decoherence in quantum systems"),
+            (3, "the annual budget drives the quarterly review"),
+            (4, "quantum mechanics without the jargon"),
+        ],
+        "doc_id long, text string",
+    )
+    got = more_like_this(df, like_id=1, k=3).collect()
+    ranked = [r["doc_id"] for r in got]
+    # doc 2 shares four rare terms; doc 4 one; doc 3 only stopwords
+    assert ranked[0] == 2
+    assert got[0]["n_matched_terms"] >= 4
+    assert ranked.index(2) < ranked.index(4)
