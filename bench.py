@@ -123,6 +123,7 @@ HEADLINE = [
     "curate_shard_shuffle",
     "search_significant_terms",
     "search_more_like_this",
+    "nl_query_trend",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

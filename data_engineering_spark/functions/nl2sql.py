@@ -19,6 +19,9 @@ Supported request forms (case-insensitive):
   reference's single-metric answer)
 - ``count distinct COL by DIM in TABLE [where COND] [top N]`` (the ES
   cardinality aggregation: unique X per Y)
+- ``daily|monthly|yearly AGG [MEASURE] in TABLE [by DATECOL] [where
+  COND]`` (the ES date_histogram aggregation: calendar-bucketed trend;
+  the date column is inferred when the table has exactly one)
 - ``distinct COL[, COL...] from TABLE [where COND]`` (the terms-facet
   request: enumerate a field's values)
 - ``show COL[, COL...] from TABLE [where COND] [limit N]``
@@ -256,6 +259,51 @@ def _compile(text: str, schemas: Mapping[str, list[str]]) -> tuple[str, list[str
             # different rows at the LIMIT boundary).
             sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(6))}"
         return sql, [table]
+
+    # -- daily|monthly|yearly AGG [MEASURE] in TABLE [by DATECOL] -----
+    # (the ES date_histogram aggregation: bucket by calendar interval,
+    # aggregate per bucket — the reference's dashboard-trend request).
+    # The date column may be named with `by COL`; otherwise it is
+    # inferred, and inference must be UNIQUE — two date-like columns
+    # without an explicit choice is an error, not a guess.
+    m = re.fullmatch(
+        r"(daily|monthly|yearly)\s+(total|sum|average|avg|min|max|count)"
+        r"(?:\s+of)?(?:\s+(\w+))?\s+(?:in|from)\s+(\w+)"
+        r"(?:\s+by\s+(\w+))?(?:\s+where\s+(.+))?",
+        req,
+        flags=re.I,
+    )
+    if m:
+        unit = m.group(1).lower()
+        agg = _AGGS[m.group(2).lower()]
+        table = _ident(m.group(4).lower(), list(schemas), "table")
+        cols = schemas[table]
+        if m.group(5):
+            date_col = _ident(m.group(5), cols, "column")
+        else:
+            cands = [c for c in cols if re.search(r"date|_dt$|^ts$|_ts$|time", c)]
+            if len(cands) != 1:
+                raise NLQueryError(
+                    f"table {table}: cannot infer the date column "
+                    f"(candidates {cands}); name it with 'by <column>'"
+                )
+            date_col = cands[0]
+        fmt = {"daily": "yyyy-MM-dd", "monthly": "yyyy-MM", "yearly": "yyyy"}[unit]
+        bucket = {"daily": "day", "monthly": "month", "yearly": "year"}[unit]
+        if agg == "count" and not m.group(3):
+            sel, alias = "count(*)", "n"
+        else:
+            if not m.group(3):
+                raise NLQueryError(f"{agg} needs a measure column")
+            measure = _ident(m.group(3), cols, "column")
+            sel, alias = f"{agg}({measure})", f"{agg}_{measure}"
+        where = f" WHERE {_cond_sql(m.group(6), cols)}" if m.group(6) else ""
+        expr = f"date_format({date_col}, '{fmt}')"
+        return (
+            f"SELECT {expr} AS {bucket}, {sel} AS {alias} FROM {table}{where} "
+            f"GROUP BY {expr}",
+            [table],
+        )
 
     # -- distinct COL[, COL...] from TABLE [where COND] ---------------
     # (the reference's terms-facet request: enumerate a field's values)

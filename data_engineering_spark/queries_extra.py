@@ -1050,6 +1050,27 @@ def q_nl_query_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nl_query_trend",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+              CAST(count(*) AS BIGINT) AS n
+       FROM orders WHERE o_orderstatus = 'F' GROUP BY 1""",
+)
+def q_nl_query_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 — NL date-histogram: ``monthly count in orders …`` compiles to
+    a calendar-bucketed GROUP BY (the ES date_histogram aggregation
+    behind every reference dashboard trend). The date column is inferred
+    from the schema (o_orderdate is orders' only date-like field) and
+    inference must be unique — ambiguity is an NLQueryError, not a
+    guess. Exact integer counts; the month label is a string both
+    engines format identically."""
+    from .functions.nl2sql import run_nl
+
+    return run_nl(
+        spark, sf_dir, "monthly count in orders where o_orderstatus = F"
+    )
+
+
+@query(
     "nl_query_join",
     """SELECT f.o_orderkey, f.o_totalprice,
               d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment

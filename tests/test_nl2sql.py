@@ -229,3 +229,26 @@ def test_compile_nl_never_miscompiles_garbage():
         except NLQueryError:
             n_err += 1
     assert n_ok >= len(seeds) and n_err > 0  # both branches exercised
+
+
+def test_compile_trend_intent():
+    """ES date_histogram: calendar-bucketed aggregation with unique
+    date-column inference (ambiguity errors, never guesses)."""
+    sql = compile_nl("monthly count in events", SCHEMAS)
+    assert sql == (
+        "SELECT date_format(ts, 'yyyy-MM') AS month, count(*) AS n "
+        "FROM events GROUP BY date_format(ts, 'yyyy-MM')"
+    )
+    sql = compile_nl("daily avg value in events where event_type = click", SCHEMAS)
+    assert "date_format(ts, 'yyyy-MM-dd') AS day" in sql
+    assert "avg(value) AS avg_value" in sql and "WHERE event_type = 'click'" in sql
+    # explicit `by COL` overrides inference; yearly buckets format as yyyy
+    sql = compile_nl("yearly total value in events by ts", SCHEMAS)
+    assert "date_format(ts, 'yyyy') AS year" in sql
+    # orders has NO date-like column in this schema fixture → must error
+    with pytest.raises(NLQueryError, match="cannot infer"):
+        compile_nl("monthly count in orders", SCHEMAS)
+    with pytest.raises(NLQueryError, match="needs a measure"):
+        compile_nl("monthly sum in events", SCHEMAS)
+    with pytest.raises(NLQueryError, match="unknown column"):
+        compile_nl("monthly count in events by bogus", SCHEMAS)
