@@ -124,6 +124,8 @@ HEADLINE = [
     "search_significant_terms",
     "search_more_like_this",
     "nl_query_trend",
+    "search_percolate",
+    "search_highlight",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

@@ -28,6 +28,8 @@ __all__ = [
     "query_string_rank",
     "significant_terms",
     "more_like_this",
+    "percolate",
+    "highlight_snippets",
 ]
 
 # BPE-ish pre-tokenizer: word pieces or single non-space symbols.
@@ -385,5 +387,81 @@ def more_like_this(
             F.sum("idf_micro").cast("long").alias("score_micro"),
         )
         .orderBy(F.col("score_micro").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def percolate(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Elasticsearch percolator: REVERSE search — stored queries match
+    incoming documents (the alerting/routing primitive: "which saved
+    searches fire for this doc"). Each stored query is a bool-must term
+    set; a doc matches when it contains EVERY term. Emits (query_id,
+    doc_id) match pairs.
+
+    Scale shape: stored queries are user-registered and tiny by
+    definition → the term list broadcasts; docs fan out to distinct
+    terms inside their scan, join the broadcast, and ONE (doc, query)
+    partial agg counts matched terms against the query's requirement.
+    The corpus never shuffles more than (matched doc, query) rows —
+    exactly how a percolator must behave when the doc stream is the
+    100 TB side."""
+    spark = df.sparkSession
+    qrows = sorted({(qid, t) for qid, terms in queries.items() for t in terms})
+    qdf = spark.createDataFrame(qrows, "query_id string, term string")
+    need = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("need"))
+    dt = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    return (
+        dt.join(F.broadcast(qdf), "term")
+        .groupBy(id_col, "query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(need), "query_id")
+        .filter(F.col("n") == F.col("need"))
+        .select("query_id", id_col)
+    )
+
+
+def highlight_snippets(
+    df: DataFrame,
+    term: str,
+    k: int = 10,
+    window: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Elasticsearch highlight: for the top matching docs, cut a snippet
+    around the FIRST occurrence of the query term and wrap the match in
+    ``<em>`` tags (ES's default highlighter contract). Ranking is exact
+    occurrence count (desc, id tiebreak).
+
+    Pure string expressions (instr/substring/concat — identical 1-based
+    semantics in any SQL engine), evaluated inside the scan; the only
+    plan steps are a filter and a TakeOrdered. No tokenization, no
+    shuffle wider than the top-k."""
+    low = F.lower(F.col(text_col))
+    pos = F.instr(low, term)
+    n_hits = F.size(F.regexp_extract_all(low, F.lit(term), F.lit(0)))
+    start = F.greatest(pos - F.lit(window), F.lit(1))
+    snippet = F.concat(
+        F.substring(F.col(text_col), start, pos - start),
+        F.lit("<em>"),
+        F.substring(F.col(text_col), pos, F.lit(len(term))),
+        F.lit("</em>"),
+        F.substring(F.col(text_col), pos + F.lit(len(term)), F.lit(window)),
+    )
+    return (
+        df.filter(pos > 0)
+        .select(
+            F.col(id_col),
+            n_hits.cast("long").alias("n_hits"),
+            snippet.alias("snippet"),
+        )
+        .orderBy(F.col("n_hits").desc(), F.col(id_col))
         .limit(k)
     )

@@ -37,7 +37,9 @@ from .operators.text import (
     fingerprint,
     lang_id,
     quality_score,
+    highlight_snippets,
     more_like_this,
+    percolate,
     query_string_rank,
     significant_terms,
     text_stats,
@@ -1640,3 +1642,62 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer scores, engine-portable. The corpus shuffles only matched
     (doc, term) rows; term stats broadcast."""
     return more_like_this(_docs(spark, sf_dir), like_id=7, k=15)
+
+
+@query(
+    "search_percolate",
+    r"""WITH q(query_id, term) AS (VALUES
+          ('alerts_slow_scan', 'slow'), ('alerts_slow_scan', 'scan'),
+          ('alerts_slow_scan', 'query'),
+          ('alerts_spark_stream', 'spark'), ('alerts_spark_stream', 'stream'),
+          ('alerts_vector_dup', 'vector'), ('alerts_vector_dup', 'dup'),
+          ('alerts_missing', 'warehouse')
+        ), dt AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+          FROM documents
+        ), m AS (
+          SELECT doc_id, query_id, count(*) AS n
+          FROM dt JOIN q USING (term) GROUP BY doc_id, query_id
+        ), need AS (SELECT query_id, count(*) AS need FROM q GROUP BY query_id)
+        SELECT query_id, doc_id
+        FROM m JOIN need USING (query_id) WHERE n = need""",
+)
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percolator (operators/text.py:percolate): four stored
+    bool-must term queries fire against every document — reverse search,
+    the alerting primitive. Exact set semantics (all terms present), so
+    the pair output hash-matches with no numeric care at all. Stored
+    queries broadcast; the corpus shuffles only (matched doc, query)
+    rows. 'alerts_missing' proves non-matching queries emit nothing."""
+    stored = {
+        "alerts_spark_stream": ["spark", "stream"],
+        "alerts_vector_dup": ["vector", "dup"],
+        "alerts_slow_scan": ["slow", "scan", "query"],
+        "alerts_missing": ["warehouse"],
+    }
+    return percolate(_docs(spark, sf_dir), stored)
+
+
+@query(
+    "search_highlight",
+    """WITH h AS (
+          SELECT doc_id,
+                 strpos(lower(text), 'vector') AS pos,
+                 CAST(len(regexp_extract_all(lower(text), 'vector')) AS BIGINT) AS n_hits,
+                 text
+          FROM documents WHERE strpos(lower(text), 'vector') > 0
+        )
+        SELECT doc_id, n_hits,
+               substring(text, greatest(pos - 30, 1), pos - greatest(pos - 30, 1))
+               || '<em>' || substring(text, pos, 6) || '</em>'
+               || substring(text, pos + 6, 30) AS snippet
+        FROM h ORDER BY n_hits DESC, doc_id LIMIT 10""",
+)
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES highlighter (operators/text.py:highlight_snippets): top-10
+    'vector' hits by exact occurrence count, each with a ±30-char
+    snippet wrapping the first match in <em> tags. Pure in-scan string
+    expressions (instr/substring share 1-based semantics across
+    engines) + a TakeOrdered — zero data-wide shuffles."""
+    return highlight_snippets(_docs(spark, sf_dir), term="vector", k=10, window=30)

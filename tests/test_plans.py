@@ -237,6 +237,11 @@ def test_shuffle_budgets(spark, sf_dir):
         # source tf, matched-term df, doc-keyed score aggs + tiny totals;
         # query terms ride as a ≤10-row broadcast
         "search_more_like_this": 5,
+        # (matched doc, query) partial agg; stored queries broadcast.
+        # the second exchange is the need-count join's tiny side
+        "search_percolate": 2,
+        # in-scan string expressions + TakeOrdered only
+        "search_highlight": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -174,3 +174,48 @@ def test_more_like_this_prefers_shared_rare_terms(spark):
     assert ranked[0] == 2
     assert got[0]["n_matched_terms"] >= 4
     assert ranked.index(2) < ranked.index(4)
+
+
+def test_percolate_bool_must_semantics(spark):
+    from data_engineering_spark.operators.text import percolate
+
+    df = spark.createDataFrame(
+        [
+            (1, "error in payment service timeout"),
+            (2, "payment succeeded for order nine"),
+            (3, "timeout waiting on error channel"),
+        ],
+        "doc_id long, text string",
+    )
+    stored = {
+        "alert_err_timeout": ["error", "timeout"],
+        "alert_payment": ["payment"],
+        "alert_none": ["segfault"],
+    }
+    got = {(r["query_id"], r["doc_id"]) for r in percolate(df, stored).collect()}
+    assert got == {
+        ("alert_err_timeout", 1),
+        ("alert_err_timeout", 3),
+        ("alert_payment", 1),
+        ("alert_payment", 2),
+    }
+
+
+def test_highlight_snippet_window_and_tags(spark):
+    from data_engineering_spark.operators.text import highlight_snippets
+
+    df = spark.createDataFrame(
+        [
+            (1, "needle at the start of it all"),
+            (2, "a needle appears here and a needle appears there"),
+            (3, "no match at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           highlight_snippets(df, "needle", k=5, window=5).collect()}
+    assert 3 not in got
+    # two hits outrank one; snippet clips at text start and wraps the match
+    assert got[2]["n_hits"] == 2 and got[1]["n_hits"] == 1
+    assert got[1]["snippet"] == "<em>needle</em> at t"
+    assert got[2]["snippet"] == "a <em>needle</em> appe"
