@@ -126,6 +126,7 @@ HEADLINE = [
     "nl_query_trend",
     "search_percolate",
     "search_highlight",
+    "sim_kmeans_refine",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

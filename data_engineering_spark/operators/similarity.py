@@ -23,6 +23,8 @@ bit-for-bit after round(…, 6).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -43,6 +45,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "kmeans_lattice_refine",
 ]
 
 
@@ -753,4 +756,91 @@ def pq_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def _nearest_lattice(q: Column, cents: list[list[int]]) -> Column:
+    """Index of the nearest centroid in exact integer arithmetic:
+    squared L2 on the quantized lattice, ties to the lowest centroid
+    index via struct-min ordering. Pure projection — one zip_with fold
+    per centroid, no exchange."""
+    arms = []
+    for j, c in enumerate(cents):
+        carr = F.array(*[F.lit(int(v)) for v in c])
+        d = F.aggregate(
+            F.zip_with(q, carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        arms.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+    return F.array_min(F.array(*arms))
+
+
+def kmeans_lattice_refine(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """k-means corpus clustering with EXACT, engine-portable Lloyd
+    refinement — the SemDeDup-style "organize the corpus into semantic
+    buckets" stage, built so the whole iterative algorithm is
+    hash-checkable (``ivf_train``'s float refinement documents itself as
+    oracle-facing only at ``refine_iters=0``; this retires that
+    limitation the way the LTTB/FFD integer twins retired theirs).
+
+    Determinism contract: embeddings are quantized to a 1e-6 integer
+    lattice (round is half-away in every engine, the product/round chain
+    is IEEE-exact); seeding is the md5 order of the ids (k medoids);
+    every distance is an exact int64 sum of squared lattice diffs (≤2^48
+    at any realistic dim·scale); refined centroids are
+    ``round(sum/count)`` per dimension — the sums exact integers, the
+    quotient one correctly-rounded double op — so centroids stay ON the
+    lattice and every iteration remains exact. Empty clusters keep their
+    previous centroid.
+
+    Scale shape: assignment is a zero-exchange projection against k
+    BROADCAST-LITERAL centroids; each iteration costs ONE (cluster, dim)
+    partial-agg shuffle (k·dim keys) and a k·dim-row driver transfer —
+    bounded by parameters, not data (the IVF/PQ codebook-collect
+    argument). Emits (id, cluster, dist) under the final centroids."""
+    q = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+    pts = corpus.select(F.col(id_col), q.alias("q"))
+    med_rows = (
+        pts.select("q", F.md5(F.col(id_col).cast("string")).alias("h"), id_col)
+        .orderBy("h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r.q) for r in med_rows]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = pts.select(
+            _nearest_lattice(F.col("q"), cents)["c"].alias("c"), "q"
+        )
+        sums = (
+            assigned.select("c", F.posexplode("q").alias("i", "x"))
+            .groupBy("c", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            # round half-AWAY-from-zero on the double quotient — SQL
+            # round() semantics (Python's round() is banker's and would
+            # diverge from the oracle exactly on .5 ties)
+            v = r["s"] / r["n"]
+            new.setdefault(r["c"], [0] * dim)[r["i"]] = int(
+                math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            )
+        cents = [new.get(j, c) for j, c in enumerate(cents)]
+    best = _nearest_lattice(F.col("q"), cents)
+    return pts.select(
+        F.col(id_col),
+        best["c"].cast("long").alias("cluster"),
+        best["d"].cast("long").alias("dist"),
     )

@@ -29,6 +29,7 @@ from .operators.similarity import (
     embedding_near_dedup,
     embedding_near_dedup_bucketed,
     ivf_topk,
+    kmeans_lattice_refine,
     lsh_topk,
     pq_topk,
 )
@@ -1701,3 +1702,59 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (instr/substring share 1-based semantics across
     engines) + a TakeOrdered — zero data-wide shuffles."""
     return highlight_snippets(_docs(spark, sf_dir), term="vector", k=10, window=30)
+
+
+@query(
+    "sim_kmeans_refine",
+    """WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+          FROM embeddings
+        ), med AS (
+          SELECT q, c FROM (
+            SELECT q, row_number() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c
+            FROM e) WHERE c < 8
+        ), d1 AS (
+          SELECT e.vec_id, m.c,
+                 CAST(list_sum(list_transform(list_zip(e.q, m.q),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+          FROM e CROSS JOIN med m
+        ), a1 AS (
+          SELECT vec_id, c FROM (
+            SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+            FROM d1) WHERE rn = 1
+        ), dims AS (
+          SELECT a1.c, generate_subscripts(e.q, 1) AS i, unnest(e.q) AS x
+          FROM a1 JOIN e USING (vec_id)
+        ), means AS (
+          SELECT c, i, CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS v
+          FROM dims GROUP BY c, i
+        ), ref0 AS (SELECT c, list(v ORDER BY i) AS q FROM means GROUP BY c),
+        ref AS (
+          SELECT m.c, coalesce(r.q, m.q) AS q
+          FROM med m LEFT JOIN ref0 r USING (c)
+        ), d2 AS (
+          SELECT e.vec_id, r.c,
+                 CAST(list_sum(list_transform(list_zip(e.q, r.q),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d
+          FROM e CROSS JOIN ref r
+        )
+        SELECT vec_id, CAST(c AS BIGINT) AS cluster, d AS dist
+        FROM (SELECT vec_id, c, d,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+              FROM d2) WHERE rn = 1""",
+)
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-lattice k-means with ONE Lloyd refinement
+    (operators/similarity.py:kmeans_lattice_refine): md5-seeded medoids,
+    1e-6-quantized integer distances, round(sum/count) centroid updates
+    that stay on the lattice — the whole ITERATIVE algorithm
+    hash-checked cross-engine (ivf_train's float refinement documents
+    itself as un-oracle-able; this form retires that). Assignment is a
+    zero-exchange projection against broadcast-literal centroids; each
+    iteration costs one (cluster, dim) partial agg + a k·dim-row
+    bounded collect."""
+    return kmeans_lattice_refine(_emb(spark, sf_dir), k=8, iters=1)

@@ -678,3 +678,35 @@ def test_incremental_replay_is_batching_invariant(spark, n_batches):
     assert eone.count() > 0
     assert emulti.count() == eone.count()
     assert emulti.exceptAll(eone).count() == 0
+
+
+def test_kmeans_lattice_refine_improves_and_is_layout_independent(spark):
+    import math
+
+    from data_engineering_spark.operators.similarity import kmeans_lattice_refine
+
+    # two tight planted blobs + noise points; 2 seeded medoids
+    rows = []
+    for i in range(20):
+        rows.append((i, [1.0 + (i % 3) * 0.01, 0.0, 0.0, 0.0]))
+    for i in range(20, 40):
+        rows.append((i, [0.0, 1.0 + (i % 3) * 0.01, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    base = kmeans_lattice_refine(df, k=2, iters=0).collect()
+    ref = kmeans_lattice_refine(df, k=2, iters=1).collect()
+    # refinement must not increase total within-cluster cost
+    assert sum(r["dist"] for r in ref) <= sum(r["dist"] for r in base)
+    # after refinement the two blobs separate perfectly
+    by_cluster = {}
+    for r in ref:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert sorted(len(v) for v in by_cluster.values()) == [20, 20]
+    blobs = [set(range(20)), set(range(20, 40))]
+    assert sorted(by_cluster.values(), key=min) == blobs
+
+    # assignment is a pure function of the data, not the layout
+    again = kmeans_lattice_refine(df.repartition(7), k=2, iters=1).collect()
+    assert {(r["vec_id"], r["cluster"], r["dist"]) for r in again} == {
+        (r["vec_id"], r["cluster"], r["dist"]) for r in ref
+    }

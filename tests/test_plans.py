@@ -242,6 +242,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "search_percolate": 2,
         # in-scan string expressions + TakeOrdered only
         "search_highlight": 0,
+        # final assignment is a zero-exchange projection against the
+        # broadcast-literal refined centroids (the per-iteration
+        # (cluster, dim) agg runs eagerly during centroid training)
+        "sim_kmeans_refine": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
