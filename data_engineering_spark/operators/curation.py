@@ -675,7 +675,10 @@ def shard_shuffle(
     idx = F.col("_pos") - F.lit(1)
     return ranked.select(
         id_col,
-        F.floor(idx / F.lit(shard_size)).cast("long").alias("shard"),
+        # integral `div`, not double division — exact at any rank (a
+        # double quotient goes inexact past 2^53, i.e. exactly the
+        # regime this operator exists for)
+        F.expr(f"(_pos - 1) div {int(shard_size)}").cast("long").alias("shard"),
         (idx % F.lit(shard_size)).cast("long").alias("pos_in_shard"),
     )
 

@@ -23,8 +23,6 @@ bit-for-bit after round(…, 6).
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -809,7 +807,10 @@ def kmeans_lattice_refine(
     q = F.transform(
         F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long")
     )
-    pts = corpus.select(F.col(id_col), q.alias("q"))
+    # pin the quantized corpus: the medoid collect, each iteration's
+    # (cluster, dim) aggregate, and the returned frame would otherwise
+    # each rescan + requantize the full embedding table (iters+2 scans)
+    pts = corpus.select(F.col(id_col), q.alias("q")).localCheckpoint(eager=True)
     med_rows = (
         pts.select("q", F.md5(F.col(id_col).cast("string")).alias("h"), id_col)
         .orderBy("h", id_col)
@@ -830,13 +831,15 @@ def kmeans_lattice_refine(
         )
         new: dict[int, list[int]] = {}
         for r in sums:
-            # round half-AWAY-from-zero on the double quotient — SQL
-            # round() semantics (Python's round() is banker's and would
-            # diverge from the oracle exactly on .5 ties)
-            v = r["s"] / r["n"]
-            new.setdefault(r["c"], [0] * dim)[r["i"]] = int(
-                math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
-            )
+            # round-half-away-from-zero computed ENTIRELY in integer
+            # arithmetic: (2s+n)//(2n) on positive operands. A double
+            # quotient here can misround near .5 boundaries (and
+            # Python's round() is banker's); the oracle mirrors this
+            # exact integer form, so the lattice contract has no
+            # floating-point step at all.
+            s, n = int(r["s"]), int(r["n"])
+            v = (2 * s + n) // (2 * n) if s >= 0 else -((-2 * s + n) // (2 * n))
+            new.setdefault(r["c"], [0] * dim)[r["i"]] = v
         cents = [new.get(j, c) for j, c in enumerate(cents)]
     best = _nearest_lattice(F.col("q"), cents)
     return pts.select(

@@ -411,7 +411,9 @@ def percolate(
     exactly how a percolator must behave when the doc stream is the
     100 TB side."""
     spark = df.sparkSession
-    qrows = sorted({(qid, t) for qid, terms in queries.items() for t in terms})
+    # stored terms are normalized the same way doc tokens are (lowercase)
+    # — a mixed-case registered alert must fire, not silently go dead
+    qrows = sorted({(qid, t.lower()) for qid, terms in queries.items() for t in terms})
     qdf = spark.createDataFrame(qrows, "query_id string, term string")
     need = qdf.groupBy("query_id").agg(F.count(F.lit(1)).alias("need"))
     dt = df.select(
@@ -444,9 +446,17 @@ def highlight_snippets(
     semantics in any SQL engine), evaluated inside the scan; the only
     plan steps are a filter and a TakeOrdered. No tokenization, no
     shuffle wider than the top-k."""
+    # the term is matched LITERALLY and case-insensitively everywhere:
+    # occurrences are counted by length difference under replace() (no
+    # regex — 'c++' or 'a.b' are plain strings here, as in ES term-level
+    # highlighting), and the same lowercased literal drives instr.
+    term = term.lower()
     low = F.lower(F.col(text_col))
     pos = F.instr(low, term)
-    n_hits = F.size(F.regexp_extract_all(low, F.lit(term), F.lit(0)))
+    n_hits = (
+        (F.length(low) - F.length(F.replace(low, F.lit(term), F.lit(""))))
+        / F.lit(len(term))
+    ).cast("long")
     start = F.greatest(pos - F.lit(window), F.lit(1))
     snippet = F.concat(
         F.substring(F.col(text_col), start, pos - start),

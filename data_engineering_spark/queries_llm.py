@@ -1685,7 +1685,7 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH h AS (
           SELECT doc_id,
                  strpos(lower(text), 'vector') AS pos,
-                 CAST(len(regexp_extract_all(lower(text), 'vector')) AS BIGINT) AS n_hits,
+                 CAST((len(lower(text)) - len(replace(lower(text), 'vector', ''))) // 6 AS BIGINT) AS n_hits,
                  text
           FROM documents WHERE strpos(lower(text), 'vector') > 0
         )
@@ -1730,7 +1730,14 @@ def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT a1.c, generate_subscripts(e.q, 1) AS i, unnest(e.q) AS x
           FROM a1 JOIN e USING (vec_id)
         ), means AS (
-          SELECT c, i, CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS v
+          -- round-half-away in pure integer arithmetic: (2s+n)//(2n) on
+          -- positive operands (mirrors the Spark driver exactly; a
+          -- double quotient can misround near .5)
+          SELECT c, i,
+                 CAST(CASE WHEN sum(x) >= 0
+                      THEN (2 * sum(x) + count(*)) // (2 * count(*))
+                      ELSE -((-2 * sum(x) + count(*)) // (2 * count(*)))
+                      END AS BIGINT) AS v
           FROM dims GROUP BY c, i
         ), ref0 AS (SELECT c, list(v ORDER BY i) AS q FROM means GROUP BY c),
         ref AS (

@@ -219,3 +219,23 @@ def test_highlight_snippet_window_and_tags(spark):
     assert got[2]["n_hits"] == 2 and got[1]["n_hits"] == 1
     assert got[1]["snippet"] == "<em>needle</em> at t"
     assert got[2]["snippet"] == "a <em>needle</em> appe"
+
+
+def test_highlight_and_percolate_literal_term_handling(spark):
+    """Review regressions: highlight must treat the term as a LITERAL
+    (regex metacharacters) and lowercase it; percolate must normalize
+    stored terms so mixed-case alerts still fire."""
+    from data_engineering_spark.operators.text import highlight_snippets, percolate
+
+    df = spark.createDataFrame(
+        [(1, "we wrote c++ here and more c++ there"), (2, "plain c only")],
+        "doc_id long, text string",
+    )
+    got = highlight_snippets(df, "C++", k=5, window=4).collect()
+    assert [r["doc_id"] for r in got] == [1]
+    assert got[0]["n_hits"] == 2
+    assert "<em>c++</em>" in got[0]["snippet"]
+
+    fired = {(r["query_id"], r["doc_id"])
+             for r in percolate(df, {"alert_cpp": ["C++", "Wrote"]}).collect()}
+    assert fired == {("alert_cpp", 1)}
