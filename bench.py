@@ -127,6 +127,8 @@ HEADLINE = [
     "search_percolate",
     "search_highlight",
     "sim_kmeans_refine",
+    "sim_contrastive_batches",
+    "curate_word_dropout",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

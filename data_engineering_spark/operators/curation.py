@@ -46,6 +46,7 @@ __all__ = [
     "chunk_sliding",
     "boilerplate_strip",
     "dsir_weights",
+    "word_dropout",
     "unigram_nll",
     "pack_concat",
     "pack_ffd",
@@ -376,6 +377,38 @@ def dsir_weights(
             F.count(F.lit(1)).cast("long").alias("n_feats"),
             F.sum("t").cast("long").alias("logw_micro"),
         )
+    )
+
+
+def word_dropout(
+    df: DataFrame,
+    rate_pct: int = 10,
+    seed: str = "aug-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation: drop each token with
+    probability ``rate_pct``% — but the coin is md5(seed:id:position),
+    not an RNG, so the augmented corpus is REPRODUCIBLE across reruns,
+    retries, and engines (the property that makes augmented training
+    data auditable; change ``seed`` to mint a fresh augmentation).
+    Emits the augmented text (NULL when every token dropped), the drop
+    count, and the original length.
+
+    Pure projection — the per-token coin is an in-array md5 over
+    (seed, id, 1-based position); zero shuffles at any scale."""
+    toks = tokens(text_col)
+    pref = F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"), F.lit(":"))
+    kept = F.filter(
+        toks,
+        lambda x, i: hash_bucket(F.concat(pref, (i + 1).cast("string")), 100)
+        >= rate_pct,
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(kept) > 0, F.concat_ws(" ", kept)).alias("aug_text"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_dropped"),
+        F.size(toks).cast("long").alias("n_tokens"),
     )
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "kmeans_lattice_refine",
+    "contrastive_batches",
 ]
 
 
@@ -846,4 +847,76 @@ def kmeans_lattice_refine(
         F.col(id_col),
         best["c"].cast("long").alias("cluster"),
         best["d"].cast("long").alias("dist"),
+    )
+
+
+def contrastive_batches(
+    corpus: DataFrame,
+    batch_buckets: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Contrastive-pair mining with IN-BATCH negatives — the data layout
+    every contrastive embedding trainer (SimCLR/CLIP-style) consumes:
+    vectors are dealt into deterministic md5 batches; within a batch each
+    anchor gets its hardest POSITIVE (nearest same-label vector on the
+    exact 1e-6 lattice — see :func:`kmeans_lattice_refine` for the
+    portability argument) and counts every different-label batchmate as
+    a negative. Anchors whose batch holds no same-label partner emit
+    NULLs (the trainer drops or re-batches them; making that visible is
+    the point).
+
+    Scale shape: batching is a pure md5 projection; pairing is quadratic
+    ONLY within a batch (|batch| ≈ N/buckets — at corpus scale you grow
+    ``batch_buckets`` with N, keeping per-batch work constant, which is
+    the same contract as the minhash band caps); ONE batch-keyed
+    exchange, one anchor-keyed partial agg."""
+    pts = corpus.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.lit(float(scale))).cast("long"),
+        ).alias("q"),
+        (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            % batch_buckets
+        ).alias("batch"),
+    )
+    a = pts.select(
+        F.col("batch"),
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col("q").alias("aq"),
+    )
+    b = pts.select(
+        F.col("batch"),
+        F.col(id_col).alias("other_id"),
+        F.col(label_col).alias("other_label"),
+        F.col("q").alias("bq"),
+    )
+    d = F.aggregate(
+        F.zip_with(F.col("aq"), F.col("bq"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = (
+        a.join(b, "batch")
+        .filter(F.col("anchor_id") != F.col("other_id"))
+        .select(
+            "anchor_id",
+            "other_id",
+            (F.col("anchor_label") == F.col("other_label")).alias("same"),
+            d.alias("d"),
+        )
+    )
+    return pairs.groupBy("anchor_id").agg(
+        F.min_by(
+            "other_id", F.when(F.col("same"), F.struct(F.col("d"), F.col("other_id")))
+        ).alias("positive_id"),
+        F.min(F.when(F.col("same"), F.col("d"))).alias("positive_dist"),
+        F.sum((~F.col("same")).cast("long")).cast("long").alias("n_negatives"),
     )

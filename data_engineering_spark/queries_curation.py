@@ -35,6 +35,7 @@ from .operators.curation import (
     stratified_sample,
     token_budget_select,
     unigram_nll,
+    word_dropout,
 )
 from .registry import query
 
@@ -557,3 +558,35 @@ def q_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank hash-matches the oracle's textbook single-partition
     row_number() window exactly."""
     return shard_shuffle(_docs(spark, sf_dir), shard_size=64)
+
+
+@query(
+    "curate_word_dropout",
+    f"""WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(toks) AS tok,
+                 generate_subscripts(toks, 1) AS ord,
+                 len(toks) AS n_tokens
+          FROM t
+        ), kept AS (
+          SELECT doc_id, tok, ord, n_tokens,
+                 (('0x' || substr(md5('aug-v1:' || CAST(doc_id AS VARCHAR)
+                     || ':' || CAST(ord AS VARCHAR)), 1, 6))::BIGINT % 100 >= 10)
+                     AS keep
+          FROM tok
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY ord)
+                   AS aug_text,
+               CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+               CAST(any_value(n_tokens) AS BIGINT) AS n_tokens
+        FROM kept GROUP BY doc_id""",
+)
+def q_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation (operators/curation.py:
+    word_dropout): every token flips an md5(seed:id:pos) coin at 10% —
+    reproducible augmentation, zero shuffles (the oracle needs the
+    unnest + ordered string_agg; the columnar form is a pure array
+    filter in the scan)."""
+    return word_dropout(_docs(spark, sf_dir), rate_pct=10)

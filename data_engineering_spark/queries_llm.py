@@ -28,6 +28,7 @@ from .operators.similarity import (
     cosine_topk_pandas,
     embedding_near_dedup,
     embedding_near_dedup_bucketed,
+    contrastive_batches,
     ivf_topk,
     kmeans_lattice_refine,
     lsh_topk,
@@ -1765,3 +1766,37 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration costs one (cluster, dim) partial agg + a k·dim-row
     bounded collect."""
     return kmeans_lattice_refine(_emb(spark, sf_dir), k=8, iters=1)
+
+
+@query(
+    "sim_contrastive_batches",
+    """WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q,
+                 ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT % 16
+                     AS batch
+          FROM embeddings
+        ), p AS (
+          SELECT a.vec_id AS anchor_id, b.vec_id AS other_id,
+                 (a.label = b.label) AS same,
+                 CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                     z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT) AS d
+          FROM e a JOIN e b ON a.batch = b.batch AND a.vec_id <> b.vec_id
+        )
+        SELECT anchor_id,
+               (min(ROW(d, other_id)) FILTER (WHERE same))[2] AS positive_id,
+               min(d) FILTER (WHERE same) AS positive_dist,
+               CAST(count(*) FILTER (WHERE NOT same) AS BIGINT) AS n_negatives
+        FROM p GROUP BY anchor_id""",
+)
+def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining with in-batch negatives
+    (operators/similarity.py:contrastive_batches): md5-dealt batches of
+    ~N/16 vectors; per anchor the hardest same-label positive by exact
+    lattice distance (min_by over (d, id) — deterministic ties) and the
+    count of in-batch negatives. Quadratic only within a batch — the
+    knob a 100 TB run turns is batch_buckets, exactly like the minhash
+    band caps. NULL positive = batch held no same-label partner, made
+    visible for the trainer to re-batch."""
+    return contrastive_batches(_emb(spark, sf_dir), batch_buckets=16)

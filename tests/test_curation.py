@@ -458,3 +458,26 @@ def test_shard_shuffle_layout_independent_and_balanced(spark):
     assert sizes == {s: 50 for s in range(6)}
     positions = sorted(p for s, p in a.values() if s == 0)
     assert positions == list(range(50))
+
+
+def test_word_dropout_reproducible_and_seed_sensitive(spark):
+    from data_engineering_spark.operators.curation import word_dropout
+
+    df = _docs(spark, [(i, "alpha beta gamma delta epsilon zeta") for i in range(1, 41)])
+    a = {r["doc_id"]: r for r in word_dropout(df, rate_pct=25).collect()}
+    b = {r["doc_id"]: r for r in word_dropout(df.repartition(5), rate_pct=25).collect()}
+    # pure function of (seed, id, position): layout changes nothing
+    assert {k: (v["aug_text"], v["n_dropped"]) for k, v in a.items()} == {
+        k: (v["aug_text"], v["n_dropped"]) for k, v in b.items()
+    }
+    # ~25% of 240 tokens dropped, and at least one doc differs per seed
+    total_dropped = sum(v["n_dropped"] for v in a.values())
+    assert 30 <= total_dropped <= 90
+    c = {r["doc_id"]: r["aug_text"] for r in word_dropout(df, rate_pct=25, seed="aug-v2").collect()}
+    assert any(c[k] != a[k]["aug_text"] for k in c)
+    # dropped tokens keep relative order of the survivors
+    assert all(
+        [w for w in "alpha beta gamma delta epsilon zeta".split() if w in (v["aug_text"] or "").split()]
+        == (v["aug_text"] or "").split()
+        for v in a.values()
+    )

@@ -710,3 +710,26 @@ def test_kmeans_lattice_refine_improves_and_is_layout_independent(spark):
     assert {(r["vec_id"], r["cluster"], r["dist"]) for r in again} == {
         (r["vec_id"], r["cluster"], r["dist"]) for r in ref
     }
+
+
+def test_contrastive_batches_in_batch_semantics(spark):
+    from data_engineering_spark.operators.similarity import contrastive_batches
+
+    # batch_buckets=1 → everything shares one batch; label 9 is a singleton
+    rows = [
+        (1, [0.0, 0.0], 0),
+        (2, [0.1, 0.0], 0),    # nearest same-label to 1
+        (3, [0.9, 0.0], 0),
+        (4, [0.0, 1.0], 1),
+        (5, [0.0, 1.1], 1),
+        (6, [5.0, 5.0], 9),    # no same-label partner
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r["anchor_id"]: r for r in contrastive_batches(df, batch_buckets=1).collect()}
+    assert got[1]["positive_id"] == 2
+    assert got[1]["positive_dist"] == 100_000**2  # 0.1 on the 1e-6 lattice
+    assert got[1]["n_negatives"] == 3  # ids 4, 5, 6
+    assert got[4]["positive_id"] == 5 and got[4]["n_negatives"] == 4
+    # singleton label: visible NULL positive, negatives still counted
+    assert got[6]["positive_id"] is None and got[6]["positive_dist"] is None
+    assert got[6]["n_negatives"] == 5

@@ -246,6 +246,10 @@ def test_shuffle_budgets(spark, sf_dir):
         # broadcast-literal refined centroids (the per-iteration
         # (cluster, dim) agg runs eagerly during centroid training)
         "sim_kmeans_refine": 0,
+        # ONE batch-keyed exchange; pairing quadratic only within a batch
+        "sim_contrastive_batches": 1,
+        # per-token md5 coin inside the scan — pure projection
+        "curate_word_dropout": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
