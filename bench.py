@@ -129,6 +129,7 @@ HEADLINE = [
     "sim_kmeans_refine",
     "sim_contrastive_batches",
     "curate_word_dropout",
+    "corpus_pipeline_e2e",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

@@ -590,3 +590,134 @@ def q_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnest + ordered string_agg; the columnar form is a pure array
     filter in the scan)."""
     return word_dropout(_docs(spark, sf_dir), rate_pct=10)
+
+
+@query(
+    "corpus_pipeline_e2e",
+    f"""WITH corpus AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+        ), bench AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        ), ctoks AS (
+          SELECT doc_id, unnest({_TOKS}) AS tok,
+                 generate_subscripts({_TOKS}, 1) AS ord
+          FROM corpus
+        ), g2 AS (
+          SELECT doc_id,
+                 round(1.0 - count(DISTINCT g) * 1.0 / count(g), 6) AS dup_2gram_frac
+          FROM (SELECT doc_id,
+                       tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS g
+                FROM ctoks)
+          WHERE g IS NOT NULL GROUP BY doc_id
+        ), t2 AS (
+          SELECT doc_id,
+                 round(1.0 - len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 6)
+                     AS dup_token_frac
+          FROM corpus
+        ), q1 AS (
+          SELECT c.doc_id, c.text
+          FROM corpus c JOIN t2 USING (doc_id) JOIN g2 USING (doc_id)
+          WHERE dup_token_frac <= 0.6 AND dup_2gram_frac <= 0.05
+        ), survivors AS (
+          SELECT min(doc_id) AS doc_id FROM (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+            FROM q1) GROUP BY fp
+        ), q2 AS (SELECT q1.* FROM q1 JOIN survivors USING (doc_id)),
+        qgrams AS (
+          SELECT doc_id,
+                 tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                     || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                     || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+                     || ' ' || lead(tok, 7) OVER w AS g
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok,
+                       generate_subscripts({_TOKS}, 1) AS ord FROM q2)
+          WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        ), bgrams AS (
+          SELECT DISTINCT tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                     || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+                     || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
+                     || ' ' || lead(tok, 7) OVER w AS g
+          FROM (SELECT doc_id, unnest({_TOKS}) AS tok,
+                       generate_subscripts({_TOKS}, 1) AS ord FROM bench)
+          WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        ), dirty AS (
+          SELECT DISTINCT c.doc_id
+          FROM (SELECT doc_id, g FROM qgrams WHERE g IS NOT NULL) c
+          JOIN (SELECT g FROM bgrams WHERE g IS NOT NULL) b USING (g)
+        ), q3 AS (SELECT q2.* FROM q2 ANTI JOIN dirty USING (doc_id)),
+        r AS (
+          SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                 row_number() OVER (
+                     ORDER BY md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1 AS idx
+          FROM q3
+        )
+        SELECT doc_id, CAST(idx // 64 AS BIGINT) AS shard,
+               CAST(idx % 64 AS BIGINT) AS pos_in_shard, n_tokens
+        FROM r""",
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data pipeline as one composed plan — the job a
+    100 TB corpus build runs nightly: Gopher-shaped repetition filter
+    (fused into the scan as array expressions — no self-join for a
+    per-row verdict), exact dedup keeping the min-id survivor WITH its
+    text via struct-min (one (fp, ·) shuffle, no join-back),
+    8-gram benchmark decontamination (bench gram set broadcasts, corpus
+    emits only dirty ids, LEFT ANTI to survive), and the deterministic
+    md5 shard shuffle on the survivors (distributed prefix-sum rank).
+    Every stage is individually oracle-proven elsewhere; this row proves
+    the COMPOSITION end to end against one chained DuckDB CTE."""
+    from .operators.dedup import shingle_hashes, shingles
+    from .operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    # stage 1 — quality filter, fused per-row expressions
+    # (operators/curation.py:repetition_stats semantics, inlined so the
+    # verdict rides the same scan that feeds the next stage)
+    toks = tokens("text")
+    n = F.size(toks)
+    n_grams = F.greatest(n - 1, F.lit(1))
+    dup_tok = F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6)
+    dup_2g = F.round(F.lit(1.0) - F.size(shingles("text", 2)) / n_grams, 6)
+    q1 = corpus.filter((dup_tok <= 0.6) & (dup_2g <= 0.05))
+
+    # stage 2 — exact dedup, min-id survivor carried with its text
+    from .operators.text import fingerprint
+
+    q2 = (
+        q1.groupBy(fingerprint("text").alias("fp"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text"))
+    )
+
+    # stage 3 — benchmark decontamination (broadcast gram set, anti join)
+    bench_grams = bench.select(F.explode(shingle_hashes("text", 8)).alias("g")).distinct()
+    dirty = (
+        q2.select("doc_id", F.explode(shingle_hashes("text", 8)).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    q3 = q2.join(dirty, "doc_id", "left_anti")
+
+    # stage 4 — deterministic shard shuffle of the survivors
+    from .operators.curation import prefix_sum
+
+    h = F.md5(F.concat(F.lit("shuffle-v1:"), F.col("doc_id").cast("string")))
+    base = q3.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        h.alias("_h"),
+        F.lit(1).alias("_one"),
+    )
+    ranked = prefix_sum(base, [F.col("_h"), F.col("doc_id")], "_one", out_col="_pos")
+    return ranked.select(
+        "doc_id",
+        F.expr("(_pos - 1) div 64").cast("long").alias("shard"),
+        ((F.col("_pos") - 1).cast("long") % 64).alias("pos_in_shard"),
+        "n_tokens",
+    )

@@ -481,3 +481,25 @@ def test_word_dropout_reproducible_and_seed_sensitive(spark):
         == (v["aug_text"] or "").split()
         for v in a.values()
     )
+
+
+def test_corpus_pipeline_e2e_invariants(spark, sf_dir):
+    import __spark_entry__  # noqa: F401
+    from data_engineering_spark.registry import QUERIES
+
+    rows = QUERIES["corpus_pipeline_e2e"](spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in rows]
+    # survivors: unique ids, never from the benchmark slice (doc_id % 10 == 0)
+    assert len(ids) == len(set(ids))
+    assert all(i % 10 != 0 for i in ids)
+    # shard layout: contiguous 0-based shards, every non-tail shard full,
+    # positions within a shard are exactly 0..size-1
+    from collections import Counter
+    sizes = Counter(r["shard"] for r in rows)
+    assert sorted(sizes) == list(range(len(sizes)))
+    for s, cnt in sizes.items():
+        if s < len(sizes) - 1:
+            assert cnt == 64
+        got = sorted(r["pos_in_shard"] for r in rows if r["shard"] == s)
+        assert got == list(range(cnt))
+    assert all(r["n_tokens"] > 0 for r in rows)

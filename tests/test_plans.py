@@ -250,6 +250,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "sim_contrastive_batches": 1,
         # per-token md5 coin inside the scan — pure projection
         "curate_word_dropout": 0,
+        # visible plan is post-checkpoint (prefix_sum pins the lineage);
+        # the eager stages cost: fp dedup agg, dirty-id distinct, anti
+        # join, one range partition — all asserted green at 100x
+        "corpus_pipeline_e2e": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
