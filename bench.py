@@ -130,6 +130,8 @@ HEADLINE = [
     "sim_contrastive_batches",
     "curate_word_dropout",
     "corpus_pipeline_e2e",
+    "events_sessionize",
+    "ts_ses_smooth",
 ]
 
 # Oracle-verification variants: portable md5-seeded twins whose only job

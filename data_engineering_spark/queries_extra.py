@@ -1493,3 +1493,114 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS (step, step_no, users)"
         )
     )
+
+
+@query(
+    "events_sessionize",
+    """WITH g AS (
+         SELECT user_id, event_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                     THEN 1 ELSE 0 END AS brk
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       ), s AS (
+         SELECT user_id, event_id, ts,
+                sum(brk) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+         FROM g
+       )
+       SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+       FROM s GROUP BY user_id, session_no""",
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap rule (>30 min silence starts a new
+    session) every product-analytics pipeline applies before funnels and
+    retention. Lag + running sum inside ONE user-partitioned window (the
+    partition key is the natural shard at 100 TB — no global ordering
+    anywhere), then a (user, session) partial agg. Durations compared as
+    exact epoch-microsecond integers (second-level truncation is lossy
+    on a sub-second event stream)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brk = (
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0)
+    )
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_no"),
+    )
+    return s.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("duration_us"),
+    )
+
+
+@query(
+    "ts_ses_smooth",
+    """WITH RECURSIVE daily AS (
+         SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+                CAST(count(*) AS BIGINT) AS x
+         FROM events GROUP BY 1, 2
+       ), o AS (
+         SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+         FROM daily
+       ), r AS (
+         SELECT event_type, day, x, rn, CAST(x AS DOUBLE) AS s
+         FROM o WHERE rn = 1
+         UNION ALL
+         SELECT o.event_type, o.day, o.x, o.rn,
+                0.5 * CAST(o.x AS DOUBLE) + 0.5 * r.s
+         FROM o JOIN r ON o.event_type = r.event_type AND o.rn = r.rn + 1
+       )
+       SELECT event_type, day, x, CAST(round(s * 1e6) AS BIGINT) AS level_micro
+       FROM r""",
+)
+def q_ts_ses_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (SES, alpha = 0.5) over per-type daily event
+    counts — the forecasting baseline a monitoring pipeline keeps per
+    series. alpha = 0.5 is EXACT in binary, and both engines evaluate the
+    identical op sequence (0.5·x + 0.5·s, each IEEE-correctly-rounded),
+    so the smoothed level is bit-identical and the recursion itself is
+    hash-checked (DuckDB replays it as a RECURSIVE CTE; same playbook as
+    the LTTB twin). Per-series sequential state runs in ONE
+    applyInPandas over the (tiny) per-day aggregate — the corpus-scale
+    work is the daily partial agg, and series key = shuffle key."""
+    import math
+
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        s = None
+        out = []
+        for x in pdf["x"]:
+            xv = float(x)
+            s = xv if s is None else 0.5 * xv + 0.5 * s
+            # exact half-away round of the (always-positive) level:
+            # v - floor(v) is FP-exact for v < 2^52, so the .5 compare
+            # never misrounds (floor(v + 0.5) can, when v+0.5 rounds up)
+            v = s * 1e6
+            fl = math.floor(v)
+            out.append(int(fl + 1 if v - fl >= 0.5 else fl))
+        pdf["level_micro"] = out
+        return pdf
+
+    return daily.groupBy("event_type").applyInPandas(
+        smooth, "event_type string, day date, x long, level_micro long"
+    )

@@ -503,3 +503,52 @@ def test_corpus_pipeline_e2e_invariants(spark, sf_dir):
         got = sorted(r["pos_in_shard"] for r in rows if r["shard"] == s)
         assert got == list(range(cnt))
     assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_events_sessionize_gap_rule(spark):
+    import datetime as dt
+
+    import __spark_entry__  # noqa: F401
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from data_engineering_spark.registry import QUERIES
+
+    # use the registered query's logic via a tiny planted frame run
+    # through the same window expressions
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, 100), (2, base + dt.timedelta(minutes=10), 100),
+        (3, base + dt.timedelta(minutes=45), 100),    # 35-min gap → new session
+        (4, base + dt.timedelta(minutes=50), 100),
+        (5, base, 200),                                # other user independent
+    ]
+    df = spark.createDataFrame(
+        [(e, t, u, "click", 1.0, "{}") for e, t, u in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {(r["user_id"], r["session_no"]): r
+           for r in QUERIES["events_sessionize"](spark, d).collect()}
+    assert got[(100, 1)]["n_events"] == 2 and got[(100, 1)]["duration_us"] == 600_000_000
+    assert got[(100, 2)]["n_events"] == 2 and got[(100, 2)]["duration_us"] == 300_000_000
+    assert got[(200, 1)]["n_events"] == 1 and got[(200, 1)]["duration_us"] == 0
+
+
+def test_ts_ses_smooth_recursion(spark):
+    import __spark_entry__  # noqa: F401
+    from data_engineering_spark.registry import QUERIES
+
+    rows = QUERIES["ts_ses_smooth"](spark, "/root/testdata/sf0.001").collect()
+    by_series = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
+        by_series.setdefault(r["event_type"], []).append(r)
+    assert by_series
+    for series in by_series.values():
+        # replay the recursion: first level equals the first count
+        assert series[0]["level_micro"] == series[0]["x"] * 1_000_000
+        s = float(series[0]["x"])
+        for r in series[1:]:
+            s = 0.5 * float(r["x"]) + 0.5 * s
+            assert abs(r["level_micro"] - s * 1e6) <= 1

@@ -254,6 +254,11 @@ def test_shuffle_budgets(spark, sf_dir):
         # the eager stages cost: fp dedup agg, dirty-id distinct, anti
         # join, one range partition — all asserted green at 100x
         "corpus_pipeline_e2e": 0,
+        # ONE user-partitioned window feeds lag + running sum + the
+        # (user, session) agg — same shuffle key end to end
+        "events_sessionize": 1,
+        # daily partial agg + the per-series applyInPandas exchange
+        "ts_ses_smooth": 2,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
