@@ -688,6 +688,7 @@ def shard_shuffle(
     shard_size: int = 64,
     seed: str = "shuffle-v1",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic global corpus shuffle → training-shard assignment:
     order the corpus by md5(seed:id) (a seeded pseudo-random but fully
@@ -703,7 +704,9 @@ def shard_shuffle(
     global rank is exact and the widest exchange is the range partition
     itself. Emits (id, shard, pos_in_shard)."""
     h = F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
-    base = df.select(F.col(id_col), h.alias("_h"), F.lit(1).alias("_one"))
+    base = df.select(
+        F.col(id_col), *keep_cols, h.alias("_h"), F.lit(1).alias("_one")
+    )
     ranked = prefix_sum(base, [F.col("_h"), F.col(id_col)], "_one", out_col="_pos")
     idx = F.col("_pos") - F.lit(1)
     return ranked.select(
@@ -713,6 +716,7 @@ def shard_shuffle(
         # regime this operator exists for)
         F.expr(f"(_pos - 1) div {int(shard_size)}").cast("long").alias("shard"),
         (idx % F.lit(shard_size)).cast("long").alias("pos_in_shard"),
+        *keep_cols,
     )
 
 

@@ -107,9 +107,12 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  round(1.0 - len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 6) AS dup_token_frac
           FROM documents
         )
-        SELECT doc_id, dup_token_frac, dup_2gram_frac,
-               (dup_token_frac <= 0.6 AND dup_2gram_frac <= 0.05) AS keep
-        FROM t2 JOIN g2 USING (doc_id)""",
+        -- LEFT + coalesce(0): a 1-token doc has no non-NULL bigram row,
+        -- but Spark's shingles() whole-doc fallback gives it frac 0 —
+        -- the inner join silently dropped such docs (review finding)
+        SELECT doc_id, dup_token_frac, coalesce(dup_2gram_frac, 0) AS dup_2gram_frac,
+               (dup_token_frac <= 0.6 AND coalesce(dup_2gram_frac, 0) <= 0.05) AS keep
+        FROM t2 LEFT JOIN g2 USING (doc_id)""",
 )
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-shaped repetition filter (operators/curation.py:
@@ -149,7 +152,16 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                      || ' ' || lead(tok, 5) OVER w || ' ' || lead(tok, 6) OVER w
                      || ' ' || lead(tok, 7) OVER w AS g
           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-        ), dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
+        ), dg AS (
+          -- short docs (<8 tokens) contribute their whole token string as
+          -- one gram, mirroring shingle_hashes' fold-what-you-have
+          -- fallback (review finding)
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id, g FROM grams WHERE g IS NOT NULL
+            UNION ALL
+            SELECT doc_id, array_to_string({_TOKS}, ' ') AS g
+            FROM documents WHERE len({_TOKS}) < 8)
+        ),
         bench AS (SELECT DISTINCT g FROM dg WHERE doc_id % 10 = 0),
         hits AS (
           SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n
@@ -615,9 +627,11 @@ def q_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS dup_token_frac
           FROM corpus
         ), q1 AS (
+          -- LEFT + coalesce(0) mirrors shingles()'s whole-doc fallback
+          -- for 1-token docs (review finding: inner join dropped them)
           SELECT c.doc_id, c.text
-          FROM corpus c JOIN t2 USING (doc_id) JOIN g2 USING (doc_id)
-          WHERE dup_token_frac <= 0.6 AND dup_2gram_frac <= 0.05
+          FROM corpus c JOIN t2 USING (doc_id) LEFT JOIN g2 USING (doc_id)
+          WHERE dup_token_frac <= 0.6 AND coalesce(dup_2gram_frac, 0) <= 0.05
         ), survivors AS (
           SELECT min(doc_id) AS doc_id FROM (
             SELECT doc_id,
@@ -642,9 +656,19 @@ def q_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
                        generate_subscripts({_TOKS}, 1) AS ord FROM bench)
           WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
         ), dirty AS (
+          -- short docs (<8 tokens) contribute their whole token string as
+          -- one gram, mirroring shingle_hashes' fold-what-you-have
+          -- fallback (review finding: the lead-chain alone yields NULL
+          -- for them and short cross-boundary dups went undetected)
           SELECT DISTINCT c.doc_id
-          FROM (SELECT doc_id, g FROM qgrams WHERE g IS NOT NULL) c
-          JOIN (SELECT g FROM bgrams WHERE g IS NOT NULL) b USING (g)
+          FROM (SELECT doc_id, g FROM qgrams WHERE g IS NOT NULL
+                UNION ALL
+                SELECT doc_id, array_to_string({_TOKS}, ' ') AS g
+                FROM q2 WHERE len({_TOKS}) < 8) c
+          JOIN (SELECT g FROM bgrams WHERE g IS NOT NULL
+                UNION ALL
+                SELECT array_to_string({_TOKS}, ' ') AS g
+                FROM bench WHERE len({_TOKS}) < 8) b USING (g)
         ), q3 AS (SELECT q2.* FROM q2 ANTI JOIN dirty USING (doc_id)),
         r AS (
           SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
@@ -704,20 +728,12 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q3 = q2.join(dirty, "doc_id", "left_anti")
 
-    # stage 4 — deterministic shard shuffle of the survivors
-    from .operators.curation import prefix_sum
-
-    h = F.md5(F.concat(F.lit("shuffle-v1:"), F.col("doc_id").cast("string")))
-    base = q3.select(
-        "doc_id",
-        F.size(tokens("text")).cast("long").alias("n_tokens"),
-        h.alias("_h"),
-        F.lit(1).alias("_one"),
+    # stage 4 — deterministic shard shuffle of the survivors (the SAME
+    # operator the standalone query proves — review finding: an inline
+    # copy here would drift from future shard_shuffle fixes)
+    with_tokens = q3.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
-    ranked = prefix_sum(base, [F.col("_h"), F.col("doc_id")], "_one", out_col="_pos")
-    return ranked.select(
-        "doc_id",
-        F.expr("(_pos - 1) div 64").cast("long").alias("shard"),
-        ((F.col("_pos") - 1).cast("long") % 64).alias("pos_in_shard"),
-        "n_tokens",
+    return shard_shuffle(with_tokens, shard_size=64, keep_cols=("n_tokens",)).select(
+        "doc_id", "shard", "pos_in_shard", "n_tokens"
     )

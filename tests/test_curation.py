@@ -505,7 +505,7 @@ def test_corpus_pipeline_e2e_invariants(spark, sf_dir):
     assert all(r["n_tokens"] > 0 for r in rows)
 
 
-def test_events_sessionize_gap_rule(spark):
+def test_events_sessionize_gap_rule(spark, tmp_path):
     import datetime as dt
 
     import __spark_entry__  # noqa: F401
@@ -526,8 +526,8 @@ def test_events_sessionize_gap_rule(spark):
         [(e, t, u, "click", 1.0, "{}") for e, t, u in rows],
         "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
     )
-    import tempfile, os
-    d = tempfile.mkdtemp()
+    import os
+    d = str(tmp_path)
     df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     got = {(r["user_id"], r["session_no"]): r
            for r in QUERIES["events_sessionize"](spark, d).collect()}
@@ -536,11 +536,11 @@ def test_events_sessionize_gap_rule(spark):
     assert got[(200, 1)]["n_events"] == 1 and got[(200, 1)]["duration_us"] == 0
 
 
-def test_ts_ses_smooth_recursion(spark):
+def test_ts_ses_smooth_recursion(spark, sf_dir):
     import __spark_entry__  # noqa: F401
     from data_engineering_spark.registry import QUERIES
 
-    rows = QUERIES["ts_ses_smooth"](spark, "/root/testdata/sf0.001").collect()
+    rows = QUERIES["ts_ses_smooth"](spark, sf_dir).collect()
     by_series = {}
     for r in sorted(rows, key=lambda r: (r["event_type"], r["day"])):
         by_series.setdefault(r["event_type"], []).append(r)
@@ -552,3 +552,56 @@ def test_ts_ses_smooth_recursion(spark):
         for r in series[1:]:
             s = 0.5 * float(r["x"]) + 0.5 * s
             assert abs(r["level_micro"] - s * 1e6) <= 1
+
+
+def test_pipeline_and_quality_oracles_total_on_short_docs(spark, tmp_path):
+    """Review regression: 1-token docs and sub-8-token cross-boundary
+    duplicates diverged Spark vs oracle. Plant both shapes and hash-match
+    the three affected queries cross-engine on them."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from data_engineering_spark.registry import ORACLE, QUERIES
+
+    rows = [
+        (11, "solo", "en", "src1"),                       # 1-token corpus doc
+        (13, "five short tokens right here", "en", "src1"),  # dup of bench 20
+        (20, "five short tokens right here", "en", "src1"),  # bench slice
+        (21, "a perfectly ordinary document with plenty of distinct tokens", "en", "src1"),
+        (23, "another ordinary document holding its own distinct words nicely", "en", "src1"),
+        (30, "benchmark only content that matches nothing else at all", "en", "src1"),
+        (41, "final corpus doc with enough fresh tokens to stay clean", "en", "src1"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path), "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in ("curate_quality_repetition", "curate_decontaminate",
+                 "corpus_pipeline_e2e"):
+        got = (
+            QUERIES[name](spark, str(tmp_path))
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = con.execute(ORACLE[name]).df().sort_values("doc_id").reset_index(drop=True)
+        assert list(got.columns) == list(want.columns), name
+        assert got.astype(str).equals(want[got.columns].astype(str)), (
+            name, got.to_dict(), want.to_dict()
+        )
+    # the specific repro shapes: doc 11 survives the pipeline; doc 13 is
+    # decontaminated away by its short cross-boundary duplicate
+    ids = set(
+        r["doc_id"]
+        for r in QUERIES["corpus_pipeline_e2e"](spark, str(tmp_path)).collect()
+    )
+    assert 11 in ids and 13 not in ids
