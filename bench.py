@@ -132,7 +132,9 @@ HEADLINE = [
     "corpus_pipeline_e2e",
     "events_sessionize",
     "ts_ses_smooth",
+    "st_percolate",
 ]
+
 
 # Oracle-verification variants: portable md5-seeded twins whose only job
 # is to make the probabilistic pipelines hash-checkable in DuckDB. The
@@ -162,6 +164,9 @@ VERIFICATION_VARIANTS = {
     # md5-partitioned FFD packing — production namespaces bins by
     # spark_partition_id
     "curate_pack_ffd_portable",
+    # 4-batch stateless alerting replay — the production surface is the
+    # foreachBatch sink
+    "st_percolate",
 }
 
 

@@ -1646,6 +1646,16 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return more_like_this(_docs(spark, sf_dir), like_id=7, k=15)
 
 
+# Stored percolator queries — shared by the one-shot query, the streaming
+# replay, and the foreachBatch sink test so the three can never drift.
+STORED_ALERTS: dict[str, list[str]] = {
+    "alerts_spark_stream": ["spark", "stream"],
+    "alerts_vector_dup": ["vector", "dup"],
+    "alerts_slow_scan": ["slow", "scan", "query"],
+    "alerts_missing": ["warehouse"],
+}
+
+
 @query(
     "search_percolate",
     r"""WITH q(query_id, term) AS (VALUES
@@ -1672,13 +1682,7 @@ def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair output hash-matches with no numeric care at all. Stored
     queries broadcast; the corpus shuffles only (matched doc, query)
     rows. 'alerts_missing' proves non-matching queries emit nothing."""
-    stored = {
-        "alerts_spark_stream": ["spark", "stream"],
-        "alerts_vector_dup": ["vector", "dup"],
-        "alerts_slow_scan": ["slow", "scan", "query"],
-        "alerts_missing": ["warehouse"],
-    }
-    return percolate(_docs(spark, sf_dir), stored)
+    return percolate(_docs(spark, sf_dir), STORED_ALERTS)
 
 
 @query(
@@ -1800,3 +1804,45 @@ def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     band caps. NULL positive = batch held no same-label partner, made
     visible for the trainer to re-batch."""
     return contrastive_batches(_emb(spark, sf_dir), batch_buckets=16)
+
+
+@query(
+    "st_percolate",
+    r"""WITH q(query_id, term) AS (VALUES
+          ('alerts_slow_scan', 'slow'), ('alerts_slow_scan', 'scan'),
+          ('alerts_slow_scan', 'query'),
+          ('alerts_spark_stream', 'spark'), ('alerts_spark_stream', 'stream'),
+          ('alerts_vector_dup', 'vector'), ('alerts_vector_dup', 'dup'),
+          ('alerts_missing', 'warehouse')
+        ), dt AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+          FROM documents
+        ), m AS (
+          SELECT doc_id, query_id, count(*) AS n
+          FROM dt JOIN q USING (term) GROUP BY doc_id, query_id
+        ), need AS (SELECT query_id, count(*) AS need FROM q GROUP BY query_id)
+        SELECT query_id, doc_id
+        FROM m JOIN need USING (query_id) WHERE n = need""",
+)
+def q_st_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percolation — the alerting loop a serving pipeline runs
+    on every incoming micro-batch: the corpus is replayed in 4
+    deterministic md5 batches, each percolated against the SAME stored
+    queries as ``search_percolate``, and the unioned alert log is
+    hash-checked against the one-shot oracle. Percolation is STATELESS
+    per document, so batched execution ≡ one-shot by construction —
+    this row proves the replay plumbing preserves that; the REAL
+    foreachBatch execution (parquet alert log, replay-idempotent batch
+    partitions) is asserted in tests/test_streaming.py."""
+    from .operators.curation import hash_bucket
+
+    docs = _docs(spark, sf_dir)
+    parts = [
+        percolate(docs.filter(hash_bucket("doc_id", 4) == b), STORED_ALERTS)
+        for b in range(4)
+    ]
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out

@@ -259,6 +259,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "events_sessionize": 1,
         # daily partial agg + the per-series applyInPandas exchange
         "ts_ses_smooth": 2,
+        # 4-batch replay: each batch pays percolate's 2 exchanges — in
+        # real streaming each micro-batch is its own tiny job, so the
+        # unioned plan's 8 are never co-resident
+        "st_percolate": 8,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

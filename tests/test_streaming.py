@@ -563,3 +563,59 @@ def test_incremental_embedding_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got2.count() == want.count()
     assert got2.exceptAll(want).count() == 0
     assert spark.read.parquet(index_dir).count() == idx_count
+
+
+def test_streaming_percolate_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming alerting: percolating each micro-batch of a real
+    multi-file document stream through foreach_batch_parquet_sink emits
+    exactly the one-shot match set (percolation is stateless per doc),
+    and a replayed batch_id overwrites its own partition rather than
+    double-appending alerts."""
+    from data_engineering_spark.operators.text import percolate
+    from data_engineering_spark.queries_llm import STORED_ALERTS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.repartition(3).write.parquet(src)
+    alerts_dir = str(tmp_path / "alerts")
+
+    sink = foreach_batch_parquet_sink(
+        alerts_dir, transform=lambda df: percolate(df, STORED_ALERTS)
+    )
+    raw = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(alerts_dir).select("query_id", "doc_id")
+    want = percolate(docs, STORED_ALERTS)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # replay a micro-batch (foreachBatch retry): its partition must be
+    # REPLACED, never appended — re-run the last batch_id with the whole
+    # corpus (worst-case replay) and check that partition holds exactly
+    # the recomputed alerts while the other partitions are untouched
+    import os
+
+    batches = sorted(
+        int(d.split("=")[1]) for d in os.listdir(alerts_dir) if d.startswith("batch_id=")
+    )
+    assert len(batches) == 3
+    last = batches[-1]
+    before_others = {
+        b: spark.read.parquet(f"{alerts_dir}/batch_id={b}").count()
+        for b in batches[:-1]
+    }
+    sink(docs, last)
+    assert spark.read.parquet(f"{alerts_dir}/batch_id={last}").count() == want.count()
+    for b, n in before_others.items():
+        assert spark.read.parquet(f"{alerts_dir}/batch_id={b}").count() == n
