@@ -133,6 +133,7 @@ HEADLINE = [
     "events_sessionize",
     "ts_ses_smooth",
     "st_percolate",
+    "sim_filtered_knn",
 ]
 
 

@@ -1846,3 +1846,41 @@ def q_st_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out
+
+
+@query(
+    "sim_filtered_knn",
+    f"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  c.label AS neighbor_label,
+                  round({_COSINE_EXPR}, 6) AS sim
+           FROM (SELECT * FROM embeddings WHERE label = 1) c, q
+           WHERE q.vec_id <> c.vec_id)
+       SELECT query_id, neighbor_id, neighbor_label, sim,
+              CAST(rnk AS BIGINT) AS rnk
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rnk
+             FROM scored) t
+       WHERE rnk <= 5""",
+)
+def q_sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN — ES/vector-db PRE-FILTER semantics: the metadata
+    predicate (label = 1) restricts the candidate set BEFORE ranking, so
+    every query gets k true neighbors from the allowed slice (post-
+    filtering a plain top-k can return fewer than k — the classic
+    filtered-ANN failure mode this query pins down). The filter lands in
+    the candidate scan (parquet pushdown); ranking reuses the exact
+    cosine machinery; at 100 TB the pre-filter shrinks the scored side
+    before any shuffle."""
+    emb = _emb(spark, sf_dir)
+    candidates = emb.filter(F.col("label") == 1)
+    # neighbor_label is the filter constant by construction — emitting it
+    # as a literal avoids a corpus-scale label-fetch join
+    return cosine_topk(candidates, emb.filter(F.col("vec_id") < 10), k=5).select(
+        "query_id",
+        "neighbor_id",
+        F.lit(1).cast("int").alias("neighbor_label"),
+        "sim",
+        "rnk",
+    )

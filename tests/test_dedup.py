@@ -733,3 +733,18 @@ def test_contrastive_batches_in_batch_semantics(spark):
     # singleton label: visible NULL positive, negatives still counted
     assert got[6]["positive_id"] is None and got[6]["positive_dist"] is None
     assert got[6]["n_negatives"] == 5
+
+
+def test_filtered_knn_prefilter_semantics(spark):
+    """Pre-filter kNN: every returned neighbor satisfies the predicate
+    and each query still gets k of them (post-filtering a plain top-k
+    would not)."""
+    import __spark_entry__  # noqa: F401
+    from data_engineering_spark.registry import QUERIES
+
+    rows = QUERIES["sim_filtered_knn"](spark, "/root/testdata/sf0.001").collect()
+    assert rows and all(r["neighbor_label"] == 1 for r in rows)
+    from collections import Counter
+    per_query = Counter(r["query_id"] for r in rows)
+    assert all(v == 5 for v in per_query.values())
+    assert len(per_query) == 10
