@@ -852,7 +852,8 @@ def kmeans_lattice_refine(
 
 def contrastive_batches(
     corpus: DataFrame,
-    batch_buckets: int = 16,
+    batch_buckets: int | None = None,
+    batch_size: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -869,10 +870,23 @@ def contrastive_batches(
     the point).
 
     Scale shape: batching is a pure md5 projection; pairing is quadratic
-    ONLY within a batch (|batch| ≈ N/buckets — at corpus scale you grow
-    ``batch_buckets`` with N, keeping per-batch work constant, which is
-    the same contract as the minhash band caps); ONE batch-keyed
-    exchange, one anchor-keyed partial agg."""
+    ONLY within a batch, so the INVARIANT is |batch| ≈ ``batch_size``
+    (what a real trainer fixes), not the bucket count: by default the
+    bucket count derives IN-PLAN from the corpus count — (n + B - 1)
+    div B on a bounded driver-side count — keeping total
+    pair work ≈ N·batch_size, linear in N (the round-7 300× probe
+    caught the fixed-bucket form going quadratic: 122 s for 150 k
+    vectors; the derived form is ~8 s). Pass ``batch_buckets`` to pin
+    the count explicitly. ONE batch-keyed exchange, one anchor-keyed
+    partial agg, plus a metadata-cheap corpus count for the derivation."""
+    if batch_buckets is None:
+        # one bounded driver-side count (metadata-only on parquet — the
+        # kmeans/IVF codebook-collect argument); embedding it as a
+        # literal keeps the batching a pure projection instead of
+        # threading a count subtree through the plan
+        n = corpus.count()
+        batch_buckets = max((n + batch_size - 1) // batch_size, 1)
+    n_buckets = F.lit(int(batch_buckets))
     pts = corpus.select(
         F.col(id_col),
         F.col(label_col),
@@ -883,7 +897,7 @@ def contrastive_batches(
         (
             F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
             .cast("long")
-            % batch_buckets
+            % n_buckets
         ).alias("batch"),
     )
     a = pts.select(
