@@ -1779,7 +1779,7 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_transform(embedding,
                      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q,
                  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT
-                     % greatest(((SELECT count(*) FROM embeddings) + 511) // 512, 1)
+                     % greatest(((SELECT count(*) FROM embeddings) + 255) // 256, 1)
                      AS batch
           FROM embeddings
         ), p AS (
@@ -1798,15 +1798,18 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-pair mining with in-batch negatives
     (operators/similarity.py:contrastive_batches): md5-dealt batches of
-    ~512 vectors — the bucket count derives IN-PLAN from the corpus
+    ~256 vectors — the bucket count derives from the corpus
     count with integral div, so per-batch work stays constant and total
     pair work stays linear at any scale (the 300× probe caught the
-    fixed-bucket form going quadratic). Per anchor: the hardest
+    fixed-bucket form going quadratic). Batch count is also the task
+    parallelism of the pairing join — 256 keeps the small-SF bench on
+    all cores; at corpus scale batches number in the thousands either
+    way. Per anchor: the hardest
     same-label positive by exact lattice distance (min over (d, id) —
     deterministic ties) and the count of in-batch negatives. NULL
     positive = batch held no same-label partner, made visible for the
     trainer to re-batch."""
-    return contrastive_batches(_emb(spark, sf_dir), batch_size=512)
+    return contrastive_batches(_emb(spark, sf_dir), batch_size=256)
 
 
 @query(
