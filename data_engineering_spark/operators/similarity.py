@@ -880,8 +880,10 @@ def contrastive_batches(
     the count explicitly. ONE batch-keyed exchange, one anchor-keyed
     partial agg, plus a metadata-cheap corpus count for the derivation."""
     if batch_buckets is None:
-        # one bounded driver-side count (metadata-only on parquet — the
-        # kmeans/IVF codebook-collect argument); embedding it as a
+        # one bounded driver-side count — a column-less scan job, not a
+        # footer read (parquet aggregate pushdown is off by default),
+        # but O(splits) with no data movement, and it fires once per
+        # call including plan-only callers; embedding the result as a
         # literal keeps the batching a pure projection instead of
         # threading a count subtree through the plan
         n = corpus.count()

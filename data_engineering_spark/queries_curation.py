@@ -606,7 +606,7 @@ def q_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_pipeline_e2e",
-    f"""WITH corpus AS (
+    rf"""WITH corpus AS (
           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
         ), bench AS (
           SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0

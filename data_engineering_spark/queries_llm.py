@@ -1655,15 +1655,16 @@ STORED_ALERTS: dict[str, list[str]] = {
     "alerts_missing": ["warehouse"],
 }
 
+# The SQL VALUES literal is DERIVED from STORED_ALERTS so the two DuckDB
+# oracles can never drift from the Spark-side definitions either.
+_ALERTS_VALUES = ", ".join(
+    f"('{q}', '{t}')" for q, terms in sorted(STORED_ALERTS.items()) for t in sorted(set(terms))
+)
+
 
 @query(
     "search_percolate",
-    r"""WITH q(query_id, term) AS (VALUES
-          ('alerts_slow_scan', 'slow'), ('alerts_slow_scan', 'scan'),
-          ('alerts_slow_scan', 'query'),
-          ('alerts_spark_stream', 'spark'), ('alerts_spark_stream', 'stream'),
-          ('alerts_vector_dup', 'vector'), ('alerts_vector_dup', 'dup'),
-          ('alerts_missing', 'warehouse')
+    rf"""WITH q(query_id, term) AS (VALUES {_ALERTS_VALUES}
         ), dt AS (
           SELECT doc_id,
                  unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
@@ -1814,12 +1815,7 @@ def q_contrastive_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "st_percolate",
-    r"""WITH q(query_id, term) AS (VALUES
-          ('alerts_slow_scan', 'slow'), ('alerts_slow_scan', 'scan'),
-          ('alerts_slow_scan', 'query'),
-          ('alerts_spark_stream', 'spark'), ('alerts_spark_stream', 'stream'),
-          ('alerts_vector_dup', 'vector'), ('alerts_vector_dup', 'dup'),
-          ('alerts_missing', 'warehouse')
+    rf"""WITH q(query_id, term) AS (VALUES {_ALERTS_VALUES}
         ), dt AS (
           SELECT doc_id,
                  unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term

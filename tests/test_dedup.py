@@ -735,15 +735,22 @@ def test_contrastive_batches_in_batch_semantics(spark):
     assert got[6]["n_negatives"] == 5
 
 
-def test_filtered_knn_prefilter_semantics(spark):
-    """Pre-filter kNN: every returned neighbor satisfies the predicate
-    and each query still gets k of them (post-filtering a plain top-k
-    would not)."""
+def test_filtered_knn_prefilter_semantics(spark, sf_dir):
+    """Pre-filter kNN: every returned neighbor REALLY satisfies the
+    predicate (checked against the source table, not the query's own
+    echoed literal) and each query still gets k of them (post-filtering
+    a plain top-k would not)."""
     import __spark_entry__  # noqa: F401
+    from data_engineering_spark.catalog import load_table
     from data_engineering_spark.registry import QUERIES
 
-    rows = QUERIES["sim_filtered_knn"](spark, "/root/testdata/sf0.001").collect()
-    assert rows and all(r["neighbor_label"] == 1 for r in rows)
+    rows = QUERIES["sim_filtered_knn"](spark, sf_dir).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    assert all(labels[r["neighbor_id"]] == 1 for r in rows)
     from collections import Counter
     per_query = Counter(r["query_id"] for r in rows)
     assert all(v == 5 for v in per_query.values())
