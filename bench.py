@@ -134,6 +134,7 @@ HEADLINE = [
     "ts_ses_smooth",
     "st_percolate",
     "sim_filtered_knn",
+    "prof_column_entropy",
 ]
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "run_expectations",
     "skew_report",
     "heavy_hitters",
+    "column_entropy",
 ]
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
@@ -219,4 +220,56 @@ def heavy_hitters(df: DataFrame, key: str, k: int = 8) -> DataFrame:
         F.col("__hh__").alias("value"),
         "cnt",
         F.round(F.col("cnt") / F.lit(float(total)), 6).alias("share"),
+    )
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column Shannon entropy of the value distribution — the
+    profiling signal that separates near-constant columns (entropy → 0,
+    candidates for dictionary/RLE or for dropping) from high-cardinality
+    keys, which ``profile_columns``'s null/distinct counts alone miss.
+
+    Portability contract (the DSIR fixed-point pattern): value counts
+    c_v and the row count N are exact longs; the per-VALUE term
+    c_v·(ln N − ln c_v) is rounded to 1e-6 fixed point once, on the
+    value-domain-bounded count table, and summed as exact integers;
+    entropy_micro = S_micro div N is an integral division. No float
+    survives into the output, so the hash is engine-exact.
+
+    Scale shape: one row-wise explode to (column, value) pairs inside
+    the scan, ONE (column, value)-keyed partial agg (bounded by the
+    value domains), the 1-row N broadcast, and a per-column rollup over
+    the tiny count table. NULLs profile as a value ('<null>')."""
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias("val"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    n_tot = F.broadcast(df.agg(F.count(F.lit(1)).cast("double").alias("N")))
+    counts = (
+        df.select(pairs.alias("p"))
+        .select(F.col("p.col").alias("col"), F.col("p.val").alias("val"))
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    term = counts.join(n_tot).select(
+        "col",
+        F.round(
+            F.col("c").cast("double")
+            * (F.log(F.col("N")) - F.log(F.col("c").cast("double")))
+            * F.lit(1e6)
+        )
+        .cast("long")
+        .alias("t"),
+        F.col("N").cast("long").alias("n_rows"),
+    )
+    return term.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.expr("sum(t) div any_value(n_rows)").cast("long").alias("entropy_micro"),
     )

@@ -2391,3 +2391,45 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.round("total_price", 2).alias("total_price"),
     )
+
+
+@query(
+    "prof_column_entropy",
+    """WITH pairs AS (
+          SELECT 'o_orderstatus' AS col,
+                 coalesce(CAST(o_orderstatus AS VARCHAR), '<null>') AS val
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')
+          FROM orders
+          UNION ALL
+          SELECT 'o_custkey', coalesce(CAST(o_custkey AS VARCHAR), '<null>')
+          FROM orders
+        ), counts AS (
+          SELECT col, val, count(*) AS c FROM pairs GROUP BY col, val
+        ), n AS (SELECT count(*)::DOUBLE AS N FROM orders),
+        term AS (
+          SELECT col,
+                 CAST(round(CAST(c AS DOUBLE) * (ln(N) - ln(CAST(c AS DOUBLE))) * 1e6)
+                      AS BIGINT) AS t,
+                 CAST(N AS BIGINT) AS n_rows
+          FROM counts, n
+        )
+        SELECT col,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(sum(t) // any_value(n_rows) AS BIGINT) AS entropy_micro
+        FROM term GROUP BY col""",
+)
+def q_prof_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy profile (operators/profiling.py:
+    column_entropy): o_orderstatus ~3 values, o_orderpriority ~5,
+    o_custkey near-key cardinality — the near-constant vs near-unique
+    spread null/distinct counts alone miss. Fixed-point per-VALUE terms on
+    the value-domain-bounded count table, integer sums, integral final
+    division: no float reaches the output."""
+    from .operators.profiling import column_entropy
+
+    return column_entropy(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )

@@ -106,3 +106,24 @@ def test_heavy_hitters_candidate_stage_is_map_only(spark, sf_dir):
 
     out = heavy_hitters(load_table(spark, sf_dir, "orders"), "o_orderstatus", k=3)
     assert shuffle_count(out) <= 2, shuffle_count(out)
+
+
+def test_column_entropy_bounds_and_extremes(spark):
+    import math
+
+    from data_engineering_spark.operators.profiling import column_entropy
+
+    df = spark.createDataFrame(
+        [(i, "const", f"u{i}", "a" if i % 2 == 0 else "b", None) for i in range(64)],
+        "id long, c_const string, c_unique string, c_coin string, c_null string",
+    )
+    got = {r["col"]: r for r in
+           column_entropy(df, ["c_const", "c_unique", "c_coin", "c_null"]).collect()}
+    # single-valued column: entropy exactly 0 (and NULLs profile as a value)
+    assert got["c_const"]["entropy_micro"] == 0 and got["c_const"]["n_distinct"] == 1
+    assert got["c_null"]["entropy_micro"] == 0 and got["c_null"]["n_distinct"] == 1
+    # fair coin: ln 2 in 1e-6 fixed point (floor division)
+    assert got["c_coin"]["entropy_micro"] == int(math.log(2) * 1e6)
+    # unique column: ln N
+    assert abs(got["c_unique"]["entropy_micro"] - int(math.log(64) * 1e6)) <= 1
+    assert got["c_unique"]["n_distinct"] == 64
