@@ -62,7 +62,7 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #
 # ROUND-8 ROTATION NOTE: if this window sweeps green, lead round 8 with
 # (in this order):
-#   1. The 28 round-7 additions, never driver-proven (each locally green
+#   1. The 29 round-7 additions, never driver-proven (each locally green
 #      at BOTH SFs this round): st_streaming_dedup,
 #      st_streaming_embed_dedup, sim_pq_topk_portable,
 #      dedup_ngram_jaccard_portable, ts_downsample_lttb_portable,
@@ -75,7 +75,7 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      search_highlight, sim_kmeans_refine, sim_contrastive_batches,
 #      curate_word_dropout, corpus_pipeline_e2e, events_sessionize,
 #      ts_ses_smooth, st_percolate, sim_filtered_knn,
-#      prof_column_entropy.
+#      prof_column_entropy, nl_query_having.
 #   2. The queries whose SHAPES changed in round 7 after their last
 #      driver green (each re-proven locally at both SFs post-change):
 #      dedup_minhash_portable + dedup_minhash_canonical_portable (the

@@ -135,6 +135,7 @@ HEADLINE = [
     "st_percolate",
     "sim_filtered_knn",
     "prof_column_entropy",
+    "nl_query_having",
 ]
 
 

@@ -13,8 +13,10 @@ model-backed implementation would replace; everything downstream
 Supported request forms (case-insensitive):
 
 - ``count [rows in] TABLE [where COND]``
-- ``AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [top N]``
-  with AGG ∈ total/sum/average/avg/min/max/count
+- ``AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [having CMP
+  N] [top N]`` with AGG ∈ total/sum/average/avg/min/max/count and CMP ∈
+  over/under/at least/at most/>=/<=/>/<  (having = the ES
+  min_doc_count / bucket-selector threshold)
 - ``AGG MEASURE in TABLE [where COND]`` (scalar, no group-by — the
   reference's single-metric answer)
 - ``count distinct COL by DIM in TABLE [where COND] [top N]`` (the ES
@@ -232,10 +234,15 @@ def _compile(text: str, schemas: Mapping[str, list[str]]) -> tuple[str, list[str
             sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(5))}"
         return sql, [table]
 
-    # -- AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [top N] --
+    # -- AGG MEASURE by DIM [and DIM2] in TABLE [where COND]
+    #    [having CMP N] [top N] -- (having = the ES min_doc_count /
+    #    bucket-selector knob: keep only buckets whose aggregate clears
+    #    a threshold)
     m = re.fullmatch(
         r"(total|sum|average|avg|min|max|count)\s+(\w+)\s+by\s+(\w+(?:\s+and\s+\w+)*)"
-        r"\s+(?:in|from)\s+(\w+)(?:\s+where\s+(.+?))?(?:\s+top\s+(\d+))?",
+        r"\s+(?:in|from)\s+(\w+)(?:\s+where\s+(.+?))?"
+        r"(?:\s+having\s+(over|under|at\s+least|at\s+most|>=|<=|>|<)\s+(-?\d+(?:\.\d+)?))?"
+        r"(?:\s+top\s+(\d+))?",
         req,
         flags=re.I,
     )
@@ -253,11 +260,18 @@ def _compile(text: str, schemas: Mapping[str, list[str]]) -> tuple[str, list[str
             f"FROM {table}{where} GROUP BY {dim_list}"
         )
         if m.group(6):
+            op = {
+                "over": ">", "under": "<", "at least": ">=", "at most": "<=",
+            }.get(re.sub(r"\s+", " ", m.group(6).lower()), m.group(6))
+            # full aggregate expression, not the alias: HAVING-on-alias
+            # resolution differs between engines
+            sql += f" HAVING {agg}({measure}) {op} {m.group(7)}"
+        if m.group(8):
             # Dims are a unique key of the grouped result, so appending
             # them makes the top-N cutoff deterministic when aggregate
             # values tie (otherwise two engines can legally pick
             # different rows at the LIMIT boundary).
-            sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(6))}"
+            sql += f" ORDER BY {alias} DESC, {dim_list} LIMIT {int(m.group(8))}"
         return sql, [table]
 
     # -- daily|monthly|yearly AGG [MEASURE] in TABLE [by DATECOL] -----

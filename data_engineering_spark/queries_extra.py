@@ -1050,6 +1050,29 @@ def q_nl_query_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nl_query_having",
+    """SELECT o_custkey, CAST(count(o_orderkey) AS BIGINT) AS count_o_orderkey
+       FROM orders GROUP BY o_custkey HAVING count(o_orderkey) >= 18
+       ORDER BY count_o_orderkey DESC, o_custkey LIMIT 10""",
+)
+def q_nl_query_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UD4 — NL bucket-threshold aggregation: ``… having at least N`` is
+    the ES min_doc_count / bucket-selector knob (keep only buckets whose
+    aggregate clears a threshold). Compiles to HAVING on the FULL
+    aggregate expression (alias resolution inside HAVING differs across
+    engines); count is exact, the top-10 cutoff tie-breaks on the dims.
+    ~10 orders per customer at every SF, so the ≥18 threshold selects a
+    stable Poisson tail at both oracle scales."""
+    from .functions.nl2sql import run_nl
+
+    return run_nl(
+        spark,
+        sf_dir,
+        "count o_orderkey by o_custkey in orders having at least 18 top 10",
+    )
+
+
+@query(
     "nl_query_trend",
     """SELECT strftime(o_orderdate, '%Y-%m') AS month,
               CAST(count(*) AS BIGINT) AS n

@@ -252,3 +252,23 @@ def test_compile_trend_intent():
         compile_nl("monthly sum in events", SCHEMAS)
     with pytest.raises(NLQueryError, match="unknown column"):
         compile_nl("monthly count in events by bogus", SCHEMAS)
+
+
+def test_compile_having_threshold():
+    """ES min_doc_count / bucket-selector: `having CMP N` filters grouped
+    buckets on the FULL aggregate expression."""
+    sql = compile_nl("count value by event_type in events having at least 3", SCHEMAS)
+    assert sql.endswith("GROUP BY event_type HAVING count(value) >= 3")
+    sql = compile_nl(
+        "sum value by event_type in events where value > 0 having over 100 top 2",
+        SCHEMAS,
+    )
+    assert "WHERE value > 0" in sql
+    assert "HAVING sum(value) > 100" in sql
+    assert sql.endswith("ORDER BY sum_value DESC, event_type LIMIT 2")
+    sql = compile_nl("avg value by user_id in events having at most 9.5", SCHEMAS)
+    assert sql.endswith("HAVING avg(value) <= 9.5")
+    # the plain forms must not be shadowed
+    assert "HAVING" not in compile_nl("count value by event_type in events", SCHEMAS)
+    with pytest.raises(NLQueryError):
+        compile_nl("count bogus by event_type in events having at least 3", SCHEMAS)
