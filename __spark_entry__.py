@@ -88,8 +88,9 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      q1-q3/q5/q9-q11/q16, flagship pair, search tfidf/bm25/rrf, the
 #      dedup/sim oracle baselines, corpus pack, mm metadata/frames/
 #      audio, nlp keywords ×2, nl_query_template,
-#      st tumbling/sliding/session) to fill the remaining ~41 slots.
-# The r6/r7 cohorts rotate in round 9.
+#      st tumbling/sliding/session) to fill the remaining ~15 slots
+#      (items 1+2 now take ~35 of the 50).
+# The rest of the r5 cohort and the r6/r7 cohorts rotate in round 9.
 registry.finalize_order(
     [
         # -- never hash-proven oracle rows ------------------------------
