@@ -16,7 +16,9 @@ Supported request forms (case-insensitive):
 - ``AGG MEASURE by DIM [and DIM2] in TABLE [where COND] [having CMP
   N] [top N]`` with AGG ∈ total/sum/average/avg/min/max/count and CMP ∈
   over/under/at least/at most/>=/<=/>/<  (having = the ES
-  min_doc_count / bucket-selector threshold)
+  min_doc_count / bucket-selector threshold; allowed for the
+  order-exact aggregates count/min/max only — a float sum/avg at a
+  threshold boundary is nondeterministic)
 - ``AGG MEASURE in TABLE [where COND]`` (scalar, no group-by — the
   reference's single-metric answer)
 - ``count distinct COL by DIM in TABLE [where COND] [top N]`` (the ES
@@ -260,6 +262,16 @@ def _compile(text: str, schemas: Mapping[str, list[str]]) -> tuple[str, list[str
             f"FROM {table}{where} GROUP BY {dim_list}"
         )
         if m.group(6):
+            if agg in ("sum", "avg"):
+                # a float sum/avg compared to a threshold is
+                # order-nondeterministic at the boundary (the exact
+                # hazard the module's determinism contract exists to
+                # exclude); count/min/max are order-exact
+                raise NLQueryError(
+                    "having thresholds support count/min/max only — a "
+                    f"{agg} threshold is nondeterministic at the boundary; "
+                    "filter on count or pre-round the measure"
+                )
             op = {
                 "over": ">", "under": "<", "at least": ">=", "at most": "<=",
             }.get(re.sub(r"\s+", " ", m.group(6).lower()), m.group(6))

@@ -25,7 +25,7 @@ which is what you'd schedule nightly. The oracle checks the exact form.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -233,41 +233,56 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
     c_v and the row count N are exact longs; the per-VALUE term
     c_v·(ln N − ln c_v) is rounded to 1e-6 fixed point once, on the
     value-domain-bounded count table, and summed as exact integers;
-    entropy_micro = S_micro div N is an integral division. No float
-    survives into the output, so the hash is engine-exact.
+    entropy_micro = S_micro div N is an integral division. The ONE
+    floating step left is ln itself — correctly rounded in practice in
+    both the JVM and libm but not IEEE-guaranteed (unlike sqrt/div), so
+    cross-engine exactness here is empirical with a bounded blast
+    radius: a 1-ulp ln divergence could flip one per-value micro term
+    by ±1.
 
     Scale shape: one row-wise explode to (column, value) pairs inside
-    the scan, ONE (column, value)-keyed partial agg (bounded by the
-    value domains), the 1-row N broadcast, and a per-column rollup over
-    the tiny count table. NULLs profile as a value ('<null>')."""
+    the scan — the ONLY table read: each row contributes exactly one
+    pair per column (NULLs profile as a value), so N per column is just
+    sum(c) over its count rows, computed as a window on the tiny count
+    table instead of a second scan. NULLs are keyed by a separate
+    is-null FLAG, never a sentinel string, so a real value can't
+    collide with them."""
     pairs = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(c).alias("col"),
-                    F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias("val"),
+                    F.coalesce(F.col(c).cast("string"), F.lit("")).alias("val"),
+                    F.col(c).isNull().alias("is_null"),
                 )
                 for c in cols
             ]
         )
     )
-    n_tot = F.broadcast(df.agg(F.count(F.lit(1)).cast("double").alias("N")))
     counts = (
         df.select(pairs.alias("p"))
-        .select(F.col("p.col").alias("col"), F.col("p.val").alias("val"))
-        .groupBy("col", "val")
+        .select("p.col", "p.val", "p.is_null")
+        .groupBy("col", "val", "is_null")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    term = counts.join(n_tot).select(
+    w = Window.partitionBy("col")
+    term = counts.select(
         "col",
+        F.sum("c").over(w).alias("n_rows"),
+        "c",
+    ).select(
+        "col",
+        "n_rows",
         F.round(
             F.col("c").cast("double")
-            * (F.log(F.col("N")) - F.log(F.col("c").cast("double")))
+            * (
+                F.log(F.col("n_rows").cast("double"))
+                - F.log(F.col("c").cast("double"))
+            )
             * F.lit(1e6)
         )
         .cast("long")
         .alias("t"),
-        F.col("N").cast("long").alias("n_rows"),
     )
     return term.groupBy("col").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct"),

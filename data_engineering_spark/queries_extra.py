@@ -1061,8 +1061,9 @@ def q_nl_query_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate clears a threshold). Compiles to HAVING on the FULL
     aggregate expression (alias resolution inside HAVING differs across
     engines); count is exact, the top-10 cutoff tie-breaks on the dims.
-    ~10 orders per customer at every SF, so the ≥18 threshold selects a
-    stable Poisson tail at both oracle scales."""
+    TPC-H populates orders for ~2/3 of customers (~15 per ordering
+    customer at every SF), so the ≥18 threshold selects a stable upper
+    tail at both oracle scales."""
     from .functions.nl2sql import run_nl
 
     return run_nl(

@@ -2397,23 +2397,27 @@ def q_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "prof_column_entropy",
     """WITH pairs AS (
           SELECT 'o_orderstatus' AS col,
-                 coalesce(CAST(o_orderstatus AS VARCHAR), '<null>') AS val
+                 coalesce(CAST(o_orderstatus AS VARCHAR), '') AS val,
+                 o_orderstatus IS NULL AS is_null
           FROM orders
           UNION ALL
-          SELECT 'o_orderpriority', coalesce(CAST(o_orderpriority AS VARCHAR), '<null>')
+          SELECT 'o_orderpriority', coalesce(CAST(o_orderpriority AS VARCHAR), ''),
+                 o_orderpriority IS NULL
           FROM orders
           UNION ALL
-          SELECT 'o_custkey', coalesce(CAST(o_custkey AS VARCHAR), '<null>')
+          SELECT 'o_custkey', coalesce(CAST(o_custkey AS VARCHAR), ''),
+                 o_custkey IS NULL
           FROM orders
         ), counts AS (
-          SELECT col, val, count(*) AS c FROM pairs GROUP BY col, val
-        ), n AS (SELECT count(*)::DOUBLE AS N FROM orders),
-        term AS (
+          SELECT col, val, is_null, count(*) AS c
+          FROM pairs GROUP BY col, val, is_null
+        ), term AS (
           SELECT col,
-                 CAST(round(CAST(c AS DOUBLE) * (ln(N) - ln(CAST(c AS DOUBLE))) * 1e6)
-                      AS BIGINT) AS t,
-                 CAST(N AS BIGINT) AS n_rows
-          FROM counts, n
+                 sum(c) OVER (PARTITION BY col) AS n_rows,
+                 CAST(round(CAST(c AS DOUBLE)
+                      * (ln(CAST(sum(c) OVER (PARTITION BY col) AS DOUBLE))
+                         - ln(CAST(c AS DOUBLE))) * 1e6) AS BIGINT) AS t
+          FROM counts
         )
         SELECT col,
                CAST(count(*) AS BIGINT) AS n_distinct,

@@ -260,14 +260,23 @@ def test_compile_having_threshold():
     sql = compile_nl("count value by event_type in events having at least 3", SCHEMAS)
     assert sql.endswith("GROUP BY event_type HAVING count(value) >= 3")
     sql = compile_nl(
-        "sum value by event_type in events where value > 0 having over 100 top 2",
+        "count value by event_type in events where value > 0 having over 100 top 2",
         SCHEMAS,
     )
     assert "WHERE value > 0" in sql
-    assert "HAVING sum(value) > 100" in sql
-    assert sql.endswith("ORDER BY sum_value DESC, event_type LIMIT 2")
-    sql = compile_nl("avg value by user_id in events having at most 9.5", SCHEMAS)
-    assert sql.endswith("HAVING avg(value) <= 9.5")
+    assert "HAVING count(value) > 100" in sql
+    assert sql.endswith("ORDER BY count_value DESC, event_type LIMIT 2")
+    # symbolic CMPs pass through the dict fallback untouched
+    sql = compile_nl("max value by user_id in events having >= 9.5", SCHEMAS)
+    assert sql.endswith("HAVING max(value) >= 9.5")
+    sql = compile_nl("min value by user_id in events having < 2", SCHEMAS)
+    assert sql.endswith("HAVING min(value) < 2")
+    # float sums/avgs at a threshold boundary are order-nondeterministic:
+    # the grammar refuses them rather than miscompiling
+    with pytest.raises(NLQueryError, match="count/min/max only"):
+        compile_nl("sum value by event_type in events having over 100", SCHEMAS)
+    with pytest.raises(NLQueryError, match="count/min/max only"):
+        compile_nl("avg value by user_id in events having at most 9.5", SCHEMAS)
     # the plain forms must not be shadowed
     assert "HAVING" not in compile_nl("count value by event_type in events", SCHEMAS)
     with pytest.raises(NLQueryError):

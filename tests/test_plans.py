@@ -263,8 +263,9 @@ def test_shuffle_budgets(spark, sf_dir):
         # real streaming each micro-batch is its own tiny job, so the
         # unioned plan's 8 are never co-resident
         "st_percolate": 8,
-        # (column, value) partial agg + 1-row N agg + per-column rollup
-        "prof_column_entropy": 3,
+        # (column, value) partial agg + the per-column window/rollup over
+        # the tiny count table — the input is scanned ONCE
+        "prof_column_entropy": 2,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

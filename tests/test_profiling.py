@@ -114,14 +114,20 @@ def test_column_entropy_bounds_and_extremes(spark):
     from data_engineering_spark.operators.profiling import column_entropy
 
     df = spark.createDataFrame(
-        [(i, "const", f"u{i}", "a" if i % 2 == 0 else "b", None) for i in range(64)],
-        "id long, c_const string, c_unique string, c_coin string, c_null string",
+        [(i, "const", f"u{i}", "a" if i % 2 == 0 else "b", None,
+          None if i % 2 == 0 else "<null>") for i in range(64)],
+        "id long, c_const string, c_unique string, c_coin string, "
+        "c_null string, c_trap string",
     )
-    got = {r["col"]: r for r in
-           column_entropy(df, ["c_const", "c_unique", "c_coin", "c_null"]).collect()}
+    got = {r["col"]: r for r in column_entropy(
+        df, ["c_const", "c_unique", "c_coin", "c_null", "c_trap"]).collect()}
     # single-valued column: entropy exactly 0 (and NULLs profile as a value)
     assert got["c_const"]["entropy_micro"] == 0 and got["c_const"]["n_distinct"] == 1
     assert got["c_null"]["entropy_micro"] == 0 and got["c_null"]["n_distinct"] == 1
+    # a REAL value spelled like a null sentinel must not merge with NULLs:
+    # half NULL / half the literal string is a fair coin, not a constant
+    assert got["c_trap"]["n_distinct"] == 2
+    assert got["c_trap"]["entropy_micro"] == got["c_coin"]["entropy_micro"]
     # fair coin: ln 2 in 1e-6 fixed point (floor division)
     assert got["c_coin"]["entropy_micro"] == int(math.log(2) * 1e6)
     # unique column: ln N
