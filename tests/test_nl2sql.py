@@ -194,6 +194,20 @@ def test_unknown_fields_rejected():
         compile_nl("please do something vague", SCHEMAS)
 
 
+def test_compile_reports_only_referenced_tables():
+    """r7 ADVICE: run_nl must register exactly the tables the compiled
+    query references — resolved by the grammar (every arm returns its
+    table list), never re-derived by regex over the generated SQL, so a
+    table name inside a string literal registers nothing."""
+    from data_engineering_spark.functions.nl2sql import _compile
+
+    sql, tables = _compile("count rows in events where event_type = orders", SCHEMAS)
+    assert "'orders'" in sql  # the other table's name, as a VALUE
+    assert tables == ["events"]
+    _, tables = _compile("count orders", SCHEMAS)
+    assert tables == ["orders"]
+
+
 def test_run_nl_matches_dataframe_api(spark, sf_dir):
     got = run_nl(spark, sf_dir, "count orders where o_orderstatus = F").collect()[0].n
     want = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").count()
