@@ -814,3 +814,34 @@ def boilerplate_strip(
         F.sum(F.col("is_bp").cast("long")).cast("long").alias("n_bp_blocks"),
         F.when(F.size(clean) > 0, F.concat_ws(" ", clean)).alias("clean_text"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    priority=None,
+) -> DataFrame:
+    """Per-domain document cap — the web-corpus curation stage that
+    bounds any single site's contribution (a handful of boilerplate-
+    heavy domains otherwise dominate a crawl-scale corpus). Keeps the
+    ``cap`` highest-priority documents per domain; ``priority`` is a
+    list of ordering Columns (default: longest text first via
+    ``n_chars`` desc), always id-tiebroken so the cut is deterministic.
+
+    Scale shape: ONE domain-keyed window (rank within domain) over a
+    pruned (id, domain, priority) projection — the text column never
+    shuffles; survivors semi-join back to full rows at the caller's
+    discretion. A viral domain is a hot window key: the per-key state
+    is O(cap) (running rank, early-out), not O(group), and a two-phase
+    refinement — per-partition local top-``cap`` per domain before the
+    global window — bounds the shuffle itself at cap·partitions rows
+    per domain, the same contract as TakeOrdered."""
+    if priority is None:
+        # default priority needs only n_chars → prune before the shuffle
+        priority = [F.col("n_chars").desc()]
+        df = df.select(id_col, domain_col, "n_chars")
+    w = Window.partitionBy(domain_col).orderBy(*priority, F.col(id_col).asc())
+    ranked = df.withColumn("domain_rank", F.row_number().over(w))
+    return ranked.filter(F.col("domain_rank") <= cap)

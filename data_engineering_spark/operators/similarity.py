@@ -936,3 +936,44 @@ def contrastive_batches(
         F.min(F.when(F.col("same"), F.col("d"))).alias("positive_dist"),
         F.sum((~F.col("same")).cast("long")).cast("long").alias("n_negatives"),
     )
+
+
+def int8_quantize(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector scalar quantization of an embedding column to 8-bit
+    codes — the serving-side compression that cuts a float32 vector
+    store 4× (and, stacked under PQ, what makes billion-vector ANN
+    tiers fit in executor memory at 100 TB corpus scale). Each vector
+    maps through its own [min, max] range: ``code = min(⌊(x−mn)·256 /
+    (mx−mn)⌋, 255)``; a constant vector (mx = mn) quantizes to zeros
+    instead of dividing by zero.
+
+    Exactness contract: every step — float→double widening, one
+    subtraction, one multiply, one divide, ``floor`` — is a correctly-
+    rounded IEEE operation evaluated in the SAME order as the DuckDB
+    twin, so codes are bit-identical cross-engine with no rounding-mode
+    caveat (``floor``, unlike ``round``, has no half-way case). Range
+    endpoints export as 1e-6 fixed-point FLOORS for the same reason.
+
+    Scale shape: pure per-row expression work inside the scan stage —
+    zero shuffles, whole-stage codegen, no UDF. Codes serialize as a
+    CSV string (the harness canonicalizer hashes scalars, not arrays;
+    a2's pattern)."""
+    mnd = F.array_min(vec_col).cast("double")
+    mxd = F.array_max(vec_col).cast("double")
+    code = lambda x: F.least(  # noqa: E731
+        F.floor(((x.cast("double") - mnd) * 256.0) / (mxd - mnd)), F.lit(255).cast("long")
+    )
+    codes = F.when(
+        mxd == mnd,
+        F.array_join(F.transform(vec_col, lambda x: F.lit("0")), ","),
+    ).otherwise(F.array_join(F.transform(vec_col, lambda x: code(x).cast("string")), ","))
+    return df.select(
+        F.col(id_col),
+        F.floor(mnd * 1e6).cast("long").alias("mn_fp"),
+        F.floor(mxd * 1e6).cast("long").alias("mx_fp"),
+        codes.alias("codes"),
+    )

@@ -475,3 +475,66 @@ def highlight_snippets(
         .orderBy(F.col("n_hits").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def match_phrase_rank(
+    df: DataFrame,
+    phrase: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Elasticsearch ``match_phrase`` (default ``slop=0``): documents
+    containing the query terms as CONSECUTIVE tokens, ranked by exact
+    occurrence count — the phrase-query half of the reference's search
+    surface (Openapi/openai_elasticsearch.py match queries) that plain
+    term matching (``query_string_rank``) cannot express because it
+    needs token POSITIONS.
+
+    Join-free position-key formulation: token ``t`` at position ``p``
+    matching phrase slot ``i`` votes for candidate start ``p − i``; a
+    start position where all ``len(phrase)`` distinct slots voted is an
+    occurrence. That turns phrase matching into ONE aggregation on
+    (doc, start) — no positions self-join chain, which for an n-term
+    phrase would be n−1 shuffle joins whose skew tracks the hottest
+    term. (ES ``slop>0`` relaxes the start-key equality to a band and,
+    at slop≥2, admits transpositions — a different operator; this one
+    is the exact default.)
+
+    Scale shape: positions explode inside the scan stage and are
+    immediately semi-filtered by the tiny broadcast slot list, so only
+    phrase-term hits — (id, start, slot) ints — leave the scan; hashes
+    are uniform in doc_id so neither aggregation has a hot key. Shuffle
+    budget 3: (doc,start) partial agg → per-doc partial agg →
+    TakeOrderedAndProject."""
+    if not phrase:
+        raise ValueError("match_phrase_rank: `phrase` must name at least one term")
+    spark = df.sparkSession
+    slots = F.broadcast(
+        spark.createDataFrame(
+            [(i, t.lower()) for i, t in enumerate(phrase)], "slot int, term string"
+        )
+    )
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(rf"regexp_extract_all(lower({text_col}), '[A-Za-z0-9가-힣]+', 0)")
+        ).alias("p", "tok"),
+    )
+    hits = (
+        pos.join(slots, pos["tok"] == slots["term"])
+        .select(id_col, (F.col("p") - F.col("slot")).alias("start"), "slot")
+        # (doc, start, slot) is unique by construction — p is unique per
+        # token row and start = p − slot — so a plain count equals the
+        # distinct-slot count without the extra exchange a two-phase
+        # count_distinct plans
+        .groupBy(id_col, "start")
+        .agg(F.count(F.lit(1)).alias("nslots"))
+        .filter(F.col("nslots") == len(phrase))
+    )
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("phrase_count"))
+        .orderBy(F.col("phrase_count").desc(), F.col(id_col))
+        .limit(k)
+    )

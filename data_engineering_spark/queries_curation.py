@@ -20,6 +20,7 @@ from .catalog import load_table
 from .operators.curation import (
     PII_PATTERNS,
     boilerplate_strip,
+    domain_cap,
     chunk_sliding,
     dsir_weights,
     hash_bucket,
@@ -736,4 +737,30 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return shard_shuffle(with_tokens, shard_size=64, keep_cols=("n_tokens",)).select(
         "doc_id", "shard", "pos_in_shard", "n_tokens"
+    )
+
+
+@query(
+    "curate_domain_cap",
+    """WITH ranked AS (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (
+                  PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS domain_rank
+         FROM documents)
+       SELECT doc_id, source, n_chars, CAST(domain_rank AS BIGINT) AS domain_rank
+       FROM ranked WHERE domain_rank <= 10""",
+)
+def q_curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap (operators/curation.py:domain_cap):
+    keep at most 10 documents per source, longest-first, id-tiebroken —
+    the crawl-curation stage that stops boilerplate-heavy domains from
+    dominating the corpus. The cap bites at every SF (sources carry
+    ≳25 docs at sf0.01), so the oracle exercises the cut, not a no-op.
+    ONE domain-keyed window over an (id, domain, n_chars) projection;
+    hot-domain note and the cap·partitions two-phase bound live on the
+    operator."""
+    capped = domain_cap(load_table(spark, sf_dir, "documents"), cap=10)
+    return capped.select(
+        "doc_id", "source", "n_chars", F.col("domain_rank").cast("long")
     )

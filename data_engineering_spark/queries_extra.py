@@ -1628,3 +1628,68 @@ def q_ts_ses_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(
         smooth, "event_type string, day date, x long, level_micro long"
     )
+
+
+@query(
+    "ts_mad_outliers",
+    """WITH v AS (
+         SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+         FROM events),
+       med AS (
+         SELECT event_type, CAST(2 * quantile_cont(vc, 0.5) AS BIGINT) AS m2
+         FROM v GROUP BY event_type),
+       dev AS (
+         SELECT v.event_type, m2, abs(2 * vc - m2) AS d
+         FROM v JOIN med USING (event_type)),
+       mad AS (
+         SELECT event_type, CAST(2 * quantile_cont(d, 0.5) AS BIGINT) AS mad2
+         FROM dev GROUP BY event_type)
+       SELECT dev.event_type,
+              CAST(count(*) AS BIGINT) AS n,
+              min(dev.m2) AS med_cent2,
+              min(mad.mad2) AS mad_cent2,
+              CAST(sum(CASE WHEN 4 * dev.d > 3 * mad.mad2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_outliers
+       FROM dev JOIN mad USING (event_type)
+       GROUP BY dev.event_type""",
+)
+def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: median / MAD (median
+    absolute deviation) instead of mean / stddev — the estimator that
+    does not let the outliers it is hunting inflate its own threshold
+    (z-scores famously mask single huge spikes). Flags |v − median| >
+    3·MAD.
+
+    Exactness: values are 2-dp, so everything runs on cent integers;
+    medians are ORDER STATISTICS (no accumulation order hazard), and
+    the only interpolation — the even-count midpoint — is kept exact by
+    carrying 2×median (always an integer in cents). The flag compares
+    4·|2v−m2| > 3·mad2, integers on both sides: no float enters any
+    comparison, so the oracle is hash-exact by construction.
+
+    Scale shape: ONE event_type exchange — both medians evaluate as
+    unbounded windows over the SAME partitioning the final groupBy
+    reuses, so the fact projection shuffles once (a groupBy-per-stat
+    formulation re-plans the median subtree per consumer: 4 exchanges).
+    Exact `percentile` buffers each group and is the oracle baseline —
+    at 100 TB swap the medians for `approx_percentile` (mergeable
+    t-digest partials), which drops the buffering; the comparisons are
+    unchanged."""
+    v = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    w = Window.partitionBy("event_type")
+    dev = v.withColumn(
+        "m2", (2 * F.expr("percentile(vc, 0.5)").over(w)).cast("long")
+    ).withColumn("d", F.abs(2 * F.col("vc") - F.col("m2")))
+    scored = dev.withColumn(
+        "mad2", (2 * F.expr("percentile(d, 0.5)").over(w)).cast("long")
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("m2").alias("med_cent2"),
+        F.min("mad2").alias("mad_cent2"),
+        F.sum((4 * F.col("d") > 3 * F.col("mad2")).cast("long"))
+        .cast("long")
+        .alias("n_outliers"),
+    )

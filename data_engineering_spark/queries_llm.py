@@ -29,6 +29,7 @@ from .operators.similarity import (
     embedding_near_dedup,
     embedding_near_dedup_bucketed,
     contrastive_batches,
+    int8_quantize,
     ivf_topk,
     kmeans_lattice_refine,
     lsh_topk,
@@ -42,6 +43,7 @@ from .operators.text import (
     highlight_snippets,
     more_like_this,
     percolate,
+    match_phrase_rank,
     query_string_rank,
     significant_terms,
     text_stats,
@@ -1207,6 +1209,35 @@ def q_search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "search_match_phrase",
+    r"""WITH tok AS (
+         SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+') AS l
+         FROM documents),
+       pos AS (
+         SELECT doc_id, unnest(l) AS tok, unnest(range(0, len(l))) AS p FROM tok),
+       ph(slot, term) AS (VALUES (0, 'table'), (1, 'value')),
+       hits AS (
+         SELECT doc_id, p - slot AS start
+         FROM pos JOIN ph ON tok = term
+         GROUP BY doc_id, p - slot HAVING count(DISTINCT slot) = 2)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS phrase_count
+       FROM hits GROUP BY doc_id
+       ORDER BY phrase_count DESC, doc_id LIMIT 20""",
+)
+def q_search_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES ``match_phrase`` ("table value", slop=0, top-20 by occurrence
+    count): the position-aware query class term search cannot express
+    (operators/text.py:match_phrase_rank). The position-key trick — slot
+    ``i`` at position ``p`` votes for start ``p−i``; a start with all
+    slots voting is an occurrence — makes it ONE (doc,start) aggregation
+    instead of an n−1-step positions self-join chain. The DuckDB twin
+    reproduces positions via zipped unnest/range, so candidate starts,
+    the distinct-slot gate, per-doc counts, and the tie-broken top-k all
+    hash-check exactly."""
+    return match_phrase_rank(_docs(spark, sf_dir), ["table", "value"], k=20)
+
+
+@query(
     "corpus_prepare",
     """WITH scored AS (
          SELECT doc_id, text, lang, source,
@@ -1886,3 +1917,32 @@ def q_sim_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
         "rnk",
     )
+
+
+@query(
+    "sim_int8_quantize",
+    r"""WITH base AS (
+         SELECT vec_id,
+                CAST(list_min(embedding) AS DOUBLE) AS mnd,
+                CAST(list_max(embedding) AS DOUBLE) AS mxd,
+                embedding
+         FROM embeddings)
+       SELECT vec_id,
+              CAST(floor(mnd * 1e6) AS BIGINT) AS mn_fp,
+              CAST(floor(mxd * 1e6) AS BIGINT) AS mx_fp,
+              CASE WHEN mxd = mnd
+                   THEN array_to_string(list_transform(embedding, x -> 0), ',')
+                   ELSE array_to_string(list_transform(embedding,
+                        x -> CAST(least(floor(((CAST(x AS DOUBLE) - mnd) * 256.0)
+                                              / (mxd - mnd)), 255) AS BIGINT)), ',')
+              END AS codes
+       FROM base""",
+)
+def q_sim_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding store
+    (operators/similarity.py:int8_quantize): per-vector [min,max] range
+    mapping to 8-bit codes — 4× smaller vector tier for serving/ANN.
+    Zero-shuffle codegen expressions; hash-exact cross-engine because
+    every step is a correctly-rounded IEEE op in twin order and the only
+    discretization is floor (no half-way case)."""
+    return int8_quantize(_emb(spark, sf_dir))

@@ -266,6 +266,17 @@ def test_shuffle_budgets(spark, sf_dir):
         # (column, value) partial agg + the per-column window/rollup over
         # the tiny count table — the input is scanned ONCE
         "prof_column_entropy": 2,
+        # position-key trick: broadcast slot list; (doc,start) partial
+        # agg + per-doc partial agg; ranking is a TakeOrdered
+        "search_match_phrase": 2,
+        # ONE domain-keyed window over the (id, domain, n_chars)
+        # projection — text never shuffles
+        "curate_domain_cap": 1,
+        # ONE event_type exchange: both medians are unbounded windows
+        # over the same partitioning the final groupBy reuses
+        "ts_mad_outliers": 1,
+        # pure per-row codegen expressions — zero exchanges
+        "sim_int8_quantize": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

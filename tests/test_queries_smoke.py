@@ -239,3 +239,110 @@ def test_highlight_and_percolate_literal_term_handling(spark):
     fired = {(r["query_id"], r["doc_id"])
              for r in percolate(df, {"alert_cpp": ["C++", "Wrote"]}).collect()}
     assert fired == {("alert_cpp", 1)}
+
+
+def test_match_phrase_rank_positions_and_counts(spark):
+    """match_phrase is position-exact: adjacency required, occurrences
+    counted (overlapping starts are distinct), order of terms matters."""
+    import pytest
+
+    from data_engineering_spark.operators.text import match_phrase_rank
+
+    df = spark.createDataFrame(
+        [
+            (1, "big data rules big data wins"),   # 2 occurrences
+            (2, "big shiny data"),                 # non-adjacent: no match
+            (3, "data big"),                       # wrong order: no match
+            (4, "Big Data"),                       # case-folded: 1
+        ],
+        "doc_id long, text string",
+    )
+    got = match_phrase_rank(df, ["big", "data"], k=10).collect()
+    assert [(r.doc_id, r.phrase_count) for r in got] == [(1, 2), (4, 1)]
+    with pytest.raises(ValueError, match="at least one"):
+        match_phrase_rank(df, [])
+    # single-term phrase degrades to term frequency
+    one = match_phrase_rank(df, ["data"], k=10).collect()
+    assert [(r.doc_id, r.phrase_count) for r in one] == [(1, 2), (2, 1), (3, 1), (4, 1)]
+
+
+def test_domain_cap_keeps_top_per_domain(spark):
+    from data_engineering_spark.operators.curation import domain_cap
+
+    rows = [(i, "hot", 100 + (i % 3)) for i in range(10)] + [(99, "cold", 5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = domain_cap(df, cap=4).collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r.source, []).append(r)
+    assert len(by_dom["hot"]) == 4
+    assert len(by_dom["cold"]) == 1
+    # longest first, id-tiebroken: n_chars 102 (ids 2,5,8) then 101 (id 1)
+    assert [r.doc_id for r in sorted(by_dom["hot"], key=lambda r: r.domain_rank)] == [
+        2, 5, 8, 1,
+    ]
+
+
+def test_mad_outliers_resist_masking(spark, sf_dir):
+    """The planted spike must be flagged, and the MAD threshold must not
+    be inflated by the spike itself (the z-score masking failure)."""
+    from data_engineering_spark.queries_extra import q_ts_mad_outliers  # noqa: F401
+    from data_engineering_spark.registry import QUERIES
+
+    # planted series: 20 regular values (deviations 0 or 2 cents; MAD
+    # lands at 2 so 3·MAD=6 clears them) + one huge spike
+    rows = [(i, "steady", 10.0 + (i % 3) / 100) for i in range(20)] + [
+        (99, "steady", 10_000.0)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    import data_engineering_spark.queries_extra as qx
+
+    # drive the operator logic directly through the registered query's
+    # building blocks: reuse the same integer-exact pipeline on a temp df
+    from pyspark.sql import functions as F
+
+    v = df.select("event_type", F.round(F.col("value") * 100).cast("long").alias("vc"))
+    med = v.groupBy("event_type").agg(
+        (2 * F.expr("percentile(vc, 0.5)")).cast("long").alias("m2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("vc") - F.col("m2")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.expr("percentile(d, 0.5)")).cast("long").alias("mad2")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .agg(F.sum((4 * F.col("d") > 3 * F.col("mad2")).cast("long")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert flagged == 1  # exactly the spike; MAD threshold unmoved by it
+
+    # and the registered query itself is total on the real tables
+    out = QUERIES["ts_mad_outliers"](spark, sf_dir)
+    assert out.columns == ["event_type", "n", "med_cent2", "mad_cent2", "n_outliers"]
+
+
+def test_int8_quantize_bounds_and_reconstruction(spark):
+    from data_engineering_spark.operators.similarity import int8_quantize
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.5, 0.25]),
+            (2, [-2.0, 2.0, 0.0, 1.0]),
+            (3, [7.0, 7.0, 7.0, 7.0]),  # constant vector: no div-by-zero
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in int8_quantize(df).collect()}
+    c1 = [int(c) for c in got[1].codes.split(",")]
+    assert c1[0] == 0 and c1[1] == 255  # min→0, max→255
+    assert all(0 <= c <= 255 for c in c1)
+    assert got[3].codes == "0,0,0,0"
+    # reconstruction error bound: |x − (mn + (code+0.5)·scale/256)| ≤ scale/512
+    mn, mx = got[2].mn_fp / 1e6, got[2].mx_fp / 1e6
+    scale = mx - mn
+    codes = [int(c) for c in got[2].codes.split(",")]
+    for x, c in zip([-2.0, 2.0, 0.0, 1.0], codes):
+        assert abs(x - (mn + (c + 0.5) * scale / 256)) <= scale / 512 + 1e-5
