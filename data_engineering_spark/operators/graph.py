@@ -1,0 +1,75 @@
+"""Iterative graph algorithms as DataFrame programs.
+
+The repo's other iterative op (``dedup.canonical_assignment``) is a
+fixpoint on labels; PageRank is the other canonical shape — a fixed
+number of numeric power-iteration rounds. Both follow the same Spark
+discipline: persist the edge list once, truncate lineage per round, keep
+every per-round step a key-partitioned join/aggregate.
+
+Exactness: scores are 1e-9 fixed-point LONGS and every operation is
+integer (floor-divided edge contributions, integer damping percents), so
+results are independent of partial-aggregation order and an unrolled SQL
+twin reproduces them bit-for-bit — the property float PageRank can never
+give an oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in integer fixed point: ``pr' = (100−d)%·S + d%·Σ
+    ⌊pr(u)/deg(u)⌋`` over in-edges, all in int64 — deterministic under
+    any execution order. ``iterations`` is a fixed unroll (the oracle
+    twin mirrors it CTE-for-CTE); convergence-to-ε stopping would make
+    the round count data-dependent and the twin unwritable.
+
+    Scale shape: the edge list persists once (every round joins against
+    it — without this, round k re-executes the whole upstream edge
+    derivation, the classic iterative lineage blowup); each round is ONE
+    src-keyed join of the (node, score) table against the degree-
+    annotated edges plus ONE dst-keyed partial agg, and scores truncate
+    lineage per round via localCheckpoint (``canonical_assignment``'s
+    pattern — swap for reliable ``checkpoint()`` on a real cluster).
+    Overflow headroom: Σ over in-edges is < indeg·S; at S=1e9 an int64
+    holds indeg up to ~9e9, beyond any real fan-in."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ewd = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    base = (100 - damping_pct) * scale // 100
+    pr = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("score"))
+    for _ in range(iterations):
+        inflow = (
+            ewd.join(pr, ewd["src"] == pr["node"])
+            .select("dst", F.expr("score div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            deg.select(F.col("src").alias("node"))
+            .join(inflow, F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(inflow, 0)) div 100")
+                )
+                .cast("long")
+                .alias("score"),
+            )
+            .localCheckpoint()
+        )
+    return pr

@@ -22,6 +22,7 @@ from .operators.multimodal import (
     synthetic_audio,
     synthetic_media,
 )
+from .operators.graph import pagerank_integer
 from .operators.nlp import (
     embed_text,
     keyword_extract,
@@ -1693,3 +1694,143 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+@query(
+    "lake_snapshot_diff",
+    """WITH base AS (
+         SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+         FROM orders),
+       removed AS (
+         SELECT o_orderkey, 'removed' AS change, price AS old_price,
+                CAST(NULL AS DOUBLE) AS new_price
+         FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0),
+       changed AS (
+         SELECT o_orderkey, 'changed' AS change, price AS old_price,
+                round(round(price * 1.1 * 100) / 100, 2) AS new_price
+         FROM base
+         WHERE o_orderstatus = 'O' AND o_orderkey % 11 = 0
+           AND round(round(price * 1.1 * 100) / 100, 2) <> price),
+       added AS (
+         SELECT o_orderkey + 100000000 AS o_orderkey, 'added' AS change,
+                CAST(NULL AS DOUBLE) AS old_price, price AS new_price
+         FROM base WHERE o_orderkey % 13 = 0)
+       SELECT * FROM removed UNION ALL SELECT * FROM changed
+       UNION ALL SELECT * FROM added""",
+)
+def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot DIFF between two versions of a logged table — the audit
+    query behind every "what changed since yesterday's load?" question
+    (and the generalization of CDC: the lake's own history IS the change
+    feed). Orders land as v0; a DELETE, an UPDATE (+10% on a slice of
+    open orders), and an APPEND advance the table; the diff FULL-OUTER
+    joins v0 against latest on the key and classifies each row as
+    added / removed / changed (same-key same-value rows drop out).
+
+    The oracle derives the identical change set from the raw table and
+    the three DML predicates, so a hash match proves version isolation,
+    every DML path, AND the diff classifier in one row. Money math per
+    the repo contract: round(x·100)/100, never round(x, 2), for the
+    updated prices.
+
+    Scale shape: both sides scan file sets from the SAME log (shared
+    lineage, disjoint only in rewritten files), the join is ONE
+    key-keyed exchange pair, and the classifier is a codegen CASE. At
+    100 TB the join cost is bounded by the rewritten-file fraction if
+    the diff pre-prunes unchanged file identities via the log (noted in
+    sources/txlog.py; exact-file diff is how production formats do it)."""
+    import shutil
+    import tempfile
+
+    from .sources.txlog import LakeTable
+
+    base = tempfile.mkdtemp(prefix="lake_diff_")
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    t = LakeTable(spark, base)
+    t.create(orders.repartitionByRange(4, "o_orderkey"))
+    t.delete_where("o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+    t.update_where(
+        "o_orderstatus = 'O' AND o_orderkey % 11 = 0",
+        {"price": "round(round(price * 1.1 * 100) / 100, 2)"},
+    )
+    t.append(
+        orders.filter(F.col("o_orderkey") % 13 == 0).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            "o_orderstatus",
+            "price",
+        )
+    )
+    v0 = t.scan(version=0).select(
+        F.col("o_orderkey"), F.col("price").alias("old_price")
+    )
+    v1 = t.scan().select(F.col("o_orderkey"), F.col("price").alias("new_price"))
+    joined = v0.join(v1, "o_orderkey", "full_outer")
+    return joined.select(
+        "o_orderkey",
+        F.when(F.col("new_price").isNull(), F.lit("removed"))
+        .when(F.col("old_price").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+        "old_price",
+        "new_price",
+    ).filter(
+        F.col("old_price").isNull()
+        | F.col("new_price").isNull()
+        | (F.col("old_price") != F.col("new_price"))
+    )
+
+
+@query(
+    "graph_pagerank_events",
+    """WITH ev AS (
+         SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
+                'e:' || event_type AS e
+         FROM events),
+       edges AS (
+         SELECT u AS src, e AS dst FROM ev
+         UNION ALL SELECT e AS src, u AS dst FROM ev),
+       deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY src),
+       p0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS score FROM deg),
+       p1 AS (SELECT e.dst AS node,
+                     CAST(150000000 + (85 * sum(p.score // d.deg)) // 100 AS BIGINT) AS score
+              FROM edges e JOIN deg d USING (src) JOIN p0 p ON p.node = e.src
+              GROUP BY e.dst),
+       p2 AS (SELECT e.dst AS node,
+                     CAST(150000000 + (85 * sum(p.score // d.deg)) // 100 AS BIGINT) AS score
+              FROM edges e JOIN deg d USING (src) JOIN p1 p ON p.node = e.src
+              GROUP BY e.dst),
+       p3 AS (SELECT e.dst AS node,
+                     CAST(150000000 + (85 * sum(p.score // d.deg)) // 100 AS BIGINT) AS score
+              FROM edges e JOIN deg d USING (src) JOIN p2 p ON p.node = e.src
+              GROUP BY e.dst)
+       SELECT node, score FROM p3 ORDER BY score DESC, node LIMIT 20""",
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite user↔event-type interaction graph —
+    the iterative-numeric workload class (power iteration) the engine
+    must host for graph-shaped pipeline stages (entity importance,
+    link-spam scoring over a crawl, dedup-cluster authority picks).
+    3 unrolled rounds of operators/graph.py:pagerank_integer in 1e-9
+    fixed point: because every arithmetic step is integer (floor-divided
+    contributions, integer damping), the DuckDB twin unrolls the SAME
+    three rounds CTE-for-CTE and the top-20 hash-matches exactly — an
+    oracle float PageRank cannot have. Every node here has an in-edge
+    (edges go both ways), so the general operator's dangling-node left
+    join coalesces nothing away."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("u"),
+            F.concat(F.lit("e:"), F.col("event_type")).alias("e"),
+        )
+        .distinct()
+    )
+    edges = ev.select(F.col("u").alias("src"), F.col("e").alias("dst")).unionAll(
+        ev.select(F.col("e").alias("src"), F.col("u").alias("dst"))
+    )
+    pr = pagerank_integer(edges, iterations=3)
+    return pr.orderBy(F.col("score").desc(), "node").limit(20)

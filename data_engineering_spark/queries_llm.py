@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .operators.dedup import (
     canonical_assignment,
+    shingle_hashes_portable,
     exact_dedup,
     keep_best_dedup,
     minhash_near_dedup,
@@ -1946,3 +1947,68 @@ def q_sim_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     every step is a correctly-rounded IEEE op in twin order and the only
     discretization is floor (no half-way case)."""
     return int8_quantize(_emb(spark, sf_dir))
+
+
+@query(
+    "corpus_overlap_kmv",
+    r"""WITH d AS (
+         SELECT doc_id % 2 AS side,
+                string_split_regex(trim(lower(text)), '\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT side,
+                list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+         FROM d),
+       sh AS (
+         SELECT DISTINCT side, ('0x' || substr(md5(gr), 1, 15))::BIGINT AS h
+         FROM g, unnest(grams) AS t(gr)),
+       pres AS (
+         SELECT h, max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ina,
+                   max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS inb
+         FROM sh GROUP BY h),
+       kmv AS (SELECT * FROM pres ORDER BY h LIMIT 256)
+       SELECT CAST(256 AS BIGINT) AS k,
+              CAST(count(*) AS BIGINT) AS n_kmv,
+              CAST(sum(ina * inb) AS BIGINT) AS n_joint,
+              CAST(sum(ina * inb) * 1000000 // count(*) AS BIGINT) AS jaccard_micro
+       FROM kmv""",
+)
+def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram overlap between two snapshots (here: the
+    doc_id-parity halves) estimated with a K-minimum-values sketch —
+    the train/val contamination ESTIMATE you run before paying for
+    exact decontamination (`curate_decontaminate` is the per-doc exact
+    stage; this is the corpus-level dial that says whether it's worth
+    it). Standard KMV estimator: the k smallest distinct shingle hashes
+    of the union form an ε≈1/√k (~6% at k=256) uniform sample of the
+    union; the fraction present in BOTH sides estimates Jaccard.
+
+    Deterministic end to end — hashes are the md5-60bit portable family
+    (operators/dedup.py:shingle_hashes_portable), "k smallest" is an
+    order statistic, and the estimate is integer-divided into micros —
+    so the DuckDB twin reproduces the sketch itself, not just its
+    contract. Scale shape: shingles explode inside the scan; ONE
+    hash-keyed partial-agg shuffle of (8-byte key, two bit flags)
+    computes presence; the k-min cut is a TakeOrdered (per-partition
+    heap, driver merges k·partitions rows); the final 1-row agg is
+    driver-sized. The flags make it one pass — a per-side KMV pair
+    would scan twice and still need a merge."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(shingle_hashes_portable("text")).alias("h"),
+    )
+    pres = sh.groupBy("h").agg(
+        F.max((F.col("side") == 0).cast("int")).alias("ina"),
+        F.max((F.col("side") == 1).cast("int")).alias("inb"),
+    )
+    kmv = pres.orderBy("h").limit(256)
+    return kmv.agg(
+        F.lit(256).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_kmv"),
+        F.sum(F.col("ina") * F.col("inb")).cast("long").alias("n_joint"),
+        F.expr("CAST(sum(ina * inb) * 1000000 div count(1) AS BIGINT)").alias(
+            "jaccard_micro"
+        ),
+    )

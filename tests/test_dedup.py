@@ -755,3 +755,43 @@ def test_filtered_knn_prefilter_semantics(spark, sf_dir):
     per_query = Counter(r["query_id"] for r in rows)
     assert all(v == 5 for v in per_query.values())
     assert len(per_query) == 10
+
+
+def test_corpus_overlap_kmv_bounds(spark):
+    """KMV Jaccard estimator: identical halves → exactly 1.0, disjoint
+    halves → exactly 0 (the boundary cases hold for ANY hash family),
+    and the sketch is deterministic run to run."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.dedup import shingle_hashes_portable
+
+    def estimate(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = df.select(
+            (F.col("doc_id") % 2).alias("side"),
+            F.explode(shingle_hashes_portable("text")).alias("h"),
+        )
+        pres = sh.groupBy("h").agg(
+            F.max((F.col("side") == 0).cast("int")).alias("ina"),
+            F.max((F.col("side") == 1).cast("int")).alias("inb"),
+        )
+        kmv = pres.orderBy("h").limit(256)
+        r = kmv.agg(
+            F.count(F.lit(1)).alias("n_kmv"), F.sum(F.col("ina") * F.col("inb")).alias("j")
+        ).collect()[0]
+        return r.j, r.n_kmv
+
+    # i//2 pairs each even doc with the next odd doc on identical text,
+    # so both sides carry the same shingle set
+    same = [(i, f"alpha beta gamma delta epsilon zeta theta iota word{i // 2}")
+            for i in range(8)]
+    j, n = estimate(same)
+    assert j == n  # identical shingle sets on both sides → J = 1
+
+    disjoint = [
+        (i, " ".join(f"even{i}w{k}" for k in range(6)) if i % 2 == 0
+         else " ".join(f"odd{i}w{k}" for k in range(6)))
+        for i in range(8)
+    ]
+    j, n = estimate(disjoint)
+    assert j == 0 and n > 0

@@ -277,6 +277,15 @@ def test_shuffle_budgets(spark, sf_dir):
         "ts_mad_outliers": 1,
         # pure per-row codegen expressions — zero exchanges
         "sim_int8_quantize": 0,
+        # ONE hash-keyed presence agg; the k-min cut is a TakeOrdered
+        # and the 1-row estimate agg is driver-sized
+        "corpus_overlap_kmv": 1,
+        # v0 vs latest full-outer: one key exchange per side; the DML
+        # rewrites run eagerly at table-build time
+        "lake_snapshot_diff": 2,
+        # visible plan is the post-localCheckpoint top-k (the per-round
+        # join+agg exchanges run eagerly, one pair per iteration)
+        "graph_pagerank_events": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
