@@ -26,6 +26,8 @@ __all__ = [
     "lang_id",
     "quality_score",
     "query_string_rank",
+    "match_phrase_rank",
+    "phrase_merge_rounds",
     "significant_terms",
     "more_like_this",
     "percolate",
@@ -537,4 +539,82 @@ def match_phrase_rank(
         .agg(F.count(F.lit(1)).cast("long").alias("phrase_count"))
         .orderBy(F.col("phrase_count").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def phrase_merge_rounds(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE-style iterative pair-merge learning over the token stream —
+    the vocabulary-induction algorithm (Sennrich BPE / word2phrase
+    collocations) run at corpus level: each round counts ALL adjacent
+    token pairs, merges the globally most frequent one (count-desc,
+    then lexicographic — fully deterministic), and re-segments, so
+    later rounds build multi-token units on top of earlier merges
+    ("new_york" + "city" → "new_york_city").
+
+    Exact-replay trick: segmentations join tokens with TWO spaces and
+    flank the string with one (" a  b  a  b "); the merge pattern
+    " a  b " then consumes each occurrence's own boundary spaces, so
+    plain ``replace`` — leftmost, non-overlapping, identical semantics
+    in Spark and DuckDB — applies EXACTLY the textbook leftmost-greedy
+    BPE merge, including odd-length runs ("a a a" → "a_a a"). A
+    single-space encoding under-merges alternating repeats because
+    adjacent matches fight over the shared delimiter.
+
+    Scale shape: each round is one pair-explode + count-keyed partial
+    agg over the corpus plus a 1-row argmax collect (the per-round
+    driver round-trip every BPE trainer has; the collect is O(1)).
+    Rounds scan the corpus ``rounds`` times — inherent to BPE's
+    sequential dependency; production trainers batch k merges per count
+    pass, trading exactness of intermediate counts (noted, not done
+    here — the oracle twin replays single merges).
+
+    Underscore is the merge marker: tokens are whitespace-split, so the
+    marker can collide only if source tokens already contain '_'
+    (harmless for counting; merged units stay distinguishable in the
+    word-salad and natural-text corpora this targets)."""
+    seg0 = F.concat(
+        F.lit(" "),
+        F.replace(
+            F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
+            F.lit(" "),
+            F.lit("  "),
+        ),
+        F.lit(" "),
+    )
+    spark = df.sparkSession
+    segdf = df.select(seg0.alias("seg"))
+    out = []
+    for rnd in range(1, rounds + 1):
+        toks = F.split(F.trim(F.col("seg")), "  ")
+        prs = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + F.lit(1)).alias("b"),
+            ),
+        )
+        best = (
+            segdf.select(F.explode(prs).alias("pr"))
+            .select("pr.a", "pr.b")
+            .filter(F.col("b").isNotNull())
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()[0]
+        )
+        out.append((rnd, best.a, best.b, f"{best.a}_{best.b}", best.c))
+        segdf = segdf.select(
+            F.replace(
+                F.col("seg"),
+                F.lit(f" {best.a}  {best.b} "),
+                F.lit(f" {best.a}_{best.b} "),
+            ).alias("seg")
+        )
+    return spark.createDataFrame(
+        out, "round int, left_tok string, right_tok string, merged string, pair_count long"
     )

@@ -764,3 +764,51 @@ def q_curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return capped.select(
         "doc_id", "source", "n_chars", F.col("domain_rank").cast("long")
     )
+
+
+@query(
+    "curate_split_dedup_aware",
+    r"""WITH fpd AS (
+         SELECT doc_id,
+                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents),
+       labeled AS (
+         SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS cluster_id
+         FROM fpd)
+       SELECT doc_id, cluster_id,
+              CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 6)
+                        AS BIGINT) % 100 < 90
+                   THEN 'train' ELSE 'val' END AS split
+       FROM labeled""",
+)
+def q_curate_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-consistent train/val split: the split key is the
+    DUPLICATE CLUSTER, not the document, so no two copies of the same
+    text can land on opposite sides — the leakage mode a plain id-bucket
+    split (`curate_split_train_val`) cannot rule out, and the reason
+    dedup must precede splitting in a training pipeline. Clusters here
+    are exact-duplicate groups (min doc id per normalized-text md5, the
+    `dedup_exact` key); for NEAR-dup awareness swap cluster_id for the
+    minhash canonical labels (`dedup_minhash_canonical` — both halves
+    separately oracle-proven; composed here they'd pay the label-
+    propagation cost on every split rebuild, so production materializes
+    labels once and joins).
+
+    Scale: ONE fp-keyed window over an (id, 32-byte fp) projection; the
+    split itself is a pure md5-bucket projection, append-stable in the
+    cluster id."""
+    docs = _docs(spark, sf_dir)
+    fpd = docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    labeled = fpd.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("fp")).alias("cluster_id"),
+    )
+    split = F.when(hash_bucket("cluster_id", 100) < 90, F.lit("train")).otherwise(
+        F.lit("val")
+    )
+    return labeled.select("doc_id", "cluster_id", split.alias("split"))

@@ -1834,3 +1834,55 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank_integer(edges, iterations=3)
     return pr.orderBy(F.col("score").desc(), "node").limit(20)
+
+
+@query(
+    "nlp_bpe_merges",
+    r"""WITH s0 AS (
+         SELECT ' ' || replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                              ' ', '  ') || ' ' AS seg
+         FROM documents),
+       p1 AS (
+         SELECT l[i] AS a, l[i+1] AS b, count(*) AS c FROM (
+           SELECT string_split(trim(seg), '  ') AS l FROM s0) t,
+           unnest(range(1, len(l))) AS u(i)
+         GROUP BY 1, 2),
+       b1 AS (SELECT a, b, c FROM p1 ORDER BY c DESC, a, b LIMIT 1),
+       s1 AS (
+         SELECT replace(seg, ' ' || b1.a || '  ' || b1.b || ' ',
+                        ' ' || b1.a || '_' || b1.b || ' ') AS seg
+         FROM s0 CROSS JOIN b1),
+       p2 AS (
+         SELECT l[i] AS a, l[i+1] AS b, count(*) AS c FROM (
+           SELECT string_split(trim(seg), '  ') AS l FROM s1) t,
+           unnest(range(1, len(l))) AS u(i)
+         GROUP BY 1, 2),
+       b2 AS (SELECT a, b, c FROM p2 ORDER BY c DESC, a, b LIMIT 1),
+       s2 AS (
+         SELECT replace(seg, ' ' || b2.a || '  ' || b2.b || ' ',
+                        ' ' || b2.a || '_' || b2.b || ' ') AS seg
+         FROM s1 CROSS JOIN b2),
+       p3 AS (
+         SELECT l[i] AS a, l[i+1] AS b, count(*) AS c FROM (
+           SELECT string_split(trim(seg), '  ') AS l FROM s2) t,
+           unnest(range(1, len(l))) AS u(i)
+         GROUP BY 1, 2),
+       b3 AS (SELECT a, b, c FROM p3 ORDER BY c DESC, a, b LIMIT 1)
+       SELECT 1 AS round, a AS left_tok, b AS right_tok,
+              a || '_' || b AS merged, CAST(c AS BIGINT) AS pair_count FROM b1
+       UNION ALL SELECT 2, a, b, a || '_' || b, CAST(c AS BIGINT) FROM b2
+       UNION ALL SELECT 3, a, b, a || '_' || b, CAST(c AS BIGINT) FROM b3""",
+)
+def q_nlp_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge learning, 3 rounds (operators/text.py:
+    phrase_merge_rounds): count adjacent token pairs → merge the global
+    argmax → re-segment → repeat, so round 2 can build on round 1's
+    unit — the vocabulary-induction loop subword tokenizers train with
+    (`nlp_subword_tokenize` consumes such a vocab; this produces one).
+    The double-space segmentation makes `replace` apply the exact
+    leftmost-greedy BPE merge in BOTH engines, so the DuckDB twin
+    replays all three rounds — counts, argmax tiebreaks, and
+    re-segmentation — bit-for-bit."""
+    from .operators.text import phrase_merge_rounds
+
+    return phrase_merge_rounds(_t(spark, sf_dir, "documents"), rounds=3)

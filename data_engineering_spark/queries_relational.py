@@ -2437,3 +2437,77 @@ def q_prof_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         ["o_orderstatus", "o_orderpriority", "o_custkey"],
     )
+
+
+@query(
+    "prof_value_correlation",
+    """WITH cnt AS (
+         SELECT l_orderkey, CAST(count(*) AS BIGINT) AS items
+         FROM lineitem GROUP BY l_orderkey),
+       j AS (
+         SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc, items
+         FROM orders JOIN cnt ON o_orderkey = l_orderkey),
+       s AS (
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(count(*) AS DOUBLE) AS nd,
+                CAST(sum(xc) AS DOUBLE) AS sx,
+                CAST(sum(items) AS DOUBLE) AS sy,
+                CAST(sum(xc * items) AS DOUBLE) AS sxy,
+                CAST(sum(xc * xc) AS DOUBLE) AS sxx,
+                CAST(sum(items * items) AS DOUBLE) AS syy
+         FROM j)
+       SELECT n,
+              CAST(floor((nd * sxy - sx * sy)
+                         / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                         * 1000000) AS BIGINT) AS r_micro,
+              CAST(floor((nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+                         * 1000000) AS BIGINT) AS slope_micro
+       FROM s""",
+)
+def prof_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] Pearson correlation + OLS slope between
+    order price and item count — the column-pair relationship profile
+    (does X predict Y?) that per-column stats (`prof_orders_profile`,
+    `prof_column_entropy`) cannot see. NOT the built-in `corr()`: its
+    streaming covariance accumulates in floats whose partial-merge
+    order differs per run/engine. Here every Σ (x, y, xy, x², y²) is an
+    EXACT integer on cent-scaled values (decimal sums on the Spark
+    side, HUGEINT on DuckDB's), and only the final closed-form — a
+    fixed IEEE expression over those exact integers converted to
+    doubles — touches floats, so `floor(·1e6)` is hash-stable.
+
+    Scale: per-order count is one partial agg; the join is key-to-key
+    (AQE-planned); the moment agg is a 1-row map-side-combined pass.
+    Decimal(38) sums hold ~1e22 of headroom over int64, covering any
+    real SF."""
+    cnt = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("items"))
+    )
+    j = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("xc"),
+        )
+        .join(cnt, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    dec = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum(F.col("xc").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("items").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("xc") * F.col("items")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("xc") * F.col("xc")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("items") * F.col("items")).cast(dec)).cast("double").alias("syy"),
+    )
+    cov = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "n",
+        F.floor(cov / F.sqrt(varx * vary) * 1000000).cast("long").alias("r_micro"),
+        F.floor(cov / varx * 1000000).cast("long").alias("slope_micro"),
+    )

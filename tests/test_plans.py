@@ -286,6 +286,14 @@ def test_shuffle_budgets(spark, sf_dir):
         # visible plan is the post-localCheckpoint top-k (the per-round
         # join+agg exchanges run eagerly, one pair per iteration)
         "graph_pagerank_events": 0,
+        # ONE fp-keyed window over (id, fp); the split is a projection
+        "curate_split_dedup_aware": 1,
+        # per-order count agg + the key join (1-row moment agg merges
+        # map-side; AQE broadcasts the smaller side at oracle SFs)
+        "prof_value_correlation": 2,
+        # result is a 3-row driver literal; each round's pair-count agg
+        # runs eagerly at build time (one corpus pass per merge round)
+        "nlp_bpe_merges": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -346,3 +346,112 @@ def test_int8_quantize_bounds_and_reconstruction(spark):
     codes = [int(c) for c in got[2].codes.split(",")]
     for x, c in zip([-2.0, 2.0, 0.0, 1.0], codes):
         assert abs(x - (mn + (c + 0.5) * scale / 256)) <= scale / 512 + 1e-5
+
+
+def test_phrase_merge_rounds_builds_on_earlier_merges(spark):
+    """Round 2 must be able to merge a round-1 unit with a neighbor —
+    the property that separates iterative BPE from one-shot bigram
+    counting — and odd runs must merge leftmost-greedy."""
+    from data_engineering_spark.operators.text import phrase_merge_rounds
+
+    # the extra bare "new york city" breaks the round-2 five-way tie in
+    # favor of (new_york, city); without it the lexicographic tiebreak
+    # would legitimately pick (city, is)
+    rows = [(i, "new york city is in new york state") for i in range(5)] + [
+        (50, "new york city")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = phrase_merge_rounds(df, rounds=2).collect()
+    assert (got[0].left_tok, got[0].right_tok, got[0].pair_count) == ("new", "york", 11)
+    # after merging, 'new_york city' (6) beats every leftover bigram (5)
+    assert (got[1].left_tok, got[1].right_tok) == ("new_york", "city")
+    assert got[1].pair_count == 6
+
+    # leftmost-greedy on an odd run: "a a a" merges once per round
+    runs = spark.createDataFrame([(1, "a a a")], "doc_id long, text string")
+    r = phrase_merge_rounds(runs, rounds=2).collect()
+    assert (r[0].left_tok, r[0].right_tok, r[0].pair_count) == ("a", "a", 2)
+    # round 2 sees [a_a, a]: exactly one (a_a, a) pair remains
+    assert (r[1].left_tok, r[1].right_tok, r[1].pair_count) == ("a_a", "a", 1)
+
+
+def test_dedup_aware_split_never_straddles_clusters(spark):
+    """Planted exact dups must land on ONE side; a naive id-bucket split
+    provably straddles at least one of these clusters."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.curation import hash_bucket
+    from data_engineering_spark.registry import QUERIES
+    import data_engineering_spark.queries_curation  # noqa: F401
+
+    # md5 buckets (precomputed, deterministic): id 98 → val (bucket ≥90),
+    # ids 100/101 → train — so the naive per-doc split MUST straddle
+    rows = [(i, f"unique text {i}") for i in range(20)]
+    rows += [(i, "duplicated body text") for i in (98, 100, 101)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fpd = df.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("fp"),
+    )
+    from pyspark.sql import Window
+
+    labeled = fpd.select(
+        "doc_id", F.min("doc_id").over(Window.partitionBy("fp")).alias("cluster_id")
+    )
+    split = F.when(hash_bucket("cluster_id", 100) < 90, F.lit("train")).otherwise(
+        F.lit("val")
+    )
+    out = labeled.select("doc_id", "cluster_id", split.alias("split"))
+    sides = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("k"))
+        .agg(F.max("k").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert sides == 1  # no cluster straddles
+
+    # naive per-doc bucket split DOES straddle the planted cluster
+    naive = fpd.select(
+        "fp",
+        F.when(hash_bucket("doc_id", 100) < 90, F.lit("train"))
+        .otherwise(F.lit("val"))
+        .alias("split"),
+    )
+    naive_sides = (
+        naive.groupBy("fp")
+        .agg(F.count_distinct("split").alias("k"))
+        .agg(F.max("k").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert naive_sides == 2
+
+
+def test_value_correlation_exact_on_planted_line(spark):
+    """Perfectly linear planted data → r_micro = 1e6 − 1ulp-floor and the
+    exact slope; anti-correlated → −1e6."""
+    from pyspark.sql import functions as F
+
+    def corr_micro(rows):
+        df = spark.createDataFrame(rows, "xc long, items long")
+        dec = "decimal(38,0)"
+        s = df.agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            F.sum(F.col("xc").cast(dec)).cast("double").alias("sx"),
+            F.sum(F.col("items").cast(dec)).cast("double").alias("sy"),
+            F.sum((F.col("xc") * F.col("items")).cast(dec)).cast("double").alias("sxy"),
+            F.sum((F.col("xc") * F.col("xc")).cast(dec)).cast("double").alias("sxx"),
+            F.sum((F.col("items") * F.col("items")).cast(dec)).cast("double").alias("syy"),
+        )
+        cov = F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")
+        varx = F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+        vary = F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy")
+        return (
+            s.select(F.floor(cov / F.sqrt(varx * vary) * 1000000).alias("r"))
+            .collect()[0]
+            .r
+        )
+
+    assert corr_micro([(10 * i + 3, i) for i in range(1, 50)]) in (999999, 1000000)
+    assert corr_micro([(1000 - 10 * i, i) for i in range(1, 50)]) == -1000000
