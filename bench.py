@@ -136,6 +136,18 @@ HEADLINE = [
     "sim_filtered_knn",
     "prof_column_entropy",
     "nl_query_having",
+    # round-8 additions
+    "search_match_phrase",
+    "curate_domain_cap",
+    "ts_mad_outliers",
+    "sim_int8_quantize",
+    "corpus_overlap_kmv",
+    "lake_snapshot_diff",
+    "graph_pagerank_events",
+    "curate_split_dedup_aware",
+    "prof_value_correlation",
+    "nlp_bpe_merges",
+    "search_suggest",
 ]
 
 

@@ -2012,3 +2012,62 @@ def q_corpus_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_micro"
         ),
     )
+
+
+@query(
+    "search_suggest",
+    r"""WITH vocab AS (
+         SELECT token, CAST(count(*) AS BIGINT) AS df
+         FROM (SELECT doc_id,
+                      unnest(list_distinct(
+                          regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+'))) AS token
+               FROM documents)
+         GROUP BY token),
+       scored AS (
+         SELECT token, df, CAST(levenshtein(token, 'tabel') AS BIGINT) AS dist
+         FROM vocab
+         WHERE length(token) BETWEEN 3 AND 7)
+       SELECT token, dist, df FROM scored WHERE dist <= 2
+       ORDER BY dist, df DESC, token LIMIT 5""",
+)
+def q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES term suggester ("did you mean …?"): for the misspelled query
+    term 'tabel', rank corpus vocabulary terms within edit distance 2 by
+    (distance, document frequency) — the spell-correction stage in front
+    of the reference's search flow (Openapi/openai_elasticsearch.py
+    match queries assume well-spelled input; ES closes the gap with the
+    suggester, re-expressed here over the same vocabulary table the
+    TF-IDF/BM25 rankers build).
+
+    Scale shape: the vocabulary agg is the ONE corpus-scaling exchange
+    (distinct (doc, term) pairs with map-side combine — identical to the
+    rankers' df table, reusable in a real deployment); candidate scoring
+    is a length-banded filter (±2 chars — levenshtein > |len diff| is a
+    free lower bound) with a JVM levenshtein per surviving term, and the
+    cut is a TakeOrdered. Vocabulary-sized work, corpus-sized only in
+    the df agg."""
+    docs = _docs(spark, sf_dir)
+    term = "tabel"
+    vocab = (
+        docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(r"regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+', 0)")
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    scored = vocab.filter(
+        (F.length("token") >= len(term) - 2) & (F.length("token") <= len(term) + 2)
+    ).select(
+        "token",
+        F.levenshtein(F.col("token"), F.lit(term)).cast("long").alias("dist"),
+        "df",
+    )
+    return (
+        scored.filter(F.col("dist") <= 2)
+        .orderBy("dist", F.col("df").desc(), "token")
+        .limit(5)
+    )

