@@ -56,23 +56,27 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      md5 permutation family fix), w5_time_weighted_avg /
 #      ts_anomaly_zscore / a13_grouped_pivot / a18_unpivot_long
 #      (order-stable fixed-point aggregation).
-#   3. Remaining slots: new round-8 additions (never-proven), then the
-#      r4-green frontier oldest-first in its r7-window order
-#      (j6_asof_join, a5_last_wins_merge, w2_moving_avg, w3_lag_delta,
-#      f10_timestamp_rebuild, f17_json_extract, s2_dialect_sql_etl,
-#      tpch q18/q19/q15/q20, a15_percentiles, ...).
+#   3. Remaining slots: the round-8 additions (never-proven; 12 of the
+#      14 fit — search_suggest and dedup_threshold_sweep defer to round
+#      9 as the two whose shapes re-bin already-proven intermediates).
+#      The r4-green frontier is fully displaced this round.
 # Exactly 50; rows-only queries sink behind the window so no sweep slot
 # records a weak no_oracle row.
 #
-# ROUND-9 ROTATION NOTE: after this window sweeps, the staleness frontier
-# is the ~35 r4-green queries not covered here (j7_cross_join,
-# a16_nested_doc_assembly, a14_grouping_sets, explode_top_tokens, tpch
-# q7/q8/q12/q13/q17/q21/q22, m1-m3, prof_orders_profile,
-# dq_expectations, skew_top_keys, j8-j10, mv_incremental_refresh, the
-# r4 curation pack, nlp_embed/tokenize, st_interval_join, the lake trio,
-# plus whatever group-3 fills round 8 displaced) followed by the r5
-# cohort — lead round 9 with any never-proven round-8 additions, then
-# that r4 list oldest-first, filling with r5 greens.
+# ROUND-9 ROTATION NOTE: lead round 9 with (in this order):
+#   1. Any round-9 additions plus the two deferred round-8 rows
+#      (search_suggest, dedup_threshold_sweep) — never driver-proven.
+#   2. The 47-query r4-green frontier, oldest-first in its r7-window
+#      order (j6_asof_join, a5_last_wins_merge, w2_moving_avg,
+#      w3_lag_delta, f10_timestamp_rebuild, f17_json_extract,
+#      s2_dialect_sql_etl, tpch q18/q19/q15/q20, a15_percentiles,
+#      j7_cross_join, a16_nested_doc_assembly, a14_grouping_sets,
+#      explode_top_tokens, tpch q7/q8/q12/q13/q17/q21/q22, m1-m3,
+#      prof_orders_profile, dq_expectations, skew_top_keys, j8-j10,
+#      mv_incremental_refresh, the r4 curation pack, nlp_embed/tokenize,
+#      st_interval_join, the lake trio, a5/a14-a16 — whatever fits the
+#      remaining slots).
+#   3. Then the r5 cohort. The r6/r7/r8 greens rotate after.
 registry.finalize_order(
     [
         # -- never driver-proven: round-7 additions + the 3 planned-r7 leads --
@@ -115,19 +119,21 @@ registry.finalize_order(
         "ts_anomaly_zscore",
         "a13_grouped_pivot",
         "a18_unpivot_long",
-        # -- r4-green frontier, oldest-first fills -------------------------
-        "j6_asof_join",
-        "a5_last_wins_merge",
-        "w2_moving_avg",
-        "w3_lag_delta",
-        "f10_timestamp_rebuild",
-        "f17_json_extract",
-        "s2_dialect_sql_etl",
-        "tpch_q18_large_orders",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q15_top_supplier",
-        "tpch_q20_part_suppliers",
-        "a15_percentiles",
+        # -- round-8 additions, never driver-proven (12 of 14; search_suggest
+        # -- and dedup_threshold_sweep defer to round 9: both re-bin already-
+        # -- proven intermediates, the weakest claim to a slot) --------------
+        "search_match_phrase",
+        "curate_domain_cap",
+        "ts_mad_outliers",
+        "sim_int8_quantize",
+        "corpus_overlap_kmv",
+        "lake_snapshot_diff",
+        "graph_pagerank_events",
+        "curate_split_dedup_aware",
+        "prof_value_correlation",
+        "nlp_bpe_merges",
+        "prof_drift_psi",
+        "events_path_mining",
     ]
 )
 

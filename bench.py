@@ -148,6 +148,9 @@ HEADLINE = [
     "prof_value_correlation",
     "nlp_bpe_merges",
     "search_suggest",
+    "prof_drift_psi",
+    "events_path_mining",
+    "dedup_threshold_sweep",
 ]
 
 

@@ -1886,3 +1886,44 @@ def q_nlp_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import phrase_merge_rounds
 
     return phrase_merge_rounds(_t(spark, sf_dir, "documents"), rounds=3)
+
+
+@query(
+    "events_path_mining",
+    """WITH seq AS (
+         SELECT user_id, event_type,
+                lead(event_type, 1) OVER w AS e2,
+                lead(event_type, 2) OVER w AS e3
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       SELECT event_type || '>' || e2 || '>' || e3 AS path,
+              CAST(count(*) AS BIGINT) AS n
+       FROM seq WHERE e3 IS NOT NULL
+       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""",
+)
+def q_events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys — sequential pattern mining over
+    the event stream, the product-analytics query behind "what do users
+    do next?" funnels (`events_transition_matrix` is its 1-step marginal;
+    paths expose the higher-order structure a Markov assumption erases).
+    ONE user-keyed window (two leads share the frame and its sort) feeds
+    a path-keyed partial agg and a TakeOrdered; ties at the cut are
+    path-lexicographic so the top-k is deterministic. The window key is
+    the natural shard at 100 TB (user histories co-reside); hot paths
+    combine map-side."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )

@@ -2071,3 +2071,59 @@ def q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", F.col("df").desc(), "token")
         .limit(5)
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    r"""WITH toks AS (
+         SELECT doc_id,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+                generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS ord,
+                len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
+         FROM documents),
+       grams AS (
+         SELECT doc_id,
+                tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+         FROM toks WHERE n_toks >= 3
+         WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+         UNION ALL
+         SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+         FROM documents
+         WHERE len(string_split_regex(trim(lower(text)), '\s+')) < 3),
+       dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
+       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM dg GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+         FROM dg a JOIN dg b USING (g) WHERE a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       j AS (
+         SELECT round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jac
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = id_a
+         JOIN sizes sb ON sb.doc_id = id_b)
+       SELECT CAST(least(floor(jac * 10), 9) AS BIGINT) AS band,
+              CAST(count(*) AS BIGINT) AS n_pairs
+       FROM j WHERE jac >= 0.2 GROUP BY 1""",
+)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold operating curve: pair counts per 0.1-wide Jaccard
+    band (0.2 and up) from the EXACT shared-shingle join — the
+    calibration query you run before committing a near-dedup cutoff to
+    a 100 TB corpus (how many pairs does moving 0.6 → 0.5 pull in?).
+    Same intermediate as `dedup_ngram_exact` (pairs sharing ≥1 gram),
+    so the sweep costs what the baseline costs — the banding is a
+    re-binning of the verify output, not a new join; at scale the same
+    curve is estimated from the banded-LSH candidate stream instead
+    (`dedup_minhash`'s buckets stratify by band for free)."""
+    from .operators.dedup import ngram_jaccard_pairs_exact
+
+    pairs = ngram_jaccard_pairs_exact(_docs(spark, sf_dir), threshold=0.2)
+    return (
+        pairs.select(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9).cast("long"))
+            .cast("long")
+            .alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

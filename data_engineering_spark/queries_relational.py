@@ -2511,3 +2511,94 @@ def prof_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(cov / F.sqrt(varx * vary) * 1000000).cast("long").alias("r_micro"),
         F.floor(cov / varx * 1000000).cast("long").alias("slope_micro"),
     )
+
+
+@query(
+    "prof_drift_psi",
+    """WITH ev AS (
+         SELECT ts >= TIMESTAMP '2024-01-16' AS cur,
+                CAST(round(value * 100) AS BIGINT) AS vc
+         FROM events),
+       edges AS (
+         SELECT quantile_cont(vc, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e
+         FROM ev WHERE NOT cur),
+       counts AS (
+         SELECT len(list_filter(e, x -> vc > x)) AS bucket,
+                CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS n_ref,
+                CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+         FROM ev CROSS JOIN edges GROUP BY 1),
+       tot AS (
+         SELECT sum(n_ref) AS np, sum(n_cur) AS nq FROM counts)
+       SELECT bucket, n_ref, n_cur,
+              CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                CAST(floor((CAST(n_ref AS DOUBLE) / np - CAST(n_cur AS DOUBLE) / nq)
+                           * ln((CAST(n_ref AS DOUBLE) / np)
+                                / (CAST(n_cur AS DOUBLE) / nq)) * 1000000) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS psi_term_micro
+       FROM counts CROSS JOIN tot""",
+)
+def prof_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[absent in reference] Population Stability Index between the
+    first and second half of the event stream — the distribution-drift
+    monitor every trained model's input pipeline needs (PSI ≥ 0.2 is the
+    conventional retrain alarm). Buckets are the REFERENCE half's value
+    deciles (order statistics — portable), assignment is an edge-count
+    fold identical in both engines, and each of the ≤10 per-bucket terms
+    is floored to 1e-6 fixed point before the (integer) total — the
+    `prof_column_entropy` contract, with the same honest caveat: ln is
+    correctly rounded in practice, not IEEE-guaranteed, with a ±1-micro
+    blast radius per bucket. Empty-side buckets contribute 0 (the
+    standard PSI clamp), kept visible in n_ref/n_cur.
+
+    Scale shape: the 9 decile edges are a single-row agg over the
+    reference slice that rides back as a broadcast; bucket counts are
+    ONE partial-agg groupBy of (≤10 keys); the term math runs on the
+    10-row count table. Exact `percentile` buffers the reference slice
+    — at 100 TB swap for `approx_percentile` edges (the a15/a17
+    pattern)."""
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("ts") >= "2024-01-16").alias("cur"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    edges = ev.filter(~F.col("cur")).agg(
+        F.expr(
+            "percentile(vc, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("e")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(edges))
+        .select(
+            F.size(F.filter(F.col("e"), lambda x: F.col("vc") > x)).alias("bucket"),
+            "cur",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("cur"), 0).otherwise(1)).cast("long").alias("n_ref"),
+            F.sum(F.when(F.col("cur"), 1).otherwise(0)).cast("long").alias("n_cur"),
+        )
+    )
+    # totals as a window over the ≤10-row count table — a separate agg +
+    # cross join would re-plan the counts subtree per consumer (the
+    # prof_column_entropy pattern)
+    wt = Window.partitionBy()
+    counts = counts.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.sum("n_ref").over(wt).cast("double").alias("np"),
+        F.sum("n_cur").over(wt).cast("double").alias("nq"),
+    )
+    p = F.col("n_ref").cast("double") / F.col("np")
+    q = F.col("n_cur").cast("double") / F.col("nq")
+    return counts.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.when(
+            (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+            F.floor((p - q) * F.log(p / q) * 1000000),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("psi_term_micro"),
+    )

@@ -296,6 +296,14 @@ def test_shuffle_budgets(spark, sf_dir):
         "nlp_bpe_merges": 0,
         # ONE vocabulary df agg; length-banded levenshtein + TakeOrdered
         "search_suggest": 1,
+        # 1-row decile-edge agg (broadcast back), ONE bucket partial agg,
+        # totals as a window on the ≤10-row count table
+        "prof_drift_psi": 3,
+        # one user-keyed window + path partial agg; TakeOrdered cut
+        "events_path_mining": 2,
+        # the exact shared-shingle baseline's own exchanges; banding is
+        # a projection re-bin of its verify output
+        "dedup_threshold_sweep": 4,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
