@@ -49,8 +49,19 @@ def pagerank_integer(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ewd = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # node set = src ∪ dst: a pure SINK (in-edges only) must rank — it
+    # is often the most-linked node — not silently drop out; seeding
+    # from deg alone loses it (r8 review finding). Sink outflow is
+    # discarded (the simplified-PageRank dangling convention; the
+    # redistribute-dangling-mass variant adds a 1-row broadcast sum).
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     base = (100 - damping_pct) * scale // 100
-    pr = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("score"))
+    pr = nodes.withColumn("score", F.lit(scale).cast("long"))
     for _ in range(iterations):
         inflow = (
             ewd.join(pr, ewd["src"] == pr["node"])
@@ -59,8 +70,7 @@ def pagerank_integer(
             .agg(F.sum("c").alias("inflow"))
         )
         pr = (
-            deg.select(F.col("src").alias("node"))
-            .join(inflow, F.col("node") == F.col("dst"), "left")
+            nodes.join(inflow, F.col("node") == F.col("dst"), "left")
             .select(
                 "node",
                 (
@@ -72,4 +82,9 @@ def pagerank_integer(
             )
             .localCheckpoint()
         )
+    # scores are checkpoint-truncated — nothing downstream re-reads the
+    # cached edges, so release them instead of pinning two edge copies
+    # per invocation for the session lifetime
+    ewd.unpersist()
+    e.unpersist()
     return pr

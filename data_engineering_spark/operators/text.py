@@ -590,11 +590,18 @@ def phrase_merge_rounds(
     out = []
     for rnd in range(1, rounds + 1):
         toks = F.split(F.trim(F.col("seg")), "  ")
-        prs = F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("a"),
-                F.element_at(toks, i + F.lit(1)).alias("b"),
+        # guard size<2 with a NULL array (explode drops it) — the old
+        # greatest(size-1, 1) clamp made element_at read index 2 of a
+        # 1-element array, which ERRORS under ANSI mode (PySpark 4
+        # default) on any single-token or whitespace-only document
+        prs = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("a"),
+                    F.element_at(toks, i + F.lit(1)).alias("b"),
+                ),
             ),
         )
         best = (

@@ -1649,7 +1649,7 @@ def q_ts_ses_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
               CAST(count(*) AS BIGINT) AS n,
               min(dev.m2) AS med_cent2,
               min(mad.mad2) AS mad_cent2,
-              CAST(sum(CASE WHEN 4 * dev.d > 3 * mad.mad2 THEN 1 ELSE 0 END)
+              CAST(sum(CASE WHEN 2 * dev.d > 3 * mad.mad2 THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_outliers
        FROM dev JOIN mad USING (event_type)
        GROUP BY dev.event_type""",
@@ -1690,7 +1690,7 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("m2").alias("med_cent2"),
         F.min("mad2").alias("mad_cent2"),
-        F.sum((4 * F.col("d") > 3 * F.col("mad2")).cast("long"))
+        F.sum((2 * F.col("d") > 3 * F.col("mad2")).cast("long"))
         .cast("long")
         .alias("n_outliers"),
     )
@@ -1712,7 +1712,7 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
          WHERE o_orderstatus = 'O' AND o_orderkey % 11 = 0
            AND round(round(price * 1.1 * 100) / 100, 2) <> price),
        added AS (
-         SELECT o_orderkey + 100000000 AS o_orderkey, 'added' AS change,
+         SELECT o_orderkey + 1000000000000 AS o_orderkey, 'added' AS change,
                 CAST(NULL AS DOUBLE) AS old_price, price AS new_price
          FROM base WHERE o_orderkey % 13 = 0)
        SELECT * FROM removed UNION ALL SELECT * FROM changed
@@ -1728,7 +1728,10 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     added / removed / changed (same-key same-value rows drop out).
 
     The oracle derives the identical change set from the raw table and
-    the three DML predicates, so a hash match proves version isolation,
+    the three DML predicates (appended keys offset by 1e12 — past the
+    keyspace of any real SF, so synthetic adds can never collide with
+    live orderkeys and fan the full-outer join out; r8 review finding),
+    so a hash match proves version isolation,
     every DML path, AND the diff classifier in one row. Money math per
     the repo contract: round(x·100)/100, never round(x, 2), for the
     updated prices.
@@ -1758,7 +1761,7 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.append(
         orders.filter(F.col("o_orderkey") % 13 == 0).select(
-            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            (F.col("o_orderkey") + 1000000000000).alias("o_orderkey"),
             "o_orderstatus",
             "price",
         )

@@ -49,3 +49,16 @@ def test_pagerank_dangling_source_keeps_base_score(spark):
     pr = {r.node: r.score for r in pagerank_integer(e, iterations=2).collect()}
     assert pr["loner"] == 150_000_000  # 15% of 1e9: inflow-free base
     assert pr["popular"] > pr["loner"]
+
+
+def test_pagerank_sink_node_ranks_highest(spark):
+    """A pure sink (in-edges only) must appear in the result and, as the
+    most-linked node, outrank its sources — seeding scores from the
+    out-degree table alone silently dropped it (r8 review finding)."""
+    e = spark.createDataFrame(
+        [("a", "sink"), ("b", "sink"), ("a", "b"), ("b", "a")],
+        "src string, dst string",
+    )
+    pr = {r.node: r.score for r in pagerank_integer(e, iterations=3).collect()}
+    assert "sink" in pr
+    assert pr["sink"] > pr["a"] and pr["sink"] > pr["b"]

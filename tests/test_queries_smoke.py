@@ -294,8 +294,12 @@ def test_mad_outliers_resist_masking(spark, sf_dir):
     rows = [(i, "steady", 10.0 + (i % 3) / 100) for i in range(20)] + [
         (99, "steady", 10_000.0)
     ]
+    # second series pins the threshold ALGEBRA (r8 review finding: the
+    # first form flagged at 1.5·MAD): med=1.04, MAD=0.02 — the 1.00
+    # value sits at exactly 2·MAD and must NOT flag at 3·MAD, while the
+    # 2.00 spike (48·MAD) must
+    rows += [(200 + i, "algebra", v) for i, v in enumerate([1.00, 1.02, 1.04, 1.06, 2.00])]
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
-    import data_engineering_spark.queries_extra as qx
 
     # drive the operator logic directly through the registered query's
     # building blocks: reuse the same integer-exact pipeline on a temp df
@@ -311,13 +315,15 @@ def test_mad_outliers_resist_masking(spark, sf_dir):
     mad = dev.groupBy("event_type").agg(
         (2 * F.expr("percentile(d, 0.5)")).cast("long").alias("mad2")
     )
-    flagged = (
-        dev.join(F.broadcast(mad), "event_type")
-        .agg(F.sum((4 * F.col("d") > 3 * F.col("mad2")).cast("long")).alias("n"))
-        .collect()[0]
-        .n
-    )
-    assert flagged == 1  # exactly the spike; MAD threshold unmoved by it
+    flagged = {
+        r.event_type: r.n
+        for r in dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(F.sum((2 * F.col("d") > 3 * F.col("mad2")).cast("long")).alias("n"))
+        .collect()
+    }
+    assert flagged["steady"] == 1  # exactly the spike; MAD unmoved by it
+    assert flagged["algebra"] == 1  # 2·MAD survives; only the 48·MAD spike
 
     # and the registered query itself is total on the real tables
     out = QUERIES["ts_mad_outliers"](spark, sf_dir)
@@ -502,3 +508,16 @@ def test_search_suggest_ranks_by_distance_then_frequency(spark):
     # 'cable' is 3 edits from 'tabel' (sub + transposition) — the dist≤2
     # gate must exclude it even though it shares 4 of 5 characters
     assert "cable" not in toks
+
+
+def test_phrase_merge_rounds_total_on_degenerate_docs(spark):
+    """r8 review: single-token and whitespace-only documents must not
+    crash the ANSI element_at path — they simply contribute no pairs."""
+    from data_engineering_spark.operators.text import phrase_merge_rounds
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "  "), (3, "a b a b")],
+        "doc_id long, text string",
+    )
+    got = phrase_merge_rounds(df, rounds=1).collect()
+    assert [(got[0].left_tok, got[0].right_tok, got[0].pair_count)] == [("a", "b", 2)]
