@@ -64,8 +64,9 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # records a weak no_oracle row.
 #
 # ROUND-9 ROTATION NOTE: lead round 9 with (in this order):
-#   1. Any round-9 additions plus the two deferred round-8 rows
-#      (search_suggest, dedup_threshold_sweep) — never driver-proven.
+#   1. Any round-9 additions plus the three deferred round-8 rows
+#      (search_suggest, dedup_threshold_sweep, sim_knn_classify) —
+#      never driver-proven.
 #   2. The 47-query r4-green frontier, oldest-first in its r7-window
 #      order (j6_asof_join, a5_last_wins_merge, w2_moving_avg,
 #      w3_lag_delta, f10_timestamp_rebuild, f17_json_extract,

@@ -151,6 +151,7 @@ HEADLINE = [
     "prof_drift_psi",
     "events_path_mining",
     "dedup_threshold_sweep",
+    "sim_knn_classify",
 ]
 
 

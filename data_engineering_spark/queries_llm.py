@@ -2127,3 +2127,65 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@query(
+    "sim_knn_classify",
+    f"""WITH q AS (SELECT * FROM embeddings WHERE vec_id < 20),
+       scored AS (
+         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+                round({_COSINE_EXPR}, 6) AS sim
+         FROM embeddings c, q WHERE q.vec_id <> c.vec_id),
+       topk AS (
+         SELECT query_id, label FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored) t
+         WHERE rnk <= 5),
+       votes AS (
+         SELECT query_id, label, CAST(count(*) AS BIGINT) AS n_votes
+         FROM topk GROUP BY query_id, label),
+       pred AS (
+         SELECT query_id, label AS pred_label, n_votes FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY n_votes DESC, label) AS vr
+           FROM votes) t
+         WHERE vr = 1)
+       SELECT p.query_id, CAST(p.pred_label AS BIGINT) AS pred_label, p.n_votes,
+              CAST(e.label AS BIGINT) AS true_label
+       FROM pred p JOIN embeddings e ON e.vec_id = p.query_id""",
+)
+def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote labeling over the embedding store — the
+    weak-supervision op that labels new vectors from their 5 nearest
+    labeled neighbors (cold-start classification, label-noise auditing
+    when pred ≠ true). Built on the proven brute-force ranking
+    (`sim_cosine_topk`'s exact shape); the vote is a (query, label)
+    partial agg and a count-desc, label-asc deterministic argmax. The
+    emitted true_label makes the query double as a leave-one-out
+    accuracy probe.
+
+    Scale: the exact ranking is the oracle baseline — at corpus scale
+    swap the neighbor source for `sim_ivf_topk`/`sim_pq_topk`
+    candidates (same vote layer, ANN recall measured separately by
+    `sim_ann_recall`); queries broadcast, ONE corpus scan."""
+    emb = _emb(spark, sf_dir)
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    labeled = topk.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").cast("long").alias("pred_label"), "n_votes")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").cast("long").alias("true_label")
+    )
+    return pred.join(truth, "query_id")

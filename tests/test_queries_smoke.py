@@ -521,3 +521,27 @@ def test_phrase_merge_rounds_total_on_degenerate_docs(spark):
     )
     got = phrase_merge_rounds(df, rounds=1).collect()
     assert [(got[0].left_tok, got[0].right_tok, got[0].pair_count)] == [("a", "b", 2)]
+
+
+def test_knn_classify_majority_beats_nearest(spark):
+    """The vote must follow the MAJORITY of the k neighborhood, not the
+    single nearest neighbor, and ties break on the smaller label."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.similarity import cosine_topk
+    from pyspark.sql import Window
+
+    # query q sits nearest to one label-9 vector, but its 5-neighborhood
+    # is dominated by label-1 vectors
+    rows = [(0, [1.0, 0.0, 0.0], None)]          # the query
+    rows += [(1, [0.99, 0.14, 0.0], 9)]          # nearest, minority label
+    rows += [(10 + i, [0.95, -0.31, 0.0], 1) for i in range(4)]  # majority
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    topk = cosine_topk(df.filter("vec_id > 0"), df.filter("vec_id = 0"), k=5)
+    labeled = topk.join(
+        df.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.partitionBy("query_id").orderBy(F.col("n").desc(), F.col("label").asc())
+    pred = votes.withColumn("vr", F.row_number().over(wv)).filter("vr = 1").collect()
+    assert pred[0].label == 1 and pred[0].n == 4
