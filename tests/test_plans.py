@@ -304,6 +304,8 @@ def test_shuffle_budgets(spark, sf_dir):
         # the exact shared-shingle baseline's own exchanges; banding is
         # a projection re-bin of its verify output
         "dedup_threshold_sweep": 4,
+        # broadcast queries; ONE vote partial agg reused by the rank
+        "sim_knn_classify": 1,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
