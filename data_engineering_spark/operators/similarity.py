@@ -35,6 +35,8 @@ __all__ = [
     "cosine",
     "cosine_topk",
     "cosine_topk_pandas",
+    "knn_vote",
+    "int8_quantize",
     "cosine_near_pairs",
     "embedding_near_dedup",
     "embedding_near_dedup_bucketed",
@@ -976,4 +978,35 @@ def int8_quantize(
         F.floor(mnd * 1e6).cast("long").alias("mn_fp"),
         F.floor(mxd * 1e6).cast("long").alias("mx_fp"),
         codes.alias("codes"),
+    )
+
+
+def knn_vote(
+    topk: DataFrame,
+    labels: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority vote over a kNN result: join neighbor labels, count
+    votes per (query, label), keep the argmax with the DETERMINISTIC
+    tie-break (count desc, then smaller label). Shared by the
+    `sim_knn_classify` query and its tests so the tie-break can't drift
+    between the production path and its proof. ONE (query, label)
+    partial agg; the rank runs on the vote table it produced."""
+    labeled = topk.join(labels, neighbor_col)
+    votes = labeled.groupBy(query_col, label_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    wv = Window.partitionBy(query_col).orderBy(
+        F.col("n_votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            query_col,
+            F.col(label_col).cast("long").alias("pred_label"),
+            "n_votes",
+        )
     )

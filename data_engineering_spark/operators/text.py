@@ -604,16 +604,22 @@ def phrase_merge_rounds(
                 ),
             ),
         )
-        best = (
+        rows = (
             segdf.select(F.explode(prs).alias("pr"))
+            # no null-filter needed: the size>=2 guard means sequence()
+            # only generates valid indices, so both slots are real tokens
             .select("pr.a", "pr.b")
-            .filter(F.col("b").isNotNull())
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # all-degenerate corpus (every doc < 2 tokens): nothing left
+            # to merge — return the rounds learned so far, possibly none
+            break
+        best = rows[0]
         out.append((rnd, best.a, best.b, f"{best.a}_{best.b}", best.c))
         segdf = segdf.select(
             F.replace(

@@ -1665,8 +1665,9 @@ def q_ts_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians are ORDER STATISTICS (no accumulation order hazard), and
     the only interpolation — the even-count midpoint — is kept exact by
     carrying 2×median (always an integer in cents). The flag compares
-    4·|2v−m2| > 3·mad2, integers on both sides: no float enters any
-    comparison, so the oracle is hash-exact by construction.
+    2·d > 3·mad2 (d = 2|v−med|, mad2 = 4·MAD — exactly |v−med| >
+    3·MAD), integers on both sides: no float enters any comparison, so
+    the oracle is hash-exact by construction.
 
     Scale shape: ONE event_type exchange — both medians evaluate as
     unbounded windows over the SAME partitioning the final groupBy

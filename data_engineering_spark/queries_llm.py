@@ -31,6 +31,7 @@ from .operators.similarity import (
     embedding_near_dedup_bucketed,
     contrastive_batches,
     int8_quantize,
+    knn_vote,
     ivf_topk,
     kmeans_lattice_refine,
     lsh_topk,
@@ -2171,19 +2172,8 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_ann_recall`); queries broadcast, ONE corpus scan."""
     emb = _emb(spark, sf_dir)
     topk = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
-    labeled = topk.join(
-        emb.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
-    )
-    votes = labeled.groupBy("query_id", "label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_votes")
-    )
-    wv = Window.partitionBy("query_id").orderBy(
-        F.col("n_votes").desc(), F.col("label").asc()
-    )
-    pred = (
-        votes.withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") == 1)
-        .select("query_id", F.col("label").cast("long").alias("pred_label"), "n_votes")
+    pred = knn_vote(
+        topk, emb.select(F.col("vec_id").alias("neighbor_id"), "label")
     )
     truth = emb.select(
         F.col("vec_id").alias("query_id"), F.col("label").cast("long").alias("true_label")

@@ -528,8 +528,7 @@ def test_knn_classify_majority_beats_nearest(spark):
     single nearest neighbor, and ties break on the smaller label."""
     from pyspark.sql import functions as F
 
-    from data_engineering_spark.operators.similarity import cosine_topk
-    from pyspark.sql import Window
+    from data_engineering_spark.operators.similarity import cosine_topk, knn_vote
 
     # query q sits nearest to one label-9 vector, but its 5-neighborhood
     # is dominated by label-1 vectors
@@ -538,10 +537,9 @@ def test_knn_classify_majority_beats_nearest(spark):
     rows += [(10 + i, [0.95, -0.31, 0.0], 1) for i in range(4)]  # majority
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     topk = cosine_topk(df.filter("vec_id > 0"), df.filter("vec_id = 0"), k=5)
-    labeled = topk.join(
-        df.select(F.col("vec_id").alias("neighbor_id"), "label"), "neighbor_id"
-    )
-    votes = labeled.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("n"))
-    wv = Window.partitionBy("query_id").orderBy(F.col("n").desc(), F.col("label").asc())
-    pred = votes.withColumn("vr", F.row_number().over(wv)).filter("vr = 1").collect()
-    assert pred[0].label == 1 and pred[0].n == 4
+    # the SAME vote layer the registered query uses (r8 review: a test
+    # that re-implements the pipeline can't catch a tie-break drift)
+    pred = knn_vote(
+        topk, df.select(F.col("vec_id").alias("neighbor_id"), "label")
+    ).collect()
+    assert pred[0].pred_label == 1 and pred[0].n_votes == 4
