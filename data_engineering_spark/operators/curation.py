@@ -736,30 +736,43 @@ def token_budget_select(
     re-enter), and the output size is bounded by the budget itself,
     not the corpus.
 
-    The quality key reuses :func:`..operators.text.quality_score`'s
-    deterministic per-row projection (rounded to 6 dp BEFORE ranking so
-    both engines rank the same doubles); the cumulative count runs
-    through :func:`prefix_sum`, so no single-partition window appears at
-    any corpus size."""
+    The quality key ``0.5*ttr + 0.5*min(n/200, 1)`` is computed as an
+    EXACT int64 rational in 1e-6 fixed point (``quality_micro``): with
+    ``d`` distinct tokens of ``n`` total it equals
+    ``(200*d + n*min(n,200)) / (400*n)``, and the half-up micro rounding
+    is the pure-integer ``(2_000_000*num + den) div (2*den)`` — no
+    double ever enters the ranking key, so Spark and any SQL twin rank
+    (and hash) identical integers. A 6-dp double ``round`` here is NOT
+    portable: JVM shortest-decimal half-up vs an engine's exact-binary
+    rounding can flip a boundary micro, reorder the greedy prefix, and
+    shift every downstream ``cum_tokens`` (driver round-8 red row). The
+    cumulative count runs through :func:`prefix_sum`, so no
+    single-partition window appears at any corpus size."""
     toks = tokens(text_col)
-    n = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / n
-    quality = F.round(0.5 * ttr + 0.5 * F.least(n / F.lit(200.0), F.lit(1.0)), 6)
+    n = F.size(toks).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
     scored = df.select(
         F.col(id_col),
-        quality.alias("quality"),
+        (F.lit(200).cast("long") * d + n * F.least(n, F.lit(200).cast("long"))).alias("_num"),
+        (F.lit(400).cast("long") * n).alias("_den"),
         n.cast("int").alias("n_tokens"),
+    ).select(
+        F.col(id_col),
+        F.expr("(2000000 * _num + _den) div (2 * _den)")
+        .cast("long")
+        .alias("quality_micro"),
+        F.col("n_tokens"),
     )
     cum = prefix_sum(
         scored,
-        [F.col("quality").desc(), F.col(id_col).asc()],
+        [F.col("quality_micro").desc(), F.col(id_col).asc()],
         "n_tokens",
         out_col="cum_tokens",
         num_partitions=num_partitions,
     )
     return cum.filter(F.col("cum_tokens") <= budget).select(
         id_col,
-        "quality",
+        "quality_micro",
         F.col("n_tokens").cast("int").alias("n_tokens"),
         "cum_tokens",
     )

@@ -840,6 +840,7 @@ def ngram_jaccard_pairs(
     block_keys: int = 4,
     max_bucket: int = 64,
     gram_impl: str = "xxhash",
+    emit_counts: bool = False,
 ) -> DataFrame:
     """n-gram Jaccard near-dup with discriminative blocking: each doc is
     keyed by its ``block_keys`` RAREST shingles (by corpus document
@@ -861,7 +862,14 @@ def ngram_jaccard_pairs(
     whole blocking heuristic bit-exactly (tie-breaks order on the gram
     string both engines compare as plain bytes). String churn makes it
     ~1.5× the gram-stage CPU of the hashed path; paid only by the
-    oracle-checked variant, same trade as the md5 minhash twin."""
+    oracle-checked variant, same trade as the md5 minhash twin.
+
+    ``emit_counts=True`` additionally emits the exact integer
+    ``n_inter`` / ``n_union`` set sizes per pair, so consumers that
+    re-bin pairs (the threshold-sweep calibration query) can band on
+    pure-integer arithmetic — ``(10*n_inter) div n_union`` — instead of
+    re-deriving bands from the rounded double, which can flip at a band
+    boundary when two engines round a tie differently."""
     from pyspark.sql import Window
 
     gram = shingles(text_col, n) if gram_impl == "portable" else shingle_hashes(text_col, n)
@@ -886,19 +894,17 @@ def ngram_jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    return (
+    verified = (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")), "id_a")
         .join(sh.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
+        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")).cast("long"))
+        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
+    if emit_counts:
+        return verified.select("id_a", "id_b", "jaccard", "n_inter", "n_union")
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 def canonical_assignment(

@@ -440,28 +440,39 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, {_TOKS} AS toks FROM documents
         ), q AS (
           SELECT doc_id,
-                 round(0.5 * (len(list_distinct(toks)) / len(toks))
-                     + 0.5 * least(len(toks) / 200.0, 1.0), 6) AS quality,
+                 CAST(200 * len(list_distinct(toks))
+                      + len(toks) * least(len(toks), 200) AS BIGINT) AS num,
+                 CAST(400 * len(toks) AS BIGINT) AS den,
                  CAST(len(toks) AS INTEGER) AS n_tokens
           FROM t
-        ), c AS (
-          SELECT doc_id, quality, n_tokens,
-                 SUM(CAST(n_tokens AS BIGINT))
-                     OVER (ORDER BY quality DESC, doc_id) AS cum_tokens
+        ), m AS (
+          SELECT doc_id,
+                 (2000000 * num + den) // (2 * den) AS quality_micro,
+                 n_tokens
           FROM q
+        ), c AS (
+          SELECT doc_id, quality_micro, n_tokens,
+                 SUM(CAST(n_tokens AS BIGINT))
+                     OVER (ORDER BY quality_micro DESC, doc_id) AS cum_tokens
+          FROM m
         )
-        SELECT doc_id, quality, n_tokens, cum_tokens
+        SELECT doc_id, quality_micro, n_tokens, cum_tokens
         FROM c WHERE cum_tokens <= 15000""",
 )
 def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy quality-first selection under a 15k-token budget
     (operators/curation.py:token_budget_select) — the "best N tokens"
-    dataset freeze. The oracle's global ordered window is exactly what
-    the production path must NOT do (it single-partitions the corpus);
-    the Spark side runs the distributed prefix sum instead
-    (range-partition → per-partition offsets → in-order Arrow pass),
-    so the hash-equality here proves the scalable cumsum equals the
-    textbook window at any partitioning."""
+    dataset freeze. The ranking key is an EXACT int64 micro-quality
+    (half-up rational ``(2e6*num + den) div (2*den)``), so both engines
+    rank and hash identical integers — the double ``round(…, 6)`` key
+    this replaces was the round-8 driver red row (JVM vs exact-binary
+    rounding flipped a boundary micro and reordered the greedy prefix).
+    The oracle's global ordered window is exactly what the production
+    path must NOT do (it single-partitions the corpus); the Spark side
+    runs the distributed prefix sum instead (range-partition →
+    per-partition offsets → in-order Arrow pass), so the hash-equality
+    here proves the scalable cumsum equals the textbook window at any
+    partitioning — on integers only."""
     return token_budget_select(_docs(spark, sf_dir), budget=15000)
 
 

@@ -2076,55 +2076,67 @@ def q_search_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_threshold_sweep",
-    r"""WITH toks AS (
-         SELECT doc_id,
-                unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
-                generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS ord,
-                len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks
-         FROM documents),
-       grams AS (
-         SELECT doc_id,
-                tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
-         FROM toks WHERE n_toks >= 3
-         WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
-         UNION ALL
-         SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
-         FROM documents
-         WHERE len(string_split_regex(trim(lower(text)), '\s+')) < 3),
-       dg AS (SELECT DISTINCT doc_id, g FROM grams WHERE g IS NOT NULL),
-       sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM dg GROUP BY doc_id),
-       inter AS (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
-         FROM dg a JOIN dg b USING (g) WHERE a.doc_id < b.doc_id
-         GROUP BY 1, 2),
+    r"""WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+              FROM documents),
+       g AS (SELECT doc_id,
+                    list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+             FROM d),
+       sh AS (SELECT DISTINCT doc_id, gr FROM g, unnest(grams) AS t(gr)),
+       freq AS (SELECT gr, CAST(count(*) AS BIGINT) AS doc_freq FROM sh GROUP BY gr),
+       ranked AS (
+         SELECT doc_id, gr FROM (
+           SELECT s.doc_id, s.gr,
+                  row_number() OVER (PARTITION BY s.doc_id
+                                     ORDER BY f.doc_freq ASC, s.gr ASC) AS rn
+           FROM sh s JOIN freq f USING (gr)
+           WHERE f.doc_freq <= 64) r
+         WHERE rn <= 4),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM ranked a JOIN ranked b ON a.gr = b.gr AND a.doc_id < b.doc_id),
+       sets AS (SELECT doc_id, list(gr) AS ss FROM sh GROUP BY doc_id),
        j AS (
-         SELECT round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jac
-         FROM inter
-         JOIN sizes sa ON sa.doc_id = id_a
-         JOIN sizes sb ON sb.doc_id = id_b)
-       SELECT CAST(least(floor(jac * 10), 9) AS BIGINT) AS band,
+         SELECT CAST(len(list_intersect(sa.ss, sb.ss)) AS BIGINT) AS ni,
+                CAST(len(list_distinct(list_concat(sa.ss, sb.ss))) AS BIGINT) AS nu
+         FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+                   JOIN sets sb ON cand.id_b = sb.doc_id)
+       SELECT CAST(least((10 * ni) // nu, 9) AS BIGINT) AS band,
               CAST(count(*) AS BIGINT) AS n_pairs
-       FROM j WHERE jac >= 0.2 GROUP BY 1""",
+       FROM j WHERE (10 * ni) // nu >= 2 GROUP BY 1""",
 )
 def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-threshold operating curve: pair counts per 0.1-wide Jaccard
-    band (0.2 and up) from the EXACT shared-shingle join — the
-    calibration query you run before committing a near-dedup cutoff to
-    a 100 TB corpus (how many pairs does moving 0.6 → 0.5 pull in?).
-    Same intermediate as `dedup_ngram_exact` (pairs sharing ≥1 gram),
-    so the sweep costs what the baseline costs — the banding is a
-    re-binning of the verify output, not a new join; at scale the same
-    curve is estimated from the banded-LSH candidate stream instead
-    (`dedup_minhash`'s buckets stratify by band for free)."""
-    from .operators.dedup import ngram_jaccard_pairs_exact
+    band (0.2 and up) — the calibration query you run before committing
+    a near-dedup cutoff to a 100 TB corpus (how many pairs does moving
+    0.6 → 0.5 pull in?). The curve comes from the BLOCKED candidate
+    stream (`operators/dedup.py:ngram_jaccard_pairs`, rarest-4-gram
+    blocking + ≤64-doc bucket purge — the exact machinery the
+    driver-green `dedup_ngram_jaccard_portable` hash-proves), banded by
+    each candidate's exact Jaccard; the oracle re-derives the whole
+    blocking so the hash covers the estimator itself. The earlier shape
+    of this query banded the EXACT all-pairs shared-gram join — correct
+    but quadratic in shingle-sharing groups (>295 s at 300×,
+    SCALE.md §6b-r8); that twin survives as a pytest recall gate
+    (tests/test_dedup.py::test_threshold_sweep_blocked_vs_exact),
+    which measures per-band candidate recall instead of paying the
+    all-pairs join in production. Candidate generation is bucket-bounded
+    (≤64²/2 pairs per gram key), so the sweep costs what the blocked
+    dedup costs at any corpus size. The band itself is pure-integer —
+    ``least((10*n_inter) div n_union, 9)`` on the exact set sizes
+    (``emit_counts=True``), never ``floor`` of a rounded double, so a
+    band boundary cannot flip on engine rounding (the token-budget
+    lesson applied before the driver finds it)."""
+    from .operators.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs_exact(_docs(spark, sf_dir), threshold=0.2)
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.0, gram_impl="portable", emit_counts=True
+    )
+    band = F.least(
+        F.expr("(10 * n_inter) div n_union").cast("long"), F.lit(9).cast("long")
+    )
     return (
-        pairs.select(
-            F.least(F.floor(F.col("jaccard") * 10), F.lit(9).cast("long"))
-            .cast("long")
-            .alias("band")
-        )
+        pairs.select(band.alias("band"))
+        .filter(F.col("band") >= 2)
         .groupBy("band")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )

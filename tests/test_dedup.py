@@ -169,6 +169,48 @@ def test_ngram_jaccard_portable_agrees_with_hashed(spark, sf_dir):
     assert hashed == portable
 
 
+def test_threshold_sweep_blocked_vs_exact(spark, sf_dir):
+    """Recall gate for the dedup_threshold_sweep re-base: the blocked
+    candidate stream (rarest-4-gram blocking, what the production sweep
+    bands) vs the EXACT all-pairs shared-gram join (the quadratic twin
+    this test keeps out of the query registry). At the dedup-relevant
+    bands (jaccard ≥ 0.5 — where a cutoff would actually land) blocking
+    must recall every exact pair on the generated corpus; the low bands
+    (0.2–0.5) are allowed partial recall — they exist to show the
+    operating curve's shape, and the measured floor here documents how
+    partial. Counting per band, not just totals, so a band-shifting bug
+    can't hide inside aggregate recall."""
+    from collections import Counter
+
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.dedup import ngram_jaccard_pairs_exact
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bands(rows):
+        return Counter(min((10 * r.n_inter) // r.n_union, 9) for r in rows)
+
+    blocked_pairs = ngram_jaccard_pairs(
+        docs, threshold=0.0, gram_impl="portable", emit_counts=True
+    ).collect()
+    exact = ngram_jaccard_pairs_exact(docs, threshold=0.2).collect()
+    # exact twin emits rounded jaccard only; re-derive integer bands from
+    # the blocked rows and float bands from exact (safe in-test: same
+    # Python floats both sides of the assert, no cross-engine rounding)
+    blocked_bands = bands(r for r in blocked_pairs if 5 * r.n_inter >= r.n_union)
+    exact_bands = Counter(min(int(r.jaccard * 10), 9) for r in exact)
+    for band in range(5, 10):  # cutoff-relevant bands: full recall
+        assert blocked_bands.get(band, 0) == exact_bands.get(band, 0), (
+            band,
+            blocked_bands,
+            exact_bands,
+        )
+    for band in range(2, 5):  # curve-shape bands: candidates ⊆ exact
+        assert blocked_bands.get(band, 0) <= exact_bands.get(band, 0)
+    # and the stream is not degenerate: it sees most of the curve
+    assert sum(blocked_bands.values()) >= 0.5 * sum(exact_bands.values())
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rows = [

@@ -301,9 +301,10 @@ def test_shuffle_budgets(spark, sf_dir):
         "prof_drift_psi": 3,
         # one user-keyed window + path partial agg; TakeOrdered cut
         "events_path_mining": 2,
-        # the exact shared-shingle baseline's own exchanges; banding is
-        # a projection re-bin of its verify output
-        "dedup_threshold_sweep": 4,
+        # the blocked candidate stream's own exchanges (same machinery
+        # as dedup_ngram_jaccard_portable, budget 10) + ONE band
+        # partial-agg over the ≤8-row histogram
+        "dedup_threshold_sweep": 11,
         # broadcast queries; ONE vote partial agg reused by the rank
         "sim_knn_classify": 1,
     }

@@ -2,7 +2,13 @@
 its DuckDB oracle the same way the round driver does (row count + sorted-
 column value comparison). Usage:
 
-    python tools/check_correctness.py [name ...]
+    python tools/check_correctness.py [--exact] [name ...]
+
+``--exact`` compares float columns bit-exactly (NaN==NaN) instead of
+``allclose(atol=1e-9)`` — the round driver hashes exact values, so local
+green under tolerance is NOT driver green for any query whose output
+schema contains doubles. Exact mode is the round-end gate; the tolerant
+default remains useful only while iterating on a known-inexact oracle.
 """
 
 from __future__ import annotations
@@ -30,7 +36,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
+def compare(
+    name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame, exact: bool = False
+) -> str:
     if len(spark_df) != len(oracle_df):
         return f"ROWS {len(spark_df)} vs {len(oracle_df)}"
     if sorted(spark_df.columns) != sorted(oracle_df.columns):
@@ -42,8 +50,9 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> str:
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 import numpy as np
 
+                atol = 0.0 if exact else 1e-9
                 if not np.allclose(
-                    av.astype(float).fillna(-1e308), bv.astype(float).fillna(-1e308), rtol=0, atol=1e-9
+                    av.astype(float).fillna(-1e308), bv.astype(float).fillna(-1e308), rtol=0, atol=atol
                 ):
                     bad = (av.astype(float).fillna(-1e308) - bv.astype(float).fillna(-1e308)).abs().idxmax()
                     return f"VALUES col={c} e.g. {av[bad]!r} vs {bv[bad]!r}"
@@ -68,7 +77,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    only = set(sys.argv[1:])
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    exact = "--exact" in sys.argv[1:]
+    only = set(argv)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -94,7 +105,7 @@ def main() -> int:
             print(f"FAIL {name}: ORACLE ERROR {str(e)[:300]}")
             failures += 1
             continue
-        verdict = compare(name, sdf, odf)
+        verdict = compare(name, sdf, odf, exact=exact)
         flag = "ok  " if verdict == "OK" else "FAIL"
         if verdict != "OK":
             failures += 1
