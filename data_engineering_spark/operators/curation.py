@@ -624,6 +624,7 @@ def prefix_sum(
     value_col: str,
     out_col: str = "cum_sum",
     num_partitions: int | None = None,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Distributed exact prefix sum over a totally ordered frame — the
     scale-correct replacement for ``sum().over(Window.orderBy(...))``,
@@ -644,6 +645,15 @@ def prefix_sum(
     are then exact and independent of where the range boundaries fall,
     so the output is deterministic whenever ``order_cols`` is a total
     order (tie-break on the id column).
+
+    Executor-loss semantics: ``localCheckpoint`` TRUNCATES lineage, so
+    losing an executor that holds checkpointed blocks FAILS the job —
+    never recomputes with re-drawn range boundaries (which would
+    silently misalign the collected offsets; fail-stop is the safe
+    default). For long cluster jobs pass ``reliable_checkpoints=True``
+    to write the pinned partitioning to the cluster checkpoint dir
+    (``sparkContext.setCheckpointDir``) instead, which survives
+    executor loss with the SAME partition ids.
     """
     from pyspark.sql import types as T
 
@@ -654,7 +664,11 @@ def prefix_sum(
         .repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    )
+    ordered = (
+        ordered.checkpoint(eager=True)
+        if reliable_checkpoints
+        else ordered.localCheckpoint(eager=True)
     )
     part_sums = ordered.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     offsets: dict[int, int] = {}

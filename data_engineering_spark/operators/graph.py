@@ -27,6 +27,7 @@ def pagerank_integer(
     damping_pct: int = 85,
     src_col: str = "src",
     dst_col: str = "dst",
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """PageRank in integer fixed point: ``pr' = (100−d)%·S + d%·Σ
     ⌊pr(u)/deg(u)⌋`` over in-edges, all in int64 — deterministic under
@@ -39,10 +40,17 @@ def pagerank_integer(
     derivation, the classic iterative lineage blowup); each round is ONE
     src-keyed join of the (node, score) table against the degree-
     annotated edges plus ONE dst-keyed partial agg, and scores truncate
-    lineage per round via localCheckpoint (``canonical_assignment``'s
-    pattern — swap for reliable ``checkpoint()`` on a real cluster).
-    Overflow headroom: Σ over in-edges is < indeg·S; at S=1e9 an int64
-    holds indeg up to ~9e9, beyond any real fan-in."""
+    lineage per round (``canonical_assignment``'s pattern);
+    ``reliable_checkpoints=True`` swaps the executor-local
+    ``localCheckpoint`` for cluster-dir ``checkpoint()`` so losing an
+    executor mid-iteration replays from stable storage instead of
+    failing the job. Overflow headroom: the binding constraint is the
+    damping multiply BEFORE the div — ``damping_pct · inflow`` must fit
+    int64, and ``inflow < indeg · max_score`` where per-node scores can
+    exceed S after a few rounds (hub nodes accumulate mass). At S=1e9
+    and d=85 that bounds indeg·(max_score/S) to ~1e8 — still beyond any
+    real fan-in, but two decades tighter than the naive indeg ≤ 9e9
+    read of Σ < indeg·S."""
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -54,12 +62,10 @@ def pagerank_integer(
     # from deg alone loses it (r8 review finding). Sink outflow is
     # discarded (the simplified-PageRank dangling convention; the
     # redistribute-dangling-mass variant adds a 1-row broadcast sum).
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = e.select(F.col("src").alias("node")).unionByName(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    nodes = nodes.checkpoint() if reliable_checkpoints else nodes.localCheckpoint()
     base = (100 - damping_pct) * scale // 100
     pr = nodes.withColumn("score", F.lit(scale).cast("long"))
     for _ in range(iterations):
@@ -69,19 +75,16 @@ def pagerank_integer(
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        pr = (
-            nodes.join(inflow, F.col("node") == F.col("dst"), "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(inflow, 0)) div 100")
-                )
-                .cast("long")
-                .alias("score"),
+        pr = nodes.join(inflow, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(inflow, 0)) div 100")
             )
-            .localCheckpoint()
+            .cast("long")
+            .alias("score"),
         )
+        pr = pr.checkpoint() if reliable_checkpoints else pr.localCheckpoint()
     # scores are checkpoint-truncated — nothing downstream re-reads the
     # cached edges, so release them instead of pinning two edge copies
     # per invocation for the session lifetime

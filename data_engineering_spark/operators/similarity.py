@@ -998,8 +998,11 @@ def knn_vote(
     votes = labeled.groupBy(query_col, label_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_votes")
     )
+    # asc_nulls_last pins the tie-break cross-engine: Spark's plain asc
+    # sorts NULLs first while a SQL twin's ORDER BY sorts them last, so
+    # a NULL neighbor label tied on votes would otherwise diverge
     wv = Window.partitionBy(query_col).orderBy(
-        F.col("n_votes").desc(), F.col(label_col).asc()
+        F.col("n_votes").desc(), F.col(label_col).asc_nulls_last()
     )
     return (
         votes.withColumn("vr", F.row_number().over(wv))

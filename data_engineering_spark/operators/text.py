@@ -28,6 +28,7 @@ __all__ = [
     "query_string_rank",
     "match_phrase_rank",
     "phrase_merge_rounds",
+    "phrase_merge_rounds_batched",
     "significant_terms",
     "more_like_this",
     "percolate",
@@ -568,15 +569,56 @@ def phrase_merge_rounds(
     agg over the corpus plus a 1-row argmax collect (the per-round
     driver round-trip every BPE trainer has; the collect is O(1)).
     Rounds scan the corpus ``rounds`` times — inherent to BPE's
-    sequential dependency; production trainers batch k merges per count
-    pass, trading exactness of intermediate counts (noted, not done
-    here — the oracle twin replays single merges).
+    sequential dependency; :func:`phrase_merge_rounds_batched` is the
+    production trainer that learns k merges per count pass. Each
+    round's segmentation persists (MEMORY_AND_DISK, released on exit),
+    so round k's count scans the cached round-(k-1) strings instead of
+    re-executing all k-1 earlier replace chains plus the source scan —
+    without it plan growth is quadratic in ``rounds``.
 
     Underscore is the merge marker: tokens are whitespace-split, so the
     marker can collide only if source tokens already contain '_'
     (harmless for counting; merged units stay distinguishable in the
     word-salad and natural-text corpora this targets)."""
-    seg0 = F.concat(
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    segdf = df.select(_bpe_seg0(text_col).alias("seg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    persisted = [segdf]
+    out = []
+    for rnd in range(1, rounds + 1):
+        rows = _bpe_pair_counts(segdf).limit(1).collect()
+        if not rows:
+            # all-degenerate corpus (every doc < 2 tokens): nothing left
+            # to merge — return the rounds learned so far, possibly none
+            break
+        best = rows[0]
+        out.append((rnd, best.a, best.b, f"{best.a}_{best.b}", best.c))
+        if rnd < rounds:
+            segdf = segdf.select(
+                F.replace(
+                    F.col("seg"),
+                    F.lit(f" {best.a}  {best.b} "),
+                    F.lit(f" {best.a}_{best.b} "),
+                ).alias("seg")
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            persisted.append(segdf)
+    # the result below is a driver-local literal — no lineage back into
+    # the cached segmentations, so their storage releases immediately
+    for p in persisted:
+        p.unpersist()
+    return spark.createDataFrame(
+        out, "round int, left_tok string, right_tok string, merged string, pair_count long"
+    )
+
+
+def _bpe_seg0(text_col: str) -> Column:
+    """Initial double-space BPE segmentation (see phrase_merge_rounds:
+    the two-space join + one-space flanks make plain ``replace`` apply
+    the exact leftmost-greedy merge in any engine)."""
+    return F.concat(
         F.lit(" "),
         F.replace(
             F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "),
@@ -585,49 +627,92 @@ def phrase_merge_rounds(
         ),
         F.lit(" "),
     )
-    spark = df.sparkSession
-    segdf = df.select(seg0.alias("seg"))
-    out = []
-    for rnd in range(1, rounds + 1):
-        toks = F.split(F.trim(F.col("seg")), "  ")
-        # guard size<2 with a NULL array (explode drops it) — the old
-        # greatest(size-1, 1) clamp made element_at read index 2 of a
-        # 1-element array, which ERRORS under ANSI mode (PySpark 4
-        # default) on any single-token or whitespace-only document
-        prs = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.struct(
-                    F.element_at(toks, i).alias("a"),
-                    F.element_at(toks, i + F.lit(1)).alias("b"),
-                ),
+
+
+def _bpe_pair_counts(segdf: DataFrame):
+    """Adjacent-pair counts over a segmentation frame, ordered by
+    (count desc, a, b) — the shared count pass of both BPE trainers."""
+    toks = F.split(F.trim(F.col("seg")), "  ")
+    # guard size<2 with a NULL array (explode drops it) — the old
+    # greatest(size-1, 1) clamp made element_at read index 2 of a
+    # 1-element array, which ERRORS under ANSI mode (PySpark 4
+    # default) on any single-token or whitespace-only document
+    prs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("a"),
+                F.element_at(toks, i + F.lit(1)).alias("b"),
             ),
-        )
-        rows = (
-            segdf.select(F.explode(prs).alias("pr"))
-            # no null-filter needed: the size>=2 guard means sequence()
-            # only generates valid indices, so both slots are real tokens
-            .select("pr.a", "pr.b")
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).cast("long").alias("c"))
-            .orderBy(F.col("c").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
+        ),
+    )
+    return (
+        segdf.select(F.explode(prs).alias("pr"))
+        # no null-filter needed: the size>=2 guard means sequence()
+        # only generates valid indices, so both slots are real tokens
+        .select("pr.a", "pr.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .orderBy(F.col("c").desc(), "a", "b")
+    )
+
+
+def phrase_merge_rounds_batched(
+    df: DataFrame,
+    passes: int = 2,
+    merges_per_pass: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batched BPE merge learning — the production-vocab trainer shape:
+    each COUNT PASS takes the top ``merges_per_pass`` pairs (count-desc,
+    then lexicographic) and applies them SEQUENTIALLY in rank order as
+    one chained-replace projection, so a 32k-vocab induction costs
+    vocab/k corpus scans instead of vocab (every real trainer —
+    sentencepiece, HF tokenizers — makes exactly this trade). The
+    intermediate counts for ranks 2..k are from BEFORE rank 1's
+    application (stale by construction): when rank 1 consumes a token
+    that rank 2's pattern needed, the sequential leftmost-greedy replay
+    resolves it deterministically — both engines chain the same
+    ``replace`` calls in the same order, so a SQL twin reproduces the
+    whole batch bit-for-bit (the single-merge
+    :func:`phrase_merge_rounds` stays as the textbook-exact oracle
+    twin). Per-pass segmentations persist and release like the
+    single-merge path.
+
+    Emits one row per applied merge: (pass_no, merge_rank, left_tok,
+    right_tok, merged, pair_count) — pair_count is the count-pass frequency the
+    rank was chosen on, i.e. the pre-batch count."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    segdf = df.select(_bpe_seg0(text_col).alias("seg")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    persisted = [segdf]
+    out = []
+    for p in range(1, passes + 1):
+        rows = _bpe_pair_counts(segdf).limit(merges_per_pass).collect()
         if not rows:
-            # all-degenerate corpus (every doc < 2 tokens): nothing left
-            # to merge — return the rounds learned so far, possibly none
             break
-        best = rows[0]
-        out.append((rnd, best.a, best.b, f"{best.a}_{best.b}", best.c))
-        segdf = segdf.select(
-            F.replace(
-                F.col("seg"),
-                F.lit(f" {best.a}  {best.b} "),
-                F.lit(f" {best.a}_{best.b} "),
-            ).alias("seg")
-        )
+        # TakeOrdered returns rows in order; re-sort defensively so the
+        # application order never depends on collect()'s transport
+        rows.sort(key=lambda r: (-r.c, r.a, r.b))
+        seg = F.col("seg")
+        for rank, r in enumerate(rows, 1):
+            out.append((p, rank, r.a, r.b, f"{r.a}_{r.b}", r.c))
+            seg = F.replace(
+                seg, F.lit(f" {r.a}  {r.b} "), F.lit(f" {r.a}_{r.b} ")
+            )
+        if p < passes:
+            segdf = segdf.select(seg.alias("seg")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(segdf)
+    for pf in persisted:
+        pf.unpersist()
     return spark.createDataFrame(
-        out, "round int, left_tok string, right_tok string, merged string, pair_count long"
+        out,
+        "pass_no int, merge_rank int, left_tok string, right_tok string, "
+        "merged string, pair_count long",
     )

@@ -33,6 +33,31 @@ from .operators.nlp import (
 from .registry import query
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch_lake_dir(prefix: str) -> str:
+    """Fresh scratch path for a lake-table demo query, removed at
+    process exit: each invocation writes a full table copy, and the
+    pre-r9 bare mkdtemp leaked one copy per bench/sweep run (ADVICE r8).
+    Cleanup is atexit (not try/finally) because the returned DataFrame
+    reads the files LAZILY — the driver consumes it after the query
+    function returns."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix=prefix)
+    # LakeTable.create asserts a fresh path; mkdtemp pre-creates it
+    shutil.rmtree(base, ignore_errors=True)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(base)
+    return base
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
@@ -511,13 +536,9 @@ def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     generalization of the reference's S11-S13 directory-swap writers to
     ACID commits; pruning effectiveness is asserted in
     tests/test_txlog.py."""
-    import shutil
-    import tempfile
-
     from .sources.txlog import LakeTable
 
-    base = tempfile.mkdtemp(prefix="lake_tt_")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_lake_dir("lake_tt_")
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_totalprice"
     )
@@ -558,13 +579,9 @@ def q_lake_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the log. The oracle recomputes from the raw table with the
     equivalent WHERE, so the hash match proves rewrite-DML correctness
     (and old versions still time-travel, asserted in tests)."""
-    import shutil
-    import tempfile
-
     from .sources.txlog import LakeTable
 
-    base = tempfile.mkdtemp(prefix="lake_del_")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_lake_dir("lake_del_")
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
     )
@@ -600,14 +617,10 @@ def q_lake_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort serves only its sort column; quantified in tests/
     test_zorder.py). The oracle is the plain filtered aggregate, so the
     hash match proves clustering + pruning changed IO, never results."""
-    import shutil
-    import tempfile
-
     from .operators.zorder import zorder_layout
     from .sources.txlog import LakeTable
 
-    base = tempfile.mkdtemp(prefix="lake_z_")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_lake_dir("lake_z_")
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -1743,13 +1756,9 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the join cost is bounded by the rewritten-file fraction if
     the diff pre-prunes unchanged file identities via the log (noted in
     sources/txlog.py; exact-file diff is how production formats do it)."""
-    import shutil
-    import tempfile
-
     from .sources.txlog import LakeTable
 
-    base = tempfile.mkdtemp(prefix="lake_diff_")
-    shutil.rmtree(base, ignore_errors=True)
+    base = _scratch_lake_dir("lake_diff_")
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
     )
@@ -1890,6 +1899,139 @@ def q_nlp_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import phrase_merge_rounds
 
     return phrase_merge_rounds(_t(spark, sf_dir, "documents"), rounds=3)
+
+
+_BPE_SEG0 = (
+    r"' ' || replace(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),"
+    r" ' ', '  ') || ' '"
+)
+
+
+def _bpe_count_cte(src: str) -> str:
+    """Pair-count CTE body over a segmentation CTE ``src`` (DuckDB)."""
+    return (
+        f"SELECT l[i] AS a, l[i+1] AS b, count(*) AS c FROM ("
+        f" SELECT string_split(trim(seg), '  ') AS l FROM {src}) t,"
+        f" unnest(range(1, len(l))) AS u(i) GROUP BY 1, 2"
+    )
+
+
+@query(
+    "nlp_bpe_merges_batched",
+    f"""WITH s0 AS (SELECT {_BPE_SEG0} AS seg FROM documents),
+       p1 AS ({_bpe_count_cte('s0')}),
+       b1 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+              FROM p1 QUALIFY rk <= 3),
+       m11 AS (SELECT a, b FROM b1 WHERE rk = 1),
+       m12 AS (SELECT a, b FROM b1 WHERE rk = 2),
+       m13 AS (SELECT a, b FROM b1 WHERE rk = 3),
+       s1 AS (
+         SELECT replace(replace(replace(seg,
+             ' ' || m11.a || '  ' || m11.b || ' ', ' ' || m11.a || '_' || m11.b || ' '),
+             ' ' || m12.a || '  ' || m12.b || ' ', ' ' || m12.a || '_' || m12.b || ' '),
+             ' ' || m13.a || '  ' || m13.b || ' ', ' ' || m13.a || '_' || m13.b || ' ')
+             AS seg
+         FROM s0 CROSS JOIN m11 CROSS JOIN m12 CROSS JOIN m13),
+       p2 AS ({_bpe_count_cte('s1')}),
+       b2 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+              FROM p2 QUALIFY rk <= 3)
+       SELECT CAST(1 AS INTEGER) AS pass_no, CAST(rk AS INTEGER) AS merge_rank,
+              a AS left_tok, b AS right_tok, a || '_' || b AS merged,
+              CAST(c AS BIGINT) AS pair_count FROM b1
+       UNION ALL
+       SELECT CAST(2 AS INTEGER), CAST(rk AS INTEGER), a, b, a || '_' || b,
+              CAST(c AS BIGINT) FROM b2""",
+)
+def q_nlp_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE merge learning, 2 count passes × 3 merges per pass
+    (operators/text.py:phrase_merge_rounds_batched) — the production
+    trainer shape: a 32k-vocab induction costs vocab/k corpus scans
+    instead of vocab (the single-merge `nlp_bpe_merges` is the
+    textbook-exact twin; its r8 verdict flagged 1-merge-per-pass as the
+    real-vocab gap). The batch applies its k merges sequentially in
+    rank order as ONE chained-replace projection, so the DuckDB twin
+    replays both passes — counts, the rank-3 cut, the chained
+    re-segmentation — bit-for-bit, including the stale-count semantics
+    (ranks 2-3 were counted before rank 1 applied)."""
+    from .operators.text import phrase_merge_rounds_batched
+
+    return phrase_merge_rounds_batched(
+        _t(spark, sf_dir, "documents"), passes=2, merges_per_pass=3
+    )
+
+
+@query(
+    "nlp_bpe_apply",
+    f"""WITH s0 AS (SELECT doc_id, {_BPE_SEG0} AS seg FROM documents),
+       p1 AS ({_bpe_count_cte('s0')}),
+       b1 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+              FROM p1 QUALIFY rk <= 3),
+       m11 AS (SELECT a, b FROM b1 WHERE rk = 1),
+       m12 AS (SELECT a, b FROM b1 WHERE rk = 2),
+       m13 AS (SELECT a, b FROM b1 WHERE rk = 3),
+       s1 AS (
+         SELECT doc_id, replace(replace(replace(seg,
+             ' ' || m11.a || '  ' || m11.b || ' ', ' ' || m11.a || '_' || m11.b || ' '),
+             ' ' || m12.a || '  ' || m12.b || ' ', ' ' || m12.a || '_' || m12.b || ' '),
+             ' ' || m13.a || '  ' || m13.b || ' ', ' ' || m13.a || '_' || m13.b || ' ')
+             AS seg
+         FROM s0 CROSS JOIN m11 CROSS JOIN m12 CROSS JOIN m13),
+       p2 AS ({_bpe_count_cte('s1')}),
+       b2 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+              FROM p2 QUALIFY rk <= 3),
+       m21 AS (SELECT a, b FROM b2 WHERE rk = 1),
+       m22 AS (SELECT a, b FROM b2 WHERE rk = 2),
+       m23 AS (SELECT a, b FROM b2 WHERE rk = 3),
+       s2 AS (
+         SELECT doc_id, replace(replace(replace(seg,
+             ' ' || m21.a || '  ' || m21.b || ' ', ' ' || m21.a || '_' || m21.b || ' '),
+             ' ' || m22.a || '  ' || m22.b || ' ', ' ' || m22.a || '_' || m22.b || ' '),
+             ' ' || m23.a || '  ' || m23.b || ' ', ' ' || m23.a || '_' || m23.b || ' ')
+             AS seg
+         FROM s1 CROSS JOIN m21 CROSS JOIN m22 CROSS JOIN m23),
+       t AS (SELECT doc_id, unnest(string_split(trim(seg), '  ')) AS token FROM s2)
+       SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM t WHERE contains(token, '_') GROUP BY token""",
+)
+def q_nlp_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learned end-to-end AND applied back to the corpus:
+    train 6 merges with the batched trainer (2 passes × 3), re-segment
+    every document through the full learned merge sequence in
+    (pass, rank) order, and report each merged unit's corpus usage
+    (document frequency + occurrences) — the learn→apply round trip a
+    tokenizer deployment runs (the r8 verdict's "wire the learned vocab
+    end to end" item). Chained pass-2 merges (units like a_b_c whose
+    left side is itself a pass-1 merge) come out of the same replay.
+
+    Scale shape: training is 2 corpus passes (batched trainer); the
+    merge table rides to the driver as 6 rows (vocab-bounded, the
+    codebook-collect class); application is ONE more corpus projection
+    (6 chained replaces inside the scan stage) and the usage stats are
+    one token-keyed partial agg. The DuckDB twin replays train AND
+    apply bit-for-bit."""
+    from .operators.text import _bpe_seg0, phrase_merge_rounds_batched
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = sorted(
+        phrase_merge_rounds_batched(docs, passes=2, merges_per_pass=3).collect(),
+        key=lambda r: (r.pass_no, r.merge_rank),
+    )
+    seg = _bpe_seg0("text")
+    for m in merges:
+        seg = F.replace(
+            seg, F.lit(f" {m.left_tok}  {m.right_tok} "), F.lit(f" {m.merged} ")
+        )
+    toks = F.split(F.trim(seg), "  ")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token").contains("_"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+    )
 
 
 @query(

@@ -326,6 +326,29 @@ def test_prefix_sum_layout_independent(spark):
     assert outs[0] == outs[1] == outs[2]
 
 
+def test_prefix_sum_reliable_checkpoint_identical(spark, tmp_path):
+    """reliable_checkpoints=True pins the range partitioning in cluster
+    checkpoint() storage (executor-loss survives with the SAME partition
+    ids; the localCheckpoint default is fail-stop) — results identical."""
+    from data_engineering_spark.operators.curation import prefix_sum
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rows = [(i, (i * 37) % 11, (i * 13) % 7 + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k long, v long").repartition(5)
+    order = [F.col("k").asc(), F.col("id").asc()]
+    local = sorted(
+        (r["id"], r["cum"])
+        for r in prefix_sum(df, order, "v", out_col="cum", num_partitions=4).collect()
+    )
+    reliable = sorted(
+        (r["id"], r["cum"])
+        for r in prefix_sum(
+            df, order, "v", out_col="cum", num_partitions=4, reliable_checkpoints=True
+        ).collect()
+    )
+    assert local == reliable
+
+
 def test_token_budget_select_greedy_prefix(spark):
     from data_engineering_spark.operators.curation import token_budget_select
 

@@ -62,3 +62,20 @@ def test_pagerank_sink_node_ranks_highest(spark):
     pr = {r.node: r.score for r in pagerank_integer(e, iterations=3).collect()}
     assert "sink" in pr
     assert pr["sink"] > pr["a"] and pr["sink"] > pr["b"]
+
+
+def test_pagerank_reliable_checkpoint_identical(spark, tmp_path):
+    """reliable_checkpoints=True routes per-round score truncation
+    through cluster checkpoint() storage (the executor-loss-tolerant
+    mode for real clusters) with bit-identical scores — integer fixed
+    point means the two modes cannot even drift by an ulp."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")])
+    local = sorted(map(tuple, pagerank_integer(e, iterations=3).collect()))
+    reliable = sorted(
+        map(
+            tuple,
+            pagerank_integer(e, iterations=3, reliable_checkpoints=True).collect(),
+        )
+    )
+    assert local == reliable

@@ -381,6 +381,48 @@ def test_phrase_merge_rounds_builds_on_earlier_merges(spark):
     assert (r[1].left_tok, r[1].right_tok, r[1].pair_count) == ("a_a", "a", 1)
 
 
+def test_phrase_merge_batched_stale_counts_and_sequential_apply(spark):
+    """The batched trainer's contract: ranks within a pass are chosen
+    from PRE-batch counts (rank 2's pair_count ignores rank 1's
+    application), the batch applies sequentially in rank order, and
+    pass 2 builds on pass-1 units — so k=1 batching degenerates to the
+    textbook single-merge trainer exactly."""
+    from data_engineering_spark.operators.text import (
+        phrase_merge_rounds,
+        phrase_merge_rounds_batched,
+    )
+
+    rows = [(i, "new york city is in new york state") for i in range(5)] + [
+        (50, "new york city")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # k=1 twin: (pass_no, left, right, merged, count) == single-merge rounds
+    batched1 = [
+        (r.pass_no, r.left_tok, r.right_tok, r.merged, r.pair_count)
+        for r in phrase_merge_rounds_batched(df, passes=2, merges_per_pass=1).collect()
+    ]
+    single = [
+        (r.round, r.left_tok, r.right_tok, r.merged, r.pair_count)
+        for r in phrase_merge_rounds(df, rounds=2).collect()
+    ]
+    assert batched1 == single
+
+    # one pass, k=2: rank 1 = (new, york) on count 11; rank 2 must carry
+    # the PRE-batch count of its pair — (york, city) appears 6 times in
+    # the unmerged corpus even though rank 1's application consumes every
+    # occurrence ("york" is gone once new_york forms)
+    b = phrase_merge_rounds_batched(df, passes=1, merges_per_pass=2).collect()
+    assert (b[0].left_tok, b[0].right_tok, b[0].pair_count) == ("new", "york", 11)
+    assert b[1].merge_rank == 2 and b[1].pair_count == 6
+
+    # pass 2 builds on pass-1 units: with k=2 the second pass's top merge
+    # is (new_york, city) — only expressible after pass 1's re-segmentation
+    b2 = phrase_merge_rounds_batched(df, passes=2, merges_per_pass=2).collect()
+    second_pass = [r for r in b2 if r.pass_no == 2]
+    assert (second_pass[0].left_tok, second_pass[0].right_tok) == ("new_york", "city")
+
+
 def test_dedup_aware_split_never_straddles_clusters(spark):
     """Planted exact dups must land on ONE side; a naive id-bucket split
     provably straddles at least one of these clusters."""
