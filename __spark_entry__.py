@@ -53,12 +53,20 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      search_suggest / sim_knn_classify (r8 additions never swept),
 #      and the two round-9 additions nlp_bpe_merges_batched /
 #      nlp_bpe_apply (batched BPE trainer + learn->apply round trip).
-#   2. The 44 oldest rows of the 47-query r4-green frontier, in their
-#      registration order — last driver-proven in round 4, displaced
-#      from the r8 window by the round-7/8 addition backlog.
-# The 3 frontier rows that do not fit (lake_time_travel,
-# lake_delete_scan, lake_zorder_scan) lead round 10 with the r5 cohort
-# behind them; the r8 greens rotate after.
+#   2. The round-9 float-audit SHAPE CHANGES (quality family re-keyed
+#      on exact integer micros — text_quality, corpus_prepare,
+#      dedup_keep_best, curate_quality_repetition, corpus_pipeline_e2e;
+#      each re-proven locally at both SFs post-change).
+#   3. 39 rows of the 47-query r4-green frontier, in their registration
+#      order — last driver-proven in round 4, displaced from the r8
+#      window by the round-7/8 addition backlog
+#      (curate_quality_repetition rides in tier 2 instead).
+# ROUND-10 ROTATION NOTE: lead with any round-10 additions/changes,
+# then the 7 frontier rows that did not fit this round
+# (curate_unigram_nll, nlp_embed_text, nlp_tokenize_pandas,
+# st_interval_join, lake_time_travel, lake_delete_scan,
+# lake_zorder_scan), then the r5 cohort (45 rows, see ROADMAP); the
+# r6/r8/r9 greens rotate after.
 # Exactly 50; rows-only queries sink behind the window so no sweep slot
 # records a weak no_oracle row.
 registry.finalize_order(
@@ -69,6 +77,14 @@ registry.finalize_order(
         "sim_knn_classify",
         "nlp_bpe_merges_batched",
         "nlp_bpe_apply",
+        # float-audit shape changes (quality family re-keyed on exact
+        # integer micros; re-proven locally at both SFs post-change)
+        "text_quality",
+        "corpus_prepare",
+        "dedup_keep_best",
+        "curate_quality_repetition",
+        "corpus_pipeline_e2e",
+        # r4 frontier, registration order (39 of 47)
         "j6_asof_join",
         "a5_last_wins_merge",
         "w2_moving_avg",
@@ -103,16 +119,11 @@ registry.finalize_order(
         "j10_fuzzy_join",
         "mv_incremental_refresh",
         "curate_pii_redact",
-        "curate_quality_repetition",
         "curate_sample_stratified",
         "curate_decontaminate",
         "curate_mixture_weights",
         "curate_pack_concat",
         "curate_chunk_sliding",
-        "curate_unigram_nll",
-        "nlp_embed_text",
-        "nlp_tokenize_pandas",
-        "st_interval_join",
     ]
 )
 

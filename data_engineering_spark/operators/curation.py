@@ -93,20 +93,28 @@ def repetition_stats(
     fraction of duplicate tokens and duplicate 2-grams, with a keep/drop
     verdict. All array expressions on the token list — per-row, zero
     shuffle (the SQL twin needs a window + two aggregates; the columnar
-    form is strictly cheaper)."""
+    form is strictly cheaper).
+
+    The keep verdict compares exact integer micro ratios
+    (``operators/text.py:micro_ratio``) against the thresholds in 1e-6
+    fixed point — a rounded-double key flips cross-engine on boundary
+    values, and a flip HERE changes which documents survive the corpus
+    (the round-8 failure class). The emitted fracs are micro/1e6: one
+    identical IEEE division in any engine."""
+    from .text import micro_ratio
+
     toks = tokens(text_col)
     n = F.size(toks)
     n_grams = F.greatest(n - 1, F.lit(1))
-    dup_tok = F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6)
-    dup_2g = F.round(
-        F.lit(1.0) - F.size(shingles(text_col, 2)) / n_grams, 6
-    )
+    tok_micro = micro_ratio(n - F.size(F.array_distinct(toks)), n)
+    g2_micro = micro_ratio(n_grams - F.size(shingles(text_col, 2)), n_grams)
     return df.select(
         F.col(id_col),
-        dup_tok.alias("dup_token_frac"),
-        dup_2g.alias("dup_2gram_frac"),
+        (tok_micro / F.lit(1000000.0)).alias("dup_token_frac"),
+        (g2_micro / F.lit(1000000.0)).alias("dup_2gram_frac"),
         (
-            (dup_tok <= max_dup_token_frac) & (dup_2g <= max_dup_2gram_frac)
+            (tok_micro <= F.lit(int(round(max_dup_token_frac * 1e6))))
+            & (g2_micro <= F.lit(int(round(max_dup_2gram_frac * 1e6))))
         ).alias("keep"),
     )
 
@@ -750,32 +758,21 @@ def token_budget_select(
     re-enter), and the output size is bounded by the budget itself,
     not the corpus.
 
-    The quality key ``0.5*ttr + 0.5*min(n/200, 1)`` is computed as an
-    EXACT int64 rational in 1e-6 fixed point (``quality_micro``): with
-    ``d`` distinct tokens of ``n`` total it equals
-    ``(200*d + n*min(n,200)) / (400*n)``, and the half-up micro rounding
-    is the pure-integer ``(2_000_000*num + den) div (2*den)`` — no
-    double ever enters the ranking key, so Spark and any SQL twin rank
-    (and hash) identical integers. A 6-dp double ``round`` here is NOT
-    portable: JVM shortest-decimal half-up vs an engine's exact-binary
-    rounding can flip a boundary micro, reorder the greedy prefix, and
-    shift every downstream ``cum_tokens`` (driver round-8 red row). The
-    cumulative count runs through :func:`prefix_sum`, so no
-    single-partition window appears at any corpus size."""
-    toks = tokens(text_col)
-    n = F.size(toks).cast("long")
-    d = F.size(F.array_distinct(toks)).cast("long")
+    The quality key is the shared EXACT int64 1e-6 fixed-point rational
+    (:func:`..operators.text.quality_micro`) — no double ever enters the
+    ranking, so Spark and any SQL twin rank (and hash) identical
+    integers. A 6-dp double ``round`` here is NOT portable: JVM
+    shortest-decimal half-up vs an engine's exact-binary rounding can
+    flip a boundary micro, reorder the greedy prefix, and shift every
+    downstream ``cum_tokens`` (driver round-8 red row). The cumulative
+    count runs through :func:`prefix_sum`, so no single-partition window
+    appears at any corpus size."""
+    from .text import quality_micro
+
     scored = df.select(
         F.col(id_col),
-        (F.lit(200).cast("long") * d + n * F.least(n, F.lit(200).cast("long"))).alias("_num"),
-        (F.lit(400).cast("long") * n).alias("_den"),
-        n.cast("int").alias("n_tokens"),
-    ).select(
-        F.col(id_col),
-        F.expr("(2000000 * _num + _den) div (2 * _den)")
-        .cast("long")
-        .alias("quality_micro"),
-        F.col("n_tokens"),
+        quality_micro(text_col).alias("quality_micro"),
+        F.size(tokens(text_col)).cast("int").alias("n_tokens"),
     )
     cum = prefix_sum(
         scored,

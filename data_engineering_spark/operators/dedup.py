@@ -146,28 +146,29 @@ def keep_best_dedup(
     and truncation. Emits the survivor plus the cluster's bookkeeping
     (dup_count and the token count reclaimed by dropping the rest).
 
-    Determinism: the ordering key is the 6-dp-ROUNDED quality (the same
-    per-row projection as ``operators/text.py:quality_score``, which the
-    engines reproduce bit-identically) paired with the unique id, so
-    ``max(struct(quality, -id, ...))`` is a total order — the struct max
-    can never fall through to its payload fields.
+    Determinism: the ordering key is the EXACT int64 micro-quality
+    (``operators/text.py:quality_micro`` — integer fixed point, never a
+    rounded double: a cross-engine boundary flip on a float key would
+    swap which duplicate survives, the round-8 token-budget failure
+    class) paired with the unique id, so ``max(struct(micro, -id, ...))``
+    is a total order — the struct max can never fall through to its
+    payload fields. The emitted ``quality`` double is ``micro / 1e6``,
+    one identical IEEE division in any engine.
 
     Distributed shape: all scoring happens in the scan stage; ONE
     fingerprint-keyed shuffle with partial aggregation carries
     (fp, 24-byte struct) — same exchange profile as ``exact_dedup``."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / n
-    quality = F.round(0.5 * ttr + 0.5 * F.least(n / F.lit(200.0), F.lit(1.0)), 6)
+    from .text import quality_micro
+
     base = df.select(
         fingerprint(text_col).alias("fp"),
         F.col(id_col),
-        quality.alias("quality"),
-        n.cast("long").alias("n_tokens"),
+        quality_micro(text_col).alias("qm"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
     )
     best = F.max(
         F.struct(
-            F.col("quality").alias("q"),
+            F.col("qm").alias("q"),
             (-F.col(id_col)).alias("nid"),
             F.col("n_tokens").alias("nt"),
         )
@@ -182,7 +183,7 @@ def keep_best_dedup(
         .select(
             "fp",
             (-F.col("best.nid")).alias(id_col),
-            F.col("best.q").alias("quality"),
+            (F.col("best.q") / F.lit(1000000.0)).alias("quality"),
             "dup_count",
             (F.col("cluster_tokens") - F.col("best.nt")).alias("dropped_tokens"),
         )

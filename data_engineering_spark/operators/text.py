@@ -24,6 +24,8 @@ __all__ = [
     "fingerprint",
     "winnow_fingerprints",
     "lang_id",
+    "micro_ratio",
+    "quality_micro",
     "quality_score",
     "query_string_rank",
     "match_phrase_rank",
@@ -122,21 +124,60 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def micro_ratio(numer: Column, denom: Column) -> Column:
+    """Half-up 1e-6 fixed point of ``numer/denom`` as exact int64 — the
+    engine-portable ratio key: ``(2e6*numer + denom) div (2*denom)`` in
+    pure integer arithmetic. Use for any ratio that RANKS, FILTERS, or
+    GROUPS (quality keys, repetition fractions, band cuts): a
+    ``round(double, 6)`` key can flip across engines when the double's
+    shortest-decimal repr and exact binary value straddle a rounding
+    boundary, and at 1e9+ rows a within-ulp boundary hit is an expected
+    event. Requires 0 ≤ numer and 0 < denom with
+    ``2e6*numer + denom < 2^53`` (all corpus ratios qualify)."""
+    a = F.lit(2000000).cast("long") * numer.cast("long") + denom.cast("long")
+    b = F.lit(2).cast("long") * denom.cast("long")
+    # exact int64 floor-div without a named-column expr: a and b are
+    # positive, (a - a%b) is an exact multiple of b, and the double
+    # quotient is an integer ≤ ~1e6 — exactly representable
+    return ((a - a % b) / b).cast("long")
+
+
+def quality_micro(text_col: str = "text") -> Column:
+    """The corpus quality key ``0.5*ttr + 0.5*min(n/200, 1)`` as an
+    EXACT int64 in 1e-6 fixed point: with ``d`` distinct of ``n`` tokens
+    it equals ``(200*d + n*min(n,200)) / (400*n)``, and the half-up
+    micro rounding is the pure-integer ``(2e6*num + den) div (2*den)``.
+    Shared by every consumer that RANKS, FILTERS, or GROUPS on quality
+    (keep_best_dedup, token_budget_select, quality_score's keep flag):
+    a 6-dp double ``round`` key is not engine-portable — JVM
+    shortest-decimal vs exact-binary rounding flips boundary micros, and
+    at 1e9+ documents a within-ulp boundary hit is an EXPECTED event,
+    not a tail risk (≈4e-10 per value; the round-8 driver red row was
+    exactly this flip reordering a greedy prefix)."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("long")
+    d = F.size(F.array_distinct(toks)).cast("long")
+    num = F.lit(200).cast("long") * d + n * F.least(n, F.lit(200).cast("long"))
+    den = F.lit(400).cast("long") * n
+    return micro_ratio(num, den)
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document quality scoring à la pretraining-data filters: combines
     length, mean token length, and lexical diversity into one bounded
     score. Weights are illustrative; the operator contract is the
-    deterministic per-row projection."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)) / n
-    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
-    score = F.round(0.5 * ttr + 0.5 * len_score, 6)
+    deterministic per-row projection.
+
+    The keep VERDICT compares the exact integer micro key (≥ 300000),
+    never a rounded double — see :func:`quality_micro`; the emitted
+    ``quality`` double is ``micro / 1e6``, a single identical IEEE
+    division in any engine, so it hashes cross-engine too."""
+    micro = quality_micro(text_col)
     return df.select(
         F.col(id_col),
         F.col(text_col),
-        score.alias("quality"),
-        (score >= 0.3).alias("keep"),
+        (micro / F.lit(1000000.0)).alias("quality"),
+        (micro >= F.lit(300000)).alias("keep"),
     )
 
 

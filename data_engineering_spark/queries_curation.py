@@ -101,24 +101,30 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                  tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS g
           FROM toks
         ), g2 AS (
-          SELECT doc_id, round(1.0 - count(DISTINCT g) * 1.0 / count(g), 6) AS dup_2gram_frac
+          SELECT doc_id,
+                 (2000000 * (count(g) - count(DISTINCT g)) + count(g))
+                     // (2 * count(g)) AS g2m
           FROM grams WHERE g IS NOT NULL GROUP BY doc_id
         ), t2 AS (
           SELECT doc_id,
-                 round(1.0 - len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 6) AS dup_token_frac
+                 (2000000 * (len({_TOKS}) - len(list_distinct({_TOKS}))) + len({_TOKS}))
+                     // (2 * len({_TOKS})) AS tm
           FROM documents
         )
         -- LEFT + coalesce(0): a 1-token doc has no non-NULL bigram row,
         -- but Spark's shingles() whole-doc fallback gives it frac 0 —
         -- the inner join silently dropped such docs (review finding)
-        SELECT doc_id, dup_token_frac, coalesce(dup_2gram_frac, 0) AS dup_2gram_frac,
-               (dup_token_frac <= 0.6 AND coalesce(dup_2gram_frac, 0) <= 0.05) AS keep
+        SELECT doc_id, tm / 1000000.0 AS dup_token_frac,
+               coalesce(g2m, 0) / 1000000.0 AS dup_2gram_frac,
+               (tm <= 600000 AND coalesce(g2m, 0) <= 50000) AS keep
         FROM t2 LEFT JOIN g2 USING (doc_id)""",
 )
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-shaped repetition filter (operators/curation.py:
     repetition_stats). The Spark form is a zero-shuffle array projection;
-    the oracle needs a window + two aggregates for the same answer."""
+    the oracle needs a window + two aggregates for the same answer. Keep
+    verdicts compare exact integer micro ratios; the emitted fracs are
+    micro/1e6 (identical IEEE division both engines)."""
     return repetition_stats(_docs(spark, sf_dir))
 
 
@@ -628,22 +634,25 @@ def q_word_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM corpus
         ), g2 AS (
           SELECT doc_id,
-                 round(1.0 - count(DISTINCT g) * 1.0 / count(g), 6) AS dup_2gram_frac
+                 (2000000 * (count(g) - count(DISTINCT g)) + count(g))
+                     // (2 * count(g)) AS g2m
           FROM (SELECT doc_id,
                        tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS g
                 FROM ctoks)
           WHERE g IS NOT NULL GROUP BY doc_id
         ), t2 AS (
           SELECT doc_id,
-                 round(1.0 - len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}), 6)
-                     AS dup_token_frac
+                 (2000000 * (len({_TOKS}) - len(list_distinct({_TOKS}))) + len({_TOKS}))
+                     // (2 * len({_TOKS})) AS tm
           FROM corpus
         ), q1 AS (
           -- LEFT + coalesce(0) mirrors shingles()'s whole-doc fallback
-          -- for 1-token docs (review finding: inner join dropped them)
+          -- for 1-token docs (review finding: inner join dropped them);
+          -- verdicts compare exact integer micro ratios (never rounded
+          -- doubles — the round-8 cross-engine flip class)
           SELECT c.doc_id, c.text
           FROM corpus c JOIN t2 USING (doc_id) LEFT JOIN g2 USING (doc_id)
-          WHERE dup_token_frac <= 0.6 AND coalesce(dup_2gram_frac, 0) <= 0.05
+          WHERE tm <= 600000 AND coalesce(g2m, 0) <= 50000
         ), survivors AS (
           SELECT min(doc_id) AS doc_id FROM (
             SELECT doc_id,
@@ -713,13 +722,17 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 1 — quality filter, fused per-row expressions
     # (operators/curation.py:repetition_stats semantics, inlined so the
-    # verdict rides the same scan that feeds the next stage)
+    # verdict rides the same scan that feeds the next stage); verdicts
+    # compare exact integer micro ratios — a float-boundary flip here
+    # changes which documents survive (round-8 failure class)
+    from .operators.text import micro_ratio
+
     toks = tokens("text")
     n = F.size(toks)
     n_grams = F.greatest(n - 1, F.lit(1))
-    dup_tok = F.round(F.lit(1.0) - F.size(F.array_distinct(toks)) / n, 6)
-    dup_2g = F.round(F.lit(1.0) - F.size(shingles("text", 2)) / n_grams, 6)
-    q1 = corpus.filter((dup_tok <= 0.6) & (dup_2g <= 0.05))
+    tok_micro = micro_ratio(n - F.size(F.array_distinct(toks)), n)
+    g2_micro = micro_ratio(n_grams - F.size(shingles("text", 2)), n_grams)
+    q1 = corpus.filter((tok_micro <= 600000) & (g2_micro <= 50000))
 
     # stage 2 — exact dedup, min-id survivor carried with its text
     from .operators.text import fingerprint

@@ -133,21 +133,34 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+# The shared exact-integer micro-quality key (operators/text.py:
+# quality_micro) in DuckDB: half-up 1e-6 fixed point of
+# (200*d + n*min(n,200)) / (400*n), pure BIGINT arithmetic. Every
+# quality rank/filter/group mirrors THIS, never round(double, 6) —
+# cross-engine float rounding flipped the round-8 token-budget row.
+_QM = (
+    "((2000000 * (200 * len(list_distinct(toks)) "
+    "+ len(toks) * least(len(toks), 200)) + 400 * len(toks)) "
+    "// (800 * len(toks)))"
+)
+
+
 @query(
     "text_quality",
-    """WITH t AS (
+    f"""WITH t AS (
          SELECT doc_id, text,
                 string_split_regex(trim(lower(text)), '\\s+') AS toks
          FROM documents)
        SELECT doc_id, text,
-              round(0.5 * (len(list_distinct(toks)) / len(toks))
-                  + 0.5 * least(len(toks) / 200.0, 1.0), 6) AS quality,
-              (round(0.5 * (len(list_distinct(toks)) / len(toks))
-                   + 0.5 * least(len(toks) / 200.0, 1.0), 6) >= 0.3) AS keep
+              {_QM} / 1000000.0 AS quality,
+              ({_QM} >= 300000) AS keep
        FROM t""",
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pretraining-style quality scoring (operators/text.py:quality_score)."""
+    """Pretraining-style quality scoring (operators/text.py:
+    quality_score): the keep verdict compares the exact integer micro
+    key; the emitted double is micro/1e6 — one identical IEEE division
+    in both engines, so even the float column hashes exactly."""
     return quality_score(_docs(spark, sf_dir))
 
 
@@ -252,35 +265,39 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_best",
-    r"""WITH t AS (
+    rf"""WITH t AS (
           SELECT doc_id,
                  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                  string_split_regex(trim(lower(text)), '\s+') AS toks
           FROM documents
         ), q AS (
           SELECT doc_id, fp,
-                 round(0.5 * (len(list_distinct(toks)) / len(toks))
-                     + 0.5 * least(len(toks) / 200.0, 1.0), 6) AS quality,
+                 {_QM} AS qm,
                  CAST(len(toks) AS BIGINT) AS nt
           FROM t
         ), r AS (
-          SELECT fp, doc_id, quality, nt,
+          SELECT fp, doc_id, qm, nt,
                  row_number() OVER (PARTITION BY fp
-                                    ORDER BY quality DESC, doc_id) AS rn,
+                                    ORDER BY qm DESC, doc_id) AS rn,
                  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count,
                  CAST(sum(nt) OVER (PARTITION BY fp) AS BIGINT) AS tot
           FROM q
         )
-        SELECT fp, doc_id, quality, dup_count, tot - nt AS dropped_tokens
+        SELECT fp, doc_id, qm / 1000000.0 AS quality, dup_count,
+               tot - nt AS dropped_tokens
         FROM r WHERE rn = 1""",
 )
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware survivor selection (operators/dedup.py:
     keep_best_dedup): per exact-dup cluster, keep the highest-quality
     doc (id tie-break) and report the reclaimed token count — the
-    survivor rule a production corpus wants over min-id. Single
-    fingerprint-keyed partial-agg shuffle; the oracle's per-cluster
-    window proves the struct-max aggregation picks the identical row."""
+    survivor rule a production corpus wants over min-id. The survivor
+    RANK runs on the exact integer micro key (a float-key boundary flip
+    would swap survivors — the round-8 failure class); the emitted
+    quality double is micro/1e6, identical IEEE division both engines.
+    Single fingerprint-keyed partial-agg shuffle; the oracle's
+    per-cluster window proves the struct-max aggregation picks the
+    identical row."""
     return keep_best_dedup(_docs(spark, sf_dir))
 
 
@@ -1241,17 +1258,15 @@ def q_search_match_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_prepare",
-    """WITH scored AS (
+    f"""WITH scored AS (
          SELECT doc_id, text, lang, source,
                 md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
-                round(0.5 * (len(list_distinct(string_split_regex(trim(lower(text)), '\\s+')))
-                           / len(string_split_regex(trim(lower(text)), '\\s+')))
-                    + 0.5 * least(len(string_split_regex(trim(lower(text)), '\\s+')) / 200.0, 1.0),
-                      6) AS quality
-         FROM documents),
-       kept AS (SELECT * FROM scored WHERE quality >= 0.3),
+                {_QM} AS qm
+         FROM (SELECT *, string_split_regex(trim(lower(text)), '\\s+') AS toks
+               FROM documents)),
+       kept AS (SELECT * FROM scored WHERE qm >= 300000),
        canonical AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp)
-       SELECT k.doc_id, k.lang, k.source, k.quality
+       SELECT k.doc_id, k.lang, k.source, k.qm / 1000000.0 AS quality
        FROM kept k JOIN canonical c ON k.fp = c.fp AND k.doc_id = c.keep_id""",
 )
 def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1260,7 +1275,9 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup keeping the lowest doc id per fingerprint. This is the composed
     form of text_quality + dedup_exact — what a data pipeline actually
     runs nightly; near-dup stages (minhash → canonical_assignment) chain
-    after it the same way."""
+    after it the same way. The threshold compares the exact integer
+    micro key (a float-boundary flip here changes the ROW SET, not just
+    a cell); quality emits as micro/1e6."""
     from .operators.text import fingerprint
 
     kept = (
