@@ -865,12 +865,18 @@ def ngram_jaccard_pairs(
     ~1.5× the gram-stage CPU of the hashed path; paid only by the
     oracle-checked variant, same trade as the md5 minhash twin.
 
-    ``emit_counts=True`` additionally emits the exact integer
-    ``n_inter`` / ``n_union`` set sizes per pair, so consumers that
-    re-bin pairs (the threshold-sweep calibration query) can band on
-    pure-integer arithmetic — ``(10*n_inter) div n_union`` — instead of
-    re-deriving bands from the rounded double, which can flip at a band
-    boundary when two engines round a tie differently."""
+    ``emit_counts=True`` swaps the rounded-double ``jaccard`` column for
+    the exact integer ``n_inter`` / ``n_union`` set sizes per pair, so
+    consumers that re-bin pairs (the threshold-sweep calibration query)
+    band on pure-integer arithmetic — ``(10*n_inter) div n_union`` —
+    instead of re-deriving bands from a rounded double, which can flip
+    at a band boundary when two engines round a tie differently. In this
+    mode the threshold filter is the integer
+    ``n_inter * K >= n_union * (K*threshold)`` equivalent when
+    ``threshold > 0`` and skipped entirely at 0, and the jaccard double
+    is never built — computing it alongside the counts doubled the
+    array_intersect/array_union work per pair (measured 59 s → ~35 s at
+    the 100× probe, the candidate stream's own cost)."""
     from pyspark.sql import Window
 
     gram = shingles(text_col, n) if gram_impl == "portable" else shingle_hashes(text_col, n)
@@ -895,17 +901,36 @@ def ngram_jaccard_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    verified = (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")), "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("long"))
-        .withColumn("n_union", F.size(F.array_union("sh_a", "sh_b")).cast("long"))
-        .withColumn("jaccard", F.round(F.col("n_inter") / F.col("n_union"), 6))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    paired = cand.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("shset").alias("sh_a")), "id_a"
+    ).join(sh.select(F.col(id_col).alias("id_b"), F.col("shset").alias("sh_b")), "id_b")
     if emit_counts:
-        return verified.select("id_a", "id_b", "jaccard", "n_inter", "n_union")
-    return verified.select("id_a", "id_b", "jaccard")
+        sized = paired.select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_inter"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+        )
+        if threshold > 0:
+            # exact integer form of n_inter/n_union >= threshold at the
+            # micro grid — no double enters the cut
+            t_micro = int(round(threshold * 1e6))
+            sized = sized.filter(
+                F.col("n_inter") * F.lit(1000000) >= F.col("n_union") * F.lit(t_micro)
+            )
+        return sized
+    return (
+        paired.withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def canonical_assignment(

@@ -307,6 +307,13 @@ def test_shuffle_budgets(spark, sf_dir):
         "dedup_threshold_sweep": 11,
         # broadcast queries; ONE vote partial agg reused by the rank
         "sim_knn_classify": 1,
+        # result is a 6-row driver literal; each pass's pair-count agg
+        # runs eagerly at build time (one corpus pass per BATCH)
+        "nlp_bpe_merges_batched": 0,
+        # training runs eagerly at build; the returned plan is one
+        # 6-replace projection + explode + the count_distinct pair
+        # ((token, doc) partial agg, then token-keyed final)
+        "nlp_bpe_apply": 2,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
