@@ -51,8 +51,10 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      dedup_threshold_sweep (re-based from the quadratic exact-pair
 #      join onto the blocked candidate stream with integer banding),
 #      search_suggest / sim_knn_classify (r8 additions never swept),
-#      and the two round-9 additions nlp_bpe_merges_batched /
-#      nlp_bpe_apply (batched BPE trainer + learn->apply round trip).
+#      and the four round-9 additions nlp_bpe_merges_batched /
+#      nlp_bpe_apply / nlp_bpe_fertility / dedup_cluster_histogram
+#      (batched BPE trainer + learn->apply->measure chain; dedup
+#      operating report).
 #   2. The round-9 float-audit SHAPE CHANGES (quality family re-keyed
 #      on exact integer micros — text_quality, corpus_prepare,
 #      dedup_keep_best, curate_quality_repetition, corpus_pipeline_e2e;
@@ -62,11 +64,11 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      window by the round-7/8 addition backlog
 #      (curate_quality_repetition rides in tier 2 instead).
 # ROUND-10 ROTATION NOTE: lead with any round-10 additions/changes,
-# then the 7 frontier rows that did not fit this round
-# (curate_unigram_nll, nlp_embed_text, nlp_tokenize_pandas,
-# st_interval_join, lake_time_travel, lake_delete_scan,
-# lake_zorder_scan), then the r5 cohort (45 rows, see ROADMAP); the
-# r6/r8/r9 greens rotate after.
+# then the 9 frontier rows that did not fit this round
+# (curate_pack_concat, curate_chunk_sliding, curate_unigram_nll,
+# nlp_embed_text, nlp_tokenize_pandas, st_interval_join,
+# lake_time_travel, lake_delete_scan, lake_zorder_scan), then the r5
+# cohort (45 rows, see ROADMAP); the r6/r8/r9 greens rotate after.
 # Exactly 50; rows-only queries sink behind the window so no sweep slot
 # records a weak no_oracle row.
 registry.finalize_order(
@@ -77,6 +79,8 @@ registry.finalize_order(
         "sim_knn_classify",
         "nlp_bpe_merges_batched",
         "nlp_bpe_apply",
+        "nlp_bpe_fertility",
+        "dedup_cluster_histogram",
         # float-audit shape changes (quality family re-keyed on exact
         # integer micros; re-proven locally at both SFs post-change)
         "text_quality",
@@ -84,7 +88,7 @@ registry.finalize_order(
         "dedup_keep_best",
         "curate_quality_repetition",
         "corpus_pipeline_e2e",
-        # r4 frontier, registration order (39 of 47)
+        # r4 frontier, registration order (37 of 47)
         "j6_asof_join",
         "a5_last_wins_merge",
         "w2_moving_avg",
@@ -122,8 +126,6 @@ registry.finalize_order(
         "curate_sample_stratified",
         "curate_decontaminate",
         "curate_mixture_weights",
-        "curate_pack_concat",
-        "curate_chunk_sliding",
     ]
 )
 

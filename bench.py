@@ -155,6 +155,8 @@ HEADLINE = [
     # round-9 additions
     "nlp_bpe_merges_batched",
     "nlp_bpe_apply",
+    "nlp_bpe_fertility",
+    "dedup_cluster_histogram",
 ]
 
 

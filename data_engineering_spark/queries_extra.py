@@ -2035,6 +2035,99 @@ def q_nlp_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "nlp_bpe_fertility",
+    f"""WITH s0 AS (SELECT doc_id, {_BPE_SEG0} AS seg FROM documents),
+       p1 AS ({_bpe_count_cte('s0')}),
+       b1 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+              FROM p1 QUALIFY rk <= 3),
+       m11 AS (SELECT a, b FROM b1 WHERE rk = 1),
+       m12 AS (SELECT a, b FROM b1 WHERE rk = 2),
+       m13 AS (SELECT a, b FROM b1 WHERE rk = 3),
+       s1 AS (
+         SELECT doc_id, replace(replace(replace(seg,
+             ' ' || m11.a || '  ' || m11.b || ' ', ' ' || m11.a || '_' || m11.b || ' '),
+             ' ' || m12.a || '  ' || m12.b || ' ', ' ' || m12.a || '_' || m12.b || ' '),
+             ' ' || m13.a || '  ' || m13.b || ' ', ' ' || m13.a || '_' || m13.b || ' ')
+             AS seg
+         FROM s0 CROSS JOIN m11 CROSS JOIN m12 CROSS JOIN m13),
+       p2 AS ({_bpe_count_cte('s1')}),
+       b2 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+              FROM p2 QUALIFY rk <= 3),
+       m21 AS (SELECT a, b FROM b2 WHERE rk = 1),
+       m22 AS (SELECT a, b FROM b2 WHERE rk = 2),
+       m23 AS (SELECT a, b FROM b2 WHERE rk = 3),
+       s2 AS (
+         SELECT doc_id, replace(replace(replace(seg,
+             ' ' || m21.a || '  ' || m21.b || ' ', ' ' || m21.a || '_' || m21.b || ' '),
+             ' ' || m22.a || '  ' || m22.b || ' ', ' ' || m22.a || '_' || m22.b || ' '),
+             ' ' || m23.a || '  ' || m23.b || ' ', ' ' || m23.a || '_' || m23.b || ' ')
+             AS seg
+         FROM s1 CROSS JOIN m21 CROSS JOIN m22 CROSS JOIN m23),
+       per AS (
+         SELECT d.lang,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len(string_split_regex(trim(lower(d.text)), '\\s+'))) AS BIGINT)
+                    AS tokens_before,
+                CAST(sum(len(string_split(trim(s2.seg), '  '))) AS BIGINT)
+                    AS tokens_after
+         FROM documents d JOIN s2 USING (doc_id) GROUP BY d.lang)
+       SELECT lang, n_docs, tokens_before, tokens_after,
+              (2000000 * (tokens_before - tokens_after) + tokens_before)
+                  // (2 * tokens_before) AS saved_micro
+       FROM per""",
+)
+def q_nlp_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility under the learned BPE vocab, per language:
+    token counts before vs after applying the 6 learned merges, and the
+    compression each language gets (saved_micro = exact integer micro
+    ratio of tokens saved) — the "is this vocab fair to every language?"
+    measurement a multilingual tokenizer deployment runs before
+    committing a vocab (high-resource languages dominate merge learning;
+    this quantifies who pays). Completes the learn→apply→measure loop on
+    top of `nlp_bpe_merges_batched` / `nlp_bpe_apply`.
+
+    Scale shape: training = 2 batched count passes (vocab-bounded 6-row
+    collect); measurement is ONE more corpus projection (6 chained
+    replaces + two size() counts inside the scan) and a |langs|-row
+    partial agg. The compression ratio is a pure-integer micro
+    (`micro_ratio` pattern) — no float anywhere in the output."""
+    from .operators.text import _bpe_seg0, micro_ratio, phrase_merge_rounds_batched, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = sorted(
+        phrase_merge_rounds_batched(docs, passes=2, merges_per_pass=3).collect(),
+        key=lambda r: (r.pass_no, r.merge_rank),
+    )
+    seg = _bpe_seg0("text")
+    for m in merges:
+        seg = F.replace(
+            seg, F.lit(f" {m.left_tok}  {m.right_tok} "), F.lit(f" {m.merged} ")
+        )
+    per = (
+        docs.select(
+            "lang",
+            F.size(tokens("text")).cast("long").alias("tb"),
+            F.size(F.split(F.trim(seg), "  ")).cast("long").alias("ta"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("tb").cast("long").alias("tokens_before"),
+            F.sum("ta").cast("long").alias("tokens_after"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "tokens_before",
+        "tokens_after",
+        micro_ratio(
+            F.col("tokens_before") - F.col("tokens_after"), F.col("tokens_before")
+        ).alias("saved_micro"),
+    )
+
+
+@query(
     "events_path_mining",
     """WITH seq AS (
          SELECT user_id, event_type,

@@ -264,6 +264,55 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_histogram",
+    rf"""WITH t AS (
+          SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+                 string_split_regex(trim(lower(text)), '\s+') AS toks
+          FROM documents
+        ), q AS (
+          SELECT doc_id, fp, {_QM} AS qm, CAST(len(toks) AS BIGINT) AS nt
+          FROM t
+        ), r AS (
+          SELECT fp, nt,
+                 row_number() OVER (PARTITION BY fp
+                                    ORDER BY qm DESC, doc_id) AS rn,
+                 CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS dup_count,
+                 CAST(sum(nt) OVER (PARTITION BY fp) AS BIGINT) AS tot
+          FROM q
+        ), c AS (
+          SELECT dup_count, tot - nt AS reclaimed FROM r WHERE rn = 1
+        )
+        SELECT dup_count,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(reclaimed) AS BIGINT) AS tokens_reclaimed
+        FROM c GROUP BY dup_count""",
+)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup operating report: cluster-size histogram with the
+    token count each size class reclaims under keep-best survivor
+    selection — the summary a data team reads before green-lighting a
+    dedup pass on a 100 TB corpus ("how much is duplicated, in what
+    shapes, and what do we get back?"). Derived from the SAME
+    fingerprint + integer micro-quality machinery `dedup_keep_best`
+    hash-proves (survivor = max (quality_micro, -id), so reclaimed =
+    cluster tokens minus the survivor's).
+
+    Scale shape: one fingerprint-keyed partial agg (exact_dedup's
+    exchange) then a ≤|distinct sizes|-row histogram agg. All-integer
+    output."""
+    from .operators.dedup import keep_best_dedup
+
+    per = keep_best_dedup(_docs(spark, sf_dir)).select(
+        "dup_count", "dropped_tokens"
+    )
+    return per.groupBy("dup_count").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("dropped_tokens").cast("long").alias("tokens_reclaimed"),
+    )
+
+
+@query(
     "dedup_keep_best",
     rf"""WITH t AS (
           SELECT doc_id,

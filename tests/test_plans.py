@@ -314,6 +314,11 @@ def test_shuffle_budgets(spark, sf_dir):
         # 6-replace projection + explode + the count_distinct pair
         # ((token, doc) partial agg, then token-keyed final)
         "nlp_bpe_apply": 2,
+        # training eager at build; ONE lang partial agg on the applied
+        # projection (before/after sizes inside the scan)
+        "nlp_bpe_fertility": 1,
+        # keep_best's fingerprint exchange + the <=|sizes|-row histogram
+        "dedup_cluster_histogram": 2,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
