@@ -585,3 +585,24 @@ def test_knn_classify_majority_beats_nearest(spark):
         topk, df.select(F.col("vec_id").alias("neighbor_id"), "label")
     ).collect()
     assert pred[0].pred_label == 1 and pred[0].n_votes == 4
+
+
+def test_knn_vote_null_label_tie_sorts_last(spark):
+    """A NULL neighbor label tied on votes must LOSE the argmax (r9
+    ADVICE fix: Spark's plain asc sorts NULLs first while a SQL twin's
+    ORDER BY sorts them last — asc_nulls_last pins the twin-identical
+    order). Two label-7 votes vs two NULL-label votes: the prediction
+    must be 7, never NULL."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.similarity import knn_vote
+
+    topk = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "query_id long, neighbor_id long"
+    )
+    labels = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, None), (4, None)], "neighbor_id long, label int"
+    )
+    pred = knn_vote(topk, labels).collect()
+    assert len(pred) == 1
+    assert pred[0].pred_label == 7 and pred[0].n_votes == 2
