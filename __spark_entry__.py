@@ -59,7 +59,7 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      on exact integer micros — text_quality, corpus_prepare,
 #      dedup_keep_best, curate_quality_repetition, corpus_pipeline_e2e;
 #      each re-proven locally at both SFs post-change).
-#   3. 39 rows of the 47-query r4-green frontier, in their registration
+#   3. 37 rows of the 47-query r4-green frontier, in their registration
 #      order — last driver-proven in round 4, displaced from the r8
 #      window by the round-7/8 addition backlog
 #      (curate_quality_repetition rides in tier 2 instead).

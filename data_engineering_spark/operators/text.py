@@ -612,10 +612,13 @@ def phrase_merge_rounds(
     Rounds scan the corpus ``rounds`` times — inherent to BPE's
     sequential dependency; :func:`phrase_merge_rounds_batched` is the
     production trainer that learns k merges per count pass. Each
-    round's segmentation persists (MEMORY_AND_DISK, released on exit),
-    so round k's count scans the cached round-(k-1) strings instead of
-    re-executing all k-1 earlier replace chains plus the source scan —
-    without it plan growth is quadratic in ``rounds``.
+    round's segmentation persists (MEMORY_AND_DISK), so round k's count
+    scans the cached round-(k-1) strings instead of re-executing all
+    k-1 earlier replace chains plus the source scan — without it plan
+    growth is quadratic in ``rounds``. At most TWO segmentations are
+    cached at once: round k's count pass is the action that populates
+    segdf_k's cache (reading segdf_{k-1}), after which segdf_{k-1}
+    unpersists — a rounds-long chain must not pin rounds× the corpus.
 
     Underscore is the merge marker: tokens are whitespace-split, so the
     marker can collide only if source tokens already contain '_'
@@ -627,10 +630,15 @@ def phrase_merge_rounds(
     segdf = df.select(_bpe_seg0(text_col).alias("seg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    persisted = [segdf]
+    prev = None
     out = []
     for rnd in range(1, rounds + 1):
+        # this collect materializes segdf's cache (reading prev's) —
+        # prev is dead weight from here on
         rows = _bpe_pair_counts(segdf).limit(1).collect()
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not rows:
             # all-degenerate corpus (every doc < 2 tokens): nothing left
             # to merge — return the rounds learned so far, possibly none
@@ -638,6 +646,7 @@ def phrase_merge_rounds(
         best = rows[0]
         out.append((rnd, best.a, best.b, f"{best.a}_{best.b}", best.c))
         if rnd < rounds:
+            prev = segdf
             segdf = segdf.select(
                 F.replace(
                     F.col("seg"),
@@ -645,11 +654,11 @@ def phrase_merge_rounds(
                     F.lit(f" {best.a}_{best.b} "),
                 ).alias("seg")
             ).persist(StorageLevel.MEMORY_AND_DISK)
-            persisted.append(segdf)
     # the result below is a driver-local literal — no lineage back into
     # the cached segmentations, so their storage releases immediately
-    for p in persisted:
-        p.unpersist()
+    segdf.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         out, "round int, left_tok string, right_tok string, merged string, pair_count long"
     )
@@ -719,7 +728,8 @@ def phrase_merge_rounds_batched(
     whole batch bit-for-bit (the single-merge
     :func:`phrase_merge_rounds` stays as the textbook-exact oracle
     twin). Per-pass segmentations persist and release like the
-    single-merge path.
+    single-merge path — at most two cached at once (the predecessor
+    unpersists as soon as the successor's count pass materializes it).
 
     Emits one row per applied merge: (pass_no, merge_rank, left_tok,
     right_tok, merged, pair_count) — pair_count is the count-pass frequency the
@@ -730,10 +740,13 @@ def phrase_merge_rounds_batched(
     segdf = df.select(_bpe_seg0(text_col).alias("seg")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    persisted = [segdf]
+    prev = None
     out = []
     for p in range(1, passes + 1):
         rows = _bpe_pair_counts(segdf).limit(merges_per_pass).collect()
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not rows:
             break
         # TakeOrdered returns rows in order; re-sort defensively so the
@@ -746,12 +759,13 @@ def phrase_merge_rounds_batched(
                 seg, F.lit(f" {r.a}  {r.b} "), F.lit(f" {r.a}_{r.b} ")
             )
         if p < passes:
+            prev = segdf
             segdf = segdf.select(seg.alias("seg")).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-            persisted.append(segdf)
-    for pf in persisted:
-        pf.unpersist()
+    segdf.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return spark.createDataFrame(
         out,
         "pass_no int, merge_rank int, left_tok string, right_tok string, "

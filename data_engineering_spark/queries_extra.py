@@ -1922,14 +1922,14 @@ def _bpe_count_cte(src: str) -> str:
        p1 AS ({_bpe_count_cte('s0')}),
        b1 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
               FROM p1 QUALIFY rk <= 3),
-       m11 AS (SELECT a, b FROM b1 WHERE rk = 1),
-       m12 AS (SELECT a, b FROM b1 WHERE rk = 2),
-       m13 AS (SELECT a, b FROM b1 WHERE rk = 3),
+       m11 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 1),
+       m12 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 2),
+       m13 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 3),
        s1 AS (
          SELECT replace(replace(replace(seg,
-             ' ' || m11.a || '  ' || m11.b || ' ', ' ' || m11.a || '_' || m11.b || ' '),
-             ' ' || m12.a || '  ' || m12.b || ' ', ' ' || m12.a || '_' || m12.b || ' '),
-             ' ' || m13.a || '  ' || m13.b || ' ', ' ' || m13.a || '_' || m13.b || ' ')
+             coalesce(' ' || m11.a || '  ' || m11.b || ' ', chr(10)), coalesce(' ' || m11.a || '_' || m11.b || ' ', chr(10))),
+             coalesce(' ' || m12.a || '  ' || m12.b || ' ', chr(10)), coalesce(' ' || m12.a || '_' || m12.b || ' ', chr(10))),
+             coalesce(' ' || m13.a || '  ' || m13.b || ' ', chr(10)), coalesce(' ' || m13.a || '_' || m13.b || ' ', chr(10)))
              AS seg
          FROM s0 CROSS JOIN m11 CROSS JOIN m12 CROSS JOIN m13),
        p2 AS ({_bpe_count_cte('s1')}),
@@ -1952,7 +1952,12 @@ def q_nlp_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank order as ONE chained-replace projection, so the DuckDB twin
     replays both passes — counts, the rank-3 cut, the chained
     re-segmentation — bit-for-bit, including the stale-count semantics
-    (ranks 2-3 were counted before rank 1 applied)."""
+    (ranks 2-3 were counted before rank 1 applied). The twin is TOTAL on
+    degenerate corpora: each merge CTE aggregates to exactly one row
+    (NULLs when a pass yields < 3 pairs) and its replace pattern
+    coalesces to chr(10) — unmatchable, since the segmentation collapsed
+    all whitespace — so a missing rank is a no-op, exactly like the
+    Spark trainer applying only the merges it found."""
     from .operators.text import phrase_merge_rounds_batched
 
     return phrase_merge_rounds_batched(
@@ -1966,27 +1971,27 @@ def q_nlp_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
        p1 AS ({_bpe_count_cte('s0')}),
        b1 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
               FROM p1 QUALIFY rk <= 3),
-       m11 AS (SELECT a, b FROM b1 WHERE rk = 1),
-       m12 AS (SELECT a, b FROM b1 WHERE rk = 2),
-       m13 AS (SELECT a, b FROM b1 WHERE rk = 3),
+       m11 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 1),
+       m12 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 2),
+       m13 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 3),
        s1 AS (
          SELECT doc_id, replace(replace(replace(seg,
-             ' ' || m11.a || '  ' || m11.b || ' ', ' ' || m11.a || '_' || m11.b || ' '),
-             ' ' || m12.a || '  ' || m12.b || ' ', ' ' || m12.a || '_' || m12.b || ' '),
-             ' ' || m13.a || '  ' || m13.b || ' ', ' ' || m13.a || '_' || m13.b || ' ')
+             coalesce(' ' || m11.a || '  ' || m11.b || ' ', chr(10)), coalesce(' ' || m11.a || '_' || m11.b || ' ', chr(10))),
+             coalesce(' ' || m12.a || '  ' || m12.b || ' ', chr(10)), coalesce(' ' || m12.a || '_' || m12.b || ' ', chr(10))),
+             coalesce(' ' || m13.a || '  ' || m13.b || ' ', chr(10)), coalesce(' ' || m13.a || '_' || m13.b || ' ', chr(10)))
              AS seg
          FROM s0 CROSS JOIN m11 CROSS JOIN m12 CROSS JOIN m13),
        p2 AS ({_bpe_count_cte('s1')}),
        b2 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
               FROM p2 QUALIFY rk <= 3),
-       m21 AS (SELECT a, b FROM b2 WHERE rk = 1),
-       m22 AS (SELECT a, b FROM b2 WHERE rk = 2),
-       m23 AS (SELECT a, b FROM b2 WHERE rk = 3),
+       m21 AS (SELECT max(a) AS a, max(b) AS b FROM b2 WHERE rk = 1),
+       m22 AS (SELECT max(a) AS a, max(b) AS b FROM b2 WHERE rk = 2),
+       m23 AS (SELECT max(a) AS a, max(b) AS b FROM b2 WHERE rk = 3),
        s2 AS (
          SELECT doc_id, replace(replace(replace(seg,
-             ' ' || m21.a || '  ' || m21.b || ' ', ' ' || m21.a || '_' || m21.b || ' '),
-             ' ' || m22.a || '  ' || m22.b || ' ', ' ' || m22.a || '_' || m22.b || ' '),
-             ' ' || m23.a || '  ' || m23.b || ' ', ' ' || m23.a || '_' || m23.b || ' ')
+             coalesce(' ' || m21.a || '  ' || m21.b || ' ', chr(10)), coalesce(' ' || m21.a || '_' || m21.b || ' ', chr(10))),
+             coalesce(' ' || m22.a || '  ' || m22.b || ' ', chr(10)), coalesce(' ' || m22.a || '_' || m22.b || ' ', chr(10))),
+             coalesce(' ' || m23.a || '  ' || m23.b || ' ', chr(10)), coalesce(' ' || m23.a || '_' || m23.b || ' ', chr(10)))
              AS seg
          FROM s1 CROSS JOIN m21 CROSS JOIN m22 CROSS JOIN m23),
        t AS (SELECT doc_id, unnest(string_split(trim(seg), '  ')) AS token FROM s2)
@@ -2040,27 +2045,27 @@ def q_nlp_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
        p1 AS ({_bpe_count_cte('s0')}),
        b1 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
               FROM p1 QUALIFY rk <= 3),
-       m11 AS (SELECT a, b FROM b1 WHERE rk = 1),
-       m12 AS (SELECT a, b FROM b1 WHERE rk = 2),
-       m13 AS (SELECT a, b FROM b1 WHERE rk = 3),
+       m11 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 1),
+       m12 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 2),
+       m13 AS (SELECT max(a) AS a, max(b) AS b FROM b1 WHERE rk = 3),
        s1 AS (
          SELECT doc_id, replace(replace(replace(seg,
-             ' ' || m11.a || '  ' || m11.b || ' ', ' ' || m11.a || '_' || m11.b || ' '),
-             ' ' || m12.a || '  ' || m12.b || ' ', ' ' || m12.a || '_' || m12.b || ' '),
-             ' ' || m13.a || '  ' || m13.b || ' ', ' ' || m13.a || '_' || m13.b || ' ')
+             coalesce(' ' || m11.a || '  ' || m11.b || ' ', chr(10)), coalesce(' ' || m11.a || '_' || m11.b || ' ', chr(10))),
+             coalesce(' ' || m12.a || '  ' || m12.b || ' ', chr(10)), coalesce(' ' || m12.a || '_' || m12.b || ' ', chr(10))),
+             coalesce(' ' || m13.a || '  ' || m13.b || ' ', chr(10)), coalesce(' ' || m13.a || '_' || m13.b || ' ', chr(10)))
              AS seg
          FROM s0 CROSS JOIN m11 CROSS JOIN m12 CROSS JOIN m13),
        p2 AS ({_bpe_count_cte('s1')}),
        b2 AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
               FROM p2 QUALIFY rk <= 3),
-       m21 AS (SELECT a, b FROM b2 WHERE rk = 1),
-       m22 AS (SELECT a, b FROM b2 WHERE rk = 2),
-       m23 AS (SELECT a, b FROM b2 WHERE rk = 3),
+       m21 AS (SELECT max(a) AS a, max(b) AS b FROM b2 WHERE rk = 1),
+       m22 AS (SELECT max(a) AS a, max(b) AS b FROM b2 WHERE rk = 2),
+       m23 AS (SELECT max(a) AS a, max(b) AS b FROM b2 WHERE rk = 3),
        s2 AS (
          SELECT doc_id, replace(replace(replace(seg,
-             ' ' || m21.a || '  ' || m21.b || ' ', ' ' || m21.a || '_' || m21.b || ' '),
-             ' ' || m22.a || '  ' || m22.b || ' ', ' ' || m22.a || '_' || m22.b || ' '),
-             ' ' || m23.a || '  ' || m23.b || ' ', ' ' || m23.a || '_' || m23.b || ' ')
+             coalesce(' ' || m21.a || '  ' || m21.b || ' ', chr(10)), coalesce(' ' || m21.a || '_' || m21.b || ' ', chr(10))),
+             coalesce(' ' || m22.a || '  ' || m22.b || ' ', chr(10)), coalesce(' ' || m22.a || '_' || m22.b || ' ', chr(10))),
+             coalesce(' ' || m23.a || '  ' || m23.b || ' ', chr(10)), coalesce(' ' || m23.a || '_' || m23.b || ' ', chr(10)))
              AS seg
          FROM s1 CROSS JOIN m21 CROSS JOIN m22 CROSS JOIN m23),
        per AS (
@@ -2091,7 +2096,7 @@ def q_nlp_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces + two size() counts inside the scan) and a |langs|-row
     partial agg. The compression ratio is a pure-integer micro
     (`micro_ratio` pattern) — no float anywhere in the output."""
-    from .operators.text import _bpe_seg0, micro_ratio, phrase_merge_rounds_batched, tokens
+    from .operators.text import _bpe_seg0, phrase_merge_rounds_batched, tokens
 
     docs = _t(spark, sf_dir, "documents")
     merges = sorted(
@@ -2116,14 +2121,22 @@ def q_nlp_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ta").cast("long").alias("tokens_after"),
         )
     )
+    # exact int64 `div` on the NAMED aggregate columns, not micro_ratio:
+    # micro_ratio's double-division trick is exact only below 2^53, i.e.
+    # ~4.5e9 saved tokens — per-LANGUAGE sums at corpus scale exceed
+    # that. Integer div holds to the int64 bound (~4.6e12 saved tokens
+    # per language, above a 100 TB corpus's ~2.5e12 ceiling).
     return per.select(
         "lang",
         "n_docs",
         "tokens_before",
         "tokens_after",
-        micro_ratio(
-            F.col("tokens_before") - F.col("tokens_after"), F.col("tokens_before")
-        ).alias("saved_micro"),
+        F.expr(
+            "(2000000 * (tokens_before - tokens_after) + tokens_before)"
+            " div (2 * tokens_before)"
+        )
+        .cast("long")
+        .alias("saved_micro"),
     )
 
 

@@ -183,22 +183,34 @@ def test_threshold_sweep_blocked_vs_exact(spark, sf_dir):
     from collections import Counter
 
     from data_engineering_spark.catalog import load_table
-    from data_engineering_spark.operators.dedup import ngram_jaccard_pairs_exact
 
     docs = load_table(spark, sf_dir, "documents")
 
     def bands(rows):
-        return Counter(min((10 * r.n_inter) // r.n_union, 9) for r in rows)
+        return Counter(
+            min((10 * r.n_inter) // r.n_union, 9)
+            for r in rows
+            if 5 * r.n_inter >= r.n_union
+        )
 
     blocked_pairs = ngram_jaccard_pairs(
         docs, threshold=0.0, gram_impl="portable", emit_counts=True
     ).collect()
-    exact = ngram_jaccard_pairs_exact(docs, threshold=0.2).collect()
-    # exact twin emits rounded jaccard only; re-derive integer bands from
-    # the blocked rows and float bands from exact (safe in-test: same
-    # Python floats both sides of the assert, no cross-engine rounding)
-    blocked_bands = bands(r for r in blocked_pairs if 5 * r.n_inter >= r.n_union)
-    exact_bands = Counter(min(int(r.jaccard * 10), 9) for r in exact)
+    # the EXACT baseline via the same machinery with blocking disabled
+    # (every gram a key, no bucket purge → candidates = every pair
+    # sharing ≥1 gram, the shared-shingle join) so BOTH sides band on
+    # the same exact integers — banding float jaccard here would flip on
+    # exact tenths (0.6*10 == 5.999999999999999, int() → band 5)
+    exact_pairs = ngram_jaccard_pairs(
+        docs,
+        threshold=0.0,
+        gram_impl="portable",
+        emit_counts=True,
+        block_keys=10**9,
+        max_bucket=10**9,
+    ).collect()
+    blocked_bands = bands(blocked_pairs)
+    exact_bands = bands(exact_pairs)
     for band in range(5, 10):  # cutoff-relevant bands: full recall
         assert blocked_bands.get(band, 0) == exact_bands.get(band, 0), (
             band,

@@ -587,6 +587,42 @@ def test_knn_classify_majority_beats_nearest(spark):
     assert pred[0].pred_label == 1 and pred[0].n_votes == 4
 
 
+def test_bpe_batched_oracle_total_on_degenerate_corpus(spark, tmp_path):
+    """A count pass yielding FEWER than merges_per_pass distinct pairs
+    must not zero the oracle: the merge CTEs aggregate to exactly one
+    (possibly NULL) row and their replace patterns coalesce to an
+    unmatchable chr(10), so a missing rank is a no-op — matching the
+    Spark trainer, which applies only the merges it found (r9 review
+    finding: the bare CROSS JOIN emptied s1/s2 and silently zeroed
+    nlp_bpe_merges_batched / nlp_bpe_apply / nlp_bpe_fertility on small
+    corpora). Corpus: exactly TWO distinct adjacent pairs in pass 1."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from data_engineering_spark.registry import ORACLE
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s"), (2, "a b", "en", "s"), (3, "b c", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    sf_dir = str(tmp_path / "degenerate")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    qs = entrymod.queries()
+    for name in ("nlp_bpe_merges_batched", "nlp_bpe_apply", "nlp_bpe_fertility"):
+        got = qs[name](spark, sf_dir).toPandas()
+        want = con.execute(ORACLE[name]).fetchdf()
+        assert len(got) == len(want) > 0, (name, len(got), len(want))
+        key = sorted(got.columns)
+        g = got.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
+        w = want.reindex(key, axis=1).sort_values(key).reset_index(drop=True)
+        assert g.astype(str).equals(w.astype(str)), (name, g, w)
+
+
 def test_knn_vote_null_label_tie_sorts_last(spark):
     """A NULL neighbor label tied on votes must LOSE the argmax (r9
     ADVICE fix: Spark's plain asc sorts NULLs first while a SQL twin's
