@@ -59,15 +59,16 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      on exact integer micros — text_quality, corpus_prepare,
 #      dedup_keep_best, curate_quality_repetition, corpus_pipeline_e2e;
 #      each re-proven locally at both SFs post-change).
-#   3. 37 rows of the 47-query r4-green frontier, in their registration
+#   3. 35 rows of the 47-query r4-green frontier, in their registration
 #      order — last driver-proven in round 4, displaced from the r8
 #      window by the round-7/8 addition backlog
 #      (curate_quality_repetition rides in tier 2 instead).
 # ROUND-10 ROTATION NOTE: lead with any round-10 additions/changes,
-# then the 9 frontier rows that did not fit this round
-# (curate_pack_concat, curate_chunk_sliding, curate_unigram_nll,
-# nlp_embed_text, nlp_tokenize_pandas, st_interval_join,
-# lake_time_travel, lake_delete_scan, lake_zorder_scan), then the r5
+# then the 11 frontier rows that did not fit this round
+# (curate_decontaminate, curate_mixture_weights, curate_pack_concat,
+# curate_chunk_sliding, curate_unigram_nll, nlp_embed_text,
+# nlp_tokenize_pandas, st_interval_join, lake_time_travel,
+# lake_delete_scan, lake_zorder_scan), then the r5
 # cohort (45 rows, see ROADMAP); the r6/r8/r9 greens rotate after.
 # Exactly 50; rows-only queries sink behind the window so no sweep slot
 # records a weak no_oracle row.
@@ -81,6 +82,8 @@ registry.finalize_order(
         "nlp_bpe_apply",
         "nlp_bpe_fertility",
         "dedup_cluster_histogram",
+        "dedup_verbatim_spans",
+        "curate_mixture_waterfill",
         # float-audit shape changes (quality family re-keyed on exact
         # integer micros; re-proven locally at both SFs post-change)
         "text_quality",
@@ -88,7 +91,7 @@ registry.finalize_order(
         "dedup_keep_best",
         "curate_quality_repetition",
         "corpus_pipeline_e2e",
-        # r4 frontier, registration order (37 of 47)
+        # r4 frontier, registration order (35 of 47)
         "j6_asof_join",
         "a5_last_wins_merge",
         "w2_moving_avg",
@@ -124,8 +127,6 @@ registry.finalize_order(
         "mv_incremental_refresh",
         "curate_pii_redact",
         "curate_sample_stratified",
-        "curate_decontaminate",
-        "curate_mixture_weights",
     ]
 )
 

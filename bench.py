@@ -157,6 +157,8 @@ HEADLINE = [
     "nlp_bpe_apply",
     "nlp_bpe_fertility",
     "dedup_cluster_histogram",
+    "dedup_verbatim_spans",
+    "curate_mixture_waterfill",
 ]
 
 

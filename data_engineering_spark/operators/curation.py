@@ -40,6 +40,7 @@ __all__ = [
     "ngram_decontaminate",
     "mixture_weights",
     "mixture_temperature",
+    "mixture_waterfill",
     "prefix_sum",
     "shard_shuffle",
     "token_budget_select",
@@ -623,6 +624,97 @@ def mixture_temperature(
             F.round(p, 6).alias("temp_weight"),
             F.round(p / share, 6).alias("boost"),
         )
+    )
+
+
+def mixture_waterfill(
+    df: DataFrame,
+    budget_num: int = 3,
+    budget_den: int = 5,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    rounds: int = 3,
+    weighting: str = "inverse",
+) -> DataFrame:
+    """Budget allocation across domains under availability caps — the
+    WATERFILL step between "what mixture do I want" (mixture_weights /
+    mixture_temperature) and "freeze the dataset" (token_budget_select):
+    split a total token budget (``budget_num/budget_den`` of the corpus)
+    across strata by weight, cap each stratum at the tokens it actually
+    HAS, and redistribute the overflow across the uncapped strata —
+    repeated for ``rounds`` passes (a fixed unroll, like pagerank/BPE,
+    so a SQL twin replays it CTE-for-CTE; each pass either settles a cap
+    or changes nothing, so |strata| passes is exact convergence and 3
+    covers real mixtures). Emits per stratum the availability, weight,
+    allocation, and whether its cap binds.
+
+    ``weighting="inverse"`` (default) sets w = 1e6 div n_docs — the
+    balance-toward-uniform upsampling where SMALL domains get large
+    weights, over-ask their availability, cap out, and spill their
+    overflow to the big domains: the configuration where redistribution
+    actually fires (proportional ``"docs"`` weighting rarely caps — a
+    domain's fair share of a sub-corpus budget rarely exceeds its own
+    tokens).
+
+    All arithmetic is exact int64. The proportional share
+    ``rem * w / pool`` would overflow int64 at corpus scale (rem ~2.5e13
+    tokens × w ~1e9 docs), so it is computed as the two-term exact
+    decomposition ``(rem div pool)*w + ((rem mod pool)*w) div pool`` —
+    every intermediate is ≤ rem + pool·w, safe while total docs stay
+    below ~3e9 per engine-portability note (and the first term alone is
+    ≤ rem). Floor-div leaves ≤|strata| tokens unallocated per pass —
+    deterministic, documented, and immaterial against a token budget.
+
+    Distributed shape: ONE partial-agg groupBy over the corpus produces
+    the ≤|strata|-row state, which rides to the driver (a bounded
+    collect in the codebook/offsets class — strata are languages or
+    source domains, thousands at most); the waterfill itself is pure
+    integer Python over those rows (a DataFrame formulation re-embeds
+    the whole lineage in every pass's 1-row aggregate — 27 Exchange
+    nodes for 3 passes when first written that way); the result returns
+    as a literal frame with zero lineage."""
+    if weighting not in ("inverse", "docs"):
+        raise ValueError(f"mixture_waterfill: unknown weighting {weighting!r}")
+    per = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("long").alias("avail"),
+    )
+    rows = per.collect()  # bounded by |strata|
+    state = sorted(
+        (
+            (
+                r[strata_col],
+                1_000_000 // r["n_docs"] if weighting == "inverse" else r["n_docs"],
+                int(r["avail"]),
+            )
+            for r in rows
+        ),
+        key=lambda t: t[0],
+    )
+    budget = sum(a for _, _, a in state) * int(budget_num) // int(budget_den)
+    alloc = {s: 0 for s, _, _ in state}
+    capped = {s: False for s, _, _ in state}
+    for _ in range(rounds):
+        rem = budget - sum(alloc.values())
+        pool = sum(w for s, w, _ in state if not capped[s])
+        if rem <= 0 or pool <= 0:
+            break
+        for s, w, avail in state:
+            if capped[s]:
+                continue
+            # exact two-term multiply-div — same overflow-safe form as
+            # the SQL twin: (rem div pool)*w + ((rem%pool)*w) div pool
+            share = (rem // pool) * w + ((rem % pool) * w) // pool
+            alloc[s] += min(share, avail - alloc[s])
+        for s, _, avail in state:
+            capped[s] = alloc[s] >= avail
+    out = [
+        (s, avail, w, alloc[s], capped[s]) for s, w, avail in state
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        f"{strata_col} string, avail_tokens long, weight_docs long, "
+        "alloc_tokens long, capped boolean",
     )
 
 

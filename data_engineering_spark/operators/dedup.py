@@ -61,6 +61,7 @@ __all__ = [
     "simhash_near_dedup",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_exact",
+    "verbatim_spans",
     "canonical_assignment",
 ]
 
@@ -931,6 +932,101 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def verbatim_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    min_span: int = 8,
+    min_df: int = 2,
+    gram_impl: str = "xxhash",
+) -> DataFrame:
+    """Cross-document VERBATIM SPAN extraction — the substring-level
+    dedup surface (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better"): find, per document, the maximal token
+    spans whose every ``gram``-token window also appears in ≥
+    ``min_df``-1 OTHER documents. Document-level dedup (exact/minhash)
+    misses these — two mostly-different pages sharing a 200-token
+    quoted passage keep both copies; this emits the exact positions to
+    cut. Emits (id, span_start, span_end, span_len), 1-based token
+    positions, spans ≥ ``min_span`` tokens.
+
+    Algorithm: positional ``gram``-token windows (zip-shift form —
+    transform+slice re-inlines the tokenizer per index, the O(n²)
+    CollapseProject trap ``shingles`` documents); a window is SHARED
+    when its gram's distinct-document frequency ≥ ``min_df``
+    (intra-document repeats do NOT count — this operator is strictly
+    cross-document); each shared window covers token interval
+    [s+1, min(s+gram, n)]; classic interval merge per document (order
+    by start, running max of covered end over preceding rows, new
+    island when start exceeds it, islands aggregated to spans). Docs
+    shorter than ``gram`` fold their whole token string as one window
+    (the corpus-wide fallback every gram operator here shares), so
+    short exact dups still yield their full-doc span.
+
+    Scale shape: THREE corpus-scaling exchanges — the distinct
+    (gram, doc) df agg with map-side combine, the shared-gram join
+    back (keyed on the gram; only the duplicated fraction survives),
+    and the per-document interval-merge window (keyed on the doc id,
+    state = one running max). Output is bounded by the duplicated
+    token mass, not the corpus. ``gram_impl="xxhash"`` (default) folds
+    positional 64-bit fingerprints instead of gram strings — the
+    production path (~1.5× less gram-stage CPU/GC); ``"portable"``
+    keeps strings so a SQL twin replays every stage (the registered
+    oracle query's mode; equal spans unless xxhash64 collides)."""
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    m = F.greatest(F.size(toks) - (gram - 1), F.lit(1))
+    if gram_impl == "portable":
+        acc = F.slice(toks, 1, m)
+        for j in range(1, gram):
+            acc = F.zip_with(
+                acc, F.slice(toks, j + 1, m), lambda a, b: F.concat_ws(" ", a, b)
+            )
+    else:
+        hs = F.transform(toks, lambda t: F.xxhash64(t))
+        acc = F.slice(hs, 1, m)
+        for j in range(1, gram):
+            acc = F.zip_with(acc, F.slice(hs, j + 1, m), lambda a, b: F.xxhash64(a, b))
+    starts = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.posexplode(acc).alias("s0", "g"),
+    )
+    gdf = (
+        starts.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+    )
+    shared = starts.join(
+        gdf.filter(F.col("gram_df") >= min_df).select("g"), "g"
+    ).select(id_col, "s0", "n_toks")
+    w = Window.partitionBy(id_col).orderBy("s0")
+    end = F.least(F.col("s0") + F.lit(gram), F.col("n_toks"))
+    run_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        shared.withColumn(
+            "new_island",
+            (F.col("s0") > F.coalesce(run_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn(
+            "island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        (F.min("s0") + 1).cast("long").alias("span_start"),
+        F.max(end).cast("long").alias("span_end"),
+    )
+    return spans.select(
+        id_col,
+        "span_start",
+        "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
+    ).filter(F.col("span_len") >= min_span)
 
 
 def canonical_assignment(

@@ -26,6 +26,7 @@ from .operators.curation import (
     hash_bucket,
     weighted_sample,
     mixture_temperature,
+    mixture_waterfill,
     mixture_weights,
     ngram_decontaminate,
     pack_concat,
@@ -438,6 +439,63 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-stable; the corpus sees one partial-agg groupBy, everything
     downstream is |strata|-row broadcasts."""
     return mixture_temperature(_docs(spark, sf_dir))
+
+
+def _waterfill_pass(k: int) -> str:
+    """One unrolled waterfill pass as DuckDB CTEs: pool/allocated
+    aggregate, the exact two-term proportional share, the availability
+    cap, and the refreshed capped flag (mirrors
+    operators/curation.py:mixture_waterfill round-for-round)."""
+    i, o = k - 1, k
+    return f"""p{o} AS (
+          SELECT CAST(sum(alloc) AS BIGINT) AS allocated,
+                 CAST(sum(CASE WHEN NOT capped THEN w ELSE 0 END) AS BIGINT) AS pool
+          FROM s{i}c
+        ), s{o} AS (
+          SELECT lang, w, avail, budget,
+                 alloc + CASE WHEN capped OR pool <= 0 OR (budget - allocated) <= 0
+                              THEN 0
+                              ELSE least(((budget - allocated) // pool) * w
+                                         + (((budget - allocated) % pool) * w) // pool,
+                                         avail - alloc) END AS alloc
+          FROM s{i}c, p{o}
+        ), s{o}c AS (
+          SELECT lang, w, avail, budget, alloc, alloc >= avail AS capped FROM s{o}
+        )"""
+
+
+@query(
+    "curate_mixture_waterfill",
+    f"""WITH per AS (
+          SELECT lang, CAST(1000000 // count(*) AS BIGINT) AS w,
+                 CAST(sum(len({_TOKS})) AS BIGINT) AS avail
+          FROM documents GROUP BY lang
+        ), tot AS (
+          SELECT CAST(sum(avail) * 3 // 5 AS BIGINT) AS budget FROM per
+        ), s0c AS (
+          SELECT lang, w, avail, budget,
+                 CAST(0 AS BIGINT) AS alloc, false AS capped
+          FROM per, tot
+        ), {_waterfill_pass(1)}, {_waterfill_pass(2)}, {_waterfill_pass(3)}
+        SELECT lang, avail AS avail_tokens, w AS weight_docs,
+               alloc AS alloc_tokens, capped
+        FROM s3c""",
+)
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waterfill budget allocation (operators/curation.py:
+    mixture_waterfill): split 3/5 of the corpus token budget across
+    languages by INVERSE document frequency (balance-toward-uniform
+    upsampling — small languages get big weights), cap each language at
+    the tokens it HAS, redistribute overflow across the uncapped — 3
+    unrolled passes the DuckDB twin replays CTE-for-CTE. On this corpus
+    the small languages genuinely cap out and spill to en, so the
+    redistribution arithmetic (not just the proportional split) is what
+    the hash proves. The step between choosing a mixture and freezing a
+    dataset: applying caps without redistribution silently under-fills
+    the budget. Exact int64 throughout, including the two-term
+    multiply-div that avoids rem·w overflow at corpus scale; ONE corpus
+    exchange, then |langs|-row algebra."""
+    return mixture_waterfill(_docs(spark, sf_dir))
 
 
 @query(

@@ -719,6 +719,59 @@ SELECT * FROM pairs WHERE shared_prints >= 8
 """
 
 
+@query(
+    "dedup_verbatim_spans",
+    r"""WITH t AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                CAST(i - 1 AS BIGINT) AS s0,
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                               toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS gr
+         FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)),
+       gdf AS (
+         SELECT gr, count(DISTINCT doc_id) AS gram_df FROM g GROUP BY gr),
+       sh AS (
+         SELECT g.doc_id, g.s0, g.n_toks
+         FROM g JOIN gdf USING (gr) WHERE gdf.gram_df >= 2),
+       m AS (
+         SELECT doc_id, s0, least(s0 + 8, n_toks) AS e,
+                max(least(s0 + 8, n_toks)) OVER (
+                    PARTITION BY doc_id ORDER BY s0
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+         FROM sh),
+       isl AS (
+         SELECT doc_id, s0, e,
+                sum(CASE WHEN s0 > coalesce(run_end, -1) THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY s0) AS island
+         FROM m),
+       sp AS (
+         SELECT doc_id, CAST(min(s0) + 1 AS BIGINT) AS span_start,
+                CAST(max(e) AS BIGINT) AS span_end
+         FROM isl GROUP BY doc_id, island)
+       SELECT doc_id, span_start, span_end,
+              span_end - span_start + 1 AS span_len
+       FROM sp WHERE span_end - span_start + 1 >= 8""",
+)
+def q_dedup_verbatim_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim span extraction (operators/dedup.py:
+    verbatim_spans) — substring-LEVEL dedup: per document, the maximal
+    token spans whose every 8-token window also appears in another
+    document, with exact 1-based cut positions. Document-level dedup
+    keeps both copies of two mostly-different pages sharing a long
+    quoted passage; this finds the passage itself (the Lee et al.
+    exact-substring result re-expressed as gram-df + per-doc interval
+    merge instead of a suffix array — three bounded exchanges, no
+    global sort). Oracle mode runs string grams so DuckDB replays
+    gram df, the shared join, the running-max interval merge, and the
+    island aggregation; the xxhash64 positional-fingerprint path is
+    the production default (agreement pytest)."""
+    from .operators.dedup import verbatim_spans
+
+    return verbatim_spans(_docs(spark, sf_dir), gram_impl="portable")
+
+
 @query("dedup_shared_passages", _PASSAGE_ORACLE)
 def q_dedup_shared_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-passage detection: explode winnowed fingerprints, self-join

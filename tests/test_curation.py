@@ -326,6 +326,33 @@ def test_prefix_sum_layout_independent(spark):
     assert outs[0] == outs[1] == outs[2]
 
 
+def test_mixture_waterfill_caps_bind_and_overflow_redistributes(spark):
+    """A tiny domain must cap at its availability and its overflow must
+    flow to the uncapped domains; total allocation must reach the budget
+    up to the documented floor-div slack (≤ |strata| per pass); no
+    domain may exceed what it has."""
+    from data_engineering_spark.operators.curation import mixture_waterfill
+
+    # 'small': 2 docs × 2 tokens = 4 tokens available but HUGE inverse
+    # weight; 'big': 20 docs × 10 tokens = 200 tokens
+    rows = [(i, "small", "a b") for i in range(2)]
+    rows += [(100 + i, "big", "t u v w x y z q r s") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.lang: r for r in mixture_waterfill(df).collect()}
+    budget = (4 + 200) * 3 // 5  # 122
+    assert out["small"].capped and out["small"].alloc_tokens == 4
+    assert not out["big"].capped
+    total_alloc = out["small"].alloc_tokens + out["big"].alloc_tokens
+    assert total_alloc <= budget
+    assert budget - total_alloc <= 2 * 3  # floor slack: ≤|strata| per pass
+    assert out["big"].alloc_tokens <= 200
+    # without redistribution big's share would be its weight fraction of
+    # the ORIGINAL budget; with small capped, big absorbs the overflow
+    w_small, w_big = 1_000_000 // 2, 1_000_000 // 20
+    naive_big = budget * w_big // (w_small + w_big)
+    assert out["big"].alloc_tokens > naive_big
+
+
 def test_prefix_sum_reliable_checkpoint_identical(spark, tmp_path):
     """reliable_checkpoints=True pins the range partitioning in cluster
     checkpoint() storage (executor-loss survives with the SAME partition

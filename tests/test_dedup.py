@@ -169,6 +169,47 @@ def test_ngram_jaccard_portable_agrees_with_hashed(spark, sf_dir):
     assert hashed == portable
 
 
+def test_verbatim_spans_planted_positions(spark):
+    """The extracted span must be the EXACT maximal shared region: two
+    docs share a 10-token passage at different offsets; unique prefixes
+    /suffixes must stay outside the span, intra-document repetition
+    alone must NOT create a span (strictly cross-document), and a short
+    exact dup yields its whole-doc span via the fallback gram."""
+    from data_engineering_spark.operators.dedup import verbatim_spans
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, "one two three " + passage + " four five"),          # span at 4..13
+        (2, passage + " six seven eight nine ten eleven"),       # span at 1..10
+        (3, "rep rep rep rep rep rep rep rep rep rep"),          # intra-doc only
+        (4, "tiny shared doc"),                                  # short dup pair
+        (5, "tiny shared doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in verbatim_spans(df, min_span=3).collect()
+    }
+    assert spans[1] == (4, 13)
+    assert spans[2] == (1, 10)
+    assert 3 not in spans  # intra-doc repeats are not cross-document
+    assert spans[4] == (1, 3) and spans[5] == (1, 3)  # whole-doc fallback
+
+
+def test_verbatim_spans_hash_impl_agrees_with_portable(spark, sf_dir):
+    """The xxhash64 positional-fingerprint production path and the
+    string-gram oracle mode must emit identical span sets (equal grams →
+    equal fingerprints; a divergence means a fold bug, not a collision,
+    at these corpus sizes)."""
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.dedup import verbatim_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = sorted(map(tuple, verbatim_spans(docs).collect()))
+    portable = sorted(map(tuple, verbatim_spans(docs, gram_impl="portable").collect()))
+    assert hashed == portable
+
+
 def test_threshold_sweep_blocked_vs_exact(spark, sf_dir):
     """Recall gate for the dedup_threshold_sweep re-base: the blocked
     candidate stream (rarest-4-gram blocking, what the production sweep

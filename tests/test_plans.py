@@ -319,6 +319,12 @@ def test_shuffle_budgets(spark, sf_dir):
         "nlp_bpe_fertility": 1,
         # keep_best's fingerprint exchange + the <=|sizes|-row histogram
         "dedup_cluster_histogram": 2,
+        # (gram, doc)-distinct df agg, shared-gram join back, per-doc
+        # interval-merge window, island agg
+        "dedup_verbatim_spans": 6,
+        # state computed eagerly at build (one corpus exchange); the
+        # returned frame is a |langs|-row driver literal
+        "curate_mixture_waterfill": 0,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
