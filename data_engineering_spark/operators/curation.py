@@ -648,13 +648,19 @@ def mixture_waterfill(
     covers real mixtures). Emits per stratum the availability, weight,
     allocation, and whether its cap binds.
 
-    ``weighting="inverse"`` (default) sets w = 1e6 div n_docs — the
-    balance-toward-uniform upsampling where SMALL domains get large
+    ``weighting="inverse"`` (default) sets w = max(1, 1e6 div n_docs) —
+    the balance-toward-uniform upsampling where SMALL domains get large
     weights, over-ask their availability, cap out, and spill their
     overflow to the big domains: the configuration where redistribution
     actually fires (proportional ``"docs"`` weighting rarely caps — a
     domain's fair share of a sub-corpus budget rarely exceeds its own
-    tokens).
+    tokens). The max(1, ·) clamp matters at corpus scale: every domain
+    with ≥ 1e6 documents weighs exactly 1 — uniform among the big
+    domains, which IS the balance-toward-uniform limit — and it bounds
+    the share arithmetic (pool ≤ |strata|·1e6, so the two-term product
+    stays ≤ |strata|·1e12 ≪ int64 even with millions of strata);
+    without it a 100 TB language floors to weight 0 and silently
+    receives nothing.
 
     All arithmetic is exact int64. The proportional share
     ``rem * w / pool`` would overflow int64 at corpus scale (rem ~2.5e13
@@ -684,7 +690,7 @@ def mixture_waterfill(
         (
             (
                 r[strata_col],
-                1_000_000 // r["n_docs"] if weighting == "inverse" else r["n_docs"],
+                max(1, 1_000_000 // r["n_docs"]) if weighting == "inverse" else r["n_docs"],
                 int(r["avail"]),
             )
             for r in rows

@@ -467,7 +467,7 @@ def _waterfill_pass(k: int) -> str:
 @query(
     "curate_mixture_waterfill",
     f"""WITH per AS (
-          SELECT lang, CAST(1000000 // count(*) AS BIGINT) AS w,
+          SELECT lang, CAST(greatest(1, 1000000 // count(*)) AS BIGINT) AS w,
                  CAST(sum(len({_TOKS})) AS BIGINT) AS avail
           FROM documents GROUP BY lang
         ), tot AS (
