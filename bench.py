@@ -317,7 +317,7 @@ def main() -> None:
     # deltas. Excluded from every total.
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    def _canaries() -> dict[str, float]:
+    def _canaries() -> dict[str, float | None]:
         probes = {
             # ~50M xxhash64 inside one whole-stage-codegen span; bit_xor
             # aggregates without the int64 overflow ANSI sum() raises on
@@ -328,13 +328,15 @@ def main() -> None:
             .groupBy((F.col("id") % 1000).alias("k"))
             .agg(F.count(F.lit(1)).alias("n")),
             # fixed-bytes parquet scan: sf0.001 lineitem, SF-independent
+            # (derived from the bench SF dir's root, not hardcoded, so
+            # the canary travels to any box's testdata layout)
             "canary_scan": lambda: load_table(
-                spark, "/root/testdata/sf0.001", "lineitem"
+                spark, os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001"), "lineitem"
             ).select(
                 F.expr("bit_xor(xxhash64(l_orderkey, l_extendedprice))").alias("s")
             ),
         }
-        out: dict[str, float] = {}
+        out: dict[str, float | None] = {}
         for label, mk in probes.items():
             try:
                 mk().write.format("noop").mode("overwrite").save()  # warm
@@ -344,8 +346,10 @@ def main() -> None:
                     mk().write.format("noop").mode("overwrite").save()
                     best = min(best, time.time() - t0)
                 out[label] = round(best, 3)
-            except Exception:  # noqa: BLE001 — calibration is best-effort
-                pass
+            except Exception:  # noqa: BLE001 — calibration is best-effort,
+                # but a silently MISSING canary is indistinguishable from a
+                # never-run one; record the skip explicitly
+                out[label] = None
         return out
 
     canaries = _canaries()

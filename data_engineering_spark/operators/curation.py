@@ -695,7 +695,9 @@ def mixture_waterfill(
             )
             for r in rows
         ),
-        key=lambda t: t[0],
+        # None-safe: a NULL stratum is a legal group (the DuckDB twin
+        # groups it); sorting None against str raises TypeError
+        key=lambda t: (t[0] is None, t[0] or ""),
     )
     budget = sum(a for _, _, a in state) * int(budget_num) // int(budget_den)
     alloc = {s: 0 for s, _, _ in state}
@@ -759,7 +761,11 @@ def prefix_sum(
     default). For long cluster jobs pass ``reliable_checkpoints=True``
     to write the pinned partitioning to the cluster checkpoint dir
     (``sparkContext.setCheckpointDir``) instead, which survives
-    executor loss with the SAME partition ids.
+    executor loss with the SAME partition ids. Checkpoint files are
+    only cleaned up when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set by
+    :func:`~data_engineering_spark.session.get_spark`; create-time-only
+    on other sessions).
     """
     from pyspark.sql import types as T
 

@@ -44,7 +44,13 @@ def pagerank_integer(
     ``reliable_checkpoints=True`` swaps the executor-local
     ``localCheckpoint`` for cluster-dir ``checkpoint()`` so losing an
     executor mid-iteration replays from stable storage instead of
-    failing the job. Overflow headroom: the binding constraint is the
+    failing the job. Each round writes a NEW checkpoint and Spark only
+    deletes the superseded one when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set by
+    :func:`~data_engineering_spark.session.get_spark`; set it yourself
+    on an externally-built session — it is create-time-only) — without
+    it a long run accumulates one full score-table copy per iteration
+    in the checkpoint dir. Overflow headroom: the binding constraint is the
     damping multiply BEFORE the div — ``damping_pct · inflow`` must fit
     int64, and ``inflow < indeg · max_score`` where per-node scores can
     exceed S after a few rounds (hub nodes accumulate mass). At S=1e9

@@ -133,13 +133,15 @@ def micro_ratio(numer: Column, denom: Column) -> Column:
     shortest-decimal repr and exact binary value straddle a rounding
     boundary, and at 1e9+ rows a within-ulp boundary hit is an expected
     event. Requires 0 ≤ numer and 0 < denom with
-    ``2e6*numer + denom < 2^53`` (all corpus ratios qualify)."""
+    ``2e6*numer + denom < 2^63`` — the full int64 range, and the
+    multiply fails LOUDLY under ANSI beyond it. (An earlier version
+    floor-divided via double, ``(a - a%b)/b``, which silently loses
+    ulps once ``a ≥ 2^53`` — docs over ~11M tokens would produce a key
+    off by 1 micro from the oracle's true integer ``//`` with no error
+    raised; Spark's integral ``div`` has no such window.)"""
     a = F.lit(2000000).cast("long") * numer.cast("long") + denom.cast("long")
     b = F.lit(2).cast("long") * denom.cast("long")
-    # exact int64 floor-div without a named-column expr: a and b are
-    # positive, (a - a%b) is an exact multiple of b, and the double
-    # quotient is an integer ≤ ~1e6 — exactly representable
-    return ((a - a % b) / b).cast("long")
+    return F.call_function("div", a, b).cast("long")
 
 
 def quality_micro(text_col: str = "text") -> Column:

@@ -516,8 +516,9 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM q
         ), c AS (
           SELECT doc_id, quality_micro, n_tokens,
-                 SUM(CAST(n_tokens AS BIGINT))
-                     OVER (ORDER BY quality_micro DESC, doc_id) AS cum_tokens
+                 CAST(SUM(CAST(n_tokens AS BIGINT))
+                          OVER (ORDER BY quality_micro DESC, doc_id)
+                      AS BIGINT) AS cum_tokens
           FROM m
         )
         SELECT doc_id, quality_micro, n_tokens, cum_tokens
@@ -531,6 +532,11 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank and hash identical integers — the double ``round(…, 6)`` key
     this replaces was the round-8 driver red row (JVM vs exact-binary
     rounding flipped a boundary micro and reordered the greedy prefix).
+    The round-9 red had a second, oracle-side cause: DuckDB returns
+    integer window SUMs as HUGEINT (int128), which pandas materializes
+    as float64, so the driver's stringify-then-hash canonicalization
+    compared ``"14997.0"`` against Spark's int64 ``"14997"``. The
+    oracle therefore CASTs the window sum back to BIGINT.
     The oracle's global ordered window is exactly what the production
     path must NOT do (it single-partitions the corpus); the Spark side
     runs the distributed prefix sum instead (range-partition →

@@ -52,6 +52,12 @@ def get_spark(app_name: str = "data-engineering-spark", cpus: int | None = None)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # iterative ops (pagerank_integer, prefix_sum, canonical
+        # assignment) write one cluster checkpoint per round under
+        # reliable_checkpoints=True; without this cleaner flag Spark
+        # never removes superseded rounds and a long run accumulates one
+        # full score-table copy per iteration in the checkpoint dir
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     spark = builder.getOrCreate()
     prepare_session(spark)

@@ -655,3 +655,41 @@ def test_pipeline_and_quality_oracles_total_on_short_docs(spark, tmp_path):
         for r in QUERIES["corpus_pipeline_e2e"](spark, str(tmp_path)).collect()
     )
     assert 11 in ids and 13 not in ids
+
+
+def test_micro_ratio_exact_above_2pow53(spark):
+    """ADVICE r9 (medium): the old floor-div-via-double micro_ratio was
+    exact only while 2e6*numer + denom < 2^53 — a doc over ~11M tokens
+    silently produced a key 1 micro off the oracle's true integer ``//``.
+    The helper now routes through Spark's integral ``div``, exact to the
+    int64 bound; pin it on values straddling and far beyond 2^53."""
+    from data_engineering_spark.operators.text import micro_ratio
+
+    cases = [
+        (7, 3),
+        (2**53 // 2000000 + 17, 999_983),          # a just above 2^53
+        (2**60 // 2000000, 1_000_003),             # far above
+        ((2**63 - 1) // 2000000 - 1, 1),           # near the int64 ceiling
+    ]
+    df = spark.createDataFrame(cases, "numer long, denom long").select(
+        "numer", "denom", micro_ratio(F.col("numer"), F.col("denom")).alias("m")
+    )
+    for r in df.collect():
+        assert r.m == (2_000_000 * r.numer + r.denom) // (2 * r.denom), r
+
+
+def test_mixture_waterfill_null_stratum_allocates(spark):
+    """ADVICE r9 (low): a NULL stratum is a legal group — the DuckDB twin
+    groups it — so waterfill must allocate for it, not TypeError on the
+    None-vs-str sort."""
+    from data_engineering_spark.operators.curation import mixture_waterfill
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "e f g h", None), (3, "i j", "ko")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in mixture_waterfill(df).collect()}
+    assert set(out) == {"en", None, "ko"}
+    assert out[None].avail_tokens == 4 and out[None].alloc_tokens >= 0
+    # budget 3/5 of 10 tokens = 6, fully allocated across the strata
+    assert sum(r.alloc_tokens for r in out.values()) == 6

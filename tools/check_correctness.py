@@ -4,15 +4,27 @@ column value comparison). Usage:
 
     python tools/check_correctness.py [--exact] [name ...]
 
-``--exact`` compares float columns bit-exactly (NaN==NaN) instead of
-``allclose(atol=1e-9)`` — the round driver hashes exact values, so local
-green under tolerance is NOT driver green for any query whose output
-schema contains doubles. Exact mode is the round-end gate; the tolerant
-default remains useful only while iterating on a known-inexact oracle.
+``--exact`` is DRIVER-FAITHFUL: it compares ``canon(df).astype(str)``
+frames — the stringify-then-hash operation the round driver performs
+(``tests/test_driver_canon.py``) — after normalizing datetime columns to
+ISO strings on both sides (the driver canonicalizes datetimes; five
+queries have known-benign datetime64-vs-object splits that are
+historically driver-green). Under string compare, a DTYPE divergence
+that changes the string form (int64 ``14997`` vs float64 ``14997.0``,
+the round-8/9 ``curate_token_budget`` red) fails here exactly as it
+fails in the driver — numeric-equality compares cannot see it. Exact
+mode is the round-end gate; the tolerant numeric default remains useful
+only while iterating on a known-inexact oracle.
+
+In BOTH modes an int-vs-float pandas dtype-kind mismatch per column is a
+loud failure: DuckDB returns integer window/aggregate SUMs as HUGEINT,
+which pandas materializes as float64 — an oracle defect class that must
+never pass locally again (fix: CAST the SQL back to BIGINT).
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import sys
 import time
@@ -36,6 +48,43 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _iso(v):
+    """One ISO-8601 string form for every date/datetime cell shape."""
+    if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+        return "NaT"
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).strftime("%Y-%m-%dT%H:%M:%S.%f")
+    return v
+
+
+def _is_datelike(s: pd.Series) -> bool:
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return True
+    if s.dtype == object:
+        nn = s.dropna()
+        return len(nn) > 0 and all(
+            isinstance(v, (_dt.date, _dt.datetime, pd.Timestamp)) for v in nn.head(20)
+        )
+    return False
+
+
+def normalize_datetimes(a: pd.Series, b: pd.Series):
+    """If EITHER side is date/datetime-typed, render BOTH as ISO strings.
+
+    The driver's canonicalizer is green on datetime64-vs-object splits
+    (m3_scd2 valid_from/to, cohort_week, the ts_* day columns), so the
+    local gate must not red them; it must only red splits that change
+    the stringified value itself.
+    """
+    if _is_datelike(a) or _is_datelike(b):
+        return a.map(_iso).astype(str), b.map(_iso).astype(str), True
+    return a, b, False
+
+
 def compare(
     name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame, exact: bool = False
 ) -> str:
@@ -47,12 +96,24 @@ def compare(
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
-            if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            av, bv, datelike = normalize_datetimes(av, bv)
+            # int-vs-float dtype divergence fails loudly in EVERY mode:
+            # the string forms differ ("14997" vs "14997.0") so the
+            # driver hash MUST red it even when values are numerically
+            # equal — the exact defect that hid for two rounds.
+            ak, bk = av.dtype.kind, bv.dtype.kind
+            if {ak, bk} & set("iu") and "f" in {ak, bk}:
+                return f"DTYPE col={c}: {av.dtype} vs {bv.dtype} (int-vs-float strings differ)"
+            if exact or datelike:
+                sa, sb = av.astype(str), bv.astype(str)
+                if not sa.equals(sb):
+                    i = (sa != sb).idxmax()
+                    return f"VALUES col={c} row{i}: {av[i]!r} vs {bv[i]!r}"
+            elif pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 import numpy as np
 
-                atol = 0.0 if exact else 1e-9
                 if not np.allclose(
-                    av.astype(float).fillna(-1e308), bv.astype(float).fillna(-1e308), rtol=0, atol=atol
+                    av.astype(float).fillna(-1e308), bv.astype(float).fillna(-1e308), rtol=0, atol=1e-9
                 ):
                     bad = (av.astype(float).fillna(-1e308) - bv.astype(float).fillna(-1e308)).abs().idxmax()
                     return f"VALUES col={c} e.g. {av[bad]!r} vs {bv[bad]!r}"
