@@ -39,94 +39,90 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # verification-scheduling decision. Priority window (exactly 50, all
 # oracle-backed — finalize_order raises on rows-only entries here).
 #
-# ROUND-9 WINDOW. Round-8 sweep state: 49/50 green; the one red row was
-# curate_token_budget (float round() boundary drift between engines —
-# fixed this round with an exact-integer quality_micro ranking key, so
-# its shape CHANGED and it re-proves first). Latest-green by round:
-# r8=49, r6=47, r5=45, r4=47, never=4. Window priority, by the standing
+# ROUND-10 WINDOW. Round-9 sweep state: 49/50 green; the one red row was
+# curate_token_budget — root-caused this round to an ORACLE dtype defect
+# (DuckDB window SUM returns HUGEINT, pandas materializes it float64, the
+# driver hashed "14997.0" vs Spark's "14997"); the oracle now CASTs back
+# to BIGINT, so the row re-proves first. Latest-green by round: r9=50,
+# r8=45, r6=47, r5=43, r4=11, never=1. Window priority, by the standing
 # rule (never-proven outranks re-proofs, changed shapes count as
 # unproven):
-#   1. Changed shapes + never-proven leads: curate_token_budget
-#      (integer fixed-point re-rank, the r8 red row),
-#      dedup_threshold_sweep (re-based from the quadratic exact-pair
-#      join onto the blocked candidate stream with integer banding),
-#      search_suggest / sim_knn_classify (r8 additions never swept),
-#      and the four round-9 additions nlp_bpe_merges_batched /
-#      nlp_bpe_apply / nlp_bpe_fertility / dedup_cluster_histogram
-#      (batched BPE trainer + learn->apply->measure chain; dedup
-#      operating report).
-#   2. The round-9 float-audit SHAPE CHANGES (quality family re-keyed
-#      on exact integer micros — text_quality, corpus_prepare,
-#      dedup_keep_best, curate_quality_repetition, corpus_pipeline_e2e;
-#      each re-proven locally at both SFs post-change).
-#   3. 35 rows of the 47-query r4-green frontier, in their registration
-#      order — last driver-proven in round 4, displaced from the r8
-#      window by the round-7/8 addition backlog
-#      (curate_quality_repetition rides in tier 2 instead).
-# ROUND-10 ROTATION NOTE: lead with any round-10 additions/changes,
-# then the 11 frontier rows that did not fit this round
-# (curate_decontaminate, curate_mixture_weights, curate_pack_concat,
-# curate_chunk_sliding, curate_unigram_nll, nlp_embed_text,
-# nlp_tokenize_pandas, st_interval_join, lake_time_travel,
-# lake_delete_scan, lake_zorder_scan), then the r5
-# cohort (45 rows, see ROADMAP); the r6/r8/r9 greens rotate after.
-# Exactly 50; rows-only queries sink behind the window so no sweep slot
-# records a weak no_oracle row.
+#   1. Round-10 additions + changed shapes: nlp_bpe_vocab_16x64 (the
+#      real-vocab BPE trainer, new), curate_token_budget (oracle cast
+#      fix — the never-green row), and the six micro_ratio consumers
+#      (the helper now floor-divides via Spark's integral `div` instead
+#      of the exact-below-2^53 double trick — same values on every
+#      current corpus, but the expression changed, so the quality
+#      family re-proves: text_quality, corpus_prepare, dedup_keep_best,
+#      dedup_cluster_histogram, curate_quality_repetition,
+#      corpus_pipeline_e2e).
+#   2. The 11 r4-frontier rows that did not fit round 9's window
+#      (last driver-proven in round 4).
+#   3. 31 rows of the 43-query r5 cohort, in registration order.
+# ROUND-11 ROTATION NOTE: lead with any round-11 additions/changes,
+# then the 12 r5-cohort rows that did not fit this round
+# (corpus_semantic_dedup, search_tfidf_rank, search_bm25_rank,
+# search_hybrid_rrf, sim_cosine_topk, sim_cosine_near_pairs,
+# dedup_embedding, sim_cosine_topk_fast, tpch_q2_min_cost_supplier,
+# tpch_q9_product_type_profit, tpch_q11_important_stock,
+# tpch_q16_parts_supplier_relationship), then the r6 cohort (47 rows);
+# the r8/r9/r10 greens rotate after. Exactly 50; rows-only queries sink
+# behind the window so no sweep slot records a weak no_oracle row.
 registry.finalize_order(
     [
+        # tier 1 — round-10 addition + changed shapes
+        "nlp_bpe_vocab_16x64",
         "curate_token_budget",
-        "dedup_threshold_sweep",
-        "search_suggest",
-        "sim_knn_classify",
-        "nlp_bpe_merges_batched",
-        "nlp_bpe_apply",
-        "nlp_bpe_fertility",
-        "dedup_cluster_histogram",
-        "dedup_verbatim_spans",
-        "curate_mixture_waterfill",
-        # float-audit shape changes (quality family re-keyed on exact
-        # integer micros; re-proven locally at both SFs post-change)
         "text_quality",
         "corpus_prepare",
         "dedup_keep_best",
+        "dedup_cluster_histogram",
         "curate_quality_repetition",
         "corpus_pipeline_e2e",
-        # r4 frontier, registration order (35 of 47)
-        "j6_asof_join",
-        "a5_last_wins_merge",
-        "w2_moving_avg",
-        "w3_lag_delta",
-        "f10_timestamp_rebuild",
-        "f17_json_extract",
-        "s2_dialect_sql_etl",
-        "tpch_q18_large_orders",
-        "tpch_q19_disjunctive_revenue",
-        "tpch_q15_top_supplier",
-        "tpch_q20_part_suppliers",
-        "a15_percentiles",
-        "j7_cross_join",
-        "a16_nested_doc_assembly",
-        "a14_grouping_sets",
-        "explode_top_tokens",
-        "tpch_q7_volume_shipping",
-        "tpch_q8_market_share",
-        "tpch_q12_late_shipments",
-        "tpch_q13_order_distribution",
-        "tpch_q17_small_quantity_revenue",
-        "tpch_q21_waiting_suppliers",
-        "tpch_q22_global_sales_opportunity",
-        "m1_merge_upsert",
-        "m2_cdc_apply",
-        "m3_scd2_dimension",
-        "prof_orders_profile",
-        "dq_expectations",
-        "skew_top_keys",
-        "j8_range_join",
-        "j9_salted_join",
-        "j10_fuzzy_join",
-        "mv_incremental_refresh",
-        "curate_pii_redact",
-        "curate_sample_stratified",
+        # tier 2 — the 11 r4-frontier rows
+        "curate_decontaminate",
+        "curate_mixture_weights",
+        "curate_pack_concat",
+        "curate_chunk_sliding",
+        "curate_unigram_nll",
+        "nlp_embed_text",
+        "nlp_tokenize_pandas",
+        "st_interval_join",
+        "lake_time_travel",
+        "lake_delete_scan",
+        "lake_zorder_scan",
+        # tier 3 — r5 cohort, registration order (31 of 43)
+        "flagship_serving_index",
+        "p11_fulltext_search",
+        "w1_rank_in_group",
+        "w4_distribution_ranks",
+        "f_scalar_pack",
+        "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q10_returned_items",
+        "curate_split_train_val",
+        "curate_sample_weighted",
+        "nlp_tfidf_keywords",
+        "nlp_keyword_extract",
+        "nlp_split_sentences",
+        "st_tumbling_counts",
+        "st_sliding_value_sum",
+        "st_session_windows",
+        "mm_media_metadata",
+        "mm_sample_frames",
+        "mm_audio_features",
+        "nl_query_template",
+        "cohort_retention",
+        "ts_gap_fill",
+        "events_transition_matrix",
+        "text_stats",
+        "text_token_count",
+        "text_fingerprint",
+        "text_lang_id",
+        "dedup_exact",
+        "dedup_ngram_exact",
+        "dedup_cluster_components",
     ]
 )
 

@@ -159,6 +159,8 @@ HEADLINE = [
     "dedup_cluster_histogram",
     "dedup_verbatim_spans",
     "curate_mixture_waterfill",
+    # round-10 additions
+    "nlp_bpe_vocab_16x64",
 ]
 
 
@@ -193,6 +195,10 @@ VERIFICATION_VARIANTS = {
     # 4-batch stateless alerting replay — the production surface is the
     # foreachBatch sink
     "st_percolate",
+    # real-vocab BPE demonstration (16 passes × 64 merges): the ~40 s
+    # run cost IS the measured trainer economics, not a serving-path
+    # latency — totaled outside production
+    "nlp_bpe_vocab_16x64",
 }
 
 

@@ -1916,6 +1916,56 @@ def _bpe_count_cte(src: str) -> str:
     )
 
 
+# One pass's k merges applied sequentially in rank order: each list
+# element is "a<TAB>b" (tab can never appear in a token — the
+# segmentation collapsed all whitespace), and the reduce derives the
+# double-space pattern / underscore replacement from it per step. This
+# replaces the k-nested-replace form, whose expression tree blows
+# DuckDB's 1000-node logical-planner depth cap at real-vocab k.
+_BPE_REDUCE_LAMBDA = (
+    "(acc, x) -> replace(acc, ' ' || replace(x, chr(9), '  ') || ' ',"
+    " ' ' || replace(x, chr(9), '_') || ' ')"
+)
+
+
+def _bpe_batched_oracle_sql(passes: int, k: int) -> str:
+    """Generate the unrolled DuckDB twin of ``phrase_merge_rounds_batched``
+    for any (passes, k): per pass, a pair-count CTE, a MATERIALIZED
+    top-k rank cut (materialized because the segmentation step and the
+    final union reference it — re-inlining would re-run the corpus
+    count), and a re-segmentation CTE applying the k merges via ONE
+    ``list_reduce`` over the rank-ordered merge list (constant
+    expression depth at any k; ``list_prepend`` seeds the fold with the
+    segmentation itself, and an empty/NULL merge list coalesces to []
+    so a dried-up pass is a no-op, exactly like the Spark trainer
+    applying only the merges it found). Hand-written 2×3 form above
+    verified equal to this generator's output before the generator
+    became the real-vocab path."""
+    parts = [f"WITH s0 AS (SELECT {_BPE_SEG0} AS seg FROM documents)"]
+    for p in range(1, passes + 1):
+        parts.append(f", p{p} AS ({_bpe_count_cte(f's{p-1}')})")
+        parts.append(
+            f", b{p} AS MATERIALIZED (SELECT a, b, c,"
+            f" row_number() OVER (ORDER BY c DESC, a, b) AS rk"
+            f" FROM p{p} QUALIFY rk <= {k})"
+        )
+        if p < passes:
+            parts.append(
+                f", s{p} AS (SELECT list_reduce(list_prepend(seg,"
+                f" coalesce((SELECT list(a || chr(9) || b ORDER BY rk)"
+                f" FROM b{p}), [])), {_BPE_REDUCE_LAMBDA}) AS seg"
+                f" FROM s{p-1})"
+            )
+    selects = [
+        f"SELECT CAST({p} AS INTEGER) AS pass_no,"
+        f" CAST(rk AS INTEGER) AS merge_rank,"
+        f" a AS left_tok, b AS right_tok, a || '_' || b AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{p}"
+        for p in range(1, passes + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
 @query(
     "nlp_bpe_merges_batched",
     f"""WITH s0 AS (SELECT {_BPE_SEG0} AS seg FROM documents),
@@ -1962,6 +2012,32 @@ def q_nlp_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return phrase_merge_rounds_batched(
         _t(spark, sf_dir, "documents"), passes=2, merges_per_pass=3
+    )
+
+
+@query("nlp_bpe_vocab_16x64", _bpe_batched_oracle_sql(passes=16, k=64))
+def q_nlp_bpe_vocab_16x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-vocab BPE induction, 16 count passes × 64 merges per pass =
+    1024 learned merges (operators/text.py:phrase_merge_rounds_batched)
+    — the r9 probe's production-vocab demonstration promoted to a
+    hash-oracled query. 1024 merges is the regime where the batched
+    economics actually bind: the r8 single-merge trainer would cost
+    1024 corpus count passes (~2.9 s/merge measured — a 32k vocab
+    ≈ 26 h); this shape costs 16 (~0.04 s/merge — 32k ≈ 21 min at
+    100×), and later passes genuinely compound (124 of the 1024 merges
+    build on earlier merged units at 100×). The DuckDB twin replays all
+    16 passes — counts, rank-64 cuts, chained re-segmentations —
+    bit-for-bit via the generated ``list_reduce`` form
+    (_bpe_batched_oracle_sql; the nested-replace form exceeds DuckDB's
+    planner depth cap at k=64). Cost shape measured at sf0.001/sf0.01:
+    ~41 s Spark-side at BOTH — per-pass plan-compile dominates below
+    ~1M docs, the corpus term takes over above (SCALE.md §6b-r10).
+    Verification-tier in the bench: the demonstration run's cost is the
+    trainer's point, not a serving-path latency."""
+    from .operators.text import phrase_merge_rounds_batched
+
+    return phrase_merge_rounds_batched(
+        _t(spark, sf_dir, "documents"), passes=16, merges_per_pass=64
     )
 
 

@@ -461,3 +461,23 @@ def test_bucketed_layout_queries_plan_zero_exchanges(spark, sf_dir):
             assert df.count() > 0
     # overrides cleaned up: plain reads come back
     assert QUERIES["tpch_q3_shipping_priority"](spark, sf_dir).count() > 0
+
+
+def test_bpe_realvocab_query_is_zero_shuffle_literal(spark, tmp_path):
+    """nlp_bpe_vocab_16x64's returned frame must be a driver literal
+    (budget 0, same contract as nlp_bpe_merges_batched): training runs
+    eagerly at build time, one corpus pass per batch. Asserted on a
+    corpus that fully merges after one pass so the 16-pass trainer
+    breaks early instead of costing the suite the 41 s real-vocab run."""
+    from data_engineering_spark.plans.explain import shuffle_count
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "en", "s"), (2, "a b", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    sf_dir = str(tmp_path / "tiny")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    out = QUERIES["nlp_bpe_vocab_16x64"](spark, sf_dir)
+    assert shuffle_count(out) == 0
+    rows = out.collect()
+    assert [(r.pass_no, r.merge_rank, r.merged) for r in rows] == [(1, 1, "a_b")]

@@ -642,3 +642,56 @@ def test_knn_vote_null_label_tie_sorts_last(spark):
     pred = knn_vote(topk, labels).collect()
     assert len(pred) == 1
     assert pred[0].pred_label == 7 and pred[0].n_votes == 2
+
+
+def test_bpe_realvocab_generator_agrees_with_handwritten_and_trainer(spark, tmp_path):
+    """The real-vocab oracle (_bpe_batched_oracle_sql, list_reduce form)
+    must (a) reproduce the hand-written 2×3 nlp_bpe_merges_batched
+    oracle exactly on real data, and (b) replay the Spark trainer
+    bit-for-bit at a config where passes DRY UP (totality: an empty
+    merge list coalesces to [] and the fold is a no-op, matching the
+    trainer's break). The registered 16×64 query rides this generator;
+    proving it at small configs pins the generation logic without the
+    41 s real-vocab run in the suite."""
+    import duckdb
+
+    from data_engineering_spark.operators.text import phrase_merge_rounds_batched
+    from data_engineering_spark.queries_extra import _bpe_batched_oracle_sql
+    from data_engineering_spark.registry import ORACLE
+
+    # (a) generator(2,3) == hand-written oracle on sf0.001 documents
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    key = ["pass_no", "merge_rank"]
+    hand = con.execute(ORACLE["nlp_bpe_merges_batched"]).fetchdf()
+    gen = con.execute(_bpe_batched_oracle_sql(passes=2, k=3)).fetchdf()
+    assert (
+        hand.sort_values(key).reset_index(drop=True).astype(str)
+        .equals(gen.sort_values(key).reset_index(drop=True).astype(str))
+    )
+
+    # (b) trainer == generator on a corpus that fully merges before the
+    # pass budget runs out (4 passes × 2 merges over ~3 distinct pairs)
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s"), (2, "a b", "en", "s"), (3, "b c", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    sf_dir = str(tmp_path / "dryup")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    got = (
+        phrase_merge_rounds_batched(docs, passes=4, merges_per_pass=2)
+        .toPandas().sort_values(key).reset_index(drop=True)
+    )
+    want = (
+        con2.execute(_bpe_batched_oracle_sql(passes=4, k=2)).fetchdf()
+        .sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.astype(str).equals(want[got.columns].astype(str)), (got, want)
