@@ -2197,11 +2197,13 @@ def q_nlp_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ta").cast("long").alias("tokens_after"),
         )
     )
-    # exact int64 `div` on the NAMED aggregate columns, not micro_ratio:
-    # micro_ratio's double-division trick is exact only below 2^53, i.e.
-    # ~4.5e9 saved tokens — per-LANGUAGE sums at corpus scale exceed
-    # that. Integer div holds to the int64 bound (~4.6e12 saved tokens
-    # per language, above a 100 TB corpus's ~2.5e12 ceiling).
+    # exact int64 `div` on the NAMED aggregate columns. This inline form
+    # predates the r10 micro_ratio fix: the helper ALSO routes through
+    # integral `div` now (exact to int64 — the old double-trick 2^53
+    # window is gone), so the two are equivalent; the inline expr stays
+    # only because swapping it would churn a driver-green shape for no
+    # value change — fold into micro_ratio(saved, tokens_before) the
+    # next time this query's shape changes anyway.
     return per.select(
         "lang",
         "n_docs",

@@ -79,6 +79,17 @@ def normalize_datetimes(a: pd.Series, b: pd.Series):
     (m3_scd2 valid_from/to, cohort_week, the ts_* day columns), so the
     local gate must not red them; it must only red splits that change
     the stringified value itself.
+
+    Known approximation (review finding, r10): a NULL datetime maps to
+    the sentinel "NaT" on BOTH sides, so a NaT-vs-None dtype divergence
+    would compare equal here. Registry audit (r10): exactly one oracle
+    emits a nullable datetime (`j6_asof_join.r_ts`) and BOTH sides
+    materialize it as datetime64/NaT — identical strings under any
+    model — so the driver's rendering of a None-vs-NaT split is
+    unobserved. If a future query emits an OBJECT-dtype nullable
+    datetime on one side only, verify the driver's behavior before
+    trusting local green — or COALESCE the SQL side to a sentinel date
+    so the question never arises.
     """
     if _is_datelike(a) or _is_datelike(b):
         return a.map(_iso).astype(str), b.map(_iso).astype(str), True
