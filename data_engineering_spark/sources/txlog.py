@@ -83,43 +83,83 @@ def _file_stats(path: str) -> dict[str, Any]:
 
     md = pq.ParquetFile(path).metadata
     stats: dict[str, dict[str, Any]] = {}
+    # A row group with DATA but no usable min/max for a column poisons
+    # that column's file-level bounds: keeping bounds gathered from the
+    # OTHER groups would under-cover the file and _maybe_skip could
+    # prune a file that holds matching rows (silent row loss — review
+    # finding r10). Only an all-null statless group is safe to ignore.
+    poisoned: set[str] = set()
+    pending_nulls: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             s = col.statistics
             name = col.path_in_schema
-            if s is None or not s.has_min_max or "." in name:
-                continue  # nested leaves / statless cols: no skipping
-            lo, hi = _jsonable(s.min), _jsonable(s.max)
+            if "." in name:
+                continue  # nested leaves: never tracked, never pruned on
+            lo = _jsonable(s.min) if s is not None and s.has_min_max else None
+            hi = _jsonable(s.max) if s is not None and s.has_min_max else None
             if lo is None or hi is None:
+                all_null = (
+                    s is not None
+                    and s.null_count is not None
+                    and s.null_count == g.num_rows
+                )
+                if all_null:
+                    pending_nulls[name] = pending_nulls.get(name, 0) + s.null_count
+                else:
+                    poisoned.add(name)
                 continue
-            cur = stats.setdefault(
-                name, {"min": lo, "max": hi, "nulls": 0}
-            )
+            cur = stats.setdefault(name, {"min": lo, "max": hi, "nulls": 0})
+            cur["nulls"] += pending_nulls.pop(name, 0)
             if type(lo) is type(cur["min"]):
                 cur["min"] = min(cur["min"], lo)
                 cur["max"] = max(cur["max"], hi)
             else:
                 # heterogeneous stat types across row groups: bounds can't
                 # be widened safely, so drop the column (never skip wrongly)
-                cur["drop"] = True
+                poisoned.add(name)
             cur["nulls"] += s.null_count or 0
-    stats = {k: v for k, v in stats.items() if not v.pop("drop", False)}
+    for name, n in pending_nulls.items():  # all-null-only columns
+        if name in stats:
+            stats[name]["nulls"] += n
+    stats = {k: v for k, v in stats.items() if k not in poisoned}
     return {"rows": md.num_rows, "columns": stats}
 
 
-def _maybe_skip(stats: dict[str, Any], filters: list[tuple[str, str, Any]]) -> bool:
+def _maybe_skip(
+    stats: dict[str, Any],
+    filters: list[tuple[str, str, Any]],
+    string_part_cols: set[str] | None = None,
+) -> bool:
     """True if the file provably contains no row matching ALL filters.
     Unknown columns / missing stats / type mismatches never skip —
     pruning is an optimization, correctness comes from the Spark
     filter applied on top. Partition values (exact, not min/max)
-    prune first; stat ranges second."""
+    prune first; stat ranges second.
+
+    Partition-value pruning compares STRINGS (the log stores the dir
+    segment), so it is only sound when the Spark filter on top also
+    compares strings — i.e. when the column's SCHEMA type is string
+    (``string_part_cols``, computed by the caller from the snapshot).
+    On a numeric partition column, Spark casts and compares typed
+    values ('10' > '9' true) while the string compare disagrees
+    ('10' <= '9'), and '1.50' = 1.5 matches typed but not as strings —
+    pruning there would silently drop matching files (review finding
+    r10). Callers that cannot supply the schema pass None and get NO
+    partition pruning (stat-range pruning is unaffected: footer stats
+    are typed)."""
     cols = stats.get("columns", {})
     part = stats.get("partition", {})
     for name, op, value in filters:
         pv = part.get(name)
-        if pv is not None and isinstance(value, str):
+        if (
+            pv is not None
+            and isinstance(value, str)
+            and string_part_cols is not None
+            and name in string_part_cols
+        ):
             # partition values are strings (dir-name encoding); string
             # compares are exact for =, lexicographic for ranges (ISO
             # dates / zero-padded keys — the standard partition shapes)
@@ -229,17 +269,39 @@ class LakeTable:
         snap.version = version
         return snap
 
+    @staticmethod
+    def _string_cols(snap: _Snapshot) -> set[str]:
+        """String-typed column names — the columns partition-value
+        pruning is sound for (see _maybe_skip)."""
+        if not snap.schema_json:
+            return set()
+        return {
+            f.name
+            for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
+            if isinstance(f.dataType, T.StringType)
+        }
+
     def _try_commit(self, version: int, actions: list[dict[str, Any]]) -> bool:
         os.makedirs(self.log_dir, exist_ok=True)
         payload = json.dumps({"version": version, "actions": actions}, indent=0)
+        # Atomic publish: write the full payload to a tmp file, then
+        # claim the version slot with hard-link (fails iff the slot is
+        # taken — same mutual exclusion as O_EXCL). Writing the payload
+        # AFTER winning an O_EXCL open left a window where a crash or
+        # ENOSPC mid-write bricked the log forever: a truncated N.json
+        # counts as latest_version but every snapshot read raises, and
+        # no retry can reclaim the slot (review finding r10).
+        tmp = os.path.join(self.log_dir, f".commit-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(
-                self._version_path(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
+            os.link(tmp, self._version_path(version))
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
+        finally:
+            os.unlink(tmp)
         if version > 0 and version % self.checkpoint_every == 0:
             snap = self._snapshot(version)
             cp = {"files": snap.files, "schema": snap.schema_json, "txns": snap.txns}
@@ -262,7 +324,13 @@ class LakeTable:
         file records its partition tuple in the add-action, the
         log-level replacement for Hive directory layout. Partition
         columns are not stored in the file bodies — ``_df_for``
-        re-attaches them as literals at read time."""
+        re-attaches them as literals at read time.
+
+        Hive-layout caveat (inherited from Spark itself): an EMPTY
+        STRING partition value is written to the same
+        ``__HIVE_DEFAULT_PARTITION__`` directory as null, so it is
+        stored — and re-attached at read time — as null. Don't
+        partition on a column that distinguishes '' from null."""
         from urllib.parse import unquote
 
         tmp = os.path.join(self.path, f"_staged-{uuid.uuid4().hex}")
@@ -303,9 +371,22 @@ class LakeTable:
         mode: str = "error",
         partition_by: list[str] | None = None,
     ) -> int:
+        if mode not in ("error", "overwrite", "ignore", "append"):
+            raise ValueError(
+                f"create: unknown mode {mode!r} "
+                "(error | overwrite | ignore | append)"
+            )
         if self.latest_version() >= 0:
+            # Spark DataFrameWriter semantics: 'ignore' is a no-op and
+            # 'append' appends — routing every non-error mode to a full
+            # overwrite silently destroyed existing tables for callers
+            # using the conventional modes (review finding r10).
             if mode == "error":
                 raise FileExistsError(f"table exists at {self.path}")
+            if mode == "ignore":
+                return self.latest_version()
+            if mode == "append":
+                return self.append(df, partition_by=partition_by)
             return self.overwrite(df, partition_by=partition_by)
         os.makedirs(self.path, exist_ok=True)
         actions = [{"meta": {"schema": df.schema.json()}}] + self._stage(
@@ -410,15 +491,32 @@ class LakeTable:
         whose partition tuple appears in ``df`` are removed, the new
         data lands partitioned, untouched partitions keep their files —
         and unlike directory-swap, readers see the swap as one commit
-        and old versions still time-travel. The distinct-tuple collect
-        is bounded by the number of partitions in the BATCH (a daily
-        load carries a handful of dates). A guard caps the collect at
-        ``MAX_PARTITIONS_PER_COMMIT`` tuples — a high-cardinality
-        ``partition_by`` (e.g. a raw id column) would otherwise collect
-        millions of tuples to the driver; fail loudly instead."""
+        and old versions still time-travel. The incoming partition set
+        is read off the staged add-actions (bounded by the partitions
+        in the BATCH — a daily load carries a handful of dates), so the
+        victim match uses Spark's own dir-name value rendering on both
+        sides. A guard caps it at ``MAX_PARTITIONS_PER_COMMIT`` tuples —
+        a high-cardinality ``partition_by`` (e.g. a raw id column) is
+        almost certainly a mis-chosen layout; fail loudly instead."""
+        # Stage FIRST and derive the incoming partition tuples from the
+        # staged add-actions: those carry Spark's own Hive dir-name
+        # rendering — the SAME representation the stored victims use. A
+        # separate collect rendered values with Python str(), which
+        # disagrees with Spark for booleans ('True' vs 'true') and
+        # scientific-notation floats ('1e-07' vs '1.0E-7'), so victims
+        # never matched and "replaced" partitions silently kept both old
+        # and new files (review finding r10). Bonus: one less corpus
+        # scan — staging was always needed anyway.
+        adds = self._stage(df, partition_by)
+        incoming = {
+            tuple(sorted(a["add"]["partition"].items()))
+            for a in adds
+            if a["add"].get("partition")
+        }
         cap = self.MAX_PARTITIONS_PER_COMMIT
-        rows = df.select(*partition_by).distinct().limit(cap + 1).collect()
-        if len(rows) > cap:
+        if len(incoming) > cap:
+            for a in adds:  # undo the stage before failing
+                os.remove(os.path.join(self.path, a["add"]["path"]))
             raise ValueError(
                 f"replace_partitions: batch carries more than {cap} distinct "
                 f"partition tuples for {partition_by} — this is almost "
@@ -426,19 +524,21 @@ class LakeTable:
                 "high for a partition layout); pick a coarser key or raise "
                 "MAX_PARTITIONS_PER_COMMIT explicitly"
             )
-        incoming = {
-            tuple(sorted((k, None if r[k] is None else str(r[k])) for k in partition_by))
-            for r in rows
-        }
         snap = self._snapshot()
+        # same schema discipline as append: new columns widen the logged
+        # schema, type changes are rejected — a drifted daily batch must
+        # not land files the enforced read schema contradicts
+        merged = self._merge_schema(snap, df)
         victims = [
             p
             for p, st in snap.files.items()
             if "partition" in st
             and tuple(sorted(st["partition"].items())) in incoming
         ]
-        actions = [{"remove": {"path": p}} for p in victims] + self._stage(
-            df, partition_by
+        actions = (
+            ([{"meta": {"schema": merged}}] if merged is not None else [])
+            + [{"remove": {"path": p}} for p in victims]
+            + adds
         )
         if not self._try_commit(snap.version + 1, actions):
             raise ConcurrentWriteError(
@@ -494,10 +594,13 @@ class LakeTable:
         from pyspark.sql import functions as F
 
         snap = self._snapshot()
+        scols = self._string_cols(snap)
         candidates = sorted(
             p
             for p in snap.files
-            if not (prune_filters and _maybe_skip(snap.files[p], prune_filters))
+            if not (
+                prune_filters and _maybe_skip(snap.files[p], prune_filters, scols)
+            )
         )
         if not candidates:
             return snap.version
@@ -654,7 +757,10 @@ class LakeTable:
         snap = self._snapshot(version)
         paths = sorted(snap.files)
         if filters:
-            paths = [p for p in paths if not _maybe_skip(snap.files[p], filters)]
+            scols = self._string_cols(snap)
+            paths = [
+                p for p in paths if not _maybe_skip(snap.files[p], filters, scols)
+            ]
         df = self._df_for(snap, paths)
         from pyspark.sql import functions as F
 
@@ -681,7 +787,10 @@ class LakeTable:
         """(kept, total) file counts for a filter — the data-skipping
         observability hook (and what the tests assert on)."""
         snap = self._snapshot(version)
-        kept = [p for p in snap.files if not _maybe_skip(snap.files[p], filters)]
+        scols = self._string_cols(snap)
+        kept = [
+            p for p in snap.files if not _maybe_skip(snap.files[p], filters, scols)
+        ]
         return len(kept), len(snap.files)
 
     def history(self) -> list[dict[str, Any]]:
@@ -710,6 +819,12 @@ class LakeTable:
         while no writer is mid-stage: staged-but-uncommitted dirs are
         treated as orphans (Delta has the same caveat, bounded there by
         the retention clock)."""
+        if retain_versions < 1:
+            # retain_versions=0 would build an empty keep-set and delete
+            # every LIVE file of the current version (review finding r10)
+            raise ValueError(
+                f"vacuum: retain_versions must be >= 1, got {retain_versions}"
+            )
         latest = self.latest_version()
         keep: set[str] = set()
         for v in range(max(0, latest - retain_versions + 1), latest + 1):

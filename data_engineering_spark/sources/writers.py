@@ -73,14 +73,17 @@ def partition_overwrite(
 
     ``count_rows=False`` skips the audit count and returns -1: the
     count re-executes ``df``'s plan, which callers writing expensive
-    derived frames (the incremental-dedup sink) must not pay twice."""
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(partition_col).parquet(table_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    derived frames (the incremental-dedup sink) must not pay twice.
+
+    The dynamic mode rides as a PER-WRITE option, never a session-conf
+    toggle: two concurrent writers toggling the shared conf can
+    interleave so one write executes in STATIC overwrite mode — which
+    truncates the entire table directory down to the batch's partitions
+    (review finding r10; the incremental-dedup sinks issue three such
+    writes per micro-batch, concurrently across streams)."""
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(partition_col).parquet(table_dir)
     return df.count() if count_rows else -1
 
 

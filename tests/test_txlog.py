@@ -369,3 +369,149 @@ def test_random_op_sequences_match_model_and_time_travel(spark, tmp_path):
         for v, m in by_version.items():
             got = {r.id: (r.val, r.day) for r in t.scan(version=v).collect()}
             assert got == m, (seed, v)
+
+
+# --------------------------------------------------------------- r10 review
+
+
+def test_replace_partitions_matches_bool_and_float_partition_values(spark, tmp_path):
+    """r10 review: victims were matched via Python str(value) against
+    Spark's Hive dir-name rendering, which disagree for booleans
+    ('True' vs 'true') and scientific-notation floats — so a 'replaced'
+    partition silently kept BOTH old and new files. The incoming set
+    now comes from the staged add-actions (same rendering as stored)."""
+    t = LakeTable(spark, str(tmp_path / "boolpart"))
+    df0 = spark.createDataFrame(
+        [(1, True, "old"), (2, False, "old")], "id long, flag boolean, tag string"
+    )
+    t.create(df0, partition_by=["flag"])
+    df1 = spark.createDataFrame([(3, True, "new")], "id long, flag boolean, tag string")
+    t.replace_partitions(df1, ["flag"])
+    rows = {(r.id, r.flag, r.tag) for r in t.scan().collect()}
+    # flag=True partition fully replaced; flag=False untouched
+    assert rows == {(3, True, "new"), (2, False, "old")}, rows
+
+
+def test_scan_filter_on_numeric_partition_column_loses_no_rows(spark, tmp_path):
+    """r10 review: partition-value pruning compared strings while the
+    Spark filter compares typed values — scan(('n', '>', '9')) pruned
+    the n=10 file lexicographically ('10' <= '9') and silently lost its
+    rows. Partition pruning now applies only to string-SCHEMA columns."""
+    t = LakeTable(spark, str(tmp_path / "intpart"))
+    df = spark.createDataFrame(
+        [(i, n) for n in (1, 9, 10) for i in range(3)], "id long, n int"
+    )
+    t.create(df, partition_by=["n"])
+    got = {r.n for r in t.scan(filters=[("n", ">", "9")]).collect()}
+    assert got == {10}, got
+    # equality with a non-canonical string form must not wrongly prune
+    kept, total = t.pruned_files([("n", "=", "09")])
+    assert kept == total  # no pruning claims on a non-string column
+    # string-typed partitions still prune exactly
+    t2 = LakeTable(spark, str(tmp_path / "strpart"))
+    t2.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string"),
+        partition_by=["k"],
+    )
+    kept2, total2 = t2.pruned_files([("k", "=", "a")])
+    assert kept2 < total2
+
+
+def test_create_modes_follow_dataframewriter_semantics(spark, tmp_path):
+    """r10 review: create(mode='ignore'/'append') routed to a FULL
+    overwrite, destroying the table for callers using Spark-conventional
+    modes. Now: ignore = no-op, append = append, unknown mode raises."""
+    t = LakeTable(spark, str(tmp_path / "modes"))
+    t.create(_r(spark, 0, 10).coalesce(1))
+    v = t.create(_r(spark, 10, 20, "b").coalesce(1), mode="ignore")
+    assert v == 0 and t.scan().count() == 10  # untouched
+    v = t.create(_r(spark, 10, 20, "b").coalesce(1), mode="append")
+    assert v == 1 and t.scan().count() == 20
+    with pytest.raises(ValueError, match="unknown mode"):
+        t.create(_r(spark, 0, 1).coalesce(1), mode="overwrte")
+    v = t.create(_r(spark, 0, 5, "c").coalesce(1), mode="overwrite")
+    assert v == 2 and t.scan().count() == 5
+
+
+def test_vacuum_rejects_zero_retention(spark, table):
+    """r10 review: vacuum(retain_versions=0) built an empty keep-set and
+    physically deleted every LIVE data file of the current version."""
+    with pytest.raises(ValueError, match="retain_versions"):
+        table.vacuum(retain_versions=0)
+    # the guard didn't break the normal path
+    table.overwrite(_r(spark, 0, 10, "b").coalesce(1))
+    removed = table.vacuum(retain_versions=1)
+    assert removed and table.scan().count() == 10
+
+
+def test_commit_loser_leaves_no_partial_or_tmp_files(spark, table):
+    """r10 review: the commit payload now publishes atomically (tmp +
+    hard link), so a lost race leaves neither a truncated version file
+    nor a stray tmp — and the winner's file is always complete JSON."""
+    import json
+
+    v = table.latest_version() + 1
+    assert table._try_commit(v, [{"txn": {"app": "x", "version": 1}}])
+    assert not table._try_commit(v, [{"txn": {"app": "y", "version": 1}}])
+    with open(table._version_path(v)) as fh:
+        payload = json.load(fh)  # complete, parseable
+    assert payload["version"] == v
+    stray = [f for f in os.listdir(table.log_dir) if f.startswith(".commit-")]
+    assert stray == []
+
+
+def test_replace_partitions_applies_append_schema_discipline(spark, tmp_path):
+    """r10 review: replace_partitions committed files without schema
+    merge or type check. New columns must widen the logged schema (old
+    files read them as null); type changes must be rejected."""
+    t = LakeTable(spark, str(tmp_path / "drift"))
+    t.create(
+        spark.createDataFrame([(1, "d1", 5)], "id long, day string, v long"),
+        partition_by=["day"],
+    )
+    widened = spark.createDataFrame(
+        [(2, "d2", 6, "x")], "id long, day string, v long, extra string"
+    )
+    t.replace_partitions(widened, ["day"])
+    rows = {(r.id, r.day, r.v, r.extra) for r in t.scan().collect()}
+    assert rows == {(1, "d1", 5, None), (2, "d2", 6, "x")}, rows
+    retyped = spark.createDataFrame([(3, "d3", 7.5)], "id long, day string, v double")
+    with pytest.raises(TypeError, match="changes type"):
+        t.replace_partitions(retyped, ["day"])
+
+
+def test_file_stats_statless_row_group_poisons_column_bounds(monkeypatch, spark):
+    """r10 review: a row group with DATA but no usable stats must drop
+    the column from file-level bounds (under-covered bounds let
+    _maybe_skip prune files that hold matching rows); an all-null
+    statless group is safe and only adds to the null count."""
+    from types import SimpleNamespace as NS
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_spark.sources import txlog
+
+    def fake_group(cols, rows):
+        return NS(
+            num_columns=len(cols),
+            num_rows=rows,
+            column=lambda ci, _c=cols: NS(
+                path_in_schema=_c[ci][0], statistics=_c[ci][1]
+            ),
+        )
+
+    st = lambda mn, mx, nulls=0: NS(  # noqa: E731
+        has_min_max=True, min=mn, max=mx, null_count=nulls
+    )
+    groups = [
+        fake_group([("s", st("a", "b")), ("ok", st(1, 5))], rows=10),
+        # s: statless group WITH data → poisoned; ok: all-null → kept
+        fake_group(
+            [("s", None), ("ok", NS(has_min_max=False, null_count=10))], rows=10
+        ),
+    ]
+    md = NS(num_row_groups=2, num_rows=20, row_group=lambda i: groups[i])
+    monkeypatch.setattr(pq, "ParquetFile", lambda path: NS(metadata=md))
+    stats = txlog._file_stats("ignored")["columns"]
+    assert "s" not in stats
+    assert stats["ok"] == {"min": 1, "max": 5, "nulls": 10}
