@@ -49,25 +49,32 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # unproven):
 #   1. Round-10 additions + changed shapes: nlp_bpe_vocab_16x64 (the
 #      real-vocab BPE trainer, new), curate_token_budget (oracle cast
-#      fix — the never-green row), and the six micro_ratio consumers
+#      fix — the never-green row), the six micro_ratio consumers
 #      (the helper now floor-divides via Spark's integral `div` instead
 #      of the exact-below-2^53 double trick — same values on every
 #      current corpus, but the expression changed, so the quality
 #      family re-proves: text_quality, corpus_prepare, dedup_keep_best,
 #      dedup_cluster_histogram, curate_quality_repetition,
-#      corpus_pipeline_e2e).
+#      corpus_pipeline_e2e), and the four exact-lattice admission
+#      conversions (FLOATS.md round-then-filter class closed:
+#      membership now integer arithmetic on the 1e-6 direction
+#      lattice — sim_cosine_near_pairs, dedup_embedding,
+#      corpus_semantic_dedup, st_streaming_embed_dedup).
 #   2. The 11 r4-frontier rows that did not fit round 9's window
 #      (last driver-proven in round 4).
-#   3. 31 rows of the 43-query r5 cohort, in registration order.
+#   3. 27 rows of the 43-query r5 cohort, in registration order.
 # ROUND-11 ROTATION NOTE: lead with any round-11 additions/changes,
-# then the 12 r5-cohort rows that did not fit this round
-# (corpus_semantic_dedup, search_tfidf_rank, search_bm25_rank,
-# search_hybrid_rrf, sim_cosine_topk, sim_cosine_near_pairs,
-# dedup_embedding, sim_cosine_topk_fast, tpch_q2_min_cost_supplier,
+# then the 13 r5-cohort rows that did not fit this round
+# (dedup_exact, dedup_ngram_exact, dedup_cluster_components,
+# search_tfidf_rank, search_bm25_rank, search_hybrid_rrf,
+# sim_cosine_topk, sim_cosine_topk_fast, tpch_q2_min_cost_supplier,
 # tpch_q9_product_type_profit, tpch_q11_important_stock,
-# tpch_q16_parts_supplier_relationship), then the r6 cohort (47 rows);
-# the r8/r9/r10 greens rotate after. Exactly 50; rows-only queries sink
-# behind the window so no sweep slot records a weak no_oracle row.
+# tpch_q16_parts_supplier_relationship, text_lang_id — note
+# corpus_semantic_dedup / sim_cosine_near_pairs / dedup_embedding
+# graduated into this round's tier 1 as changed shapes), then the r6
+# cohort (47 rows); the r8/r9/r10 greens rotate after. Exactly 50;
+# rows-only queries sink behind the window so no sweep slot records a
+# weak no_oracle row.
 registry.finalize_order(
     [
         # tier 1 — round-10 addition + changed shapes
@@ -79,6 +86,10 @@ registry.finalize_order(
         "dedup_cluster_histogram",
         "curate_quality_repetition",
         "corpus_pipeline_e2e",
+        "sim_cosine_near_pairs",
+        "dedup_embedding",
+        "corpus_semantic_dedup",
+        "st_streaming_embed_dedup",
         # tier 2 — the 11 r4-frontier rows
         "curate_decontaminate",
         "curate_mixture_weights",
@@ -91,7 +102,7 @@ registry.finalize_order(
         "lake_time_travel",
         "lake_delete_scan",
         "lake_zorder_scan",
-        # tier 3 — r5 cohort, registration order (31 of 43)
+        # tier 3 — r5 cohort, registration order (27 of 43)
         "flagship_serving_index",
         "p11_fulltext_search",
         "w1_rank_in_group",
@@ -119,10 +130,6 @@ registry.finalize_order(
         "text_stats",
         "text_token_count",
         "text_fingerprint",
-        "text_lang_id",
-        "dedup_exact",
-        "dedup_ngram_exact",
-        "dedup_cluster_components",
     ]
 )
 

@@ -33,6 +33,11 @@ __all__ = [
     "dot",
     "l2_norm",
     "cosine",
+    "int_dot",
+    "pair_dot_pandas_long",
+    "lattice_unit_prep",
+    "lattice_cosine_admit",
+    "lattice_sim",
     "cosine_topk",
     "cosine_topk_pandas",
     "knn_vote",
@@ -48,6 +53,19 @@ __all__ = [
     "kmeans_lattice_refine",
     "contrastive_batches",
 ]
+
+# The 1e-6 direction lattice (sim_kmeans_refine's grid): pair-ADMISSION
+# decisions quantize each vector's unit direction to integer micros and
+# compare cross-multiplied exact integers, so threshold membership is a
+# pure function of the data — no engine's dot-product accumulation order
+# or round() implementation can flip a pair in or out (the residual
+# round-then-filter class FLOATS.md scoped in round 10).
+LATTICE_SCALE = 1_000_000
+# ‖q‖² for a unit direction is ~LATTICE_SCALE² = 1e12; the 10× cap keeps
+# the decimal admission products strictly under 10^38 (d ≤ √(na·nb) by
+# Cauchy-Schwarz, so d²·1e12 < 1e13·1e13·1e12 = 1e38). Structural — a
+# breach means the input was not normalized, and the admit guard raises.
+_LATTICE_NN_CAP = 10**13
 
 
 def as_double(col: Column | str) -> Column:
@@ -93,6 +111,131 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact int64 dot product over lattice vectors — integer addition is
+    associative, so unlike the float folds there is no accumulation-order
+    caveat at all; any engine computing these products gets the same
+    integer."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pair_dot_pandas_long(a: Column, b: Column) -> Column:
+    """Arrow-batched int64 dot product per row pair — the vectorized twin
+    of ``int_dot`` for candidate-verify joins. Because the operands are
+    integers, the einsum result is EXACT and identical to the sequential
+    fold (no ulp class): the lattice makes the fast path the exact path.
+    int64 overflow is impossible under the ``_LATTICE_NN_CAP`` norm bound
+    (every partial sum is ≤ √(na·nb) < 1e13)."""
+
+    @F.pandas_udf("long")
+    def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if not len(va):
+            return pd.Series([], dtype="int64")
+        A = np.stack(va.to_numpy()).astype(np.int64, copy=False)
+        B = np.stack(vb.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _pair_dot(a, b)
+
+
+def lattice_unit_prep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    scale: int = LATTICE_SCALE,
+) -> DataFrame:
+    """``(out_id, qv, nn)``: quantize each vector's UNIT DIRECTION to the
+    1e-6 integer lattice (``qv[i] = round(xᵢ·scale / ‖x‖)`` as int64) and
+    attach the exact integer norm² ``nn = Σ qv[i]²``. Normalizing first
+    makes the admission-arithmetic overflow bound structural (nn ≈
+    scale², whatever the input magnitudes) and is semantics-free for
+    cosine, which only sees directions.
+
+    Cross-engine exactness of the quantization itself: ‖x‖ is the same
+    sequential square-fold + sqrt both engines run on identical doubles,
+    so ``xᵢ·scale/‖x‖`` is bit-identical; and ``round(double)`` at scale
+    0 cannot disagree between HALF_UP-on-decimal-string (Spark) and
+    half-away-on-binary (DuckDB) because every k+0.5 with k < 2^51 is
+    exactly representable — a double is either exactly on the boundary
+    (both round away from zero) or strictly off it (both round the same
+    way). Zero vectors map to the all-zero lattice point (guarded ÷1)
+    and carry nn = 0, which ``lattice_cosine_admit`` excludes.
+
+    Plan note: ``_s`` is referenced twice in the quantizing projection
+    (the zero guard), which keeps CollapseProject from re-inlining the
+    norm fold into the per-element lambda — the O(dim²)-per-row trap."""
+    p = df.select(
+        F.col(id_col).alias(out_id), as_double(vec_col).alias("_v")
+    ).withColumn("_s", l2_norm(F.col("_v")))
+    guarded = F.when(F.col("_s") == 0, F.lit(1.0)).otherwise(F.col("_s"))
+    q = p.select(
+        out_id,
+        F.transform(
+            "_v", lambda x: F.round(x * F.lit(float(scale)) / guarded).cast("long")
+        ).alias("qv"),
+    )
+    return q.withColumn("nn", int_dot(F.col("qv"), F.col("qv")))
+
+
+def lattice_cosine_admit(
+    d: Column, na: Column, nb: Column, threshold: float
+) -> Column:
+    """``cosine_on_the_lattice ≥ threshold`` as EXACT integer arithmetic:
+    ``d ≥ 0 AND d²·10¹² ≥ t_micro²·na·nb`` evaluated in decimal(38,0)
+    (DuckDB mirrors in HUGEINT). ``d = int_dot(qa, qb)``, ``na/nb`` the
+    lattice norms² from ``lattice_unit_prep``. No float appears anywhere
+    in the membership decision, so the pair set is deterministic at any
+    scale — the fix FLOATS.md scoped for the round-then-filter admission
+    class (``round(cos, 6) ≥ t`` flips when engines disagree in the last
+    ulp near a 6-dp grid midpoint; expected once per ~1e9 pairs).
+
+    Only ``0 < threshold ≤ 1`` is meaningful for near-duplicate
+    admission; the squaring step is sign-guarded by ``d ≥ 0``. nn = 0
+    (zero vectors) never admits — cosine is undefined there, and the old
+    float path's NaN ≥ t artifact is gone by construction."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"lattice_cosine_admit: threshold must be in (0, 1], got {threshold}"
+        )
+    t_micro = int(round(threshold * 1e6))
+    bounded = F.when(
+        (na < F.lit(_LATTICE_NN_CAP)) & (nb < F.lit(_LATTICE_NN_CAP)),
+        F.lit(True),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "lattice_cosine_admit: lattice norm^2 >= 1e13 — input was "
+                "not unit-normalized (use lattice_unit_prep); the decimal "
+                "admission products would overflow"
+            )
+        ).cast("boolean")
+    )
+    dd = d.cast("decimal(13,0)")
+    lhs = dd * dd * F.lit(10**12).cast("decimal(13,0)")
+    rhs = (
+        F.lit(t_micro * t_micro).cast("decimal(13,0)")
+        * na.cast("decimal(13,0)")
+        * nb.cast("decimal(13,0)")
+    )
+    return bounded & (na > 0) & (nb > 0) & (d >= 0) & (lhs >= rhs)
+
+
+def lattice_sim(d: Column, na: Column, nb: Column) -> Column:
+    """The emitted similarity for an admitted pair:
+    ``round(d / (√na·√nb), 6)`` — every operand an exact integer < 2^53,
+    so both engines run ONE identical IEEE cast/sqrt/mul/div sequence on
+    identical values (FLOATS.md's identical-op-sequence class). The
+    VALUE is display-tier; membership never depends on it."""
+    return F.round(
+        d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))), 6
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,19 +276,24 @@ def cosine_near_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a,b), a<b, with
-    cosine ≥ threshold. Quadratic verify — pair with ``lsh_topk``-style
+    lattice cosine ≥ threshold. Membership is decided by
+    ``lattice_cosine_admit`` — exact integer arithmetic over the 1e-6
+    direction lattice, so the pair set cannot drift between engines or
+    accumulation orders. Quadratic verify — pair with ``lsh_topk``-style
     bucketing as the candidate generator when the corpus is large."""
-    a = df.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va")).withColumn(
-        "na", l2_norm(F.col("va"))
+    a = lattice_unit_prep(df, id_col, vec_col, "id_a").withColumnsRenamed(
+        {"qv": "qa", "nn": "na"}
     )
-    b = df.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb")).withColumn(
-        "nb", l2_norm(F.col("vb"))
+    b = lattice_unit_prep(df, id_col, vec_col, "id_b").withColumnsRenamed(
+        {"qv": "qb", "nn": "nb"}
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
+        .withColumn("d", int_dot(F.col("qa"), F.col("qb")))
+        .filter(lattice_cosine_admit(F.col("d"), F.col("na"), F.col("nb"), threshold))
+        .select(
+            "id_a", "id_b", lattice_sim(F.col("d"), F.col("na"), F.col("nb")).alias("sim")
+        )
     )
 
 
@@ -164,23 +312,44 @@ def embedding_near_dedup(
     This exact variant verifies all pairs (quadratic) and is the oracle
     baseline; at corpus scale swap the candidate generator for the
     ``lsh_bucket``/``ivf_topk`` cell join so only same-bucket pairs are
-    scored."""
-    a = df.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("va")).withColumn(
-        "na", l2_norm(F.col("va"))
+    scored.
+
+    Admission runs on the 1e-6 direction lattice (exact integers), and
+    the unordered a<b half-matrix is computed once then symmetrized —
+    half the quadratic work of the old directed join, same neighborhood
+    semantics. Self-pairs are added unconditionally (self-cosine = 1),
+    which also pins the zero-vector contract: a zero embedding has no
+    admissible neighbors (cosine undefined) but still appears as its own
+    canonical — the bucketed variant behaves identically."""
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id")
+    a = prep.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )
-    b = df.select(F.col(id_col).alias("other_id"), as_double(vec_col).alias("vb")).withColumn(
-        "nb", l2_norm(F.col("vb"))
+    b = prep.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nn").alias("nb")
     )
-    pairs = (
-        a.join(
-            b,
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
-            >= F.lit(threshold),
+    verified = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("d", int_dot(F.col("qa"), F.col("qb")))
+        .filter(lattice_cosine_admit(F.col("d"), F.col("na"), F.col("nb"), threshold))
+        .select("id_a", "id_b")
+    )
+    return _canonicalize_neighborhood(verified, prep.select("vec_id"))
+
+
+def _canonicalize_neighborhood(verified: DataFrame, ids: DataFrame) -> DataFrame:
+    """Shared tail of the exact and bucketed near-dedups: symmetrize the
+    unordered verified pairs, add self-pairs for every id, and take the
+    min-id canonical per neighborhood."""
+    neighborhood = (
+        verified.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("other_id"))
+        .unionByName(
+            verified.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("other_id"))
         )
-        .select("vec_id", "other_id")
+        .unionByName(ids.select("vec_id", F.col("vec_id").alias("other_id")))
     )
     return (
-        pairs.groupBy("vec_id")
+        neighborhood.groupBy("vec_id")
         .agg(
             F.min("other_id").alias("canonical_id"),
             (F.count(F.lit(1)) - 1).alias("n_neighbors"),
@@ -310,39 +479,26 @@ def embedding_near_dedup_bucketed(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    va = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")).withColumn(
-        "na", l2_norm(F.col("va"))
+    # exact-integer lattice verify (same admission as the quadratic
+    # baseline, so agreement on recalled pairs is bit-for-bit): the
+    # pair dot runs as one Arrow einsum per batch — int64, hence exact
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id")
+    va = prep.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )
-    vb = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")).withColumn(
-        "nb", l2_norm(F.col("vb"))
+    vb = prep.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nn").alias("nb")
     )
     verified = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "sim",
-            F.round(
-                pair_dot_pandas(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-            ),
-        )
-        .filter(F.col("sim") >= F.lit(threshold))
+        .withColumn("d", pair_dot_pandas_long(F.col("qa"), F.col("qb")))
+        .filter(lattice_cosine_admit(F.col("d"), F.col("na"), F.col("nb"), threshold))
         .select("id_a", "id_b")
     )
     # symmetrize + self-pairs so the canonical assignment matches the
     # exact operator's neighborhood semantics (self-sim = 1.0)
-    neighborhood = (
-        verified.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("other_id"))
-        .unionByName(verified.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("other_id")))
-        .unionByName(v.select("vec_id", F.col("vec_id").alias("other_id")))
-    )
-    return (
-        neighborhood.groupBy("vec_id")
-        .agg(
-            F.min("other_id").alias("canonical_id"),
-            (F.count(F.lit(1)) - 1).alias("n_neighbors"),
-        )
-        .withColumn("is_dup", F.col("canonical_id") < F.col("vec_id"))
-    )
+    return _canonicalize_neighborhood(verified, v.select("vec_id"))
 
 
 def lsh_topk(

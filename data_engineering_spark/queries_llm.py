@@ -458,6 +458,55 @@ def q_st_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact-lattice cosine admission (operators/similarity.py) ----------
+# The DuckDB mirror of lattice_unit_prep + lattice_cosine_admit +
+# lattice_sim: quantize each unit direction to integer micros, decide
+# pair membership in HUGEINT (Spark: decimal(38,0)), emit the sim double
+# from ONE identical IEEE sequence over exact integers. Membership never
+# touches a float, which closes the round-then-filter admission class
+# FLOATS.md scoped in round 10.
+_LATTICE_CTES = """lv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ls AS (SELECT vec_id, v,
+         CASE WHEN list_dot_product(v, v) = 0 THEN 1.0
+              ELSE sqrt(list_dot_product(v, v)) END AS s
+       FROM lv),
+lq AS (SELECT vec_id,
+         list_transform(v, x -> CAST(round(x * 1000000.0 / s) AS BIGINT)) AS qv
+       FROM ls),
+ln AS (SELECT vec_id, qv,
+         CAST(list_sum(list_transform(list_zip(qv, qv), z -> z[1] * z[2])) AS BIGINT) AS nn
+       FROM lq)"""
+
+_LATTICE_PAIR_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}.qv, {b}.qv), z -> z[1] * z[2])) AS BIGINT)"
+)
+
+
+def _lattice_admit_sql(threshold: float, d: str = "d", na: str = "na", nb: str = "nb") -> str:
+    t_micro = int(round(threshold * 1e6))
+    return (
+        f"{na} > 0 AND {nb} > 0 AND {d} >= 0 "
+        f"AND CAST({d} AS HUGEINT) * {d} * 1000000000000 "
+        f">= CAST({t_micro * t_micro} AS HUGEINT) * {na} * {nb}"
+    )
+
+
+_LATTICE_SIM_SQL = (
+    "round(CAST({d} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))), 6)"
+)
+
+
+def _lattice_half_pairs_sql(threshold: float) -> str:
+    """Admitted unordered pairs (id_a < id_b) with d/na/nb carried —
+    the shared core of the three embedding-admission oracles."""
+    return f"""{_LATTICE_CTES},
+hp AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              {_LATTICE_PAIR_DOT.format(a='a', b='b')} AS d,
+              a.nn AS na, b.nn AS nb
+       FROM ln a JOIN ln b ON a.vec_id < b.vec_id),
+adm AS (SELECT * FROM hp WHERE {_lattice_admit_sql(threshold)})"""
+
+
 def _lsh_bucket_sql(
     dim: int = 64,
     planes: int = 8,
@@ -492,14 +541,17 @@ def _embed_dedup_twin_sql(
 ) -> str:
     """One-shot DuckDB twin of the hyperplane-LSH embedding near-dedup
     PAIR set: every band signature re-derived from the inlined LCG
-    planes, banded equi-join candidates, exact-cosine verify. The
-    incremental replay must reproduce it exactly (band collision is a
-    per-pair predicate over per-vector signatures)."""
+    planes, banded equi-join candidates, exact-LATTICE verify (the
+    integer admission of ``lattice_cosine_admit`` — membership is pure
+    integer arithmetic, so the replay ≡ one-shot identity has no float
+    caveat left). The incremental replay must reproduce it exactly
+    (band collision is a per-pair predicate over per-vector
+    signatures)."""
     band_exprs = ", ".join(
         _lsh_bucket_sql(dim, planes, band=b, vec="v") for b in range(bands)
     )
-    return f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       sigs AS (SELECT vec_id, v, [{band_exprs}] AS bks FROM e),
+    return f"""WITH {_LATTICE_CTES},
+       sigs AS (SELECT vec_id, v, [{band_exprs}] AS bks FROM lv),
        bk AS (SELECT vec_id, generate_subscripts(bks, 1) - 1 AS band,
                      unnest(bks) AS bh
               FROM sigs),
@@ -509,14 +561,12 @@ def _embed_dedup_twin_sql(
            ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
        pairs AS (
          SELECT id_a, id_b,
-                round(list_dot_product(x.v, y.v)
-                      / (CASE WHEN list_dot_product(x.v, x.v) = 0 THEN 1.0
-                              ELSE sqrt(list_dot_product(x.v, x.v)) END
-                       * CASE WHEN list_dot_product(y.v, y.v) = 0 THEN 1.0
-                              ELSE sqrt(list_dot_product(y.v, y.v)) END), 6) AS sim
-         FROM cand JOIN e x ON x.vec_id = cand.id_a
-                   JOIN e y ON y.vec_id = cand.id_b)
-       SELECT id_a, id_b, sim FROM pairs WHERE sim >= {threshold}"""
+                {_LATTICE_PAIR_DOT.format(a='x', b='y')} AS d,
+                x.nn AS na, y.nn AS nb
+         FROM cand JOIN ln x ON x.vec_id = cand.id_a
+                   JOIN ln y ON y.vec_id = cand.id_b)
+       SELECT id_a, id_b, {_LATTICE_SIM_SQL.format(d='d', na='na', nb='nb')} AS sim
+       FROM pairs WHERE {_lattice_admit_sql(threshold)}"""
 
 
 @query("st_streaming_embed_dedup", _embed_dedup_twin_sql())
@@ -913,16 +963,13 @@ def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_semantic_dedup",
-    """WITH pairs AS (
-          SELECT q.vec_id AS vec_id, c.vec_id AS other_id
-          FROM embeddings q, embeddings c
-          WHERE round(
-            list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-            / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-             * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6)
-            >= 0.4),
+    f"""WITH {_lattice_half_pairs_sql(0.4)},
+       nbh AS (
+         SELECT id_a AS vec_id, id_b AS other_id FROM adm
+         UNION ALL SELECT id_b, id_a FROM adm
+         UNION ALL SELECT vec_id, vec_id FROM ln),
        assign AS (
-         SELECT vec_id, min(other_id) AS canonical_id FROM pairs GROUP BY vec_id),
+         SELECT vec_id, min(other_id) AS canonical_id FROM nbh GROUP BY vec_id),
        sizes AS (
          SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
          FROM assign GROUP BY canonical_id)
@@ -1424,37 +1471,41 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_cosine_near_pairs",
-    f"""SELECT q.vec_id AS id_a, c.vec_id AS id_b,
-               round({_COSINE_EXPR}, 6) AS sim
-        FROM embeddings q, embeddings c
-        WHERE q.vec_id < c.vec_id
-          AND round({_COSINE_EXPR}, 6) >= 0.4""",
+    f"""WITH {_lattice_half_pairs_sql(0.4)}
+        SELECT id_a, id_b, {_LATTICE_SIM_SQL.format(d='d', na='na', nb='nb')} AS sim
+        FROM adm""",
 )
 def q_sim_cosine_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (sim ≥ 0.4 — the synthetic
     embeddings are near-isotropic with max off-diagonal cosine ~0.51, so
     0.4 selects ~59 real pairs at sf0.01 where the old 0.6 matched
-    nothing and the check compared empty sets)."""
+    nothing and the check compared empty sets). Membership is the exact
+    integer-lattice admission (operators/similarity.py:
+    lattice_cosine_admit), so the pair set is engine- and
+    accumulation-order-independent by construction."""
     return cosine_near_pairs(_emb(spark, sf_dir), threshold=0.4)
 
 
 @query(
     "dedup_embedding",
-    f"""WITH pairs AS (
-          SELECT q.vec_id AS vec_id, c.vec_id AS other_id
-          FROM embeddings q, embeddings c
-          WHERE round({_COSINE_EXPR}, 6) >= 0.4)
+    f"""WITH {_lattice_half_pairs_sql(0.4)},
+        nbh AS (
+          SELECT id_a AS vec_id, id_b AS other_id FROM adm
+          UNION ALL SELECT id_b, id_a FROM adm
+          UNION ALL SELECT vec_id, vec_id FROM ln)
         SELECT vec_id,
                CAST(min(other_id) AS BIGINT) AS canonical_id,
                CAST(count(*) - 1 AS BIGINT) AS n_neighbors,
                (min(other_id) < vec_id) AS is_dup
-        FROM pairs GROUP BY vec_id""",
+        FROM nbh GROUP BY vec_id""",
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dedup: canonical (min-id) assignment over the
-    cosine ≥ 0.4 neighborhood (operators/similarity.py:
-    embedding_near_dedup). Exact quadratic baseline — the oracle for
-    ``dedup_embedding_bucketed``, which is the shape to run at scale."""
+    lattice-cosine ≥ 0.4 neighborhood (operators/similarity.py:
+    embedding_near_dedup — exact integer admission, unordered
+    half-matrix symmetrized + self-pairs). Exact quadratic baseline —
+    the oracle for ``dedup_embedding_bucketed``, which is the shape to
+    run at scale."""
     return embedding_near_dedup(_emb(spark, sf_dir), threshold=0.4)
 
 

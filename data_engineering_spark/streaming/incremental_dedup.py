@@ -355,13 +355,23 @@ def batch_embedding_buckets(
     planes: int = 8,
     bands: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
-    """One micro-batch's ``(vectors, band buckets)``: the banded
+    """One micro-batch's ``(lattice store, band buckets)``: the banded
     random-hyperplane signature of ``embedding_near_dedup_bucketed``,
     computed in one Arrow matmul per batch (seeded-LCG planes — portable
     constants, so the DuckDB oracle re-derives every signature). Bucket
     rows are keyed (id, band, bh) to share ``_probe_candidates`` with
-    the MinHash ingest."""
-    from ..operators.similarity import as_double, lsh_buckets_pandas
+    the MinHash ingest.
+
+    The vector store is QUANTIZED ON WRITE: ``(vec_id, qv, nn)`` — the
+    1e-6 direction lattice point and its exact integer norm²
+    (``operators/similarity.py:lattice_unit_prep``) — not the raw
+    doubles. Each vector is normalized/quantized exactly once, in the
+    batch that ingests it (this frame is persisted by the sink/replay
+    shells); every later batch's verify joins precomputed integer
+    columns instead of re-deriving norms over the whole accumulated
+    corpus union — the difference between O(batch) and O(corpus) prep
+    work per ingest step at 100 TB."""
+    from ..operators.similarity import as_double, lattice_unit_prep, lsh_buckets_pandas
 
     v_new = batch_df.select(
         F.col(id_col).alias("vec_id"), as_double(vec_col).alias("v")
@@ -372,7 +382,8 @@ def batch_embedding_buckets(
             "band", "bh"
         ),
     )
-    return v_new, bk_new
+    store_new = lattice_unit_prep(v_new, "vec_id", "v", "vec_id")
+    return store_new, bk_new
 
 
 def ingest_embedding_batch(
@@ -384,26 +395,31 @@ def ingest_embedding_batch(
     max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """One incremental step for embeddings: new vectors vs
-    (corpus ∪ batch) → cosine-verified ``(id_a, id_b, sim)`` pairs, each
-    unordered pair exactly once. Same contract as
+    (corpus ∪ batch) → lattice-verified ``(id_a, id_b, sim)`` pairs,
+    each unordered pair exactly once. ``v_new``/``store_v`` carry the
+    quantize-on-write store schema ``(vec_id, qv, nn)`` from
+    ``batch_embedding_buckets``. Same contract as
     ``ingest_minhash_batch`` (returns ``(pairs, cand)``; caller
     unpersists ``cand``); band collision is a per-pair predicate over
     deterministic signatures, so batched ingestion with
     ``max_bucket=None`` emits exactly the one-shot pair set (the capped
     stream's log is a superset of the capped one-shot, as with text).
 
-    Zero-norm vectors (an embedding service emitting zeros for an empty
-    doc) map their divisor to 1.0 — the repo-wide guard policy
-    (``pq_topk``, ``_cell_ranker``) — so their sim is 0 and they are
-    filtered. Without the guard 0/0 = NaN, and Spark evaluates
-    NaN ≥ threshold as TRUE: a cluster of zero vectors (which collide
-    in EVERY band — all dot products are 0 ≥ 0) would flood the pair
-    log with quadratically many NaN 'near-duplicates'. The DuckDB twin
-    carries the same CASE guard."""
-    from ..operators.similarity import l2_norm, pair_dot_pandas
-
-    def _guarded(n):
-        return F.when(n == 0, F.lit(1.0)).otherwise(n)
+    Verification runs on the 1e-6 direction lattice
+    (``operators/similarity.py:lattice_cosine_admit``): pair membership
+    is exact integer arithmetic, so the incremental pair log is a pure
+    function of the data — no accumulation-order or round() drift
+    between micro-batch schedules, engines, or BLAS builds. Zero-norm
+    vectors (an embedding service emitting zeros for an empty doc)
+    quantize to the all-zero lattice point with nn = 0, which the
+    admission excludes outright — the old NaN ≥ threshold flood (a
+    cluster of zero vectors collides in EVERY band) is impossible by
+    construction. The DuckDB twin mirrors the same integer admission."""
+    from ..operators.similarity import (
+        lattice_cosine_admit,
+        lattice_sim,
+        pair_dot_pandas_long,
+    )
 
     cand = _probe_candidates(bk_new, index_bk, "vec_id", max_bucket)
     all_v = v_new if store_v is None else store_v.unionByName(v_new)
@@ -414,24 +430,19 @@ def ingest_embedding_batch(
     )
     v_c = all_v.join(cand_ids, "vec_id", "left_semi")
     va = v_c.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va")
-    ).withColumn("na", _guarded(l2_norm(F.col("va"))))
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
+    )
     vb = v_c.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb")
-    ).withColumn("nb", _guarded(l2_norm(F.col("vb"))))
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nn").alias("nb")
+    )
     pairs = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "sim",
-            F.round(
-                pair_dot_pandas(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
-                6,
-            ),
+        .withColumn("d", pair_dot_pandas_long(F.col("qa"), F.col("qb")))
+        .filter(lattice_cosine_admit(F.col("d"), F.col("na"), F.col("nb"), threshold))
+        .select(
+            "id_a", "id_b", lattice_sim(F.col("d"), F.col("na"), F.col("nb")).alias("sim")
         )
-        .filter(F.col("sim") >= F.lit(threshold))
-        .select("id_a", "id_b", "sim")
     )
     return pairs, cand
 

@@ -288,6 +288,91 @@ def test_cosine_near_pairs_threshold(vectors):
     assert pairs == {(1, 2)}
 
 
+def test_lattice_admission_boundary_is_exact(spark):
+    """A pair whose lattice cosine sits EXACTLY on the threshold — the
+    spot where the old round-then-filter admission could flip between
+    engines — admits deterministically: ≥ includes equality, and one
+    micro above the true cosine excludes. (0.6, 0.8) is an exact unit
+    direction, so its lattice point is (600000, 800000) with nn = 1e12
+    and d against the x-axis exactly 6e11: lattice cosine == 0.6 with
+    no rounding anywhere."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.6, 0.8])], ["vec_id", "embedding"]
+    )
+    on_boundary = {(r.id_a, r.id_b) for r in cosine_near_pairs(df, threshold=0.6).collect()}
+    assert on_boundary == {(1, 2)}
+    above = {(r.id_a, r.id_b) for r in cosine_near_pairs(df, threshold=0.600001).collect()}
+    assert above == set()
+
+
+def test_lattice_admission_matches_duckdb_on_boundary(spark, tmp_path):
+    """The generated oracle SQL admits the exact-boundary pair the same
+    way the Spark operator does — cross-engine membership identity on
+    the worst case, via the same registry SQL fragments the driver
+    runs."""
+    import duckdb
+
+    from data_engineering_spark.queries_llm import (
+        _LATTICE_SIM_SQL,
+        _lattice_half_pairs_sql,
+    )
+
+    rows = [(1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pq = str(tmp_path / "emb.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{pq}/*.parquet'")
+    sql = (
+        f"WITH {_lattice_half_pairs_sql(0.6)} SELECT id_a, id_b, "
+        f"{_LATTICE_SIM_SQL.format(d='d', na='na', nb='nb')} AS sim FROM adm"
+    )
+    got = {(r[0], r[1], r[2]) for r in con.execute(sql).fetchall()}
+    want = {
+        (r.id_a, r.id_b, r.sim)
+        for r in cosine_near_pairs(df, threshold=0.6).collect()
+    }
+    assert got == want == {(1, 2, 0.6)}
+
+
+def test_lattice_zero_vector_contract(spark):
+    """Zero embeddings quantize to nn = 0 and are never admitted (the
+    old float path evaluated 0/0 = NaN ≥ t as TRUE): no pair rows, but
+    the vector still appears as its own canonical with 0 neighbors."""
+    from data_engineering_spark.operators.similarity import embedding_near_dedup
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    assert cosine_near_pairs(df, threshold=0.5).count() == 0
+    out = {r.vec_id: r for r in embedding_near_dedup(df, threshold=0.5).collect()}
+    assert set(out) == {1, 2, 3}
+    for vid in (1, 2, 3):
+        assert out[vid].canonical_id == vid and out[vid].n_neighbors == 0
+        assert not out[vid].is_dup
+
+
+def test_lattice_admit_guards(spark):
+    """threshold outside (0,1] is a ValueError; a lattice norm² at or
+    above the 1e13 decimal-overflow cap fails loudly instead of
+    silently dropping pairs."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.similarity import lattice_cosine_admit
+
+    with pytest.raises(ValueError):
+        lattice_cosine_admit(F.lit(1), F.lit(1), F.lit(1), 0.0)
+    with pytest.raises(ValueError):
+        lattice_cosine_admit(F.lit(1), F.lit(1), F.lit(1), 1.5)
+    df = spark.createDataFrame([(10**13, 10**13, 10**13)], ["d", "na", "nb"])
+    bad = df.filter(
+        lattice_cosine_admit(F.col("d"), F.col("na"), F.col("nb"), 0.5)
+    )
+    with pytest.raises(Exception, match="unit-normalized"):
+        bad.collect()
+
+
 def test_lsh_topk_recall_on_identical_bucket(vectors):
     # identical/near-identical vectors must share a hyperplane bucket
     out = lsh_topk(vectors, vectors.filter(F.col("vec_id") == 1), dim=4, k=3, planes=4)

@@ -198,7 +198,15 @@ def test_shuffle_budgets(spark, sf_dir):
         # batch's cand/verify chain repeats cached subtrees — the gate is
         # that a refactor adding an exchange per ingest step jumps ≥4
         "st_streaming_dedup": 90,
-        "st_streaming_embed_dedup": 50,
+        # 44 main-plan exchanges (same as the pre-lattice shape) + 10
+        # runtime BLOOM-FILTER build subqueries: the integer-lattice
+        # store columns made the candidate-verify joins eligible for
+        # InjectRuntimeFilter, so Spark now builds a bloom per join to
+        # prune the probe side — each build is one tiny exchange over an
+        # already-cached batch store, a pruning win, not a repartition
+        # of the stream (verified by splitting formatted_plan at the
+        # Subqueries marker: main == 44, subqueries == 10)
+        "st_streaming_embed_dedup": 54,
         # blocked gram chain: freq agg, rank window, candidate self-join,
         # pair distinct, two verify joins — every post-blocking exchange
         # moves candidate-bounded rows, never the corpus
