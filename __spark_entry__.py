@@ -62,10 +62,18 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      corpus_semantic_dedup, st_streaming_embed_dedup).
 #   2. The 11 r4-frontier rows that did not fit round 9's window
 #      (last driver-proven in round 4).
-#   3. 27 rows of the 43-query r5 cohort, in registration order.
+#   3. 23 rows of the 43-query r5 cohort, in registration order.
+#   (Round-10 late additions displaced two more tail rows: the
+#   perceptron trainer/scorer pair — never-proven leads by the
+#   standing rule; text_token_count / text_fingerprint /
+#   events_transition_matrix / text_stats join the round-11
+#   leftovers — the classifier pack is 4 queries: trainer, scorer,
+#   operating curve, per-lang bias audit.)
 # ROUND-11 ROTATION NOTE: lead with any round-11 additions/changes,
 # then the 13 r5-cohort rows that did not fit this round
 # (dedup_exact, dedup_ngram_exact, dedup_cluster_components,
+# text_token_count, text_fingerprint, events_transition_matrix,
+# text_stats,
 # search_tfidf_rank, search_bm25_rank, search_hybrid_rrf,
 # sim_cosine_topk, sim_cosine_topk_fast, tpch_q2_min_cost_supplier,
 # tpch_q9_product_type_profit, tpch_q11_important_stock,
@@ -77,7 +85,11 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # weak no_oracle row.
 registry.finalize_order(
     [
-        # tier 1 — round-10 addition + changed shapes
+        # tier 1 — round-10 additions + changed shapes
+        "nlp_train_quality_classifier",
+        "nlp_classifier_score",
+        "nlp_classifier_curve",
+        "nlp_classifier_bias_audit",
         "nlp_bpe_vocab_16x64",
         "curate_token_budget",
         "text_quality",
@@ -102,7 +114,7 @@ registry.finalize_order(
         "lake_time_travel",
         "lake_delete_scan",
         "lake_zorder_scan",
-        # tier 3 — r5 cohort, registration order (27 of 43)
+        # tier 3 — r5 cohort, registration order (23 of 43)
         "flagship_serving_index",
         "p11_fulltext_search",
         "w1_rank_in_group",
@@ -126,10 +138,6 @@ registry.finalize_order(
         "nl_query_template",
         "cohort_retention",
         "ts_gap_fill",
-        "events_transition_matrix",
-        "text_stats",
-        "text_token_count",
-        "text_fingerprint",
     ]
 )
 

@@ -161,6 +161,10 @@ HEADLINE = [
     "curate_mixture_waterfill",
     # round-10 additions
     "nlp_bpe_vocab_16x64",
+    "nlp_train_quality_classifier",
+    "nlp_classifier_score",
+    "nlp_classifier_curve",
+    "nlp_classifier_bias_audit",
 ]
 
 

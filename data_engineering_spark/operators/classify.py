@@ -1,0 +1,262 @@
+"""Distributed linear quality-classifier training — the CCNet/GPT-3
+pipeline stage the heuristic filters feed into: train a linear model ON
+the cluster to separate a target domain (e.g. wiki/reference text) from
+raw web text, then score the whole corpus with it (reference analogue:
+the quality-gate shaping in ``hrtpr`` curation flows; public method:
+Brown et al. 2020 §A / Wenzek et al. 2020 CCNet).
+
+Algorithm: full-batch PERCEPTRON over hashed bag-of-words features, in
+pure int64 — deliberately chosen over SGD/logistic because every
+quantity (feature counts, margins, weight updates) is an exact integer
+and the update is a plain sum over misclassified documents, so the
+trained weights are independent of partition layout, execution order,
+and engine: a DuckDB twin replays the full training loop bit-for-bit
+(the same unrolled-iteration oracle technique as the batched BPE
+trainer). Float SGD can never give that oracle.
+
+Scale shape: features are computed once and persisted (the corpus never
+re-tokenizes); each iteration is ONE broadcast join of the ≤(buckets+1)-
+row weight table against the feature relation + a doc-keyed partial agg
+(margins) + a bucket-keyed partial agg (updates) — both map-side
+combinable; weights live driver-side between iterations (bounded
+collect, the waterfill/kmeans codebook class). Iteration count is a
+fixed unroll — convergence stopping would make the oracle unwritable.
+
+Overflow headroom: |Δw[b]| per round ≤ total corpus token count C, so
+|w| ≤ T·C and a document's margin ≤ doc_tokens · T · C. At C = 1e13
+(a 100 TB corpus), T = 3, doc_tokens = 1e4: margin ≤ 3e17 < 2^63 — the
+int64 contract holds through trillion-token corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _md5_60bits
+from .text import tokens
+
+__all__ = [
+    "hashed_features",
+    "train_perceptron",
+    "classifier_margins",
+    "operating_curve",
+    "confusion_by_group",
+]
+
+BIAS_BUCKET = -1
+
+
+def hashed_features(
+    docs: DataFrame,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(doc_id, bucket, cnt)``: hashed bag-of-words features. Tokens
+    are the repo-standard whitespace split of ``trim(lower(text))``;
+    the bucket is the portable md5-60bit hash mod ``buckets`` (DuckDB
+    re-derives it bit-for-bit), plus one BIAS feature (bucket −1,
+    cnt 1) per document so the learned hyperplane has an offset."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    feat = (
+        tok.withColumn("bucket", (_md5_60bits(F.col("tok")) % F.lit(buckets)).cast("long"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bias = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(BIAS_BUCKET).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return feat.unionByName(bias)
+
+
+def train_perceptron(
+    docs: DataFrame,
+    label: F.Column,
+    iterations: int = 3,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[list[tuple[int, int]], list[int]]:
+    """Train the perceptron; returns ``(weights, errors_per_iter)`` —
+    ``weights`` the sorted nonzero (bucket, weight) pairs, ``errors``
+    the misclassified-document count at the START of each iteration
+    (the full-batch update uses iteration-start weights for every
+    document, which is what makes the result order-independent).
+
+    ``label`` is a Column evaluating to +1/−1 on ``docs``. Weights
+    start at zero, so iteration 1's update is the class-conditional
+    token-count difference — deterministic from the data alone."""
+    spark = docs.sparkSession
+    feats = hashed_features(docs, buckets, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), label.cast("long").alias("y")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    w: dict[int, int] = {}
+    errors: list[int] = []
+    try:
+        for _ in range(iterations):
+            if w:
+                w_df = spark.createDataFrame(
+                    [(int(b), int(v)) for b, v in w.items()], "bucket long, wt long"
+                )
+                margins = (
+                    feats.join(F.broadcast(w_df), "bucket")
+                    .groupBy("doc_id")
+                    .agg(F.sum(F.col("cnt") * F.col("wt")).alias("margin"))
+                )
+            else:
+                margins = labels.select("doc_id", F.lit(0).cast("long").alias("margin"))
+            mis = (
+                labels.join(margins, "doc_id", "left")
+                .filter(F.col("y") * F.coalesce(F.col("margin"), F.lit(0)) <= 0)
+                .select("doc_id", "y")
+            )
+            upd = (
+                feats.join(mis, "doc_id")
+                .groupBy("bucket")
+                .agg(
+                    F.sum(F.col("y") * F.col("cnt")).alias("dw"),
+                    F.count_distinct("doc_id").alias("n_mis"),
+                )
+                .collect()
+            )
+            errors.append(int(upd[0].n_mis) if upd else 0)
+            # n_mis is per-bucket distinct docs; the true error count is
+            # the bias bucket's (every doc carries exactly one bias row)
+            for row in upd:
+                if row.bucket == BIAS_BUCKET:
+                    errors[-1] = int(row.n_mis)
+                w[int(row.bucket)] = w.get(int(row.bucket), 0) + int(row.dw)
+            w = {b: v for b, v in w.items() if v != 0}
+            if not upd:
+                break
+    finally:
+        feats.unpersist()
+        labels.unpersist()
+    return sorted(w.items()), errors
+
+
+def classifier_margins(
+    docs: DataFrame,
+    weights: list[tuple[int, int]],
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document under trained weights: ``(doc_id, margin,
+    pred)`` with ``pred = margin > 0``. One broadcast join + one
+    doc-keyed partial agg; margins are exact int64 (see module
+    docstring for the headroom bound). Total over ALL documents — a doc
+    whose every feature bucket carries zero weight (pruned from the
+    nonzero table) scores margin 0, not a dropped row."""
+    spark = docs.sparkSession
+    feats = hashed_features(docs, buckets, id_col, text_col)
+    w_df = spark.createDataFrame(
+        [(int(b), int(v)) for b, v in weights] or [(BIAS_BUCKET, 0)],
+        "bucket long, wt long",
+    )
+    scored = (
+        feats.join(F.broadcast(w_df), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("wt")).alias("m"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("margin"),
+        )
+        .withColumn("pred", F.col("margin") > 0)
+    )
+
+
+def operating_curve(
+    scored: DataFrame, labels: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Threshold operating curve for a trained classifier — the gate-
+    tuning step between training and freezing a corpus filter: for each
+    of ``n_bins − 1`` thresholds on an even integer grid across the
+    observed margin range (``t_k = mn + (mx−mn)·k div n_bins``), the
+    exact confusion counts of "keep where margin > t_k" against the
+    labels. ``scored`` is ``classifier_margins`` output; ``labels`` is
+    ``(doc_id, y)`` with y ∈ {+1, −1}.
+
+    Scale shape: one 2-value min/max agg (bounded driver collect — the
+    codebook class), then ONE corpus pass computing all 4·(n_bins−1)
+    conditional sums in a single aggregate row, unpivoted to
+    ``(k, threshold, tp, fp, fn, tn)`` with ``stack`` — no global sort,
+    no per-threshold rescan, nothing corpus-sized shuffles. Every count
+    is an exact int64, so the curve hash-checks cross-engine."""
+    j = scored.join(labels, "doc_id").select("margin", "y")
+    mn, mx = j.agg(F.min("margin"), F.max("margin")).first()
+    if mn is None:
+        mn = mx = 0
+    ts = [
+        (k, int(mn) + ((int(mx) - int(mn)) * k) // n_bins)
+        for k in range(1, n_bins)
+    ]
+    aggs = []
+    for k, t in ts:
+        pos = F.col("margin") > F.lit(t)
+        aggs += [
+            F.sum(F.when(pos & (F.col("y") > 0), 1).otherwise(0))
+            .cast("long").alias(f"tp{k}"),
+            F.sum(F.when(pos & (F.col("y") < 0), 1).otherwise(0))
+            .cast("long").alias(f"fp{k}"),
+            F.sum(F.when(~pos & (F.col("y") > 0), 1).otherwise(0))
+            .cast("long").alias(f"fn{k}"),
+            F.sum(F.when(~pos & (F.col("y") < 0), 1).otherwise(0))
+            .cast("long").alias(f"tn{k}"),
+        ]
+    wide = j.agg(*aggs)
+    arms = ", ".join(
+        f"{k}L, {t}L, tp{k}, fp{k}, fn{k}, tn{k}" for k, t in ts
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(ts)}, {arms}) AS (k, threshold, tp, fp, fn, tn)"
+        )
+    )
+
+
+def confusion_by_group(
+    scored: DataFrame, labeled_docs: DataFrame, group_col: str
+) -> DataFrame:
+    """Per-group classifier audit — the multilingual-fairness check a
+    corpus gate needs before deployment (does "quality" secretly mean
+    "English"?): exact confusion counts and a 1e-6 fixed-point error
+    rate per group under the trained verdict (``pred``).
+    ``labeled_docs`` carries ``(doc_id, <group_col>, y)``. One
+    group-keyed partial agg over the scored join; the error ratio uses
+    ``micro_ratio`` so even the rate column is an exact integer."""
+    from .text import micro_ratio
+
+    j = scored.join(labeled_docs, "doc_id")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("pred") & (F.col("y") > 0), 1).otherwise(0))
+            .cast("long").alias("tp"),
+            F.sum(F.when(F.col("pred") & (F.col("y") < 0), 1).otherwise(0))
+            .cast("long").alias("fp"),
+            F.sum(F.when(~F.col("pred") & (F.col("y") > 0), 1).otherwise(0))
+            .cast("long").alias("fn"),
+            F.sum(F.when(~F.col("pred") & (F.col("y") < 0), 1).otherwise(0))
+            .cast("long").alias("tn"),
+        )
+        .withColumn(
+            "err_micro",
+            micro_ratio(F.col("fp") + F.col("fn"), F.col("n_docs")),
+        )
+    )

