@@ -62,18 +62,19 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      corpus_semantic_dedup, st_streaming_embed_dedup).
 #   2. The 11 r4-frontier rows that did not fit round 9's window
 #      (last driver-proven in round 4).
-#   3. 23 rows of the 43-query r5 cohort, in registration order.
+#   3. 22 rows of the 43-query r5 cohort, in registration order.
 #   (Round-10 late additions displaced two more tail rows: the
 #   perceptron trainer/scorer pair — never-proven leads by the
 #   standing rule; text_token_count / text_fingerprint /
 #   events_transition_matrix / text_stats join the round-11
 #   leftovers — the classifier pack is 4 queries: trainer, scorer,
-#   operating curve, per-lang bias audit.)
+#   operating curve, per-lang bias audit — plus span-level
+#   decontamination, curate_decontaminate_spans.)
 # ROUND-11 ROTATION NOTE: lead with any round-11 additions/changes,
 # then the 13 r5-cohort rows that did not fit this round
 # (dedup_exact, dedup_ngram_exact, dedup_cluster_components,
 # text_token_count, text_fingerprint, events_transition_matrix,
-# text_stats,
+# text_stats, ts_gap_fill,
 # search_tfidf_rank, search_bm25_rank, search_hybrid_rrf,
 # sim_cosine_topk, sim_cosine_topk_fast, tpch_q2_min_cost_supplier,
 # tpch_q9_product_type_profit, tpch_q11_important_stock,
@@ -90,6 +91,7 @@ registry.finalize_order(
         "nlp_classifier_score",
         "nlp_classifier_curve",
         "nlp_classifier_bias_audit",
+        "curate_decontaminate_spans",
         "nlp_bpe_vocab_16x64",
         "curate_token_budget",
         "text_quality",
@@ -114,7 +116,7 @@ registry.finalize_order(
         "lake_time_travel",
         "lake_delete_scan",
         "lake_zorder_scan",
-        # tier 3 — r5 cohort, registration order (23 of 43)
+        # tier 3 — r5 cohort, registration order (22 of 43)
         "flagship_serving_index",
         "p11_fulltext_search",
         "w1_rank_in_group",
@@ -137,7 +139,6 @@ registry.finalize_order(
         "mm_audio_features",
         "nl_query_template",
         "cohort_retention",
-        "ts_gap_fill",
     ]
 )
 

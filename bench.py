@@ -165,6 +165,7 @@ HEADLINE = [
     "nlp_classifier_score",
     "nlp_classifier_curve",
     "nlp_classifier_bias_audit",
+    "curate_decontaminate_spans",
 ]
 
 

@@ -976,8 +976,33 @@ def verbatim_spans(
     production path (~1.5× less gram-stage CPU/GC); ``"portable"``
     keeps strings so a SQL twin replays every stage (the registered
     oracle query's mode; equal spans unless xxhash64 collides)."""
-    from pyspark.sql import Window
+    starts = positional_grams(df, text_col, id_col, gram, gram_impl)
+    gdf = (
+        starts.select("g", id_col)
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gram_df"))
+    )
+    shared = starts.join(
+        gdf.filter(F.col("gram_df") >= min_df).select("g"), "g"
+    ).select(id_col, "s0", "n_toks")
+    return merge_covered_spans(shared, id_col, gram, min_span)
 
+
+def positional_grams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    gram_impl: str = "xxhash",
+) -> DataFrame:
+    """``(id, n_toks, s0, g)``: every position's ``gram``-token window,
+    zip-shift form (transform+slice would re-inline the tokenizer per
+    index — the O(n²) CollapseProject trap ``shingles`` documents).
+    Docs shorter than ``gram`` fold their whole token string as one
+    window at s0 = 0 (the corpus-wide fold-what-you-have fallback).
+    Shared by the within-corpus (``verbatim_spans``) and cross-corpus
+    (``contamination_spans``) span extractors."""
     toks = tokens(text_col)
     m = F.greatest(F.size(toks) - (gram - 1), F.lit(1))
     if gram_impl == "portable":
@@ -991,20 +1016,23 @@ def verbatim_spans(
         acc = F.slice(hs, 1, m)
         for j in range(1, gram):
             acc = F.zip_with(acc, F.slice(hs, j + 1, m), lambda a, b: F.xxhash64(a, b))
-    starts = df.select(
+    return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_toks"),
         F.posexplode(acc).alias("s0", "g"),
     )
-    gdf = (
-        starts.select("g", id_col)
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("gram_df"))
-    )
-    shared = starts.join(
-        gdf.filter(F.col("gram_df") >= min_df).select("g"), "g"
-    ).select(id_col, "s0", "n_toks")
+
+
+def merge_covered_spans(
+    shared: DataFrame, id_col: str, gram: int, min_span: int
+) -> DataFrame:
+    """Classic per-document interval merge over flagged gram windows
+    (``(id, s0, n_toks)`` rows): order by start, running max of covered
+    end over preceding rows, new island when the start clears it,
+    islands aggregated to (span_start, span_end, span_len). ONE
+    doc-keyed exchange; state = one running max."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(id_col).orderBy("s0")
     end = F.least(F.col("s0") + F.lit(gram), F.col("n_toks"))
     run_end = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
@@ -1027,6 +1055,44 @@ def verbatim_spans(
         "span_end",
         (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_len"),
     ).filter(F.col("span_len") >= min_span)
+
+
+def contamination_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    min_span: int = 8,
+    gram_impl: str = "xxhash",
+) -> DataFrame:
+    """Cross-corpus VERBATIM CONTAMINATION spans — span-level
+    decontamination: per corpus document, the maximal token spans whose
+    every ``gram``-token window also appears in the BENCHMARK set, as
+    exact 1-based cut positions. `ngram_decontaminate` answers *whether*
+    a document overlaps an eval set (drop/keep); this answers *where* —
+    the surgical alternative when dropping whole documents for one
+    quoted test item is too blunt (the Lee et al. substring result
+    applied train-vs-eval instead of train-vs-train).
+
+    Scale shape: STRICTLY LIGHTER than the within-corpus variant — no
+    corpus-wide gram-df aggregate at all. The benchmark's distinct gram
+    set (benchmarks are MB-scale) aggregates on the tiny side and
+    broadcasts into a LEFT SEMI against the corpus gram stream
+    (curation.py:ngram_decontaminate's broadcast contract), so the only
+    corpus-scaling exchange is the per-document interval-merge window.
+    Same gram_impl trade as ``verbatim_spans``: xxhash positional
+    fingerprints in production, strings for the SQL twin."""
+    starts = positional_grams(corpus, text_col, id_col, gram, gram_impl)
+    bench_g = (
+        positional_grams(benchmark, text_col, id_col, gram, gram_impl)
+        .select("g")
+        .distinct()
+    )
+    shared = starts.join(F.broadcast(bench_g), "g", "left_semi").select(
+        id_col, "s0", "n_toks"
+    )
+    return merge_covered_spans(shared, id_col, gram, min_span)
 
 
 def canonical_assignment(

@@ -2361,3 +2361,61 @@ def q_sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("label").cast("long").alias("true_label")
     )
     return pred.join(truth, "query_id")
+
+
+@query(
+    "curate_decontaminate_spans",
+    r"""WITH t AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+         FROM documents),
+       g AS (
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+                CAST(i - 1 AS BIGINT) AS s0,
+                concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                               toks[i+4], toks[i+5], toks[i+6], toks[i+7]) AS gr
+         FROM t, unnest(range(1, greatest(len(toks) - 7, 1) + 1)) AS u(i)),
+       bench AS (SELECT DISTINCT gr FROM g WHERE doc_id % 10 = 0),
+       sh AS (
+         SELECT g.doc_id, g.s0, g.n_toks
+         FROM g JOIN bench USING (gr) WHERE g.doc_id % 10 <> 0),
+       m AS (
+         SELECT doc_id, s0, least(s0 + 8, n_toks) AS e,
+                max(least(s0 + 8, n_toks)) OVER (
+                    PARTITION BY doc_id ORDER BY s0
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+         FROM sh),
+       isl AS (
+         SELECT doc_id, s0, e,
+                sum(CASE WHEN s0 > coalesce(run_end, -1) THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY s0) AS island
+         FROM m),
+       sp AS (
+         SELECT doc_id, CAST(min(s0) + 1 AS BIGINT) AS span_start,
+                CAST(max(e) AS BIGINT) AS span_end
+         FROM isl GROUP BY doc_id, island)
+       SELECT doc_id, span_start, span_end,
+              span_end - span_start + 1 AS span_len
+       FROM sp WHERE span_end - span_start + 1 >= 8""",
+)
+def q_curate_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (operators/dedup.py:
+    contamination_spans): per corpus document, the exact token spans
+    whose every 8-gram appears in the pseudo-benchmark (every 10th doc,
+    `curate_decontaminate`'s convention — the planted near-dup passages
+    make the overlap real). The drop/keep variant answers WHETHER a doc
+    touches the eval set; this answers WHERE, so curation can cut the
+    quoted passage instead of the document. Strictly lighter than
+    within-corpus span dedup: no corpus gram-df aggregate — the
+    benchmark gram set broadcasts into a LEFT SEMI and the only
+    corpus-scaling exchange is the per-doc interval merge. Oracle mode
+    runs string grams (the SQL twin replays the benchmark set, the
+    semi join, and the interval merge); xxhash fingerprints are the
+    production default (agreement pytest)."""
+    from .operators.dedup import contamination_spans
+
+    docs = _docs(spark, sf_dir)
+    return contamination_spans(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        gram_impl="portable",
+    )

@@ -210,6 +210,49 @@ def test_verbatim_spans_hash_impl_agrees_with_portable(spark, sf_dir):
     assert hashed == portable
 
 
+def test_contamination_spans_planted_positions(spark):
+    """Cross-corpus span decontamination: only the benchmark-quoted
+    region is flagged, at its exact positions; corpus-internal overlap
+    (two TRAIN docs sharing a passage absent from the benchmark) must
+    NOT create a span — the predicate is membership in the benchmark
+    gram set, not corpus df."""
+    from data_engineering_spark.operators.dedup import contamination_spans
+
+    quoted = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train_dup = "red orange yellow green blue indigo violet pink"
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three " + quoted + " four five"),  # quoted at 4..13
+            (2, train_dup + " lead tail"),                  # train-internal only
+            (3, train_dup + " other words"),                # train-internal only
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "intro words " + quoted + " outro")], "doc_id long, text string"
+    )
+    spans = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in contamination_spans(corpus, bench, min_span=3).collect()
+    }
+    assert spans == {1: (4, 13)}
+
+
+def test_contamination_spans_hash_agrees_with_portable(spark, sf_dir):
+    from data_engineering_spark.catalog import load_table
+    from data_engineering_spark.operators.dedup import contamination_spans
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.filter(F.col("doc_id") % 10 != 0)
+    b = docs.filter(F.col("doc_id") % 10 == 0)
+    hashed = sorted(map(tuple, contamination_spans(c, b).collect()))
+    portable = sorted(
+        map(tuple, contamination_spans(c, b, gram_impl="portable").collect())
+    )
+    assert hashed == portable and hashed
+
+
 def test_threshold_sweep_blocked_vs_exact(spark, sf_dir):
     """Recall gate for the dedup_threshold_sweep re-base: the blocked
     candidate stream (rarest-4-gram blocking, what the production sweep

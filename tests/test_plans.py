@@ -345,6 +345,11 @@ def test_shuffle_budgets(spark, sf_dir):
         "nlp_classifier_curve": 4,
         # score plan + one lang-keyed confusion agg
         "nlp_classifier_bias_audit": 4,
+        # benchmark gram set broadcasts (LEFT SEMI); the bench-side
+        # distinct + the per-doc interval-merge window are the only
+        # exchanges — NO corpus gram-df aggregate (cross-corpus is
+        # lighter than within-corpus span dedup)
+        "curate_decontaminate_spans": 2,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
