@@ -1,9 +1,10 @@
 """Distributed linear quality-classifier training — the CCNet/GPT-3
 pipeline stage the heuristic filters feed into: train a linear model ON
 the cluster to separate a target domain (e.g. wiki/reference text) from
-raw web text, then score the whole corpus with it (reference analogue:
-the quality-gate shaping in ``hrtpr`` curation flows; public method:
-Brown et al. 2020 §A / Wenzek et al. 2020 CCNet).
+raw web text, then score the whole corpus with it (public method:
+Brown et al. 2020 §A / Wenzek et al. 2020 CCNet; the keyword machinery
+this builds on mirrors the reference's CountVectorizer flow,
+``Keyword.py:82-89``).
 
 Algorithm: full-batch PERCEPTRON over hashed bag-of-words features, in
 pure int64 — deliberately chosen over SGD/logistic because every

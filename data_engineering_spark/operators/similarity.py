@@ -16,9 +16,13 @@ Two paths:
   recall for cost. At 100 TB the bucket key becomes the shuffle/partition
   key and each bucket is a small local problem.
 
-All math in double precision with explicit left-fold accumulation so the
-DuckDB oracle (sequential list_dot_product over DOUBLE[]) matches
-bit-for-bit after round(…, 6).
+Numeric contract: RANKING paths (top-k) run in double precision with
+explicit left-fold accumulation so the DuckDB oracle (sequential
+list_dot_product over DOUBLE[]) matches bit-for-bit after round(…, 6)
+with the id tiebreak; ADMISSION paths (near-pair thresholds) decide
+membership in exact integer arithmetic on the 1e-6 direction lattice
+(`lattice_unit_prep` / `lattice_cosine_admit`) — no float appears in
+any pair-membership decision.
 """
 
 from __future__ import annotations

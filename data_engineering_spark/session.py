@@ -78,4 +78,15 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    # Runtime bloom-filter injection is gated on a ≥10 GB application-side
+    # SCAN, but plans rooted in cached relations (the incremental-dedup
+    # replays) bypass that estimate, so Spark injects default-sized blooms
+    # (~1 MB buffer per aggregation task) at ANY data size — ~10 such
+    # builds OOM'd a vanilla 1 GB driver heap alongside the replay's
+    # caches (r10 driver-sim finding). Cap the sizing so a misfired
+    # injection costs ~100 KB; pruning power at a genuine 10 GB+
+    # application side is the cluster profile's concern, where these two
+    # knobs should be raised with the heap.
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "100000")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "4194304")
     return spark
