@@ -126,7 +126,11 @@ def train_perceptron(
                 .groupBy("bucket")
                 .agg(
                     F.sum(F.col("y") * F.col("cnt")).alias("dw"),
-                    F.count_distinct("doc_id").alias("n_mis"),
+                    # (doc_id, bucket) is unique in feats (grouped counts
+                    # + one bias row per doc), so a plain map-side-
+                    # combinable count equals the distinct-doc count —
+                    # no two-phase distinct aggregate on the hot loop
+                    F.count(F.lit(1)).alias("n_mis"),
                 )
                 .collect()
             )
@@ -197,8 +201,17 @@ def operating_curve(
     conditional sums in a single aggregate row, unpivoted to
     ``(k, threshold, tp, fp, fn, tn)`` with ``stack`` — no global sort,
     no per-threshold rescan, nothing corpus-sized shuffles. Every count
-    is an exact int64, so the curve hash-checks cross-engine."""
-    j = scored.join(labels, "doc_id").select("margin", "y")
+    is an exact int64, so the curve hash-checks cross-engine. The
+    scored join is persisted between the two actions (min/max collect,
+    then the sum pass) so the upstream scoring plan — tokenization,
+    hashed features, the margin aggregation — executes ONCE, not once
+    per action; the cache holds two small columns per doc and releases
+    with the session (the bounded per-invocation cache class)."""
+    if n_bins < 2:
+        raise ValueError(f"operating_curve: n_bins must be >= 2, got {n_bins}")
+    j = scored.join(labels, "doc_id").select("margin", "y").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     mn, mx = j.agg(F.min("margin"), F.max("margin")).first()
     if mn is None:
         mn = mx = 0

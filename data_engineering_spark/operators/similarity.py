@@ -202,14 +202,24 @@ def lattice_unit_prep(
         ).alias("qv"),
     )
     nn = int_dot(F.col("qv"), F.col("qv"))
-    checked = F.when(nn < F.lit(_LATTICE_NN_CAP), nn).otherwise(
-        F.raise_error(
-            F.lit(
-                "lattice_unit_prep: lattice norm^2 >= 1e13 — quantization "
-                "scale too large for this dimensionality; the decimal "
-                "admission products would overflow"
-            )
-        ).cast("long")
+    # NULL input (a malformed vector, or a NULL element poisoning the
+    # fold) maps to nn = 0 — excluded from every admission exactly like
+    # a zero vector, so one bad row from an embedding service degrades
+    # to "no pairs" instead of crash-looping a streaming micro-batch on
+    # a misleading cap-breach message. Only a GENUINE over-cap norm
+    # (non-null nn ≥ 1e13) raises.
+    checked = (
+        F.when(nn.isNull(), F.lit(0).cast("long"))
+        .when(nn < F.lit(_LATTICE_NN_CAP), nn)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "lattice_unit_prep: lattice norm^2 >= 1e13 — quantization "
+                    "scale too large for this dimensionality; the decimal "
+                    "admission products would overflow"
+                )
+            ).cast("long")
+        )
     )
     out = q.withColumn("nn", checked)
     if cache:

@@ -422,6 +422,17 @@ def ingest_embedding_batch(
     )
 
     cand = _probe_candidates(bk_new, index_bk, "vec_id", max_bucket)
+    # Store-schema migration (quantize-on-write landed in r10): a state
+    # dir written by the pre-lattice sink holds raw (vec_id, v) doubles.
+    # Re-derive (qv, nn) on read — the quantization is a pure function
+    # of v, so migrated rows are identical to rewritten ones. A MIXED
+    # dir (old and new partitions interleaved) surfaces as a missing
+    # column either way and fails the unionByName loudly rather than
+    # silently pairing against nulls.
+    if store_v is not None and "qv" not in store_v.columns:
+        from ..operators.similarity import lattice_unit_prep
+
+        store_v = lattice_unit_prep(store_v, "vec_id", "v", "vec_id")
     all_v = v_new if store_v is None else store_v.unionByName(v_new)
     cand_ids = (
         cand.select(F.col("id_a").alias("vec_id"))

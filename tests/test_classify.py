@@ -115,3 +115,11 @@ def test_confusion_by_group_on_separable_corpus(spark):
     ).select("doc_id", "lang", "y")
     out2 = {r.lang: r for r in confusion_by_group(scored, flipped, "lang").collect()}
     assert out2["de"].err_micro == 1_000_000 and out2["de"].fn == 20
+
+
+def test_operating_curve_rejects_degenerate_bins(planted):
+    from data_engineering_spark.operators.classify import operating_curve
+
+    scored = classifier_margins(planted, [], buckets=64)
+    with pytest.raises(ValueError, match="n_bins"):
+        operating_curve(scored, planted.select("doc_id", "y"), n_bins=1)

@@ -1020,3 +1020,52 @@ def test_corpus_overlap_kmv_bounds(spark):
     ]
     j, n = estimate(disjoint)
     assert j == 0 and n > 0
+
+
+def test_lattice_null_embedding_degrades_not_raises(spark):
+    """A NULL vector (or a NULL element poisoning the fold) quantizes to
+    nn = 0 — excluded from every admission like a zero vector — instead
+    of tripping the cap guard's raise with a misleading message (which
+    would crash-loop a streaming micro-batch on one malformed row)."""
+    from data_engineering_spark.operators.similarity import (
+        cosine_near_pairs,
+        lattice_unit_prep,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.5, None]), (4, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    prep = {r.vec_id: r.nn for r in lattice_unit_prep(df, "vec_id", "embedding", "vec_id").collect()}
+    assert prep[2] == 0 and prep[3] == 0 and prep[1] > 0
+    pairs = {(r.id_a, r.id_b) for r in cosine_near_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(1, 4)}  # the malformed rows pair with nothing
+
+
+def test_embedding_store_migrates_pre_lattice_schema(spark):
+    """A vector store written by the pre-quantize-on-write sink
+    (columns vec_id, v) is re-derived to (qv, nn) on read — the ingest
+    against old state emits the same pairs as against freshly-written
+    state."""
+    from data_engineering_spark.operators.similarity import as_double
+    from data_engineering_spark.streaming.incremental_dedup import (
+        batch_embedding_buckets,
+        ingest_embedding_batch,
+    )
+
+    old_rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    new_rows = [(3, [1.0, 0.001, 0.0, 0.0])]  # near-dup of stored id 1
+    old_store = spark.createDataFrame(old_rows, ["vec_id", "embedding"]).select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    batch = spark.createDataFrame(new_rows, ["vec_id", "embedding"])
+    v_new, bk_new = batch_embedding_buckets(batch, dim=4)
+    # index for the stored vectors, derived the same way the sink would
+    _, bk_old = batch_embedding_buckets(
+        spark.createDataFrame(old_rows, ["vec_id", "embedding"]), dim=4
+    )
+    pairs, _ = ingest_embedding_batch(
+        v_new, bk_new, bk_old, old_store, threshold=0.9, max_bucket=None
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 3)}

@@ -340,9 +340,14 @@ def test_shuffle_budgets(spark, sf_dir):
         # feature (doc,bucket) agg + doc-keyed margin agg + the docs
         # left-join back; the weight table joins as a broadcast
         "nlp_classifier_score": 3,
-        # score plan + ONE single-row 36-sum aggregate (stack-unpivoted
-        # to 9 rows) — no global sort, no per-threshold rescan
-        "nlp_classifier_curve": 4,
+        # the scored⋈labels join persists between the min/max action and
+        # the sum pass (one corpus scoring execution total — the review
+        # fix); formatted_plan then counts the CACHED subtree's
+        # exchanges (feature agg, margin agg, join) alongside the main
+        # plan's single-row 36-sum aggregate, so the static number rose
+        # 4 → 7 while the executed-per-run count FELL (the cache fills
+        # once; pre-fix both actions re-ran the 4-exchange subtree)
+        "nlp_classifier_curve": 7,
         # score plan + one lang-keyed confusion agg
         "nlp_classifier_bias_audit": 4,
         # benchmark gram set broadcasts (LEFT SEMI); the bench-side
