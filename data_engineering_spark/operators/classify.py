@@ -198,49 +198,60 @@ def operating_curve(
 
     Scale shape: one 2-value min/max agg (bounded driver collect — the
     codebook class), then ONE corpus pass computing all 4·(n_bins−1)
-    conditional sums in a single aggregate row, unpivoted to
-    ``(k, threshold, tp, fp, fn, tn)`` with ``stack`` — no global sort,
-    no per-threshold rescan, nothing corpus-sized shuffles. Every count
+    conditional sums in a single aggregate row (also a bounded collect:
+    4·(n_bins−1) int64 cells), unpivoted driver-side to
+    ``(k, threshold, tp, fp, fn, tn)`` — no global sort, no
+    per-threshold rescan, nothing corpus-sized shuffles. Every count
     is an exact int64, so the curve hash-checks cross-engine. The
     scored join is persisted between the two actions (min/max collect,
     then the sum pass) so the upstream scoring plan — tokenization,
     hashed features, the margin aggregation — executes ONCE, not once
-    per action; the cache holds two small columns per doc and releases
-    with the session (the bounded per-invocation cache class)."""
+    per action; because BOTH actions run inside this function, the
+    cache unpersists in ``finally`` before returning (r10 advice: the
+    old lazy-stack tail pinned one cache per invocation for the session
+    lifetime). An empty scored⋈labels input short-circuits to an empty
+    curve — matching the SQL twin's GROUP-BY-over-nothing, instead of
+    unpivoting one all-NULL global-agg row into 9 NULL-count rows."""
     if n_bins < 2:
         raise ValueError(f"operating_curve: n_bins must be >= 2, got {n_bins}")
+    spark = scored.sparkSession
+    schema = (
+        "k long, threshold long, tp long, fp long, fn long, tn long"
+    )
     j = scored.join(labels, "doc_id").select("margin", "y").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    mn, mx = j.agg(F.min("margin"), F.max("margin")).first()
-    if mn is None:
-        mn = mx = 0
-    ts = [
-        (k, int(mn) + ((int(mx) - int(mn)) * k) // n_bins)
-        for k in range(1, n_bins)
-    ]
-    aggs = []
-    for k, t in ts:
-        pos = F.col("margin") > F.lit(t)
-        aggs += [
-            F.sum(F.when(pos & (F.col("y") > 0), 1).otherwise(0))
-            .cast("long").alias(f"tp{k}"),
-            F.sum(F.when(pos & (F.col("y") < 0), 1).otherwise(0))
-            .cast("long").alias(f"fp{k}"),
-            F.sum(F.when(~pos & (F.col("y") > 0), 1).otherwise(0))
-            .cast("long").alias(f"fn{k}"),
-            F.sum(F.when(~pos & (F.col("y") < 0), 1).otherwise(0))
-            .cast("long").alias(f"tn{k}"),
+    try:
+        mn, mx = j.agg(F.min("margin"), F.max("margin")).first()
+        if mn is None:
+            # empty join: no margins, no thresholds — the curve is empty
+            # (the cross-engine degenerate case ADVICE r10 flagged)
+            return spark.createDataFrame([], schema)
+        ts = [
+            (k, int(mn) + ((int(mx) - int(mn)) * k) // n_bins)
+            for k in range(1, n_bins)
         ]
-    wide = j.agg(*aggs)
-    arms = ", ".join(
-        f"{k}L, {t}L, tp{k}, fp{k}, fn{k}, tn{k}" for k, t in ts
-    )
-    return wide.select(
-        F.expr(
-            f"stack({len(ts)}, {arms}) AS (k, threshold, tp, fp, fn, tn)"
-        )
-    )
+        aggs = []
+        for k, t in ts:
+            pos = F.col("margin") > F.lit(t)
+            aggs += [
+                F.sum(F.when(pos & (F.col("y") > 0), 1).otherwise(0))
+                .cast("long").alias(f"tp{k}"),
+                F.sum(F.when(pos & (F.col("y") < 0), 1).otherwise(0))
+                .cast("long").alias(f"fp{k}"),
+                F.sum(F.when(~pos & (F.col("y") > 0), 1).otherwise(0))
+                .cast("long").alias(f"fn{k}"),
+                F.sum(F.when(~pos & (F.col("y") < 0), 1).otherwise(0))
+                .cast("long").alias(f"tn{k}"),
+            ]
+        wide = j.agg(*aggs).first()
+        rows = [
+            (k, t, wide[f"tp{k}"], wide[f"fp{k}"], wide[f"fn{k}"], wide[f"tn{k}"])
+            for k, t in ts
+        ]
+        return spark.createDataFrame(rows, schema)
+    finally:
+        j.unpersist()
 
 
 def confusion_by_group(

@@ -71,6 +71,34 @@ LATTICE_SCALE = 1_000_000
 # breach means the input was not normalized, and the admit guard raises.
 _LATTICE_NN_CAP = 10**13
 
+# Bounded cache registry for lattice_unit_prep(cache=True): at most TWO
+# persisted preps live at once (the same cap the BPE trainer holds on
+# segmentations, operators/text.py). Each lattice/classifier query
+# re-invocation used to add another session-lifetime MEMORY_AND_DISK
+# copy — across a 50-query sweep that accumulates (r10 advice). FIFO
+# eviction unpersists the oldest; an evicted prep referenced by a
+# not-yet-collected DataFrame simply recomputes (slower, never wrong) —
+# within one query's execution its own prep is always the newest entry.
+# Two preps with CANONICALLY EQUAL plans share one CacheManager entry,
+# so evicting the older also uncaches the newer — benign for the same
+# reason (recompute), and impossible within a single query, which
+# builds at most one prep.
+_PREP_CACHE_CAP = 2
+_PREP_CACHE: list[DataFrame] = []
+
+
+def _bounded_persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PREP_CACHE.append(df)
+    while len(_PREP_CACHE) > _PREP_CACHE_CAP:
+        try:
+            _PREP_CACHE.pop(0).unpersist()
+        except Exception:  # noqa: BLE001 — a dead session must not poison the next query
+            pass
+    return df
+
 
 def as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -133,15 +161,67 @@ def pair_dot_pandas_long(a: Column, b: Column) -> Column:
     integers, the einsum result is EXACT and identical to the sequential
     fold (no ulp class): the lattice makes the fast path the exact path.
     int64 overflow is impossible under the ``_LATTICE_NN_CAP`` norm bound
-    (every partial sum is ≤ √(na·nb) < 1e13)."""
+    (every partial sum is ≤ √(na·nb) < 1e13).
+
+    NULL-SAFE BY CONSTRUCTION (r10 advice): a NULL array, or an array
+    carrying NULL elements (a malformed embedding-service row whose
+    lattice point would be nn = 0 anyway), maps to d = 0 — excluded by
+    every admission threshold exactly like a zero vector — instead of
+    crashing ``np.stack``/``astype`` inside the Arrow worker. The
+    callers also pre-filter pair inputs on nn > 0, but robustness must
+    not depend on the optimizer pushing that conjunct below this UDF:
+    a persist barrier between the ``withColumn('d')`` and the admission
+    filter would otherwise re-expose a streaming crash-loop."""
 
     @F.pandas_udf("long")
     def _pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if not len(va):
+        n = len(va)
+        if not n:
             return pd.Series([], dtype="int64")
-        A = np.stack(va.to_numpy()).astype(np.int64, copy=False)
-        B = np.stack(vb.to_numpy()).astype(np.int64, copy=False)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        out = np.zeros(n, dtype=np.int64)
+        idx = np.flatnonzero(va.notna().to_numpy() & vb.notna().to_numpy())
+        if len(idx):
+            try:
+                A = np.stack(va.iloc[idx].to_numpy())
+                B = np.stack(vb.iloc[idx].to_numpy())
+                # dtype kind gates the fast path: Arrow delivers an array
+                # with NULL ELEMENTS as float64-with-NaN, which astype
+                # would cast to int64 garbage silently; shape equality
+                # gates einsum's size-1 broadcasting of ragged rows
+                if (
+                    A.ndim == 2
+                    and A.shape == B.shape
+                    and A.dtype.kind in "iu"
+                    and B.dtype.kind in "iu"
+                ):
+                    out[idx] = np.einsum(
+                        "ij,ij->i",
+                        A.astype(np.int64, copy=False),
+                        B.astype(np.int64, copy=False),
+                    )
+                else:
+                    raise ValueError("degenerate batch")
+            except (TypeError, ValueError):
+                # element-level NULLs or ragged lengths: salvage row by
+                # row (degenerate-batch path — the vectorized kernel
+                # stays the hot path for clean batches)
+                for i in idx:
+                    try:
+                        x = np.asarray(va.iat[i])
+                        y = np.asarray(vb.iat[i])
+                        if (
+                            x.ndim == 1
+                            and x.shape == y.shape
+                            and x.dtype.kind in "iu"
+                            and y.dtype.kind in "iu"
+                        ):
+                            out[i] = int(
+                                x.astype(np.int64, copy=False)
+                                @ y.astype(np.int64, copy=False)
+                            )
+                    except (TypeError, ValueError):
+                        out[i] = 0
+        return pd.Series(out)
 
     return _pair_dot(a, b)
 
@@ -187,10 +267,12 @@ def lattice_unit_prep(
     hard materialization boundary (consumers see InMemoryTableScan
     attributes — nothing left to inline), and the quantization runs
     once per VECTOR, period. MEMORY_AND_DISK, ~(dim·8B + 16B) per row —
-    the same persisted-signature-relation trade the MinHash path uses.
-    ``tests/test_plans.py`` pins the per-pair-inlining ceiling."""
-    from pyspark import StorageLevel
-
+    the same persisted-signature-relation trade the MinHash path uses —
+    registered in the bounded ``_PREP_CACHE`` FIFO (cap 2), so repeated
+    lattice-query invocations in one session recycle cache slots
+    instead of accumulating MEMORY_AND_DISK copies for the session
+    lifetime (r10 advice). ``tests/test_plans.py`` pins the
+    per-pair-inlining ceiling."""
     p = df.select(
         F.col(id_col).alias(out_id), as_double(vec_col).alias("_v")
     ).withColumn("_s", l2_norm(F.col("_v")))
@@ -223,7 +305,7 @@ def lattice_unit_prep(
     )
     out = q.withColumn("nn", checked)
     if cache:
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        out = _bounded_persist(out)
     return out
 
 
@@ -337,8 +419,16 @@ def cosine_near_pairs(
     ``lattice_cosine_admit`` — exact integer arithmetic over the 1e-6
     direction lattice, so the pair set cannot drift between engines or
     accumulation orders. Quadratic verify — pair with ``lsh_topk``-style
-    bucketing as the candidate generator when the corpus is large."""
-    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True)
+    bucketing as the candidate generator when the corpus is large.
+
+    Zero/NULL vectors (nn = 0) are filtered BEFORE the pair join — the
+    admission excludes them anyway, so this is semantics-free, but it
+    keeps the quadratic join free of degenerate rows without relying on
+    the optimizer pushing the admission's nn conjuncts below the Arrow
+    dot UDF (r10 advice)."""
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True).filter(
+        F.col("nn") > 0
+    )
     a = prep.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )
@@ -381,12 +471,18 @@ def embedding_near_dedup(
     semantics. Self-pairs are added unconditionally (self-cosine = 1),
     which also pins the zero-vector contract: a zero embedding has no
     admissible neighbors (cosine undefined) but still appears as its own
-    canonical — the bucketed variant behaves identically."""
+    canonical — the bucketed variant behaves identically.
+
+    The pair-join sides pre-filter nn > 0 (semantics-free: the admission
+    excludes nn = 0; the self-pair union below still sees EVERY id, so
+    zero vectors keep their own-canonical row) — null-row robustness of
+    the Arrow dot must not depend on predicate pushdown (r10 advice)."""
     prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True)
-    a = prep.select(
+    nz = prep.filter(F.col("nn") > 0)
+    a = nz.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )
-    b = prep.select(
+    b = nz.select(
         F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nn").alias("nb")
     )
     verified = (
@@ -543,12 +639,16 @@ def embedding_near_dedup_bucketed(
     )
     # exact-integer lattice verify (same admission as the quadratic
     # baseline, so agreement on recalled pairs is bit-for-bit): the
-    # pair dot runs as one Arrow einsum per batch — int64, hence exact
+    # pair dot runs as one Arrow einsum per batch — int64, hence exact.
+    # nn > 0 pre-filter on the verify sides: semantics-free (admission
+    # excludes nn = 0) and keeps null-row robustness off the optimizer;
+    # the canonical tail below still unions EVERY id as its own row.
     prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True)
-    va = prep.select(
+    nz = prep.filter(F.col("nn") > 0)
+    va = nz.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )
-    vb = prep.select(
+    vb = nz.select(
         F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nn").alias("nb")
     )
     verified = (

@@ -439,7 +439,13 @@ def ingest_embedding_batch(
         .unionByName(cand.select(F.col("id_b").alias("vec_id")))
         .distinct()
     )
-    v_c = all_v.join(cand_ids, "vec_id", "left_semi")
+    # nn > 0 pre-filter before the verify join: semantics-free (the
+    # lattice admission excludes nn = 0) but keeps the Arrow dot's
+    # null/zero-row robustness independent of predicate pushdown — a
+    # persist barrier between the UDF and the admission filter must not
+    # re-expose a micro-batch crash-loop (r10 advice; the UDF itself is
+    # also null-safe now, this is the belt to that suspender).
+    v_c = all_v.join(cand_ids, "vec_id", "left_semi").filter(F.col("nn") > 0)
     va = v_c.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
     )

@@ -117,6 +117,32 @@ def test_confusion_by_group_on_separable_corpus(spark):
     assert out2["de"].err_micro == 1_000_000 and out2["de"].fn == 20
 
 
+def test_operating_curve_empty_input_is_empty(spark):
+    """An empty scored⋈labels input yields an EMPTY curve (the SQL
+    twin's GROUP BY over nothing), not 9 NULL-count rows from
+    unpivoting a global-agg row — the r10-advice degenerate case."""
+    from data_engineering_spark.operators.classify import operating_curve
+
+    scored = spark.createDataFrame([], "doc_id long, margin long, pred boolean")
+    labels = spark.createDataFrame([], "doc_id long, y long")
+    out = operating_curve(scored, labels, n_bins=10)
+    assert out.columns == ["k", "threshold", "tp", "fp", "fn", "tn"]
+    assert out.count() == 0
+
+
+def test_operating_curve_releases_its_cache(planted, spark):
+    """operating_curve materializes both its actions internally, so its
+    persist must not outlive the call (r10 advice)."""
+    from data_engineering_spark.operators.classify import operating_curve
+
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    w, _ = train_perceptron(planted, F.col("y"), iterations=3, buckets=64)
+    scored = classifier_margins(planted, w, buckets=64)
+    operating_curve(scored, planted.select("doc_id", "y"), n_bins=10).collect()
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after <= before
+
+
 def test_operating_curve_rejects_degenerate_bins(planted):
     from data_engineering_spark.operators.classify import operating_curve
 

@@ -396,6 +396,94 @@ def test_lattice_zero_vector_contract(spark):
         assert not out[vid].is_dup
 
 
+def test_lattice_null_vector_robustness(spark):
+    """NULL embedding rows (and rows whose array carries NULL elements)
+    degrade to 'no pairs' without crashing the Arrow dot kernel —
+    independent of whether the optimizer pushes the admission's nn
+    conjuncts below the UDF (the r10-advice robustness contract): the
+    pair-join sides pre-filter nn > 0, AND pair_dot_pandas_long itself
+    maps a bad row to d = 0."""
+    from pyspark.sql import types as T
+
+    from data_engineering_spark.operators.similarity import (
+        embedding_near_dedup,
+        pair_dot_pandas_long,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.001]),
+            (3, None),  # embedding service emitted a NULL row
+            (4, [None, 1.0]),  # ... or a NULL element
+        ],
+        schema,
+    )
+    pairs = {(r.id_a, r.id_b) for r in cosine_near_pairs(df, threshold=0.9).collect()}
+    assert pairs == {(1, 2)}
+    out = {r.vec_id: r for r in embedding_near_dedup(df, threshold=0.9).collect()}
+    # every id keeps a canonical row; the bad rows are their own canonical
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2].canonical_id == 1 and out[2].is_dup
+    for vid in (3, 4):
+        assert out[vid].canonical_id == vid and out[vid].n_neighbors == 0
+
+    # the UDF's own null path, exercised directly (no pre-filter to help):
+    # null array / null element / ragged lengths all yield d = 0
+    qschema = T.StructType(
+        [
+            T.StructField("qa", T.ArrayType(T.LongType())),
+            T.StructField("qb", T.ArrayType(T.LongType())),
+        ]
+    )
+    raw = spark.createDataFrame(
+        [
+            ([2, 3], [4, 5]),
+            (None, [4, 5]),
+            ([2, None], [4, 5]),
+            ([2], [4, 5]),
+        ],
+        qschema,
+    )
+    got = [r.d for r in raw.select(
+        pair_dot_pandas_long(F.col("qa"), F.col("qb")).alias("d")
+    ).collect()]
+    assert got == [23, 0, 0, 0]
+
+
+def test_lattice_prep_cache_is_bounded(spark):
+    """lattice_unit_prep(cache=True) recycles at most _PREP_CACHE_CAP
+    persisted preps per session (r10 advice: repeated lattice queries
+    used to accumulate MEMORY_AND_DISK copies for the session life)."""
+    from data_engineering_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    # distinct plans per prep — identical plans share ONE CacheManager
+    # entry (canonicalized-plan equality), which the FIFO policy
+    # documents as the benign duplicate case
+    preps = [
+        sim.lattice_unit_prep(
+            df.filter(F.col("vec_id") >= -i), "vec_id", "embedding", "vec_id",
+            cache=True,
+        )
+        for i in range(5)
+    ]
+    assert len(sim._PREP_CACHE) <= sim._PREP_CACHE_CAP
+    # evicted preps are unpersisted; the newest still serves cached
+    assert preps[-1].storageLevel.useMemory
+    assert not preps[0].storageLevel.useMemory
+    # an evicted prep still computes correctly (recompute, never wrong)
+    assert preps[0].count() == 2
+
+
 def test_lattice_admit_guards(spark):
     """threshold outside (0,1] is a ValueError; a lattice norm² at or
     above the 1e13 decimal-overflow cap fails loudly in the prep (once
