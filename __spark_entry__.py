@@ -39,106 +39,92 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # verification-scheduling decision. Priority window (exactly 50, all
 # oracle-backed — finalize_order raises on rows-only entries here).
 #
-# ROUND-10 WINDOW. Round-9 sweep state: 49/50 green; the one red row was
-# curate_token_budget — root-caused this round to an ORACLE dtype defect
-# (DuckDB window SUM returns HUGEINT, pandas materializes it float64, the
-# driver hashed "14997.0" vs Spark's "14997"); the oracle now CASTs back
-# to BIGINT, so the row re-proves first. Latest-green by round: r9=50,
-# r8=45, r6=47, r5=43, r4=11, never=1. Window priority, by the standing
-# rule (never-proven outranks re-proofs, changed shapes count as
-# unproven):
-#   1. Round-10 additions + changed shapes: nlp_bpe_vocab_16x64 (the
-#      real-vocab BPE trainer, new), curate_token_budget (oracle cast
-#      fix — the never-green row), the six micro_ratio consumers
-#      (the helper now floor-divides via Spark's integral `div` instead
-#      of the exact-below-2^53 double trick — same values on every
-#      current corpus, but the expression changed, so the quality
-#      family re-proves: text_quality, corpus_prepare, dedup_keep_best,
-#      dedup_cluster_histogram, curate_quality_repetition,
-#      corpus_pipeline_e2e), and the four exact-lattice admission
-#      conversions (FLOATS.md round-then-filter class closed:
-#      membership now integer arithmetic on the 1e-6 direction
-#      lattice — sim_cosine_near_pairs, dedup_embedding,
+# ROUND-11 WINDOW. Round-10 sweep state: 50/50 green (the first
+# curate_token_budget green closed the last never-proven row; all 204
+# oracled queries now have a green stamp). Latest-green by round after
+# r10: r10=50, r9=43, r8=46, r6=47, r5=18, never=2 (this round's two
+# additions). Window priority, by the standing rule (never-proven
+# outranks re-proofs, changed shapes count as unproven):
+#   1. Round-11 additions + changed shapes: st_streaming_embed_dedup_capped
+#      (the CAPPED production config max_bucket=256 with the bucket-size
+#      HAVING gate in the twin — closes r10's one weak item) and
+#      nlp_bpe_apply_16x64 (the 1024-merge learned vocab applied via one
+#      constant-depth fold projection), both new; then the five
+#      changed-shape re-proofs from the r10-advice hardening:
+#      nlp_classifier_curve (operating_curve now materializes internally,
+#      unpersists, and short-circuits empty input), and the four lattice
+#      pair consumers whose verify sides now pre-filter nn > 0 ahead of
+#      the null-safe Arrow dot (sim_cosine_near_pairs, dedup_embedding,
 #      corpus_semantic_dedup, st_streaming_embed_dedup).
-#   2. The 11 r4-frontier rows that did not fit round 9's window
-#      (last driver-proven in round 4).
-#   3. 22 rows of the 43-query r5 cohort, in registration order.
-#   (Round-10 late additions displaced two more tail rows: the
-#   perceptron trainer/scorer pair — never-proven leads by the
-#   standing rule; text_token_count / text_fingerprint /
-#   events_transition_matrix / text_stats join the round-11
-#   leftovers — the classifier pack is 4 queries: trainer, scorer,
-#   operating curve, per-lang bias audit — plus span-level
-#   decontamination, curate_decontaminate_spans.)
-# ROUND-11 ROTATION NOTE: lead with any round-11 additions/changes,
-# then the 13 r5-cohort rows that did not fit this round
-# (dedup_exact, dedup_ngram_exact, dedup_cluster_components,
-# text_token_count, text_fingerprint, events_transition_matrix,
-# text_stats, ts_gap_fill,
-# search_tfidf_rank, search_bm25_rank, search_hybrid_rrf,
-# sim_cosine_topk, sim_cosine_topk_fast, tpch_q2_min_cost_supplier,
-# tpch_q9_product_type_profit, tpch_q11_important_stock,
-# tpch_q16_parts_supplier_relationship, text_lang_id — note
-# corpus_semantic_dedup / sim_cosine_near_pairs / dedup_embedding
-# graduated into this round's tier 1 as changed shapes), then the r6
-# cohort (47 rows); the r8/r9/r10 greens rotate after. Exactly 50;
-# rows-only queries sink behind the window so no sweep slot records a
-# weak no_oracle row.
+#   2. The full 18-row r5 cohort (oldest stamps in the ledger) — after
+#      this sweep the oldest green stamp is r6.
+#   3. The first 25 of the 47-row r6 cohort, in registration order.
+# ROUND-12 ROTATION NOTE: lead with any round-12 additions/changes,
+# then the 22 r6-cohort leftovers (u1_union_all, u3_intersect,
+# u4_except, f8_case_like_normalizer, tpch_q4/q6/q14,
+# prof_heavy_hitters, mm_pixel_features, mm_resize_images,
+# mm_image_dedup, nl_query_range/distinct/cardinality/scalar,
+# funnel_conversion, text_winnow_fingerprints, dedup_simhash_portable,
+# dedup_shared_passages, search_query_string, search_inverted_index,
+# o1_limit_probe if displaced), which retires the r6 tail; then the r8
+# cohort (46 rows) in registration order. Exactly 50; rows-only
+# queries sink behind the window so no sweep slot records a weak
+# no_oracle row.
 registry.finalize_order(
     [
-        # tier 1 — round-10 additions + changed shapes
-        "nlp_train_quality_classifier",
-        "nlp_classifier_score",
+        # tier 1 — round-11 additions (never-proven) + changed shapes
+        "st_streaming_embed_dedup_capped",
+        "nlp_bpe_apply_16x64",
         "nlp_classifier_curve",
-        "nlp_classifier_bias_audit",
-        "curate_decontaminate_spans",
-        "nlp_bpe_vocab_16x64",
-        "curate_token_budget",
-        "text_quality",
-        "corpus_prepare",
-        "dedup_keep_best",
-        "dedup_cluster_histogram",
-        "curate_quality_repetition",
-        "corpus_pipeline_e2e",
         "sim_cosine_near_pairs",
         "dedup_embedding",
         "corpus_semantic_dedup",
         "st_streaming_embed_dedup",
-        # tier 2 — the 11 r4-frontier rows
-        "curate_decontaminate",
-        "curate_mixture_weights",
-        "curate_pack_concat",
-        "curate_chunk_sliding",
-        "curate_unigram_nll",
-        "nlp_embed_text",
-        "nlp_tokenize_pandas",
-        "st_interval_join",
-        "lake_time_travel",
-        "lake_delete_scan",
-        "lake_zorder_scan",
-        # tier 3 — r5 cohort, registration order (22 of 43)
-        "flagship_serving_index",
-        "p11_fulltext_search",
-        "w1_rank_in_group",
-        "w4_distribution_ranks",
-        "f_scalar_pack",
-        "tpch_q1_pricing_summary",
-        "tpch_q3_shipping_priority",
-        "tpch_q5_local_supplier",
-        "tpch_q10_returned_items",
-        "curate_split_train_val",
-        "curate_sample_weighted",
-        "nlp_tfidf_keywords",
-        "nlp_keyword_extract",
-        "nlp_split_sentences",
-        "st_tumbling_counts",
-        "st_sliding_value_sum",
-        "st_session_windows",
-        "mm_media_metadata",
-        "mm_sample_frames",
-        "mm_audio_features",
-        "nl_query_template",
-        "cohort_retention",
+        # tier 2 — the 18-row r5 cohort (oldest stamps), registration order
+        "ts_gap_fill",
+        "events_transition_matrix",
+        "text_stats",
+        "text_token_count",
+        "text_fingerprint",
+        "text_lang_id",
+        "dedup_exact",
+        "dedup_ngram_exact",
+        "dedup_cluster_components",
+        "search_tfidf_rank",
+        "search_bm25_rank",
+        "search_hybrid_rrf",
+        "sim_cosine_topk",
+        "sim_cosine_topk_fast",
+        "tpch_q2_min_cost_supplier",
+        "tpch_q9_product_type_profit",
+        "tpch_q11_important_stock",
+        "tpch_q16_parts_supplier_relationship",
+        # tier 3 — first 25 of the r6 cohort, registration order
+        "p1_projection_alias",
+        "p2_literal_plus_star",
+        "p4_computed_interval_column",
+        "p5_rename_drop",
+        "p6_like_filter",
+        "p7_date_string_filter",
+        "p8_retention_cutoff_filter",
+        "p9_boolean_compound_filter",
+        "p10_value_scrub",
+        "p12_concat_projection",
+        "j2_inner_join_filter",
+        "j3_semi_join",
+        "j4_broadcast_lookup_join",
+        "j5_anti_join",
+        "a1_listagg_distinct",
+        "a2_collect_list_sorted",
+        "a3_distinct_projection",
+        "a4_count_audit",
+        "a6_vector_assembly",
+        "a7_distinct_sorted_dates",
+        "a8_group_minmax",
+        "a9_rollup",
+        "a10_cube",
+        "a11_distinct_count",
+        "o1_limit_probe",
     ]
 )
 

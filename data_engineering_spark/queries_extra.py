@@ -1928,19 +1928,17 @@ _BPE_REDUCE_LAMBDA = (
 )
 
 
-def _bpe_batched_oracle_sql(passes: int, k: int) -> str:
-    """Generate the unrolled DuckDB twin of ``phrase_merge_rounds_batched``
-    for any (passes, k): per pass, a pair-count CTE, a MATERIALIZED
-    top-k rank cut (materialized because the segmentation step and the
-    final union reference it — re-inlining would re-run the corpus
-    count), and a re-segmentation CTE applying the k merges via ONE
-    ``list_reduce`` over the rank-ordered merge list (constant
-    expression depth at any k; ``list_prepend`` seeds the fold with the
-    segmentation itself, and an empty/NULL merge list coalesces to []
-    so a dried-up pass is a no-op, exactly like the Spark trainer
-    applying only the merges it found). Hand-written 2×3 form above
-    verified equal to this generator's output before the generator
-    became the real-vocab path."""
+def _bpe_trainer_ctes(passes: int, k: int) -> str:
+    """The shared WITH-prefix of the batched-BPE oracles: per pass, a
+    pair-count CTE, a MATERIALIZED top-k rank cut (materialized because
+    the segmentation step and the consuming tail reference it —
+    re-inlining would re-run the corpus count), and a re-segmentation
+    CTE applying the k merges via ONE ``list_reduce`` over the
+    rank-ordered merge list (constant expression depth at any k;
+    ``list_prepend`` seeds the fold with the segmentation itself, and
+    an empty/NULL merge list coalesces to [] so a dried-up pass is a
+    no-op, exactly like the Spark trainer applying only the merges it
+    found)."""
     parts = [f"WITH s0 AS (SELECT {_BPE_SEG0} AS seg FROM documents)"]
     for p in range(1, passes + 1):
         parts.append(f", p{p} AS ({_bpe_count_cte(f's{p-1}')})")
@@ -1956,6 +1954,15 @@ def _bpe_batched_oracle_sql(passes: int, k: int) -> str:
                 f" FROM b{p}), [])), {_BPE_REDUCE_LAMBDA}) AS seg"
                 f" FROM s{p-1})"
             )
+    return "".join(parts)
+
+
+def _bpe_batched_oracle_sql(passes: int, k: int) -> str:
+    """Generate the unrolled DuckDB twin of ``phrase_merge_rounds_batched``
+    for any (passes, k) — the shared trainer CTEs plus the merge-table
+    union tail. Hand-written 2×3 form above verified equal to this
+    generator's output before the generator became the real-vocab
+    path."""
     selects = [
         f"SELECT CAST({p} AS INTEGER) AS pass_no,"
         f" CAST(rk AS INTEGER) AS merge_rank,"
@@ -1963,7 +1970,35 @@ def _bpe_batched_oracle_sql(passes: int, k: int) -> str:
         f" CAST(c AS BIGINT) AS pair_count FROM b{p}"
         for p in range(1, passes + 1)
     ]
-    return "".join(parts) + " " + " UNION ALL ".join(selects)
+    return _bpe_trainer_ctes(passes, k) + " " + " UNION ALL ".join(selects)
+
+
+def _bpe_apply_usage_oracle_sql(passes: int, k: int) -> str:
+    """Twin of the learned-vocab APPLY: replay the full (passes × k)
+    trainer, flatten the learned merge table into ONE rank-ordered list
+    (pass-major, rank-minor — the order the trainer learned and the
+    projection must replay), re-segment every document through it with
+    the same constant-depth ``list_reduce``, and aggregate per merged
+    unit's corpus usage. The apply is one corpus pass regardless of
+    vocab size — the merge list is data, not expression tree."""
+    mlist_arms = " UNION ALL ".join(
+        f"SELECT {p} AS p, rk, a || chr(9) || b AS m FROM b{p}"
+        for p in range(1, passes + 1)
+    )
+    return (
+        _bpe_trainer_ctes(passes, k)
+        + f""", mlist AS MATERIALIZED (
+           SELECT list(m ORDER BY p, rk) AS ms FROM ({mlist_arms})),
+       sd AS (SELECT doc_id, list_reduce(list_prepend({_BPE_SEG0},
+                coalesce((SELECT ms FROM mlist), [])),
+                {_BPE_REDUCE_LAMBDA}) AS seg
+              FROM documents),
+       t AS (SELECT doc_id, unnest(string_split(trim(seg), '  ')) AS token
+             FROM sd)
+       SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_occurrences
+       FROM t WHERE contains(token, '_') GROUP BY token"""
+    )
 
 
 @query(
@@ -2102,6 +2137,65 @@ def q_nlp_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in merges:
         seg = F.replace(
             seg, F.lit(f" {m.left_tok}  {m.right_tok} "), F.lit(f" {m.merged} ")
+        )
+    toks = F.split(F.trim(seg), "  ")
+    return (
+        docs.select("doc_id", F.explode(toks).alias("token"))
+        .filter(F.col("token").contains("_"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+@query("nlp_bpe_apply_16x64", _bpe_apply_usage_oracle_sql(passes=16, k=64))
+def q_nlp_bpe_apply_16x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-VOCAB learn→apply round trip: train the 16×64 = 1024-
+    merge vocabulary (`nlp_bpe_vocab_16x64`'s trainer), apply the full
+    learned merge sequence back to every document, and report each
+    merged unit's corpus usage (document frequency + occurrences) —
+    closing the r10 verdict's gap that `nlp_bpe_apply` only ever applied
+    the 2×3 toy vocab.
+
+    Scale shape — the point of this query: the APPLY stays ONE corpus
+    pass at any vocab size, because the merge table is DATA, not
+    expression tree. The 1024 merges ride to the driver as a
+    vocab-bounded collect (the codebook class), are folded into a
+    single constant array literal of (search, replace) structs, and
+    F.aggregate replays them per document inside one projection —
+    constant plan depth and constant analysis cost at k=1024 (the
+    chained-F.replace form nlp_bpe_apply uses at k=6 would build a
+    1024-deep expression tree that blows codegen and quadratic-analysis
+    budgets; DuckDB's planner rejects the same shape past ~1000 nodes,
+    which is why the twin uses list_reduce — the engines converged on
+    the same design). Usage stats are one token-keyed partial agg.
+    Verification-tier in the bench (the ~40 s trainer replay dominates;
+    the apply projection itself is the serving path and is probed at
+    100×/300× in SCALE.md §6b-r11)."""
+    from .operators.text import _bpe_seg0, phrase_merge_rounds_batched
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = sorted(
+        phrase_merge_rounds_batched(docs, passes=16, merges_per_pass=64).collect(),
+        key=lambda r: (r.pass_no, r.merge_rank),
+    )
+    seg = _bpe_seg0("text")
+    if merges:
+        # one constant array literal (ConstantFolding collapses the
+        # foldable struct array), one interpreted fold per document
+        table = F.array(
+            *[
+                F.struct(
+                    F.lit(f" {m.left_tok}  {m.right_tok} ").alias("s"),
+                    F.lit(f" {m.merged} ").alias("r"),
+                )
+                for m in merges
+            ]
+        )
+        seg = F.aggregate(
+            table, seg, lambda acc, x: F.replace(acc, x["s"], x["r"])
         )
     toks = F.split(F.trim(seg), "  ")
     return (

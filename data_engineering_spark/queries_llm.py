@@ -538,6 +538,7 @@ _EMBED_DEDUP_THRESHOLD = 0.4  # single source for the Spark call AND the twin
 def _embed_dedup_twin_sql(
     dim: int = 64, planes: int = 8, bands: int = 8,
     threshold: float = _EMBED_DEDUP_THRESHOLD,
+    max_bucket: int | None = None,
 ) -> str:
     """One-shot DuckDB twin of the hyperplane-LSH embedding near-dedup
     PAIR set: every band signature re-derived from the inlined LCG
@@ -546,18 +547,29 @@ def _embed_dedup_twin_sql(
     integer arithmetic, so the replay ≡ one-shot identity has no float
     caveat left). The incremental replay must reproduce it exactly
     (band collision is a per-pair predicate over per-vector
-    signatures)."""
+    signatures). ``max_bucket`` adds the deterministic bucket-size gate
+    of the capped production config: a ``HAVING count(*) <= cap`` on
+    the bucket CTE before the candidate join — the one-shot mirror of
+    the stream's post-append population cap."""
     band_exprs = ", ".join(
         _lsh_bucket_sql(dim, planes, band=b, vec="v") for b in range(bands)
     )
+    bucket_gate = ""
+    probe = "bk"
+    if max_bucket is not None:
+        bucket_gate = f""",
+       bks AS (SELECT band, bh FROM bk GROUP BY band, bh
+               HAVING count(*) <= {max_bucket}),
+       bkc AS (SELECT bk.* FROM bk JOIN bks USING (band, bh))"""
+        probe = "bkc"
     return f"""WITH {_LATTICE_CTES},
        sigs AS (SELECT vec_id, v, [{band_exprs}] AS bks FROM lv),
        bk AS (SELECT vec_id, generate_subscripts(bks, 1) - 1 AS band,
                      unnest(bks) AS bh
-              FROM sigs),
+              FROM sigs){bucket_gate},
        cand AS (
          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         FROM bk a JOIN bk b
+         FROM {probe} a JOIN {probe} b
            ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
        pairs AS (
          SELECT id_a, id_b,
@@ -603,6 +615,42 @@ def q_st_streaming_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_embedding_replay(
         _emb(spark, sf_dir), dim=64, n_batches=4,
         threshold=_EMBED_DEDUP_THRESHOLD, max_bucket=None,
+    )
+
+
+@query(
+    "st_streaming_embed_dedup_capped",
+    _embed_dedup_twin_sql(max_bucket=256),
+)
+def q_st_streaming_embed_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPPED production configuration of the streaming embedding
+    near-dedup — ``max_bucket=256``, exactly what
+    ``incremental_embedding_sink`` defaults to and what a 100 TB job
+    runs (the r10 verdict's one remaining scale-weak config: the capped
+    path previously had no oracle row of its own). The DuckDB twin adds
+    the deterministic bucket-size gate — ``HAVING count(*) <= 256`` on
+    the bucket CTE before the candidate join — so the whole capped path
+    (per-batch post-append population semi-join, bucket filter, banded
+    probe, lattice verify) hash-proves end to end.
+
+    Equivalence scope: a capped STREAM's append-only log keeps pairs
+    emitted before a bucket crossed the cap, so capped-incremental ≡
+    capped-one-shot holds exactly when no probed bucket crosses the cap
+    mid-replay. Here that's structural: 500 vectors over 8 bands × 256
+    buckets put every bucket 1-2 orders of magnitude under 256 at both
+    driver SFs, so the gate provably never fires — the row proves the
+    production-config MACHINERY (the cap plumbing executes in every
+    batch) and that the gate never misfires on a healthy corpus. The
+    cap-BINDING semantics (prefix-faithful superset of the capped
+    one-shot, exact per-batch admission populations) are asserted with
+    a planted over-cap hot bucket in tests/test_streaming.py, where the
+    expected pair count is recomputed independently from the batch
+    assignment."""
+    from .streaming.incremental_dedup import incremental_embedding_replay
+
+    return incremental_embedding_replay(
+        _emb(spark, sf_dir), dim=64, n_batches=4,
+        threshold=_EMBED_DEDUP_THRESHOLD, max_bucket=256,
     )
 
 

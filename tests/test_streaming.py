@@ -565,6 +565,54 @@ def test_incremental_embedding_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(index_dir).count() == idx_count
 
 
+def test_embedding_cap_binding_is_prefix_faithful(spark):
+    """When a bucket CROSSES max_bucket mid-stream, the append-only pair
+    log keeps exactly the pairs admitted while the post-append
+    population was still within cap — a superset of the capped one-shot
+    (which drops the whole bucket) and a subset of the uncapped run.
+    The expected count is recomputed independently here from the batch
+    assignment: a planted cluster of identical vectors shares every
+    band bucket, so a pair lands in the log iff the cumulative cluster
+    population at its later member's batch is <= cap."""
+    from data_engineering_spark.streaming.incremental_dedup import (
+        incremental_embedding_replay,
+    )
+
+    n, cap, n_batches = 12, 5, 4
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(1, n + 1)],
+        ["vec_id", "embedding"],
+    )
+    kw = dict(dim=4, n_batches=n_batches, threshold=0.9)
+    uncapped = incremental_embedding_replay(df, max_bucket=None, **kw)
+    capped = incremental_embedding_replay(df, max_bucket=cap, **kw)
+    oneshot_capped = incremental_embedding_replay(
+        df, dim=4, n_batches=1, threshold=0.9, max_bucket=cap
+    )
+    assert uncapped.count() == n * (n - 1) // 2
+    # one-shot: every bucket holds all 12 > cap — dropped outright
+    assert oneshot_capped.count() == 0
+
+    # independent expectation from the deterministic batch assignment
+    sizes = {
+        r.b: r.c
+        for r in df.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_batches)).alias("b")
+        ).groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    expected, cum = 0, 0
+    for k in range(n_batches):
+        s = sizes.get(k, 0)
+        if cum + s <= cap:
+            expected += s * cum + s * (s - 1) // 2
+        cum += s
+    assert 0 < expected < n * (n - 1) // 2  # the planted case really binds
+    got = capped.collect()
+    assert len(got) == expected
+    # subset of the uncapped log, superset of the capped one-shot
+    assert capped.exceptAll(uncapped).count() == 0
+
+
 def test_streaming_percolate_matches_batch(spark, sf_dir, tmp_path):
     """Streaming alerting: percolating each micro-batch of a real
     multi-file document stream through foreach_batch_parquet_sink emits
