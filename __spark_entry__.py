@@ -55,21 +55,35 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      unpersists, and short-circuits empty input), and the four lattice
 #      pair consumers whose verify sides now pre-filter nn > 0 ahead of
 #      the null-safe Arrow dot (sim_cosine_near_pairs, dedup_embedding,
-#      corpus_semantic_dedup, st_streaming_embed_dedup).
+#      corpus_semantic_dedup, st_streaming_embed_dedup); then the six
+#      whole-file-curation-review changed shapes (the review landed
+#      mid-round): curate_unigram_nll (nll re-keyed to per-term-
+#      quantized exact integer micros — the old round(avg(double),6)
+#      was order-nondeterministic, the forbidden class hiding in an
+#      r5-green row), curate_pii_redact (interleaved count-then-replace
+#      so overlapped spans count once, oracle mirrored),
+#      curate_sample_stratified (contract re-expressed via
+#      default_rate=20 to match the oracle's ELSE branch),
+#      curate_dsir_select (target total P via 1-row broadcast agg —
+#      survives disjoint/empty targets), curate_mixture_weights
+#      (localCheckpoint pin, one corpus scan), and
+#      curate_split_dedup_aware (canonical fingerprint helper).
 #   2. The full 18-row r5 cohort (oldest stamps in the ledger) — after
 #      this sweep the oldest green stamp is r6.
-#   3. The first 25 of the 47-row r6 cohort, in registration order.
+#   3. The first 19 of the 47-row r6 cohort, in registration order
+#      (the six review re-proofs displaced a7-a11 + o1 to round 12).
 # ROUND-12 ROTATION NOTE: lead with any round-12 additions/changes,
-# then the 22 r6-cohort leftovers (u1_union_all, u3_intersect,
-# u4_except, f8_case_like_normalizer, tpch_q4/q6/q14,
-# prof_heavy_hitters, mm_pixel_features, mm_resize_images,
-# mm_image_dedup, nl_query_range/distinct/cardinality/scalar,
-# funnel_conversion, text_winnow_fingerprints, dedup_simhash_portable,
-# dedup_shared_passages, search_query_string, search_inverted_index,
-# o1_limit_probe if displaced), which retires the r6 tail; then the r8
-# cohort (46 rows) in registration order. Exactly 50; rows-only
-# queries sink behind the window so no sweep slot records a weak
-# no_oracle row.
+# then the 28 r6-cohort leftovers (a7_distinct_sorted_dates,
+# a8_group_minmax, a9_rollup, a10_cube, a11_distinct_count,
+# o1_limit_probe, u1_union_all, u3_intersect, u4_except,
+# f8_case_like_normalizer, tpch_q4/q6/q14, prof_heavy_hitters,
+# mm_pixel_features, mm_resize_images, mm_image_dedup,
+# nl_query_range/distinct/cardinality/scalar, funnel_conversion,
+# text_winnow_fingerprints, dedup_simhash_portable,
+# dedup_shared_passages, search_query_string, search_inverted_index),
+# which retires the r6 tail; then the r8 cohort in registration order.
+# Exactly 50; rows-only queries sink behind the window so no sweep
+# slot records a weak no_oracle row.
 registry.finalize_order(
     [
         # tier 1 — round-11 additions (never-proven) + changed shapes
@@ -80,6 +94,12 @@ registry.finalize_order(
         "dedup_embedding",
         "corpus_semantic_dedup",
         "st_streaming_embed_dedup",
+        "curate_unigram_nll",
+        "curate_pii_redact",
+        "curate_sample_stratified",
+        "curate_dsir_select",
+        "curate_mixture_weights",
+        "curate_split_dedup_aware",
         # tier 2 — the 18-row r5 cohort (oldest stamps), registration order
         "ts_gap_fill",
         "events_transition_matrix",
@@ -99,7 +119,7 @@ registry.finalize_order(
         "tpch_q9_product_type_profit",
         "tpch_q11_important_stock",
         "tpch_q16_parts_supplier_relationship",
-        # tier 3 — first 25 of the r6 cohort, registration order
+        # tier 3 — first 19 of the r6 cohort, registration order
         "p1_projection_alias",
         "p2_literal_plus_star",
         "p4_computed_interval_column",
@@ -119,12 +139,6 @@ registry.finalize_order(
         "a3_distinct_projection",
         "a4_count_audit",
         "a6_vector_assembly",
-        "a7_distinct_sorted_dates",
-        "a8_group_minmax",
-        "a9_rollup",
-        "a10_cube",
-        "a11_distinct_count",
-        "o1_limit_probe",
     ]
 )
 

@@ -68,13 +68,18 @@ def pii_redact(
 ) -> DataFrame:
     """Redact PII spans (emails, IPv4 addresses, phone numbers) and count
     them. Pure projection — regexp_replace replaces every match JVM-side;
-    no UDF, no shuffle."""
-    c = F.col(text_col)
+    no UDF, no shuffle.
+
+    ``n_pii`` counts each pattern on the PROGRESSIVELY REDACTED text —
+    the matches the replace pass actually consumes — so a span covered
+    by an earlier pattern is never double-counted (the r11 review's
+    case: '1.2.3.4@example.com' redacts once as <EMAIL>, but counting
+    every pattern against the original text also matched the embedded
+    IP and reported 2 spans for 1 redaction)."""
+    clean = F.col(text_col)
     n_pii = F.lit(0)
-    for pat, _ in PII_PATTERNS:
-        n_pii = n_pii + F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
-    clean = c
     for pat, token in PII_PATTERNS:
+        n_pii = n_pii + F.size(F.regexp_extract_all(clean, F.lit(pat), F.lit(0)))
         clean = F.regexp_replace(clean, pat, token)
     return df.select(
         F.col(id_col),
@@ -208,11 +213,15 @@ def mixture_weights(
     """Domain-mixture reweighting: per stratum, its token share of the
     corpus and the sampling weight that would flatten the mixture to a
     uniform target. One partial-aggregated groupBy on a tiny key domain;
-    the corpus-total join is a broadcast of one row."""
+    the corpus-total join is a broadcast of one row. ``per`` feeds two
+    consumers (total, the join's left side) — pinned with
+    ``localCheckpoint`` exactly like ``mixture_temperature`` below, so
+    the corpus-scale aggregation subtree plans (and scans) ONCE instead
+    of once per consumer (r11 review)."""
     per = df.groupBy(strata_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     total = per.agg(
         F.sum("n_tokens").cast("double").alias("total_tokens"),
         F.count(F.lit(1)).cast("double").alias("n_strata"),
@@ -342,27 +351,33 @@ def dsir_weights(
     the curated set and is small by definition."""
     feats = _hashed_ngram_stream(corpus, text_col, id_col, buckets)
     q = feats.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
-    # Totals ride as single-partition windows over the ≤`buckets`-row
-    # count tables (trivial exchanges) rather than separate .agg()
-    # branches, which would duplicate the corpus-scale aggregation
-    # subtree in the plan. p's total is computed BEFORE the left join so
-    # target-only buckets still count toward P; the post-join max() just
-    # propagates that constant onto unmatched rows.
+    # The corpus total rides as a single-partition window over the
+    # ≤`buckets`-row count table (trivial exchange) rather than a
+    # separate .agg() branch, which would duplicate the corpus-scale
+    # aggregation subtree in the plan. The TARGET total rides as a
+    # 1-row broadcast cross join computed on the target-count table
+    # BEFORE the left join (the unigram_nll pattern): target-only
+    # buckets still count toward P, and — the r11 review's edge case —
+    # P stays the true target mass even when the corpus and target
+    # bucket sets are DISJOINT (the old max-over-joined-rows form
+    # collapsed P to 0 there, and to 0.0-instead-of-NULL on an empty
+    # target, both diverging from the oracle's independent total).
     w = Window.partitionBy()
-    p = (
+    pc = (
         _hashed_ngram_stream(target, text_col, id_col, buckets)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("pc"))
-        .select("b", "pc", F.sum("pc").over(w).cast("double").alias("pt"))
     )
+    ptot = F.broadcast(pc.agg(F.sum("pc").cast("double").alias("pt")))
     term = (
-        q.join(F.broadcast(p), "b", "left")
+        q.join(F.broadcast(pc), "b", "left")
+        .join(ptot)
         .select(
             "b",
             "qc",
             F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
             F.sum("qc").over(w).cast("double").alias("qt"),
-            F.coalesce(F.max("pt").over(w), F.lit(0.0)).alias("pt"),
+            F.col("pt"),
         )
         .select(
             "b",
@@ -429,6 +444,17 @@ def unigram_nll(
     soup; low ⇒ boilerplate). p(tok) = corpus_tf / corpus_total with no
     smoothing (every scored token occurs ≥1 time by construction).
 
+    Emitted as ``nll_micro``: each token's -ln(p) is quantized to int64
+    micros FIRST, then exactly integer-summed and integer-divided by the
+    token count. The r11 review killed the old ``round(avg(double), 6)``
+    form: the join scatters a doc's rows across token-hash partitions,
+    so a double mean merges partials in shuffle-fetch arrival order —
+    order-NONDETERMINISTIC even between two Spark runs, and never
+    DuckDB's order (the dsir_weights docstring's forbidden class). With
+    per-term quantization the only residual cross-engine exposure is
+    one ln ulp per TERM straddling a 0.5-micro boundary (the accepted
+    M2 class, FLOATS.md) — accumulation is exact and order-free.
+
     Two partial-agg shuffles (token frequencies, per-doc mean); the
     1-row corpus total rides as a broadcast. At 100 TB the frequency
     table is vocabulary-sized — cache/broadcast it per batch rather
@@ -436,13 +462,19 @@ def unigram_nll(
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = F.broadcast(freq.agg(F.sum("cnt").cast("double").alias("total")))
+    term = F.round(-F.log(F.col("cnt") / F.col("total")) * F.lit(1e6)).cast("long")
     return (
         tok.join(freq, "tok")
         .join(total)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_toks"),
-            F.round(F.avg(-F.log(F.col("cnt") / F.col("total"))), 6).alias("nll"),
+            F.sum(term).alias("__nll_sum__"),
+        )
+        .select(
+            id_col,
+            "n_toks",
+            F.expr("__nll_sum__ div n_toks").alias("nll_micro"),
         )
     )
 
@@ -489,6 +521,15 @@ def pack_ffd(
 
     block = 4096
 
+    if partition_impl not in ("spark", "portable"):
+        # loud, not defaulted: silently falling back to spark_partition_id
+        # would hand a caller who asked for reproducible bin ids
+        # execution-artifact ids instead (r11 review; mirrors
+        # mixture_waterfill's weighting-enum validation)
+        raise ValueError(
+            f"pack_ffd: unknown partition_impl {partition_impl!r} "
+            "(expected 'spark' or 'portable')"
+        )
     src = df.select(F.col(id_col), F.size(tokens(text_col)).alias("n_tokens"))
     if partition_impl == "portable":
         src = src.withColumn("pid", hash_bucket(id_col, num_partitions or 8))

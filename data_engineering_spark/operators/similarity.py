@@ -71,33 +71,53 @@ LATTICE_SCALE = 1_000_000
 # breach means the input was not normalized, and the admit guard raises.
 _LATTICE_NN_CAP = 10**13
 
-# Bounded cache registry for lattice_unit_prep(cache=True): at most TWO
-# persisted preps live at once (the same cap the BPE trainer holds on
-# segmentations, operators/text.py). Each lattice/classifier query
+# Memoized cache registry for lattice_unit_prep(cache=True): one
+# persisted prep PER DISTINCT (input plan, params), looked up by
+# semanticHash and verified with sameSemantics before reuse (r10
+# advice's memoization option). Each lattice/classifier query
 # re-invocation used to add another session-lifetime MEMORY_AND_DISK
-# copy — across a 50-query sweep that accumulates (r10 advice). FIFO
-# eviction unpersists the oldest; an evicted prep referenced by a
-# not-yet-collected DataFrame simply recomputes (slower, never wrong) —
-# within one query's execution its own prep is always the newest entry.
-# Two preps with CANONICALLY EQUAL plans share one CacheManager entry,
-# so evicting the older also uncaches the newer — benign for the same
-# reason (recompute), and impossible within a single query, which
-# builds at most one prep.
-_PREP_CACHE_CAP = 2
-_PREP_CACHE: list[DataFrame] = []
+# copy — across a 50-query sweep over the same parquet that
+# accumulates; with memoization the sweep's repeated invocations share
+# ONE prep per corpus. Eviction (beyond the cap, oldest first) is
+# reserved for genuinely distinct inputs piling up: NOT merely a
+# recompute — unpersisting a prep that an un-executed plan still
+# references dissolves the materialization boundary and re-inlines the
+# interpreted quantize/fold tree into per-PAIR expressions (the 4.5×
+# trap tests/test_plans.py ceilings; a plain FIFO tripped it the first
+# session it ran, three preps deep). Cap 4 distinct corpora in flight
+# keeps that path effectively unreachable in any real sweep.
+# Reuse caveat (same class as Spark's own CacheManager, which already
+# dedupes persists by canonicalized plan): re-reading a path whose
+# files changed mid-session reuses the stale prep — rewrite-in-place
+# corpora should pass cache=False.
+_PREP_CACHE_CAP = 4
+_PREP_CACHE: list[tuple[int | None, DataFrame, tuple, DataFrame]] = []
 
 
-def _bounded_persist(df: DataFrame) -> DataFrame:
+def _memoized_persist(src: DataFrame, params: tuple, out: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PREP_CACHE.append(df)
+    try:
+        h = src.semanticHash()
+    except Exception:  # noqa: BLE001 — hashing is an optimization, never a gate
+        h = None
+    if h is not None:
+        for eh, esrc, eparams, eprep in _PREP_CACHE:
+            if eh == h and eparams == params:
+                try:
+                    if esrc.sameSemantics(src):
+                        return eprep
+                except Exception:  # noqa: BLE001
+                    pass
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    _PREP_CACHE.append((h, src, params, out))
     while len(_PREP_CACHE) > _PREP_CACHE_CAP:
+        old = _PREP_CACHE.pop(0)
         try:
-            _PREP_CACHE.pop(0).unpersist()
+            old[3].unpersist()
         except Exception:  # noqa: BLE001 — a dead session must not poison the next query
             pass
-    return df
+    return out
 
 
 def as_double(col: Column | str) -> Column:
@@ -268,8 +288,8 @@ def lattice_unit_prep(
     attributes — nothing left to inline), and the quantization runs
     once per VECTOR, period. MEMORY_AND_DISK, ~(dim·8B + 16B) per row —
     the same persisted-signature-relation trade the MinHash path uses —
-    registered in the bounded ``_PREP_CACHE`` FIFO (cap 2), so repeated
-    lattice-query invocations in one session recycle cache slots
+    MEMOIZED per (input plan, params) in ``_PREP_CACHE``, so repeated
+    lattice-query invocations in one session share one prep per corpus
     instead of accumulating MEMORY_AND_DISK copies for the session
     lifetime (r10 advice). ``tests/test_plans.py`` pins the
     per-pair-inlining ceiling."""
@@ -305,7 +325,7 @@ def lattice_unit_prep(
     )
     out = q.withColumn("nn", checked)
     if cache:
-        out = _bounded_persist(out)
+        out = _memoized_persist(df, (id_col, vec_col, out_id, scale), out)
     return out
 
 

@@ -74,16 +74,20 @@ def _planted(df: DataFrame) -> DataFrame:
 
 @query(
     "curate_pii_redact",
-    f"""WITH planted AS (SELECT doc_id, {_PLANT_SQL} AS text FROM documents)
+    f"""WITH planted AS (SELECT doc_id, {_PLANT_SQL} AS text FROM documents),
+        -- n_pii mirrors the interleaved count-then-replace: each pattern
+        -- is counted on the text AFTER earlier patterns redacted, so an
+        -- overlapped span (an IP inside an email) counts once
+        r1 AS (SELECT doc_id, text,
+                      regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g') AS t1
+               FROM planted),
+        r2 AS (SELECT *, regexp_replace(t1, '{_IP}', '<IP>', 'g') AS t2 FROM r1)
         SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(
-                   text, '{_EMAIL}', '<EMAIL>', 'g'),
-                   '{_IP}', '<IP>', 'g'),
-                   '{_PHONE}', '<PHONE>', 'g') AS clean_text,
+               regexp_replace(t2, '{_PHONE}', '<PHONE>', 'g') AS clean_text,
                CAST(len(regexp_extract_all(text, '{_EMAIL}'))
-                  + len(regexp_extract_all(text, '{_IP}'))
-                  + len(regexp_extract_all(text, '{_PHONE}')) AS INTEGER) AS n_pii
-        FROM planted""",
+                  + len(regexp_extract_all(t1, '{_IP}'))
+                  + len(regexp_extract_all(t2, '{_PHONE}')) AS INTEGER) AS n_pii
+        FROM r2""",
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction (operators/curation.py:pii_redact) over planted
@@ -140,11 +144,14 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/curation.py:
     stratified_sample): md5-bucket per doc_id, per-language keep rates —
-    reproducible across engines, retries, and incremental appends."""
-    rates = {"en": 50, "de": 20, "es": 20, "fr": 20, "zh": 20}
-    return stratified_sample(_docs(spark, sf_dir), rates).select(
-        "doc_id", "lang", "bucket"
-    )
+    reproducible across engines, retries, and incremental appends.
+    The contract is "en 50%, EVERY other stratum 20%" expressed via
+    default_rate, exactly mirroring the oracle's ELSE branch — the r11
+    review found the old explicit 5-language dict silently dropped any
+    sixth language (default 0) while the oracle kept it at 20%."""
+    return stratified_sample(
+        _docs(spark, sf_dir), {"en": 50}, default_rate=20
+    ).select("doc_id", "lang", "bucket")
 
 
 @query(
@@ -261,7 +268,8 @@ def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM freq)
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
-               round(avg(-ln(cnt / total)), 6) AS nll
+               CAST(sum(CAST(round(-ln(cnt / total) * 1000000) AS BIGINT))
+                    // count(*) AS BIGINT) AS nll_micro
         FROM tok JOIN freq USING (tok), tot
         GROUP BY doc_id""",
 )
@@ -269,7 +277,11 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram negative log-likelihood per doc (operators/
     curation.py:unigram_nll) — the perplexity-filter shape: flags
     rare-token soup (high NLL) and boilerplate (low NLL) without a
-    model artifact."""
+    model artifact. nll_micro is a per-term-quantized exact integer
+    mean: the old round(avg(double), 6) summed doubles in shuffle-fetch
+    arrival order — nondeterministic even Spark-vs-Spark (r11 review);
+    the integer sum is order-free and the residual cross-engine risk is
+    one ln ulp per TERM (the accepted M2 class)."""
     return unigram_nll(_docs(spark, sf_dir))
 
 
@@ -885,11 +897,13 @@ def q_curate_split_dedup_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ONE fp-keyed window over an (id, 32-byte fp) projection; the
     split itself is a pure md5-bucket projection, append-stable in the
     cluster id."""
+    from data_engineering_spark.operators.text import fingerprint
+
     docs = _docs(spark, sf_dir)
-    fpd = docs.select(
-        "doc_id",
-        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("fp"),
-    )
+    # the CANONICAL fingerprint helper, not an inline copy: the dedup
+    # family and this split must agree on normalization forever, or two
+    # copies of one text can land on opposite sides (r11 review)
+    fpd = docs.select("doc_id", fingerprint("text").alias("fp"))
     from pyspark.sql import Window
 
     labeled = fpd.select(

@@ -226,14 +226,17 @@ def test_unigram_nll_orders_rarity(spark):
             (2, "common rareword"),
         ],
     )
-    got = {r.doc_id: r.nll for r in unigram_nll(df).collect()}
+    got = {r.doc_id: r.nll_micro for r in unigram_nll(df).collect()}
     # doc 2 contains the corpus-rarest token → strictly higher NLL
     assert got[2] > got[1]
-    # exact check: p(common)=5/6, p(rareword)=1/6
+    # exact integer check: every term quantized to micros, then an
+    # exact integer mean. p(common)=5/6, p(rareword)=1/6
     import math
 
-    assert abs(got[1] - (-math.log(5 / 6))) < 1e-6
-    assert abs(got[2] - (-(math.log(5 / 6) + math.log(1 / 6)) / 2)) < 1e-6
+    t_common = round(-math.log(5 / 6) * 1e6)
+    t_rare = round(-math.log(1 / 6) * 1e6)
+    assert got[1] == t_common
+    assert got[2] == (t_common + t_rare) // 2
 
 
 def test_weighted_sample_properties(spark, sf_dir):

@@ -457,31 +457,41 @@ def test_lattice_null_vector_robustness(spark):
     assert got == [23, 0, 0, 0]
 
 
-def test_lattice_prep_cache_is_bounded(spark):
-    """lattice_unit_prep(cache=True) recycles at most _PREP_CACHE_CAP
-    persisted preps per session (r10 advice: repeated lattice queries
-    used to accumulate MEMORY_AND_DISK copies for the session life)."""
+def test_lattice_prep_cache_is_memoized_and_bounded(spark):
+    """lattice_unit_prep(cache=True) memoizes per (input plan, params):
+    repeated invocations on the same corpus return the SAME persisted
+    prep (r10 advice: each re-invocation used to add another
+    session-lifetime MEMORY_AND_DISK copy), and only genuinely distinct
+    inputs beyond the cap evict (oldest first)."""
     from data_engineering_spark.operators import similarity as sim
 
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
     )
-    # distinct plans per prep — identical plans share ONE CacheManager
-    # entry (canonicalized-plan equality), which the FIFO policy
-    # documents as the benign duplicate case
+    # same input + params → the same object, no new cache entry
+    before = len(sim._PREP_CACHE)
+    p1 = sim.lattice_unit_prep(df, "vec_id", "embedding", "vec_id", cache=True)
+    p2 = sim.lattice_unit_prep(df, "vec_id", "embedding", "vec_id", cache=True)
+    assert p2 is p1
+    assert len(sim._PREP_CACHE) == before + 1
+    # different params on the same input do NOT share
+    p3 = sim.lattice_unit_prep(
+        df, "vec_id", "embedding", "vec_id", scale=1000, cache=True
+    )
+    assert p3 is not p1
+    # distinct input plans beyond the cap evict the oldest
     preps = [
         sim.lattice_unit_prep(
             df.filter(F.col("vec_id") >= -i), "vec_id", "embedding", "vec_id",
             cache=True,
         )
-        for i in range(5)
+        for i in range(1, sim._PREP_CACHE_CAP + 2)
     ]
     assert len(sim._PREP_CACHE) <= sim._PREP_CACHE_CAP
-    # evicted preps are unpersisted; the newest still serves cached
     assert preps[-1].storageLevel.useMemory
-    assert not preps[0].storageLevel.useMemory
+    assert not p1.storageLevel.useMemory  # the oldest entry was evicted
     # an evicted prep still computes correctly (recompute, never wrong)
-    assert preps[0].count() == 2
+    assert p1.count() == 2
 
 
 def test_lattice_admit_guards(spark):
