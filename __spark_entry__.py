@@ -68,22 +68,36 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      survives disjoint/empty targets), curate_mixture_weights
 #      (localCheckpoint pin, one corpus scan), and
 #      curate_split_dedup_aware (canonical fingerprint helper).
+#      A second whole-file review (text/dedup engines) landed 10 more
+#      changed shapes, all locally re-proven at both SFs under the
+#      driver-faithful gate before windowing: the quality family
+#      (quality_micro now strips the [''] split artifact and scores
+#      blank docs 0 — text_quality, dedup_keep_best,
+#      dedup_cluster_histogram, corpus_prepare, curate_token_budget),
+#      the persisted signature relations (dedup_ngram_jaccard_portable,
+#      dedup_threshold_sweep, dedup_verbatim_spans), the simhash
+#      dead-vote trim (dedup_simhash_portable), and the
+#      tokenizer-normalized phrase slots (search_match_phrase).
 #   2. The full 18-row r5 cohort (oldest stamps in the ledger) — after
 #      this sweep the oldest green stamp is r6.
-#   3. The first 19 of the 47-row r6 cohort, in registration order
-#      (the six review re-proofs displaced a7-a11 + o1 to round 12).
+#   3. The first 9 of the 47-row r6 cohort, in registration order (the
+#      16 review re-proofs displaced p12..a6 + a7-a11 + o1 to round 12
+#      — correctness stamps on changed code outrank staleness).
 # ROUND-12 ROTATION NOTE: lead with any round-12 additions/changes,
-# then the 28 r6-cohort leftovers (a7_distinct_sorted_dates,
+# then the 38 r6-cohort leftovers (p12_concat_projection, j2-j5,
+# a1_listagg_distinct, a2_collect_list_sorted, a3_distinct_projection,
+# a4_count_audit, a6_vector_assembly, a7_distinct_sorted_dates,
 # a8_group_minmax, a9_rollup, a10_cube, a11_distinct_count,
 # o1_limit_probe, u1_union_all, u3_intersect, u4_except,
 # f8_case_like_normalizer, tpch_q4/q6/q14, prof_heavy_hitters,
 # mm_pixel_features, mm_resize_images, mm_image_dedup,
 # nl_query_range/distinct/cardinality/scalar, funnel_conversion,
-# text_winnow_fingerprints, dedup_simhash_portable,
-# dedup_shared_passages, search_query_string, search_inverted_index),
-# which retires the r6 tail; then the r8 cohort in registration order.
-# Exactly 50; rows-only queries sink behind the window so no sweep
-# slot records a weak no_oracle row.
+# text_winnow_fingerprints, dedup_simhash_portable (re-rotates
+# normally), dedup_shared_passages, search_query_string,
+# search_inverted_index), which retires most of the r6 tail (the rest
+# in r13); then the r8 cohort in registration order. Exactly 50;
+# rows-only queries sink behind the window so no sweep slot records a
+# weak no_oracle row.
 registry.finalize_order(
     [
         # tier 1 — round-11 additions (never-proven) + changed shapes
@@ -100,6 +114,16 @@ registry.finalize_order(
         "curate_dsir_select",
         "curate_mixture_weights",
         "curate_split_dedup_aware",
+        "text_quality",
+        "dedup_keep_best",
+        "dedup_cluster_histogram",
+        "corpus_prepare",
+        "curate_token_budget",
+        "dedup_ngram_jaccard_portable",
+        "dedup_threshold_sweep",
+        "dedup_verbatim_spans",
+        "dedup_simhash_portable",
+        "search_match_phrase",
         # tier 2 — the 18-row r5 cohort (oldest stamps), registration order
         "ts_gap_fill",
         "events_transition_matrix",
@@ -119,7 +143,7 @@ registry.finalize_order(
         "tpch_q9_product_type_profit",
         "tpch_q11_important_stock",
         "tpch_q16_parts_supplier_relationship",
-        # tier 3 — first 19 of the r6 cohort, registration order
+        # tier 3 — first 9 of the r6 cohort, registration order
         "p1_projection_alias",
         "p2_literal_plus_star",
         "p4_computed_interval_column",
@@ -129,16 +153,6 @@ registry.finalize_order(
         "p8_retention_cutoff_filter",
         "p9_boolean_compound_filter",
         "p10_value_scrub",
-        "p12_concat_projection",
-        "j2_inner_join_filter",
-        "j3_semi_join",
-        "j4_broadcast_lookup_join",
-        "j5_anti_join",
-        "a1_listagg_distinct",
-        "a2_collect_list_sorted",
-        "a3_distinct_projection",
-        "a4_count_audit",
-        "a6_vector_assembly",
     ]
 )
 

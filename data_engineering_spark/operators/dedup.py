@@ -52,6 +52,7 @@ __all__ = [
     "keep_best_dedup",
     "shingles",
     "shingle_hashes",
+    "shingle_hashes_portable",
     "minhash_signature",
     "minhash_band_buckets",
     "minhash_near_dedup",
@@ -62,6 +63,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_exact",
     "verbatim_spans",
+    "positional_grams",
+    "merge_covered_spans",
+    "contamination_spans",
     "canonical_assignment",
 ]
 
@@ -596,6 +600,13 @@ def jaccard_verify_pairs(
     verified = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
+        # round(n/d, 6) as a FILTER key is safe HERE (unlike the general
+        # rounded-double-cut class): n, d are exact ints with d bounded
+        # by shingle-set size, so the one correctly-rounded IEEE division
+        # is bit-identical in both engines and the exact rational n/d is
+        # either ≥ 1/(2e6·d) ≫ ulp away from every 6-dp midpoint or
+        # EXACTLY on one (both engines then round away from zero on the
+        # same double). FLOATS.md §historical-note carries the proof.
         .withColumn(
             "jaccard",
             F.round(
@@ -634,7 +645,11 @@ def simhash_signature(
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(bits)
+        # bits-1, not bits: the packing loop below skips the sign bit, so
+        # a vote for it would only fatten the per-doc groupBy state by a
+        # dead 8-byte long (r11 review; the portable callers already trim
+        # the same way by passing bits=61)
+        for i in range(bits - 1)
     ]
     agg = ex.groupBy(id_col).agg(*votes)
     sig_terms = [
@@ -880,8 +895,19 @@ def ngram_jaccard_pairs(
     the 100× probe, the candidate stream's own cost)."""
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     gram = shingles(text_col, n) if gram_impl == "portable" else shingle_hashes(text_col, n)
-    sh = _spread(df).select(F.col(id_col), gram.alias("shset"))
+    # persisted: sh feeds the block-key stream AND both verify-join sides
+    # (sh_a, sh_b) — without this the tokenize+gram projection re-executes
+    # per consumer (the same lineage blowup minhash_near_dedup's persist
+    # comment documents; r11 review found this operator missed the memo).
+    # Same bounded per-invocation cache class as the minhash path.
+    sh = (
+        _spread(df)
+        .select(F.col(id_col), gram.alias("shset"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tok = sh.select(F.col(id_col), F.explode("shset").alias("blk"))
     freq = tok.groupBy("blk").agg(F.count(F.lit(1)).alias("doc_freq"))
     ranked = (
@@ -976,7 +1002,15 @@ def verbatim_spans(
     production path (~1.5× less gram-stage CPU/GC); ``"portable"``
     keeps strings so a SQL twin replays every stage (the registered
     oracle query's mode; equal spans unless xxhash64 collides)."""
-    starts = positional_grams(df, text_col, id_col, gram, gram_impl)
+    from pyspark import StorageLevel
+
+    # persisted: starts feeds the gram-df aggregate AND the shared-gram
+    # join — without this the positional-gram explode runs twice (r11
+    # review; same bounded per-invocation cache class as the other
+    # dedup signature relations)
+    starts = positional_grams(df, text_col, id_col, gram, gram_impl).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     gdf = (
         starts.select("g", id_col)
         .distinct()
@@ -1163,6 +1197,20 @@ def canonical_assignment(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the loop ran out of rounds with labels still moving: some
+        # cluster's diameter exceeds max_rounds and the labels are NOT
+        # canonical — a drop-list keyed on them would point survivors at
+        # documents that are themselves dropped. Loud, not silent (r11
+        # review): the fix is a larger max_rounds (label propagation
+        # needs rounds ≥ cluster diameter; real near-dup clusters are
+        # shallow, so hitting this means pathological chain data).
+        edges.unpersist()
+        raise RuntimeError(
+            f"canonical_assignment: label propagation did not converge in "
+            f"{max_rounds} rounds ({changed} labels still changing) — a "
+            "duplicate chain is longer than max_rounds; raise max_rounds"
+        )
     # checkpointed labels carry no lineage back to the edge list — safe to
     # release its storage before handing the result to the caller
     edges.unpersist()

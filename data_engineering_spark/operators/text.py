@@ -53,7 +53,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of lowercased text (the reference's
-    CountVectorizer input shape, ``Keyword.py:82-89``)."""
+    CountVectorizer input shape, ``Keyword.py:82-89``).
+
+    CONTRACT NOTE: on empty/whitespace-only text this returns the split
+    artifact ``['']`` (size 1), identically in Spark and DuckDB's
+    ``string_split_regex`` — every oracle pair shares the quirk, so
+    counts stay cross-engine consistent. Consumers whose SEMANTICS
+    require "no tokens" for a blank doc must strip it explicitly the
+    way :func:`quality_micro` does (``array_remove(toks, '')`` +
+    zero-guard)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(F.lower(c)), r"\s+")
 
@@ -155,13 +163,21 @@ def quality_micro(text_col: str = "text") -> Column:
     shortest-decimal vs exact-binary rounding flips boundary micros, and
     at 1e9+ documents a within-ulp boundary hit is an EXPECTED event,
     not a tail risk (≈4e-10 per value; the round-8 driver red row was
-    exactly this flip reordering a greedy prefix)."""
-    toks = tokens(text_col)
+    exactly this flip reordering a greedy prefix).
+
+    Blank documents score 0, not 0.5025: ``tokens('')`` returns the
+    split artifact ``['']`` (size 1), which used to give every empty or
+    whitespace-only document ttr = 1 and a PASSING quality verdict (the
+    r11 whole-file review — invisible to the oracle because DuckDB's
+    string_split_regex shares the artifact). Empty tokens are stripped
+    before counting and a zero-token doc short-circuits to 0 — a
+    production quality gate must never keep a blank document."""
+    toks = F.array_remove(tokens(text_col), "")
     n = F.size(toks).cast("long")
     d = F.size(F.array_distinct(toks)).cast("long")
     num = F.lit(200).cast("long") * d + n * F.least(n, F.lit(200).cast("long"))
     den = F.lit(400).cast("long") * n
-    return micro_ratio(num, den)
+    return F.when(n == 0, F.lit(0).cast("long")).otherwise(micro_ratio(num, den))
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -457,6 +473,26 @@ def percolate(
     exactly how a percolator must behave when the doc stream is the
     100 TB side."""
     spark = df.sparkSession
+    # Registration-time validation (r11 review): a query with ZERO terms
+    # would vanish from the term/need tables and never fire (ES bool-must
+    # with no clauses matches EVERYTHING — silently matching nothing is
+    # the opposite contract), and a term containing whitespace can never
+    # equal a single whitespace-split token, so the alert would be
+    # permanently dead. Both are registration bugs — loud, not silent.
+    for qid, terms in queries.items():
+        if not terms:
+            raise ValueError(
+                f"percolate: stored query {qid!r} has no terms — an "
+                "empty bool-must is match-all, which this term-set "
+                "percolator cannot express"
+            )
+        for t in terms:
+            if not t or t.split() != [t]:
+                raise ValueError(
+                    f"percolate: stored query {qid!r} term {t!r} is empty "
+                    "or contains whitespace — it can never equal a single "
+                    "token; register multi-word alerts as separate terms"
+                )
     # stored terms are normalized the same way doc tokens are (lowercase)
     # — a mixed-case registered alert must fire, not silently go dead
     qrows = sorted({(qid, t.lower()) for qid, terms in queries.items() for t in terms})
@@ -497,6 +533,12 @@ def highlight_snippets(
     # regex — 'c++' or 'a.b' are plain strings here, as in ES term-level
     # highlighting), and the same lowercased literal drives instr.
     term = term.lower()
+    if not term.strip():
+        # loud like the sibling rank operators (r11 review): an empty
+        # term divides the hit count by len('') = 0 (a runtime
+        # DIVIDE_BY_ZERO under ANSI mode) and instr(text, '') "matches"
+        # every document at position 1
+        raise ValueError("highlight_snippets: query term must be non-empty")
     low = F.lower(F.col(text_col))
     pos = F.instr(low, term)
     n_hits = (
@@ -555,10 +597,27 @@ def match_phrase_rank(
     TakeOrderedAndProject."""
     if not phrase:
         raise ValueError("match_phrase_rank: `phrase` must name at least one term")
+    # Normalize query terms through the SAME tokenizer regex the document
+    # side uses — a raw term with punctuation ('c++', 'U.S.') can never
+    # equal an alnum-run token and would silently match nothing (r11
+    # review). A multi-token term ('new york') expands into consecutive
+    # slots, which is exactly ES match_phrase's analyzer behavior.
+    import re as _re
+
+    norm = [
+        tok
+        for term in phrase
+        for tok in _re.findall(r"[A-Za-z0-9가-힣]+", term.lower())
+    ]
+    if not norm:
+        raise ValueError(
+            f"match_phrase_rank: no query term in {phrase!r} survives "
+            "tokenization — the phrase cannot match any document"
+        )
     spark = df.sparkSession
     slots = F.broadcast(
         spark.createDataFrame(
-            [(i, t.lower()) for i, t in enumerate(phrase)], "slot int, term string"
+            [(i, t) for i, t in enumerate(norm)], "slot int, term string"
         )
     )
     pos = df.select(
@@ -576,7 +635,7 @@ def match_phrase_rank(
         # count_distinct plans
         .groupBy(id_col, "start")
         .agg(F.count(F.lit(1)).alias("nslots"))
-        .filter(F.col("nslots") == len(phrase))
+        .filter(F.col("nslots") == len(norm))
     )
     return (
         hits.groupBy(id_col)

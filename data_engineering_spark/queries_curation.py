@@ -515,15 +515,19 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH t AS (
           SELECT doc_id, {_TOKS} AS toks FROM documents
         ), q AS (
-          SELECT doc_id,
-                 CAST(200 * len(list_distinct(toks))
-                      + len(toks) * least(len(toks), 200) AS BIGINT) AS num,
-                 CAST(400 * len(toks) AS BIGINT) AS den,
+          -- ft strips the [''] split artifact; a blank doc scores 0
+          -- (quality_micro's r11 blank-doc guard)
+          SELECT doc_id, list_filter(toks, x -> x <> '') AS ft,
                  CAST(len(toks) AS INTEGER) AS n_tokens
           FROM t
         ), m AS (
           SELECT doc_id,
-                 (2000000 * num + den) // (2 * den) AS quality_micro,
+                 CASE WHEN len(ft) = 0 THEN 0 ELSE
+                   (2000000 * CAST(200 * len(list_distinct(ft))
+                        + len(ft) * least(len(ft), 200) AS BIGINT)
+                    + CAST(400 * len(ft) AS BIGINT))
+                   // (2 * CAST(400 * len(ft) AS BIGINT))
+                 END AS quality_micro,
                  n_tokens
           FROM q
         ), c AS (

@@ -138,10 +138,14 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (200*d + n*min(n,200)) / (400*n), pure BIGINT arithmetic. Every
 # quality rank/filter/group mirrors THIS, never round(double, 6) —
 # cross-engine float rounding flipped the round-8 token-budget row.
+# Empty split-artifact tokens are stripped and a zero-token (blank)
+# doc scores 0, mirroring quality_micro's r11 blank-doc guard.
+_QT = "list_filter(toks, x -> x <> '')"
 _QM = (
-    "((2000000 * (200 * len(list_distinct(toks)) "
-    "+ len(toks) * least(len(toks), 200)) + 400 * len(toks)) "
-    "// (800 * len(toks)))"
+    f"(CASE WHEN len({_QT}) = 0 THEN 0 ELSE "
+    f"((2000000 * (200 * len(list_distinct({_QT})) "
+    f"+ len({_QT}) * least(len({_QT}), 200)) + 400 * len({_QT})) "
+    f"// (800 * len({_QT}))) END)"
 )
 
 

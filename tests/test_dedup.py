@@ -465,6 +465,15 @@ def test_lattice_prep_cache_is_memoized_and_bounded(spark):
     inputs beyond the cap evict (oldest first)."""
     from data_engineering_spark.operators import similarity as sim
 
+    # drain entries left by earlier tests: at-cap growth is zero-sum
+    # (each add evicts), which would make the +1 assertion below vacuous
+    for entry in list(sim._PREP_CACHE):
+        try:
+            entry[3].unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+    sim._PREP_CACHE.clear()
+
     df = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
     )
@@ -583,6 +592,28 @@ def test_canonical_assignment_chain(spark):
     assert out[10] == (10, False)
     assert out[11] == (10, True)
     assert out[50] == (50, False)  # untouched singleton
+
+
+def test_canonical_assignment_raises_on_truncation(spark):
+    """A chain deeper than max_rounds must raise, never silently emit
+    non-canonical labels (r11 review: a drop-list keyed on truncated
+    labels points survivors at documents that are themselves dropped).
+    The same chain converges — and certifies via the extra quiet
+    round — once max_rounds covers its diameter."""
+    import pytest as _pytest
+
+    from data_engineering_spark.operators.dedup import canonical_assignment
+
+    chain = [(i, i + 1) for i in range(1, 9)]  # diameter-8 path 1..9
+    pairs = spark.createDataFrame(chain, ["id_a", "id_b"])
+    ids = spark.createDataFrame([(i,) for i in range(1, 10)], ["doc_id"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        canonical_assignment(pairs, ids, max_rounds=2)
+    out = {
+        r.doc_id: r.canonical_id
+        for r in canonical_assignment(pairs, ids, max_rounds=10).collect()
+    }
+    assert all(v == 1 for v in out.values())
 
 
 def test_lsh_multiprobe_recall_superset(spark, sf_dir):
