@@ -80,11 +80,19 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      tokenizer-normalized phrase slots (search_match_phrase).
 #   2. The full 18-row r5 cohort (oldest stamps in the ledger) — after
 #      this sweep the oldest green stamp is r6.
-#   3. The first 9 of the 47-row r6 cohort, in registration order (the
-#      16 review re-proofs displaced p12..a6 + a7-a11 + o1 to round 12
-#      — correctness stamps on changed code outrank staleness).
+#      A third review (joins/timeseries/profiling/graph) landed 4 more
+#      oracled changed shapes: j6_asof_join (SQL NULL semantics — a
+#      NULL-ts right row's payload no longer leaks into every left row
+#      — plus deterministic tie-break on the payload struct),
+#      j9_salted_join / j10_fuzzy_join (same-name and shared-lineage
+#      key references resolve instead of AMBIGUOUS_REFERENCE), and
+#      prof_column_entropy (enforced 1e10-row int64-exactness gate).
+#   3. The first 5 of the 47-row r6 cohort, in registration order (the
+#      20 review re-proofs displaced p7-p12, j2-j5, a1-a11, o1 to
+#      round 12 — correctness stamps on changed code outrank
+#      staleness).
 # ROUND-12 ROTATION NOTE: lead with any round-12 additions/changes,
-# then the 38 r6-cohort leftovers (p12_concat_projection, j2-j5,
+# then the 42 r6-cohort leftovers (p7-p10, p12_concat_projection, j2-j5,
 # a1_listagg_distinct, a2_collect_list_sorted, a3_distinct_projection,
 # a4_count_audit, a6_vector_assembly, a7_distinct_sorted_dates,
 # a8_group_minmax, a9_rollup, a10_cube, a11_distinct_count,
@@ -124,6 +132,10 @@ registry.finalize_order(
         "dedup_verbatim_spans",
         "dedup_simhash_portable",
         "search_match_phrase",
+        "j6_asof_join",
+        "j9_salted_join",
+        "j10_fuzzy_join",
+        "prof_column_entropy",
         # tier 2 — the 18-row r5 cohort (oldest stamps), registration order
         "ts_gap_fill",
         "events_transition_matrix",
@@ -143,16 +155,12 @@ registry.finalize_order(
         "tpch_q9_product_type_profit",
         "tpch_q11_important_stock",
         "tpch_q16_parts_supplier_relationship",
-        # tier 3 — first 9 of the r6 cohort, registration order
+        # tier 3 — first 5 of the r6 cohort, registration order
         "p1_projection_alias",
         "p2_literal_plus_star",
         "p4_computed_interval_column",
         "p5_rename_drop",
         "p6_like_filter",
-        "p7_date_string_filter",
-        "p8_retention_cutoff_filter",
-        "p9_boolean_compound_filter",
-        "p10_value_scrub",
     ]
 )
 

@@ -363,10 +363,15 @@ def dsir_weights(
     # collapsed P to 0 there, and to 0.0-instead-of-NULL on an empty
     # target, both diverging from the oracle's independent total).
     w = Window.partitionBy()
+    # pc feeds two consumers (the left join AND the target total) —
+    # pinned like mixture_weights so the target's gram aggregation plans
+    # once (≤`buckets` rows checkpointed; without the pin the second
+    # reference re-plans the target scan and the shuffle budget grows)
     pc = (
         _hashed_ngram_stream(target, text_col, id_col, buckets)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("pc"))
+        .localCheckpoint(eager=True)
     )
     ptot = F.broadcast(pc.agg(F.sum("pc").cast("double").alias("pt")))
     term = (

@@ -149,8 +149,21 @@ def asof_join(
     Strictly O((L+R) log) per key: a pair-then-rank formulation would
     materialize every (left, earlier-right) combination — per-key
     quadratic on dense right sides — while this shape never forms pairs
-    at all. The single hash partition by ``key`` is the only exchange."""
+    at all. The single hash partition by ``key`` is the only exchange.
+
+    NULL semantics (r11 review — three silent deviations from SQL ASOF
+    closed): a right row with a NULL key or NULL timestamp can never
+    match (``right_ts <= left_ts`` is never true for NULL — the old
+    NULLS-FIRST sort placed such rows at the partition start where the
+    running ``last(ignorenulls)`` carried their payload into every left
+    row); a left row with a NULL key or timestamp emits NULL payloads
+    (left-outer). Ties on (key, right_ts) between DISTINCT right rows
+    break deterministically on the payload struct itself (greatest wins
+    backward, least forward — lexicographic by field) when every right
+    payload type is orderable; with a non-orderable payload (maps) the
+    tie pick remains engine-/run-dependent, as in every merge-asof."""
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     rpayload = [c for c in right.columns if c != key]
     l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
@@ -163,13 +176,28 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.struct(*[F.col(c) for c in rpayload]).alias("__rpay"),
+    ).filter(F.col(key).isNotNull() & F.col("__ts").isNotNull())
+
+    def _orderable(dt: T.DataType) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tiebreak = (
+        [F.col("__rpay").asc()]
+        if all(_orderable(f.dataType) for f in right.schema.fields if f.name != key)
+        else []
     )
     u = l.unionByName(r, allowMissingColumns=True)
     if direction == "backward":
         # right rows order BEFORE left rows at equal ts (<= matches)
         w = (
             Window.partitionBy(key)
-            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *tiebreak)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         carried = F.last("__rpay", ignorenulls=True).over(w)
@@ -177,10 +205,15 @@ def asof_join(
         # right rows order AFTER left rows at equal ts (>= matches)
         w = (
             Window.partitionBy(key)
-            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc(), *tiebreak)
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         carried = F.first("__rpay", ignorenulls=True).over(w)
+    # a left row with NULL key/ts never matches (its window frame could
+    # otherwise see every right row after the NULLS-FIRST sort)
+    carried = F.when(
+        F.col("__ts").isNotNull() & F.col(key).isNotNull(), carried
+    )
     return (
         u.select(*left.columns, "__side", carried.alias("__rpay"))
         .filter(F.col("__side") == 1)
@@ -241,10 +274,14 @@ def salted_join(
             "under right/full/anti semantics"
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts)).cast("int")
+    # frame-qualified key references, not bare F.col: when on_large and
+    # on_small share a name (the common same-named-key case) an unbound
+    # reference is AMBIGUOUS_REFERENCE and the join never resolves (r11
+    # review, reproduced)
     l = large.withColumn("_salt", salt)
     s = small.withColumn("_salt_s", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
     out = l.join(
-        s, (F.col(on_large) == F.col(on_small)) & (F.col("_salt") == F.col("_salt_s")), how
+        s, (l[on_large] == s[on_small]) & (F.col("_salt") == F.col("_salt_s")), how
     )
     return out.drop("_salt", "_salt_s")
 
@@ -265,12 +302,17 @@ def fuzzy_join(
     dirty-key lookup against a bounded dimension (the classic use), and
     for corpus-vs-corpus matching switch to blocked candidates first
     (dedup.py's LSH/shingle generators) exactly as the near-dup
-    operators do."""
-    out = left.join(
-        F.broadcast(right),
-        F.levenshtein(F.col(left_col), F.col(right_col)) <= max_dist,
-        how,
+    operators do.
+
+    Key references are alias-qualified so BOTH ambiguity modes resolve:
+    the canonical same-NAME call ('name' vs 'name', which bare F.col
+    made AMBIGUOUS_REFERENCE — r11 review, reproduced) and the shared-
+    LINEAGE call (right derived from the same source as left, where
+    df[col] indexing also fails)."""
+    l, r = left.alias("__fz_l"), right.alias("__fz_r")
+    dist = F.levenshtein(
+        F.col(f"__fz_l.{left_col}"), F.col(f"__fz_r.{right_col}")
     )
-    return out.withColumn(
-        "edit_dist", F.levenshtein(F.col(left_col), F.col(right_col))
+    return l.join(F.broadcast(r), dist <= max_dist, how).withColumn(
+        "edit_dist", dist
     )

@@ -41,7 +41,13 @@ __all__ = [
     "column_entropy",
 ]
 
-_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType, T.DoubleType)
+# DecimalType included (r11 review): DECIMAL(p,s) is THE standard
+# warehouse money type — omitting it made profile_columns emit NULL
+# min/max for decimal columns, indistinguishable from non-numeric ones
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
 
 
 def profile_columns(df: DataFrame, cols: list[str] | None = None, exact: bool = True) -> DataFrame:
@@ -114,7 +120,13 @@ def expect_accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
 def expect_referential_integrity(
     child: DataFrame, child_key: str, parent: DataFrame, parent_key: str
 ) -> DataFrame:
-    orphans = child.join(
+    """Orphan check with SQL FK / dbt-relationships semantics: a NULL
+    child key is NOT a violation (r11 review — the unfiltered left_anti
+    counted every legitimately-nullable FK row as an orphan, alerting on
+    valid data every run; dbt's relationships test filters
+    ``where child is not null`` for the same reason). Pair with
+    ``expect_no_nulls`` when the FK column must also be mandatory."""
+    orphans = child.filter(F.col(child_key).isNotNull()).join(
         parent.select(F.col(parent_key).alias(child_key)).distinct(),
         on=child_key,
         how="left_anti",
@@ -246,7 +258,17 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
     sum(c) over its count rows, computed as a window on the tiny count
     table instead of a second scan. NULLs are keyed by a separate
     is-null FLAG, never a sentinel string, so a real value can't
-    collide with them."""
+    collide with them.
+
+    Exactness bound (r11 review — stated and ENFORCED, like graph.py's
+    binding-constraint paragraph): each micro term must stay under 2^53
+    for the double product to round exactly, and Σt under 2^63 —
+    Σ c·ln(N/c) ≤ N·ln(N), so both hold comfortably for N ≤ 1e10 rows
+    per column (max term < 2.4e17 sum / 9e15 per-term worst cases sit
+    at N ≈ 1e10-3e11). Beyond the 1e10 gate the operator RAISES rather
+    than silently wrapping int64 where DuckDB's HUGEINT would not — at
+    that scale profile a sample, or shard by partition and combine
+    entropies externally."""
     pairs = F.explode(
         F.array(
             *[
@@ -266,6 +288,14 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.partitionBy("col")
+    t_expr = F.round(
+        F.col("c").cast("double")
+        * (
+            F.log(F.col("n_rows").cast("double"))
+            - F.log(F.col("c").cast("double"))
+        )
+        * F.lit(1e6)
+    ).cast("long")
     term = counts.select(
         "col",
         F.sum("c").over(w).alias("n_rows"),
@@ -273,15 +303,18 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
     ).select(
         "col",
         "n_rows",
-        F.round(
-            F.col("c").cast("double")
-            * (
-                F.log(F.col("n_rows").cast("double"))
-                - F.log(F.col("c").cast("double"))
-            )
-            * F.lit(1e6)
+        F.when(
+            F.col("n_rows") > F.lit(10_000_000_000),
+            F.raise_error(
+                F.lit(
+                    "column_entropy: > 1e10 rows in one column — the "
+                    "int64 fixed-point sum would overflow where an "
+                    "oracle's int128 would not; profile a sample or "
+                    "shard by partition"
+                )
+            ).cast("long"),
         )
-        .cast("long")
+        .otherwise(t_expr)
         .alias("t"),
     )
     return term.groupBy("col").agg(

@@ -69,7 +69,12 @@ def lttb_downsample(
     At 100 TB the series key is the shuffle key: a single groupBy
     exchange co-locates each series, and the output is k rows per series
     regardless of input size — the canonical reduce-before-collect for
-    dashboards over raw event streams."""
+    dashboards over raw event streams (series shorter than k pass
+    through whole; k < 3 raises — LTTB needs first + last + one
+    bucket, and the kernel's k<3 escape hatch would otherwise emit the
+    ENTIRE series, inverting the reduce contract; r11 review)."""
+    if k < 3:
+        raise ValueError(f"lttb_downsample: k must be >= 3, got {k}")
     out_schema = T.StructType(
         [
             T.StructField("series", T.StringType()),
@@ -81,7 +86,15 @@ def lttb_downsample(
 
     def downsample(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([x_col, y_col], kind="mergesort").reset_index(drop=True)
-        x = pdf[x_col].astype("int64").to_numpy() / 1e9  # ns → epoch seconds
+        # unit-independent epoch seconds via datetime64[us] — a bare
+        # astype('int64') reads ns OR µs depending on which datetime64
+        # unit the Arrow conversion hands the kernel (the 1000× shift
+        # the portable twin below always normalized against; r11 review
+        # aligned this kernel with it)
+        xi = pd.DatetimeIndex(pdf[x_col])
+        if xi.tz is not None:
+            xi = xi.tz_localize(None)
+        x = xi.to_numpy(dtype="datetime64[us]").astype("int64") / 1e6
         y = pdf[y_col].astype("float64").to_numpy()
         keep = lttb(x, y, k)
         return pd.DataFrame(
@@ -163,6 +176,8 @@ def lttb_downsample_portable(
     summation-order luck; the fixed-point rule is the deterministic one.
     Python-int loop ≈ O(points) per series: the verification-variant
     cost, paid only here (production keeps the numpy kernel)."""
+    if k < 3:
+        raise ValueError(f"lttb_downsample_portable: k must be >= 3, got {k}")
     out_schema = T.StructType(
         [
             T.StructField("series", T.StringType()),

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from data_engineering_spark.operators.joins import asof_join, range_join
 
 
@@ -31,6 +33,75 @@ def test_asof_forward(spark):
     )
     out = asof_join(left, right, "k", "ts", "rts", direction="forward").collect()
     assert out[0].r_val == "next"
+
+
+def test_asof_null_rows_never_match(spark):
+    """SQL ASOF NULL semantics (r11 review): a right row with NULL ts or
+    NULL key never matches (the old NULLS-FIRST sort carried its payload
+    into every left row); a left row with NULL key/ts emits NULL
+    payloads instead of matching the NULL-key right partition."""
+    from pyspark.sql import types as T
+
+    lschema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rschema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("rts", T.TimestampType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, None, _ts(10)), (3, 100, None)], lschema
+    )
+    right = spark.createDataFrame(
+        [(100, None, "nullts"), (None, _ts(9), "nullkey")], rschema
+    )
+    out = {r.id: r.r_val for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    assert out == {1: None, 2: None, 3: None}
+    # forward direction: NULL-ts left rows must not swallow the whole
+    # following frame either
+    out_f = {
+        r.id: r.r_val
+        for r in asof_join(left, right, "k", "ts", "rts", direction="forward").collect()
+    }
+    assert out_f == {1: None, 2: None, 3: None}
+
+
+def test_asof_ties_break_deterministically(spark):
+    """Two right rows at the identical (key, ts): backward picks the
+    GREATEST payload struct, forward the least — a pure function of the
+    data, not shuffle order (r11 review)."""
+    left = spark.createDataFrame([(1, 100, _ts(12))], ["id", "k", "ts"])
+    right = spark.createDataFrame(
+        [(100, _ts(11), "aa"), (100, _ts(11), "zz")], ["k", "rts", "val"]
+    )
+    for _ in range(3):
+        out = asof_join(left, right, "k", "ts", "rts").collect()
+        assert out[0].r_val == "zz"
+        fwd = asof_join(left.withColumn("ts", F.lit(_ts(10))), right, "k", "ts", "rts",
+                        direction="forward").collect()
+        assert fwd[0].r_val == "aa"
+
+
+def test_same_named_keys_resolve(spark):
+    """salted_join and fuzzy_join on same-named keys must resolve, not
+    raise AMBIGUOUS_REFERENCE (r11 review, previously reproduced)."""
+    from data_engineering_spark.operators.joins import fuzzy_join, salted_join
+
+    facts = spark.createDataFrame([(1, "x"), (2, "y")], ["k", "a"])
+    dims = spark.createDataFrame([(1, "dim1")], ["k", "b"])
+    got = salted_join(facts, dims.withColumnRenamed("k", "k"), "k", "k").collect()
+    assert len(got) == 1 and got[0].b == "dim1"
+    l = spark.createDataFrame([("kitten",)], ["name"])
+    r = spark.createDataFrame([("sitten",)], ["name"])
+    fz = fuzzy_join(l, r, "name", "name", max_dist=1).collect()
+    assert len(fz) == 1 and fz[0].edit_dist == 1
 
 
 def test_range_join_point_in_interval(spark):

@@ -555,3 +555,9 @@ def test_lttb_downsample_spark_contract(spark, sf_dir):
         assert len(pts) == 50
         xs = sorted(p.x_epoch for p in pts)
         assert xs == [p.x_epoch for p in sorted(pts, key=lambda p: p.pos)]
+    # k < 3 is a contract violation, not an emit-the-whole-series escape
+    # hatch (r11 review)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be >= 3"):
+        lttb_downsample(ev, k=2)

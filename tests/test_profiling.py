@@ -46,7 +46,33 @@ def test_expectations_suite(spark):
     assert out["not_null:fk"] == 1
     assert out["unique:id"] == 1  # violations count duplicated KEYS, not rows
     assert out["accepted_values:status"] == 1
-    assert out["ref_integrity:fk"] == 1  # the null fk has no parent
+    # SQL-FK / dbt-relationships semantics (r11 review): a NULL fk is NOT
+    # an orphan — nullability is expect_not_null's job, composed above
+    assert out["ref_integrity:fk"] == 0
+
+
+def test_referential_integrity_counts_real_orphans(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,)], "pk long")
+    out = expect_referential_integrity(child, "fk", parent, "pk").collect()[0]
+    assert out.violations == 1  # fk=99 only; the NULL row is excluded
+
+
+def test_profile_columns_covers_decimal(spark):
+    """DECIMAL columns get real numeric min/max (r11 review: DecimalType
+    was missing from the numeric type set, profiling money columns as
+    if they were strings)."""
+    from decimal import Decimal
+
+    from data_engineering_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(Decimal("1.50"),), (Decimal("9.25"),)], "price decimal(15,2)"
+    )
+    row = profile_columns(df).collect()[0]
+    assert row.min_num == 1.5 and row.max_num == 9.25
 
 
 def test_skew_report(spark):
