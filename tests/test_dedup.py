@@ -501,6 +501,13 @@ def test_lattice_prep_cache_is_memoized_and_bounded(spark):
     assert not p1.storageLevel.useMemory  # the oldest entry was evicted
     # an evicted prep still computes correctly (recompute, never wrong)
     assert p1.count() == 2
+    # a session-level clearCache() invalidates entries UNDERNEATH the
+    # registry (test_driver_canon / bench both do one): the lookup must
+    # detect the stale entry and rebuild with a live cache, never hand
+    # out an uncached prep whose consumers would re-inline per pair
+    spark.catalog.clearCache()
+    p4 = sim.lattice_unit_prep(df, "vec_id", "embedding", "vec_id", cache=True)
+    assert p4.storageLevel.useMemory
 
 
 def test_lattice_admit_guards(spark):
