@@ -416,6 +416,25 @@ def main() -> None:
                 # but a silently MISSING canary is indistinguishable from a
                 # never-run one; record the skip explicitly
                 out[label] = None
+        # DRIVER-side probe (added r11): 12 tiny jobs, each with a FRESH
+        # plan (the varying literal defeats plan-cache hits), so the
+        # number tracks analysis + codegen-compile + job-launch
+        # throughput. The executor canaries above CANNOT see this axis —
+        # r11's bench read 1.09× on the common set with executor
+        # canaries at 0.75-0.97×, and every regressed row was a
+        # plan-compile/collect-bound trainer or replay whose code was
+        # git-identical to the prior artifact's.
+        try:
+            t0 = time.time()
+            for i in range(12):
+                spark.range(0, 1000, 1, 4).selectExpr(
+                    f"id * {i + 1} as a"
+                ).groupBy((F.col("a") % 7).alias("k")).agg(
+                    F.count(F.lit(1)).alias("n")
+                ).collect()
+            out["canary_driver"] = round(time.time() - t0, 3)
+        except Exception:  # noqa: BLE001
+            out["canary_driver"] = None
         return out
 
     canaries = _canaries()
