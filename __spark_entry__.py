@@ -87,12 +87,14 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      j9_salted_join / j10_fuzzy_join (same-name and shared-lineage
 #      key references resolve instead of AMBIGUOUS_REFERENCE), and
 #      prof_column_entropy (enforced 1e10-row int64-exactness gate).
-#   3. The first 5 of the 47-row r6 cohort, in registration order (the
-#      20 review re-proofs displaced p7-p12, j2-j5, a1-a11, o1 to
+#   3. The first 4 of the 47-row r6 cohort, in registration order (the
+#      21 review re-proofs (incl. dq_expectations, whose oracle now
+#      mirrors the NULL-FK semantics, and the j6 oracle re-keyed to a
+#      deterministic LATERAL argmax) displaced p6-p12, j2-j5, a1-a11, o1 to
 #      round 12 — correctness stamps on changed code outrank
 #      staleness).
 # ROUND-12 ROTATION NOTE: lead with any round-12 additions/changes,
-# then the 42 r6-cohort leftovers (p7-p10, p12_concat_projection, j2-j5,
+# then the 43 r6-cohort leftovers (p6-p10, p12_concat_projection, j2-j5,
 # a1_listagg_distinct, a2_collect_list_sorted, a3_distinct_projection,
 # a4_count_audit, a6_vector_assembly, a7_distinct_sorted_dates,
 # a8_group_minmax, a9_rollup, a10_cube, a11_distinct_count,
@@ -133,6 +135,7 @@ registry.finalize_order(
         "dedup_simhash_portable",
         "search_match_phrase",
         "j6_asof_join",
+        "dq_expectations",
         "j9_salted_join",
         "j10_fuzzy_join",
         "prof_column_entropy",
@@ -155,12 +158,11 @@ registry.finalize_order(
         "tpch_q9_product_type_profit",
         "tpch_q11_important_stock",
         "tpch_q16_parts_supplier_relationship",
-        # tier 3 — first 5 of the r6 cohort, registration order
+        # tier 3 — first 4 of the r6 cohort, registration order
         "p1_projection_alias",
         "p2_literal_plus_star",
         "p4_computed_interval_column",
         "p5_rename_drop",
-        "p6_like_filter",
     ]
 )
 

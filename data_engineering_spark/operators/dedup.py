@@ -1156,6 +1156,11 @@ def canonical_assignment(
     an executor mid-iteration must not restart the whole propagation."""
     from pyspark import StorageLevel
 
+    if max_rounds < 1:
+        raise ValueError(
+            f"canonical_assignment: max_rounds must be >= 1, got {max_rounds}"
+        )
+
     # Materialize the (tiny) edge list once: every propagation round joins
     # against it, and without the persist each round re-executes the whole
     # upstream candidate pipeline (minhash signatures included) — the

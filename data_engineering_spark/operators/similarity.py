@@ -125,6 +125,12 @@ def _memoized_persist(src: DataFrame, params: tuple, out: DataFrame) -> DataFram
                 except Exception:  # noqa: BLE001
                     pass
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    if h is None:
+        # unhashable source: the entry could never be matched, so
+        # registering it would only burn a cache slot and prematurely
+        # evict a live shared prep (end-of-round review). Persist
+        # unregistered — the pre-memoization per-invocation behavior.
+        return out
     _PREP_CACHE.append((h, src, params, out))
     while len(_PREP_CACHE) > _PREP_CACHE_CAP:
         old = _PREP_CACHE.pop(0)

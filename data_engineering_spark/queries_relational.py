@@ -405,16 +405,29 @@ def j5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "j6_asof_join",
-    """SELECT e.event_id, e.user_id, e.ts, p.r_ts AS r_ts, p.r_value AS r_value
+    # explicit LATERAL argmax, not DuckDB's ASOF JOIN: ASOF leaves the
+    # pick among equal (user_id, r_ts) purchase rows engine-arbitrary,
+    # while asof_join's r11 tie-break is deterministic (greatest payload
+    # struct = ORDER BY r_ts DESC, r_value DESC here) — the twin must
+    # pin the same rule or the row goes hash-flaky the first time a
+    # regenerated fixture plants two same-user purchases at one ts
+    # (end-of-round review; no such tie exists at the current SFs).
+    """SELECT e.event_id, e.user_id, e.ts, p.r_ts, p.r_value
        FROM (SELECT * FROM events WHERE event_type = 'click') e
-       ASOF LEFT JOIN (SELECT user_id, ts AS r_ts, value AS r_value
-                       FROM events WHERE event_type = 'purchase') p
-       ON e.user_id = p.user_id AND e.ts >= p.r_ts""",
+       LEFT JOIN LATERAL (
+         SELECT ts AS r_ts, value AS r_value
+         FROM events p
+         WHERE p.event_type = 'purchase'
+           AND p.user_id = e.user_id AND p.ts <= e.ts
+         ORDER BY p.ts DESC, p.value DESC LIMIT 1
+       ) p ON TRUE""",
 )
 def j6_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[absent in reference] as-of join: for each click, the latest
     purchase by the same user at-or-before the click (operators/joins.py
-    asof_join: range join + window top-1, one shuffle on user_id)."""
+    asof_join: range join + window top-1, one shuffle on user_id).
+    Ties on (user_id, purchase ts) break on the payload struct —
+    deterministic in BOTH engines by construction."""
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
@@ -2183,11 +2196,14 @@ def q_prof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL) AS BIGINT)
        UNION ALL
        SELECT 'ref_integrity:o_custkey',
+              -- NULL child keys are NOT orphans (SQL FK / dbt
+              -- relationships semantics — mirrors the r11 operator fix)
               CAST((SELECT count(*) FROM orders o
                     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
                                WHERE c_custkey % 2 = 0) p
                       ON o.o_custkey = p.c_custkey
-                    WHERE p.c_custkey IS NULL) AS BIGINT)""",
+                    WHERE o.o_custkey IS NOT NULL
+                      AND p.c_custkey IS NULL) AS BIGINT)""",
 )
 def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectation suite (operators/profiling.py:expect_*): four rules
