@@ -895,19 +895,19 @@ def ngram_jaccard_pairs(
     the 100× probe, the candidate stream's own cost)."""
     from pyspark.sql import Window
 
-    from pyspark import StorageLevel
-
     gram = shingles(text_col, n) if gram_impl == "portable" else shingle_hashes(text_col, n)
-    # persisted: sh feeds the block-key stream AND both verify-join sides
-    # (sh_a, sh_b) — without this the tokenize+gram projection re-executes
-    # per consumer (the same lineage blowup minhash_near_dedup's persist
-    # comment documents; r11 review found this operator missed the memo).
-    # Same bounded per-invocation cache class as the minhash path.
-    sh = (
-        _spread(df)
-        .select(F.col(id_col), gram.alias("shset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # persisted THROUGH the bounded memo registry: sh feeds the
+    # block-key stream AND both verify-join sides (sh_a, sh_b) — without
+    # a persist the tokenize+gram projection re-executes per consumer
+    # (the same lineage blowup minhash_near_dedup's persist comment
+    # documents; r11 review found this operator missed the memo). A raw
+    # per-invocation persist pins one session-lifetime cache copy per
+    # CALL (the accumulation class the r11 advice flagged); the shared
+    # registry caps live copies and evicts oldest-first.
+    from .similarity import _memoized_persist
+
+    raw = _spread(df).select(F.col(id_col), gram.alias("shset"))
+    sh = _memoized_persist(raw, ("ngram_sh", id_col, text_col, n, gram_impl), raw)
     tok = sh.select(F.col(id_col), F.explode("shset").alias("blk"))
     freq = tok.groupBy("blk").agg(F.count(F.lit(1)).alias("doc_freq"))
     ranked = (
@@ -1002,14 +1002,16 @@ def verbatim_spans(
     production path (~1.5× less gram-stage CPU/GC); ``"portable"``
     keeps strings so a SQL twin replays every stage (the registered
     oracle query's mode; equal spans unless xxhash64 collides)."""
-    from pyspark import StorageLevel
+    # persisted THROUGH the bounded memo registry (r11 advice — a raw
+    # persist here pinned one session-lifetime cache copy per call):
+    # starts feeds the gram-df aggregate AND the shared-gram join —
+    # without a persist the positional-gram explode runs twice (r11
+    # review).
+    from .similarity import _memoized_persist
 
-    # persisted: starts feeds the gram-df aggregate AND the shared-gram
-    # join — without this the positional-gram explode runs twice (r11
-    # review; same bounded per-invocation cache class as the other
-    # dedup signature relations)
-    starts = positional_grams(df, text_col, id_col, gram, gram_impl).persist(
-        StorageLevel.MEMORY_AND_DISK
+    raw = positional_grams(df, text_col, id_col, gram, gram_impl)
+    starts = _memoized_persist(
+        raw, ("verbatim_starts", id_col, text_col, gram, gram_impl), raw
     )
     gdf = (
         starts.select("g", id_col)

@@ -274,14 +274,21 @@ def salted_join(
             "under right/full/anti semantics"
         )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(salts)).cast("int")
-    # frame-qualified key references, not bare F.col: when on_large and
-    # on_small share a name (the common same-named-key case) an unbound
-    # reference is AMBIGUOUS_REFERENCE and the join never resolves (r11
-    # review, reproduced)
-    l = large.withColumn("_salt", salt)
-    s = small.withColumn("_salt_s", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    # alias-qualified key references (the fuzzy_join pattern), not bare
+    # F.col and not df[col] indexing: bare references are
+    # AMBIGUOUS_REFERENCE when on_large/on_small share a name (r11
+    # review, reproduced), and df[col] still collides when the two
+    # frames share LINEAGE (self-join on a derived frame — the case
+    # fuzzy_join's docstring pins; r11 advice)
+    l = large.withColumn("_salt", salt).alias("__sj_l")
+    s = small.withColumn(
+        "_salt_s", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    ).alias("__sj_r")
     out = l.join(
-        s, (l[on_large] == s[on_small]) & (F.col("_salt") == F.col("_salt_s")), how
+        s,
+        (F.col(f"__sj_l.{on_large}") == F.col(f"__sj_r.{on_small}"))
+        & (F.col("__sj_l._salt") == F.col("__sj_r._salt_s")),
+        how,
     )
     return out.drop("_salt", "_salt_s")
 

@@ -92,6 +92,15 @@ _LATTICE_NN_CAP = 10**13
 # corpora should pass cache=False.
 _PREP_CACHE_CAP = 4
 _PREP_CACHE: list[tuple[int | None, DataFrame, tuple, DataFrame]] = []
+# One lock for every registry mutation: concurrent lattice consumers
+# (overlapping streaming foreachBatch threads both call
+# lattice_unit_prep(cache=True)) used to race the unguarded
+# len-check/pop(0) eviction — a pop between another thread's check and
+# pop raises IndexError and fails the QUERY, not just the memo (r11
+# advice). The lock covers lookup+LRU-refresh and insert+evict; the
+# JVM-side persist/unpersist calls inside stay cheap (they register,
+# not materialize).
+_PREP_CACHE_LOCK = __import__("threading").Lock()
 
 
 def _memoized_persist(src: DataFrame, params: tuple, out: DataFrame) -> DataFrame:
@@ -102,28 +111,29 @@ def _memoized_persist(src: DataFrame, params: tuple, out: DataFrame) -> DataFram
     except Exception:  # noqa: BLE001 — hashing is an optimization, never a gate
         h = None
     if h is not None:
-        for entry in list(_PREP_CACHE):
-            eh, esrc, eparams, eprep = entry
-            if eh == h and eparams == params:
-                try:
-                    if not esrc.sameSemantics(src):
-                        continue
-                    # liveness check: a session-level clearCache() (the
-                    # bench does one between queries; so does the driver
-                    # harness) uncaches the relation UNDERNEATH the
-                    # registry — handing out a stale entry would quietly
-                    # re-inline the quantize tree per pair (the 4.5×
-                    # trap; caught as an order-dependent plan-test red).
-                    # Stale entries are dropped and rebuilt fresh.
-                    if eprep.storageLevel == StorageLevel.NONE:
+        with _PREP_CACHE_LOCK:
+            for entry in list(_PREP_CACHE):
+                eh, esrc, eparams, eprep = entry
+                if eh == h and eparams == params:
+                    try:
+                        if not esrc.sameSemantics(src):
+                            continue
+                        # liveness check: a session-level clearCache() (the
+                        # bench does one between queries; so does the driver
+                        # harness) uncaches the relation UNDERNEATH the
+                        # registry — handing out a stale entry would quietly
+                        # re-inline the quantize tree per pair (the 4.5×
+                        # trap; caught as an order-dependent plan-test red).
+                        # Stale entries are dropped and rebuilt fresh.
+                        if eprep.storageLevel == StorageLevel.NONE:
+                            _PREP_CACHE.remove(entry)
+                            continue
+                        # LRU refresh: a hit is as fresh as a build
                         _PREP_CACHE.remove(entry)
-                        continue
-                    # LRU refresh: a hit is as fresh as a build
-                    _PREP_CACHE.remove(entry)
-                    _PREP_CACHE.append(entry)
-                    return eprep
-                except Exception:  # noqa: BLE001
-                    pass
+                        _PREP_CACHE.append(entry)
+                        return eprep
+                    except Exception:  # noqa: BLE001
+                        pass
     out = out.persist(StorageLevel.MEMORY_AND_DISK)
     if h is None:
         # unhashable source: the entry could never be matched, so
@@ -131,11 +141,14 @@ def _memoized_persist(src: DataFrame, params: tuple, out: DataFrame) -> DataFram
         # evict a live shared prep (end-of-round review). Persist
         # unregistered — the pre-memoization per-invocation behavior.
         return out
-    _PREP_CACHE.append((h, src, params, out))
-    while len(_PREP_CACHE) > _PREP_CACHE_CAP:
-        old = _PREP_CACHE.pop(0)
+    evicted: list[DataFrame] = []
+    with _PREP_CACHE_LOCK:
+        _PREP_CACHE.append((h, src, params, out))
+        while len(_PREP_CACHE) > _PREP_CACHE_CAP:
+            evicted.append(_PREP_CACHE.pop(0)[3])
+    for prep in evicted:
         try:
-            old[3].unpersist()
+            prep.unpersist()
         except Exception:  # noqa: BLE001 — a dead session must not poison the next query
             pass
     return out
@@ -454,6 +467,7 @@ def cosine_near_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a,b), a<b, with
     lattice cosine ≥ threshold. Membership is decided by
@@ -466,8 +480,13 @@ def cosine_near_pairs(
     admission excludes them anyway, so this is semantics-free, but it
     keeps the quadratic join free of degenerate rows without relying on
     the optimizer pushing the admission's nn conjuncts below the Arrow
-    dot UDF (r10 advice)."""
-    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True).filter(
+    dot UDF (r10 advice).
+
+    ``cache=False`` opts out of the memoized prep registry: the memo is
+    keyed on the LOGICAL plan, so a corpus whose files are rewritten
+    in place mid-session would silently reuse the stale prep (r11
+    advice — same reuse caveat as Spark's own CacheManager)."""
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=cache).filter(
         F.col("nn") > 0
     )
     a = prep.select(
@@ -494,6 +513,7 @@ def embedding_near_dedup(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate resolution: every vector is assigned
     the min id among its cosine-≥-threshold neighborhood (itself included,
@@ -517,8 +537,11 @@ def embedding_near_dedup(
     The pair-join sides pre-filter nn > 0 (semantics-free: the admission
     excludes nn = 0; the self-pair union below still sees EVERY id, so
     zero vectors keep their own-canonical row) — null-row robustness of
-    the Arrow dot must not depend on predicate pushdown (r10 advice)."""
-    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True)
+    the Arrow dot must not depend on predicate pushdown (r10 advice).
+
+    ``cache=False`` opts out of the memoized prep registry for
+    rewrite-in-place corpora (r11 advice — see cosine_near_pairs)."""
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=cache)
     nz = prep.filter(F.col("nn") > 0)
     a = nz.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")
@@ -626,6 +649,7 @@ def embedding_near_dedup_bucketed(
     max_bucket: int | None = 256,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache: bool = True,
 ) -> DataFrame:
     """The 100 TB-safe twin of ``embedding_near_dedup``: banded-LSH
     candidate generation → exact cosine verify on candidates only →
@@ -684,7 +708,8 @@ def embedding_near_dedup_bucketed(
     # nn > 0 pre-filter on the verify sides: semantics-free (admission
     # excludes nn = 0) and keeps null-row robustness off the optimizer;
     # the canonical tail below still unions EVERY id as its own row.
-    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=True)
+    # cache=False opt-out for rewrite-in-place corpora (r11 advice).
+    prep = lattice_unit_prep(df, id_col, vec_col, "vec_id", cache=cache)
     nz = prep.filter(F.col("nn") > 0)
     va = nz.select(
         F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nn").alias("na")

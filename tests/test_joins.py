@@ -104,6 +104,21 @@ def test_same_named_keys_resolve(spark):
     assert len(fz) == 1 and fz[0].edit_dist == 1
 
 
+def test_salted_join_shared_lineage_resolves(spark):
+    """salted_join where both sides derive from the SAME source frame
+    (self-join lineage) must resolve — df[col] indexing hits Spark's
+    self-join ambiguity there, the exact case fuzzy_join's alias
+    qualification handles (r11 advice)."""
+    from data_engineering_spark.operators.joins import salted_join
+
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    large = base.select("k", "v")
+    small = base.groupBy("k").agg(F.first("v").alias("w"))
+    out = salted_join(large, small, "k", "k", salts=3)
+    rows = {r[0]: r[-1] for r in out.collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}
+
+
 def test_range_join_point_in_interval(spark):
     points = spark.createDataFrame([(1, 5), (2, 15), (3, 25)], ["id", "v"])
     intervals = spark.createDataFrame(

@@ -1,0 +1,114 @@
+"""Ad-hoc per-query sf0.1 timer with bench-faithful methodology.
+
+Usage:
+    python tools/time_queries.py name [name ...]      # best-of-2 each
+    python tools/time_queries.py --all                # ONE run per
+        registered query (single-run, labeled) -> full-registry sweep
+    python tools/time_queries.py --all --out FILE     # write JSON ledger
+
+Methodology mirrors bench.py: pre-touch all input tables (OS page cache
+is part of steady state), one sf0.001 warmup per plan shape (codegen/JIT
+amortizes to zero at scale), noop sink (executes the whole plan, discards
+rows), clearCache between runs. --all uses a single timed run per query —
+a coverage ledger (is anything pathologically slow / super-linear?), not
+a steady-state estimator like bench.py's best-of-N headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_engineering_spark import registry  # noqa: E402
+from data_engineering_spark import (  # noqa: E402,F401
+    queries_curation,
+    queries_extra,
+    queries_llm,
+    queries_relational,
+    queries_tpch_ps,
+)
+from data_engineering_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    run_all = "--all" in sys.argv
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = list(registry.QUERIES) if run_all else args
+    runs = 1 if run_all else 2
+
+    spark = get_spark("time_queries")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_engineering_spark.catalog import load_table
+
+    for t in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        try:
+            load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+        except Exception:  # noqa: BLE001
+            pass
+    # fixed Arrow-kernel warmup (Python-worker pool + Arrow serializer init)
+    try:
+        registry.QUERIES["dedup_simhash_arrow"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+
+    timings: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    for name in names:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            print(f"?? unknown query {name}", file=sys.stderr)
+            continue
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:  # noqa: BLE001 — warmup best-effort
+            pass
+        spark.catalog.clearCache()
+        try:
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 3)
+            print(f"{name}: {timings[name]}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — keep sweeping
+            errs[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"ERR {name}: {errs[name]}", file=sys.stderr)
+            spark.catalog.clearCache()
+
+    result = {
+        "sf_dir": sf_dir,
+        "runs_per_query": runs,
+        "single_run_ledger": run_all,
+        "queries": timings,
+        "errors": errs,
+        "total_sec": round(sum(timings.values()), 3),
+        "n_timed": len(timings),
+    }
+    line = json.dumps(result)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
