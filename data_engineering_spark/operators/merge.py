@@ -85,6 +85,17 @@ def merge_upsert(
         ).otherwise(F.lit(True))
     s = source.withColumn("__present__", present).alias("s")
     joined = target.alias("t").join(s, on=keys, how="full_outer")
+    # ANCHOR the guard in a Filter that always passes (null __present__ =
+    # unmatched target row): with an empty payload (keys == all columns —
+    # key-only membership tables) the select below references no source
+    # column, and Catalyst would PRUNE __present__ together with the
+    # raise_error guard inside it — the promised loud duplicate failure
+    # silently disappearing (r11 warehouse review #3). The filter keeps
+    # the guard referenced on every plan; pushdown may move it below the
+    # join onto the source side, which evaluates it even earlier.
+    joined = joined.filter(
+        F.col("s.__present__").isNull() | F.col("s.__present__")
+    )
     # key columns are coalesced by the USING join; payload picks source
     # whenever the source row exists (update and insert in one pass;
     # null __present__ → unmatched target row → otherwise branch)
@@ -113,10 +124,28 @@ def apply_cdc(
     row. The feed's payload columns must match the target's.
 
     This is the batch twin of a streaming CDC sink: run it per
-    micro-batch over foreachBatch with the same semantics."""
+    micro-batch over foreachBatch with the same semantics.
+
+    A malformed op (NULL or outside I/U/D) raises instead of vanishing:
+    three-valued logic made a NULL-op row fail BOTH the ``!= 'D'`` and
+    ``== 'D'`` filters, so the latest change for a key could silently
+    disappear from the merge (r11 warehouse review #4)."""
     from pyspark.sql import Window
 
     payload = [c for c in target.columns if c not in keys]
+    op_ok = F.col(op_col).isin("I", "U", "D")
+    changes = changes.filter(
+        F.when(
+            op_ok.isNull() | ~op_ok,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"apply_cdc: invalid {op_col} "),
+                    F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                    F.lit(" — the change feed must carry op IN ('I','U','D')"),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), F.col(op_col).desc())
     latest = (
         changes.withColumn("__rn__", F.row_number().over(w))
@@ -136,6 +165,7 @@ def scd2_apply(
     tracked: list[str],
     batch_date: str,
     open_end: str = "9999-12-31",
+    validate_update_keys: bool = True,
 ) -> DataFrame:
     """SCD type 2: ``dim`` carries (key, attributes, valid_from,
     valid_to, is_current). For each update row whose tracked attributes
@@ -144,40 +174,89 @@ def scd2_apply(
     opens (valid_from = batch_date). Unchanged keys and historical rows
     pass through untouched; brand-new keys insert as current.
 
-    One shuffle on the key; history rows never join (filtered by
-    is_current before the comparison)."""
+    ONE full-outer join on the key generates every output class as a
+    per-row array-of-struct explode — close+open for changed keys, the
+    untouched current row, the brand-new insert — so the updates⋈dim
+    subtree plans exactly once (the r11 warehouse review #5: the old
+    four-branch union re-embedded the join per branch, scanning and
+    shuffling both inputs 3-4x per action while the docstring claimed
+    one shuffle). History rows never join (filtered by is_current).
+
+    Match detection uses a presence FLAG, never a nullable data column:
+    the old ``c.valid_from IS NULL`` sentinel misclassified a current
+    row whose valid_from is legitimately NULL as brand-new — old row
+    never closed, a second simultaneous current row inserted, the
+    dimension silently corrupted (r11 warehouse review #2).
+
+    ``validate_update_keys`` embeds merge_upsert's raise_error guard: a
+    batch carrying the same key twice would open two simultaneous
+    current rows — corruption that survives FOREVER in the history
+    (r11 warehouse review #1). The guard window partitions on the same
+    key the join shuffles on (no extra Exchange); collapse intentional
+    multi-row feeds first (apply_cdc latest-wins)."""
     attrs = [c for c in updates.columns if c != key]
+    cols = dim.columns
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
-    diff = None
-    for c in tracked:
-        ne = ~(F.col(f"u.{c}").eqNullSafe(F.col(f"c.{c}")))
-        diff = ne if diff is None else (diff | ne)
 
-    j = updates.alias("u").join(cur.alias("c"), on=key, how="left")
-    changed = j.filter(F.col(f"c.valid_from").isNotNull() & diff).select(
-        key, *[F.col(f"u.{c}").alias(c) for c in attrs]
+    u_flag: F.Column = F.lit(True)
+    if validate_update_keys:
+        from pyspark.sql import Window
+
+        n_upd = F.count(F.lit(1)).over(Window.partitionBy(key))
+        u_flag = F.when(
+            F.col(key).isNotNull() & (n_upd > 1),
+            F.raise_error(
+                F.concat(
+                    F.lit("scd2_apply: multiple update rows for key "),
+                    F.col(key).cast("string"),
+                    F.lit(
+                        " — duplicate keys in one batch would open "
+                        "multiple simultaneous is_current rows; collapse "
+                        "the feed first (see apply_cdc)"
+                    ),
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+
+    u = updates.withColumn("__u__", u_flag).alias("u")
+    c = cur.withColumn("__c__", F.lit(True)).alias("c")
+    j = u.join(c, on=key, how="full_outer")
+
+    diff = F.lit(False)
+    for t in tracked:
+        diff = diff | ~(F.col(f"u.{t}").eqNullSafe(F.col(f"c.{t}")))
+
+    def _row(fields: dict[str, F.Column]) -> F.Column:
+        return F.struct(*[fields[name].alias(name) for name in cols if name != key])
+
+    cur_row = _row({name: F.col(f"c.{name}") for name in cols})
+    closed_row = _row(
+        {
+            **{name: F.col(f"c.{name}") for name in cols},
+            "valid_to": F.lit(batch_date).cast("date"),
+            "is_current": F.lit(False),
+        }
     )
-    brand_new = j.filter(F.col(f"c.valid_from").isNull()).select(
-        key, *[F.col(f"u.{c}").alias(c) for c in attrs]
+    opened_row = _row(
+        {
+            **{a: F.col(f"u.{a}") for a in attrs},
+            "valid_from": F.lit(batch_date).cast("date"),
+            "valid_to": F.lit(open_end).cast("date"),
+            "is_current": F.lit(True),
+        }
     )
-    changed_keys = changed.select(key)
-    closed = (
-        cur.join(changed_keys, on=key, how="left_semi")
-        .withColumn("valid_to", F.lit(batch_date).cast("date"))
-        .withColumn("is_current", F.lit(False))
+    # __u__ evaluates the duplicate-key guard on every row with an
+    # update side; __c__ is the presence flag (finding #2)
+    u_present = F.col("u.__u__").isNotNull() & F.col("u.__u__")
+    c_present = F.col("c.__c__").isNotNull()
+    out_rows = (
+        F.when(u_present & c_present & diff, F.array(closed_row, opened_row))
+        .when(u_present & c_present, F.array(cur_row))
+        .when(u_present, F.array(opened_row))  # brand-new key
+        .otherwise(F.array(cur_row))  # current row without an update
     )
-    untouched_cur = cur.join(changed_keys, on=key, how="left_anti")
-    opened = (
-        changed.unionByName(brand_new)
-        .withColumn("valid_from", F.lit(batch_date).cast("date"))
-        .withColumn("valid_to", F.lit(open_end).cast("date"))
-        .withColumn("is_current", F.lit(True))
+    exploded = j.select(F.col(key), F.explode(out_rows).alias("__r__")).select(
+        key, "__r__.*"
     )
-    cols = dim.columns
-    return (
-        hist.select(cols)
-        .unionByName(closed.select(cols))
-        .unionByName(untouched_cur.select(cols))
-        .unionByName(opened.select(cols))
-    )
+    return hist.select(cols).unionByName(exploded.select(cols))

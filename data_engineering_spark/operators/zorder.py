@@ -44,7 +44,21 @@ def zvalue(
     ``approxQuantile`` pass per column yields ≤2^bits cutoffs (a
     bounded, driver-held codebook — same contract as the IVF
     centroids), and a vectorized NumPy ``searchsorted`` assigns buckets
-    inside the scan stage with NO shuffle at all."""
+    inside the scan stage with NO shuffle at all.
+
+    Method parity (r11 warehouse review #6): NULLs rank to bucket 0 in
+    BOTH methods (the window path's nulls-first default; the approx
+    bucketizer used to let NaN searchsort into the TOP bucket, so
+    switching methods silently relocated every null row across the
+    z-range and re-clustered the files), and the approx path REQUIRES
+    numeric columns — ``approxQuantile`` is numeric-only, so a string
+    column raises here with the method to use instead of failing deep
+    in py4j. Approx rank resolution is capped at 12 bits (#7): the
+    default bits=16 requested 65,535 quantile probes at relativeError
+    2^-18 — a quarter-million-entry GK sketch per partition, costlier
+    than the sort it replaces — while file-level pruning saturates far
+    below 4,096 distinct ranks per column (files ≪ 2^12; extra rank
+    bits only shuffle rows WITHIN a file's z-range)."""
     n = len(cols)
     # The interleaved key must fit below bit 63: bit 63 is the sign bit
     # of a Spark long, and spilling a rank bit into it flips the sign of
@@ -57,12 +71,28 @@ def zvalue(
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql import types as T
 
+        bits = min(bits, 12)
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+        )
+        for c in cols:
+            if not isinstance(df.schema[c].dataType, numeric):
+                raise ValueError(
+                    f"zvalue: method='approx' requires numeric columns "
+                    f"(approxQuantile), got {c!r}: "
+                    f"{df.schema[c].dataType.simpleString()} — use "
+                    "method='window' for non-numeric z-order columns"
+                )
         probes = [i / (1 << bits) for i in range(1, 1 << bits)]
 
         def bucketizer(cuts: "np.ndarray"):
             @pandas_udf(T.LongType())
             def bucket(v: pd.Series) -> pd.Series:
-                return pd.Series(np.searchsorted(cuts, v.to_numpy(), side="right"))
+                arr = v.to_numpy(dtype="float64", na_value=np.nan)
+                out = np.searchsorted(cuts, arr, side="right")
+                out[np.isnan(arr)] = 0  # nulls-first, matching the window path
+                return pd.Series(out)
 
             return bucket
 

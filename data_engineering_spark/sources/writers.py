@@ -11,10 +11,8 @@ bkup_dt='{d}'`` pattern.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "truncate_and_load",
@@ -88,9 +86,14 @@ def partition_overwrite(
 
 
 def full_overwrite(df: DataFrame, table_dir: str) -> int:
-    """S13 — plain ``mode("overwrite")`` (``ETL_esrd.py:126-134``)."""
-    df.write.mode("overwrite").parquet(table_dir)
-    return df.sparkSession.read.parquet(table_dir).count()
+    """S13 — plain ``mode("overwrite")`` (``ETL_esrd.py:126-134``).
+
+    Alias of :func:`truncate_and_load`: the reference reaches the same
+    storage state through two idioms (truncate+append vs overwrite), so
+    both S-rows map to ONE implementation — they were byte-identical
+    copies that could silently diverge under maintenance (r11 warehouse
+    review #9)."""
+    return truncate_and_load(df, table_dir)
 
 
 def write_unload(df: DataFrame, path: str, parallel_off: bool = True, compression: str = "gzip") -> None:
@@ -109,10 +112,19 @@ def write_serving_index(df: DataFrame, table_dir: str, key_col: str, buckets: in
     """S15 — the ES bulk-index sink re-imagined: the "index" is a
     materialized, query-optimized parquet table (SURVEY §1.1). The
     reference batches 300k docs per bulk call (``Elastic_indexing.py:220``)
-    — here partitioning subsumes batching. Optionally sort within
-    partitions by the lookup key so min/max row-group stats prune point
-    lookups."""
-    out = df.sortWithinPartitions(key_col)
+    — here partitioning subsumes batching. Sorting within partitions by
+    the lookup key makes min/max row-group stats prune point lookups.
+
+    ``buckets > 0`` hash-repartitions on the key first (the parameter
+    was dead — r11 warehouse review #8): each output file then holds one
+    hash bucket's keys in sorted runs, giving a BOUNDED file count and
+    single-file point lookups by hash. This is the path-based layout
+    twin of :func:`bucketize` — metastore-registered bucketing (which
+    Spark's reader exploits for zero-Exchange joins) needs
+    ``saveAsTable`` and lives there; a serving index is read by point
+    lookup, where the file/row-group pruning is what matters."""
+    out = df.repartition(buckets, F.col(key_col)) if buckets > 0 else df
+    out = out.sortWithinPartitions(key_col)
     out.write.mode("overwrite").parquet(table_dir)
     return df.sparkSession.read.parquet(table_dir).count()
 
@@ -121,15 +133,27 @@ def retention_prune(spark: SparkSession, table_dir: str, partition_col: str, cut
     """S18 — date-prefix retention delete (``BkupRs.py:183-201``,
     ``S3Delete.py:29-51``): drop partitions with value < cutoff.
     Operates on partition directories (``col=value``), never row-by-row.
-    Returns the dropped partition values."""
+    Returns the dropped partition values.
+
+    Listing and deletion go through the Hadoop FileSystem API resolved
+    from the path's scheme — the driver-local ``os.listdir``/``shutil``
+    form silently NO-OPED on ``s3a://``/``hdfs://`` warehouses, exactly
+    where retention jobs run (r11 warehouse review #10); the ``spark``
+    parameter exists to reach the Hadoop configuration."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     dropped: list[str] = []
-    if not os.path.isdir(table_dir):
+    if not fs.exists(root):
         return dropped
     prefix = f"{partition_col}="
-    for entry in sorted(os.listdir(table_dir)):
-        if entry.startswith(prefix):
-            value = entry[len(prefix):]
+    names = sorted(
+        st.getPath().getName() for st in fs.listStatus(root) if st.isDirectory()
+    )
+    for name in names:
+        if name.startswith(prefix):
+            value = name[len(prefix):]
             if value < cutoff:
-                shutil.rmtree(os.path.join(table_dir, entry))
+                fs.delete(jvm.org.apache.hadoop.fs.Path(root, name), True)
                 dropped.append(value)
     return dropped

@@ -101,3 +101,109 @@ def test_scd2_close_open_and_idempotency(spark):
     # re-applying the same batch is a no-op (current rows already match)
     out2 = scd2_apply(out1, upd, "k", ["tier"], "2024-07-01")
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, out1.collect()))
+
+
+def test_merge_guard_survives_empty_payload(spark):
+    """Key-only membership tables (keys == all columns) have an EMPTY
+    payload, so no select references the source side — Catalyst used to
+    prune the __present__ column and the raise_error guard with it,
+    silently dropping the promised loud duplicate failure (r11
+    warehouse review #3). The filter anchor keeps it referenced."""
+    from pyspark.errors import PySparkException
+
+    tgt = spark.createDataFrame([(1,), (2,)], "k long")
+    dup = spark.createDataFrame([(3,), (3,)], "k long")
+    with pytest.raises(PySparkException, match="multiple source rows"):
+        merge_upsert(tgt, dup, ["k"]).collect()
+    ok = spark.createDataFrame([(2,), (3,)], "k long")
+    assert sorted(r.k for r in merge_upsert(tgt, ok, ["k"]).collect()) == [1, 2, 3]
+
+
+def test_cdc_rejects_null_and_unknown_ops(spark):
+    """Three-valued logic made a NULL-op row vanish from BOTH the
+    upsert and delete branches — the latest change for a key silently
+    lost (r11 warehouse review #4). Malformed feeds must raise."""
+    from pyspark.errors import PySparkException
+
+    tgt = spark.createDataFrame([(1, "a")], "k long, v string")
+    null_op = spark.createDataFrame(
+        [(1, "b", None, 2)], "k long, v string, op string, seq long"
+    )
+    with pytest.raises(PySparkException, match="invalid op"):
+        apply_cdc(tgt, null_op, ["k"]).collect()
+    bad_op = spark.createDataFrame(
+        [(1, "b", "X", 2)], "k long, v string, op string, seq long"
+    )
+    with pytest.raises(PySparkException, match="invalid op"):
+        apply_cdc(tgt, bad_op, ["k"]).collect()
+
+
+def _dim(spark, rows):
+    return spark.createDataFrame(
+        rows, "k long, attr string, valid_from date, valid_to date, is_current boolean"
+    )
+
+
+def test_scd2_rejects_duplicate_update_keys(spark):
+    """Duplicate keys in one batch would open multiple simultaneous
+    is_current rows — corruption that survives forever in the history
+    (r11 warehouse review #1)."""
+    import datetime as dt
+
+    from pyspark.errors import PySparkException
+
+    dim = _dim(spark, [(1, "a", dt.date(2024, 1, 1), dt.date(9999, 12, 31), True)])
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, attr string")
+    with pytest.raises(PySparkException, match="multiple update rows"):
+        scd2_apply(dim, dup, "k", ["attr"], "2024-06-01").collect()
+    # opt-out mirrors merge_upsert's
+    assert (
+        scd2_apply(dim, dup, "k", ["attr"], "2024-06-01",
+                   validate_update_keys=False).count() > 0
+    )
+
+
+def test_scd2_null_valid_from_is_not_brand_new(spark):
+    """A current row with a legitimately NULL valid_from must still be
+    MATCHED (closed on change) — the old `c.valid_from IS NULL`
+    no-match sentinel misclassified it as brand-new, leaving the old
+    row open next to a second current row (r11 warehouse review #2)."""
+    import datetime as dt
+
+    dim = _dim(spark, [(1, "a", None, dt.date(9999, 12, 31), True)])
+    upd = spark.createDataFrame([(1, "CHANGED")], "k long, attr string")
+    out = scd2_apply(dim, upd, "k", ["attr"], "2024-06-01").collect()
+    current = [r for r in out if r.is_current]
+    closed = [r for r in out if not r.is_current]
+    assert len(current) == 1 and current[0].attr == "CHANGED"
+    assert len(closed) == 1 and closed[0].attr == "a"
+    assert closed[0].valid_to == dt.date(2024, 6, 1)
+
+
+def test_scd2_plans_exactly_one_updates_join(spark):
+    """The docstring's one-shuffle claim, pinned: the old four-branch
+    union re-embedded the updates x dim join subtree per branch (3-4
+    scans+shuffles per action — r11 warehouse review #5); the explode
+    row-generator form plans exactly ONE join."""
+    import datetime as dt
+
+    dim = _dim(
+        spark,
+        [
+            (1, "a", dt.date(2024, 1, 1), dt.date(9999, 12, 31), True),
+            (1, "old", dt.date(2023, 1, 1), dt.date(2024, 1, 1), False),
+            (2, "b", dt.date(2024, 1, 1), dt.date(9999, 12, 31), True),
+        ],
+    )
+    upd = spark.createDataFrame([(1, "A2"), (3, "c")], "k long, attr string")
+    out = scd2_apply(dim, upd, "k", ["attr"], "2024-06-01")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin",
+                                          "ShuffledHashJoin", "BroadcastNestedLoop"))
+    assert n_joins == 1, plan
+    # and the semantics still hold end to end
+    rows = out.collect()
+    cur = {r.k: r.attr for r in rows if r.is_current}
+    assert cur == {1: "A2", 2: "b", 3: "c"}
+    hist_k1 = sorted((r.attr, str(r.valid_to)) for r in rows if r.k == 1 and not r.is_current)
+    assert hist_k1 == [("a", "2024-06-01"), ("old", "2024-01-01")]

@@ -58,3 +58,43 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     # predicate pushdown reaches the ORC scan
     plan = back.filter(back.n_nationkey == 3)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan or "n_nationkey" in plan
+
+
+def test_write_serving_index_buckets_bound_file_count(spark, tmp_path):
+    """The `buckets` parameter was dead (r11 warehouse review #8): wired
+    through a key-hash repartition it must bound the output file count
+    and keep every key's rows in one file (single-file point lookup)."""
+    import os
+
+    from data_engineering_spark.sources.writers import write_serving_index
+
+    df = spark.createDataFrame(
+        [(i % 17, f"doc {i}") for i in range(500)], "k long, body string"
+    ).repartition(16)
+    out_dir = str(tmp_path / "serving_idx")
+    n = write_serving_index(df, out_dir, "k", buckets=4)
+    assert n == 500
+    parts = [f for f in os.listdir(out_dir) if f.startswith("part-")]
+    assert len(parts) <= 4
+    # every key confined to one file
+    back = spark.read.parquet(out_dir).withColumn(
+        "f", __import__("pyspark.sql.functions", fromlist=["F"]).input_file_name()
+    )
+    per_key = back.groupBy("k").agg(
+        __import__("pyspark.sql.functions", fromlist=["F"]).countDistinct("f").alias("nf")
+    )
+    assert per_key.filter("nf > 1").count() == 0
+
+
+def test_full_overwrite_is_truncate_and_load(spark, tmp_path):
+    """r11 warehouse review #9: the two S-rows map to ONE implementation
+    (they were byte-identical copies that could diverge)."""
+    from data_engineering_spark.sources import writers
+
+    assert writers.full_overwrite.__wrapped__ is writers.truncate_and_load \
+        if hasattr(writers.full_overwrite, "__wrapped__") else True
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    assert writers.full_overwrite(df, d) == 1
+    df2 = spark.createDataFrame([(2, "b"), (3, "c")], "k long, v string")
+    assert writers.full_overwrite(df2, d) == 2  # true overwrite, not append

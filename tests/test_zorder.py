@@ -82,3 +82,41 @@ def test_zorder_approx_matches_window_pruning(spark, tmp_path):
     kboth, _ = t.pruned_files([("a", ">=", 90), ("b", ">=", 90)])
     assert ka <= total // 2 and kb <= total // 2 and kboth <= total // 4
     assert t.scan(filters=[("a", ">=", 90)]).count() == df.filter("a >= 90").count()
+
+
+def test_zvalue_nulls_rank_to_bucket_zero_in_both_methods(spark):
+    """Method parity (r11 warehouse review #6): approx's searchsorted
+    used to send NaN to the TOP bucket while the window path's
+    nulls-first percent_rank sends NULL to 0 — switching methods
+    silently relocated null rows across the z-range."""
+    import pandas as pd
+
+    rows = [(float(i), i * 10.0) for i in range(1, 200)] + [(None, 5.0), (None, None)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    for method in ("window", "approx"):
+        out = zvalue(df, ["x", "y"], bits=4, method=method)
+        nulls = out.filter(F.col("x").isNull())
+        zmin = out.agg(F.min("__zval__")).first()[0]
+        for r in nulls.collect():
+            # a null x contributes rank 0 → its interleaved bits are 0,
+            # so the z-value is bounded by y's contribution alone and
+            # the all-null row IS the global minimum
+            assert r["__zval__"] <= zmin + (1 << 62), method
+        allnull = out.filter(F.col("x").isNull() & F.col("y").isNull()).first()
+        assert allnull["__zval__"] == 0, method
+
+
+def test_zvalue_approx_rejects_non_numeric_and_caps_bits(spark):
+    """approxQuantile is numeric-only — a string z-order column must
+    raise HERE with the alternative named, not deep in py4j; and the
+    approx path caps rank resolution at 12 bits so the default bits=16
+    never requests a 65,535-probe GK sketch (r11 warehouse review #7)."""
+    import pytest
+
+    df = spark.createDataFrame([(1.0, "a")], "x double, s string")
+    with pytest.raises(ValueError, match="method='window'"):
+        zvalue(df, ["s"], method="approx")
+    big = spark.createDataFrame([(float(i),) for i in range(500)], "x double")
+    out = zvalue(big, ["x"], bits=16, method="approx")
+    # one column, 12 effective bits → every z-value < 2^12
+    assert out.agg(F.max("__zval__")).first()[0] < (1 << 12)
