@@ -363,27 +363,33 @@ def dsir_weights(
     # collapsed P to 0 there, and to 0.0-instead-of-NULL on an empty
     # target, both diverging from the oracle's independent total).
     w = Window.partitionBy()
-    # pc feeds two consumers (the left join AND the target total) —
-    # pinned like mixture_weights so the target's gram aggregation plans
-    # once (≤`buckets` rows checkpointed; without the pin the second
-    # reference re-plans the target scan and the shuffle budget grows)
-    pc = (
+    # ONE pass over the target stream, ZERO eager side effects: the
+    # per-bucket target counts carry their window total (pt_row), the
+    # two ≤`buckets`-row count tables FULL-outer join (trivial shuffle —
+    # both sides parameter-bounded), and the target total propagates to
+    # every corpus bucket as max(pt_row) over the joined table. Target-
+    # only rows are KEPT by the full join, so the disjoint-bucket case
+    # still sees P (the r11 review's edge case), and an empty target
+    # yields NULL (no target rows → max over none). The r11 fix got the
+    # same semantics from a separate eager-localCheckpoint branch —
+    # an extra materialization job at PLAN-BUILD time per invocation,
+    # the curate_dsir_select 1.35× bench line the r11 verdict priced.
+    pcw = (
         _hashed_ngram_stream(target, text_col, id_col, buckets)
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("pc"))
-        .localCheckpoint(eager=True)
     )
-    ptot = F.broadcast(pc.agg(F.sum("pc").cast("double").alias("pt")))
+    pcw = pcw.select("b", "pc", F.sum("pc").over(w).cast("double").alias("pt_row"))
     term = (
-        q.join(F.broadcast(pc), "b", "left")
-        .join(ptot)
+        q.join(pcw, "b", "full")
         .select(
             "b",
             "qc",
             F.coalesce(F.col("pc"), F.lit(0)).alias("pc"),
             F.sum("qc").over(w).cast("double").alias("qt"),
-            F.col("pt"),
+            F.max("pt_row").over(w).alias("pt"),
         )
+        .filter(F.col("qc").isNotNull())
         .select(
             "b",
             F.round(

@@ -2068,11 +2068,15 @@ def q_nlp_bpe_vocab_16x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~41 s Spark-side at BOTH — per-pass plan-compile dominates below
     ~1M docs, the corpus term takes over above (SCALE.md §6b-r10).
     Verification-tier in the bench: the demonstration run's cost is the
-    trainer's point, not a serving-path latency."""
+    trainer's point, not a serving-path latency. memo=True: the 1024
+    learned merges are driver-local rows, cached per (input plan,
+    params) for the session — nlp_bpe_apply_16x64 replays them instead
+    of re-training the identical vocab (r11 verdict #2: the bench spent
+    56 s + 50 s deriving the same merge table twice)."""
     from .operators.text import phrase_merge_rounds_batched
 
     return phrase_merge_rounds_batched(
-        _t(spark, sf_dir, "documents"), passes=16, merges_per_pass=64
+        _t(spark, sf_dir, "documents"), passes=16, merges_per_pass=64, memo=True
     )
 
 
@@ -2177,8 +2181,14 @@ def q_nlp_bpe_apply_16x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import _bpe_seg0, phrase_merge_rounds_batched
 
     docs = _t(spark, sf_dir, "documents")
+    # memo=True: reuses the session-cached 1024-merge table when
+    # nlp_bpe_vocab_16x64 already trained it on the same corpus plan —
+    # one training run per bench/sweep session instead of two (r11
+    # verdict #2)
     merges = sorted(
-        phrase_merge_rounds_batched(docs, passes=16, merges_per_pass=64).collect(),
+        phrase_merge_rounds_batched(
+            docs, passes=16, merges_per_pass=64, memo=True
+        ).collect(),
         key=lambda r: (r.pass_no, r.merge_rank),
     )
     seg = _bpe_seg0("text")

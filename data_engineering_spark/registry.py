@@ -29,7 +29,9 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def finalize_order(priority: list[str]) -> None:
+def finalize_order(
+    priority: list[str], rows_only_waivers: frozenset[str] = frozenset()
+) -> None:
     """Rebuild the registration (= driver sweep) order in place.
 
     The driver's correctness sweep checks queries in registration order
@@ -38,11 +40,19 @@ def finalize_order(priority: list[str]) -> None:
     oracle — a priority slot spent on a rows-only query records only a
     weak ``no_oracle`` row), then the remaining oracle-backed queries in
     their original order, then every rows-only query at the tail.
-    """
+
+    ``rows_only_waivers`` names rows-only queries DELIBERATELY granted a
+    window slot — the guard otherwise hard-rejects them so no slot is
+    spent by accident. A waiver records a rows-only row in the driver
+    artifact (schema + row count, no value hash); the one standing use
+    is superseding a stale ERR row (mm_extract_features' only driver
+    record was the r1 canonicalizer crash, fixed since but unrecordable
+    while the guard kept every rows-only name behind the window — r11
+    verdict #5)."""
     missing = [n for n in priority if n not in QUERIES]
     if missing:
         raise KeyError(f"finalize_order: unknown queries {missing}")
-    weak = [n for n in priority if n not in ORACLE]
+    weak = [n for n in priority if n not in ORACLE and n not in rows_only_waivers]
     if weak:
         raise ValueError(f"finalize_order: rows-only queries in priority window {weak}")
     seen = set(priority)

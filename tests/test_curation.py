@@ -495,6 +495,32 @@ def test_dsir_weights_ranks_target_like_docs(spark):
     assert got[5]["logw_micro"] > max(got[3]["logw_micro"], got[4]["logw_micro"])
 
 
+def test_dsir_weights_disjoint_and_empty_target(spark):
+    """The r11 review edge cases, re-pinned on the r12 full-outer form:
+    a target whose buckets are disjoint from the corpus must still
+    contribute its TRUE mass P (the pre-r11 max-over-left-joined-rows
+    collapsed it to 0), and an empty target yields NULL weights, not
+    0-mass ones."""
+    from data_engineering_spark.operators.curation import dsir_weights
+
+    corpus = _docs(spark, [(1, "aaa bbb"), (2, "ccc ddd")])
+    target = _docs(spark, [(9, "zzz yyy xxx www vvv uuu")])
+    got = {r["doc_id"]: r for r in dsir_weights(corpus, target, buckets=4096).collect()}
+    # buckets=4096 makes hash collisions across these tiny gram sets
+    # effectively impossible → disjoint. Every corpus bucket then has
+    # pc=0 and the SAME qc=1, so all docs share one (finite) weight
+    # containing ln(P+B): ln(1) - ln(11+4096) - ln(2) + ln(6+4096)
+    import math
+
+    expected = round((math.log(1) - math.log(11 + 4096)
+                      - math.log(2) + math.log(6 + 4096)) * 1e6) * 3
+    assert got[1]["logw_micro"] == got[2]["logw_micro"] == expected
+    # empty target → NULL weight (no target mass to model), never 0.0
+    empty = target.filter("doc_id < 0")
+    got0 = {r["doc_id"]: r for r in dsir_weights(corpus, empty, buckets=4096).collect()}
+    assert got0[1]["logw_micro"] is None and got0[2]["logw_micro"] is None
+
+
 def test_shard_shuffle_layout_independent_and_balanced(spark):
     from data_engineering_spark.operators.curation import shard_shuffle
 
