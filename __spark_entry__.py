@@ -45,7 +45,7 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # across CORRECTNESS_r01-r11; oldest live stamp r6). Window priority,
 # by the standing rule (changed shapes count as unproven and outrank
 # staleness):
-#   1. The 16 round-12 changed shapes, all locally re-proven at sf0.01
+#   1. The 18 round-12 changed shapes, all locally re-proven at sf0.01
 #      under the driver-faithful string gate before windowing:
 #      - the quality-key consumers (text_quality, dedup_keep_best,
 #        dedup_cluster_histogram, corpus_prepare, curate_token_budget):
@@ -81,7 +81,18 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #        guard (#1), and exactly one planned join (#5, plan-asserted in
 #        tests/test_merge.py). lake_zorder_scan re-proven too (zvalue
 #        approx path: null-parity + numeric gate + 12-bit cap, #6/#7 —
-#        its registered query uses the window path, plan unchanged).
+#        its registered query uses the window path, plan unchanged);
+#      - a5_last_wins_merge: max_by's order key is struct(order_col,
+#        col), so order ties resolve to the max value instead of
+#        shuffle merge order (between-runs nondeterminism, the
+#        forbidden class — r12 aggregation review);
+#      - f10_timestamp_rebuild: concat (NULL-propagating, = SQL ||)
+#        replaces concat_ws, whose null-SKIP handed ANSI to_timestamp
+#        an unparseable bare date — one NULL part crashed the query
+#        (r12 functions review; invisible to the f10 oracle, whose
+#        inputs derive non-null). nlp_tfidf_keywords' per-call persist
+#        also routed through the bounded memo registry — identical
+#        plan, locally re-proven, no window slot spent.
 #   2. mm_extract_features — the ONE rows-only waiver
 #      (finalize_order(rows_only_waivers=...)): its only driver record
 #      is the r1 canonicalizer crash, fixed in r2 by the to_json
@@ -97,9 +108,10 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      the driver-faithful gate this round (mm_image_dedup, the other
 #      pre-FLOATS row, makes the cut in registration order).
 # ROUND-13 ROTATION NOTE: lead with any round-13 additions/changes,
-# then the r6 leftovers (nl_query_range, nl_query_distinct,
-# nl_query_cardinality, nl_query_scalar, text_winnow_fingerprints,
-# search_query_string, search_inverted_index), then the r8 cohort in
+# then the r6 leftovers (mm_pixel_features, mm_resize_images,
+# nl_query_range, nl_query_distinct, nl_query_cardinality,
+# nl_query_scalar, text_winnow_fingerprints, search_query_string,
+# search_inverted_index), then the r8 cohort in
 # registration order (a13_grouped_pivot, a14/a15 percentile rows,
 # lake_snapshot_diff, graph_pagerank_events, events_sessionize,
 # curate_domain_cap, ts_mad_outliers, corpus_overlap_kmv,
@@ -125,6 +137,8 @@ registry.finalize_order(
         "m1_merge_upsert",
         "m2_cdc_apply",
         "m3_scd2_dimension",
+        "a5_last_wins_merge",
+        "f10_timestamp_rebuild",
         # tier 2 — the one waived rows-only slot (supersedes the r1 ERR)
         "mm_extract_features",
         # tier 3 — r6 cohort (oldest stamps), registration order, with
@@ -159,8 +173,6 @@ registry.finalize_order(
         "tpch_q6_forecast_revenue",
         "tpch_q14_promo_revenue",
         "prof_heavy_hitters",
-        "mm_pixel_features",
-        "mm_resize_images",
         "mm_image_dedup",
         "funnel_conversion",
     ],

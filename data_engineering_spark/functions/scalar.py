@@ -82,10 +82,18 @@ def rebuild_timestamp(date8: Column | str, time8: Column | str) -> Column:
     """F10 — parse a timestamp rebuilt from string parts. The reference
     assembles ``substring(dt,1,8) || ' ' || substring(tm,1,8)`` then
     ``to_timestamp`` (``log_screen.py:292``); a single to_timestamp with an
-    explicit format replaces the substring chain."""
+    explicit format replaces the substring chain.
+
+    ``concat`` (NULL-propagating, matching SQL ``||``), NOT
+    ``concat_ws`` (NULL-SKIPPING): with a NULL time part concat_ws
+    emitted the bare date, which to_timestamp under Spark 4's default
+    ANSI mode rejects as CANNOT_PARSE_TIMESTAMP — a single NULL part
+    crashed the whole query at runtime where the reference's ``||``
+    yields NULL (r12 functions review; invisible to the f10 oracle,
+    whose inputs derive non-null from ts)."""
     d = F.col(date8) if isinstance(date8, str) else date8
     t = F.col(time8) if isinstance(time8, str) else time8
-    return F.to_timestamp(F.concat_ws(" ", d, t), "yyyyMMdd HH:mm:ss")
+    return F.to_timestamp(F.concat(d, F.lit(" "), t), "yyyyMMdd HH:mm:ss")
 
 
 def clean_text(col: Column | str) -> Column:

@@ -55,8 +55,18 @@ def last_wins_merge(
     read, so we make the tiebreaker explicit: ``max_by(col, order_col)``
     (SURVEY §7 risk 3). Array fields become
     flatten(collect_list(split(csv))) with a deterministic sort.
+
+    ``max_by``'s ORDER key is ``struct(order_col, col)``, not the bare
+    order column: two rows tying on order_col would otherwise resolve to
+    whichever partial-aggregate merge order the shuffle happened to
+    produce — output nondeterministic BETWEEN RUNS, the forbidden class
+    (FLOATS.md; r12 aggregation review). With the struct key, ties
+    resolve to the max value — arbitrary but pinned.
     """
-    aggs: list[Column] = [F.max_by(F.col(c), F.col(order_col)).alias(c) for c in scalar_cols]
+    aggs: list[Column] = [
+        F.max_by(F.col(c), F.struct(F.col(order_col), F.col(c))).alias(c)
+        for c in scalar_cols
+    ]
     for c in array_csv_cols:
         aggs.append(
             F.array_sort(F.flatten(F.collect_list(F.split(F.col(c), sep)))).alias(c)
@@ -150,6 +160,15 @@ def incremental_agg_merge(
     if bad:
         raise ValueError(f"incremental_agg_merge: unsupported merge fns {bad}")
     measures = [c for c in summary.columns if c not in keys]
+    unknown = sorted(set(merge_fns) - set(measures))
+    if unknown:
+        # a typo'd column name would otherwise be ignored and the REAL
+        # column silently merged by the SUM default — a min/max summary
+        # corrupted additively with no error (r12 aggregation review)
+        raise ValueError(
+            f"incremental_agg_merge: merge_fns names non-measure columns "
+            f"{unknown}; measures are {sorted(measures)}"
+        )
     merged = summary.unionByName(batch_summary)
     return merged.groupBy(*keys).agg(
         *[_FNS[merge_fns.get(c, "sum")](c).alias(c) for c in measures]

@@ -157,18 +157,18 @@ def tfidf_keywords(df: DataFrame, id_col: str, text_col: str, top_k: int = 3) ->
     Preferable at scale: stays in Tungsten, no Arrow hop."""
     from pyspark.sql import Window
 
-    from pyspark import StorageLevel
-
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok")).filter(
         F.length("tok") > 2
     )
     # tf feeds BOTH the document-frequency aggregate and the score join —
-    # persist it or the tokenize+explode pipeline executes twice.
-    tf = (
-        tok.groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # persist it or the tokenize+explode pipeline executes twice. Routed
+    # through the bounded memo registry (r12 review): a raw persist here
+    # pinned one session-lifetime cache copy per invocation, the same
+    # accumulation class the r11 advice flagged in the dedup relations.
+    from .similarity import _memoized_persist
+
+    raw_tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tf = _memoized_persist(raw_tf, ("tfidf_tf", id_col, text_col), raw_tf)
     # Corpus size rides along as a broadcast 1-row aggregate instead of a
     # driver-side df.count(): one plan, one job, no extra action.
     n_docs = F.broadcast(df.agg(F.count(F.lit(1)).alias("n_docs")))

@@ -463,15 +463,32 @@ class LakeTable:
         df: DataFrame,
         txn: tuple[str, int] | None = None,
         partition_by: list[str] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Replace the table contents. Fails (cleanly, staged files
         orphaned for vacuum) if the table advanced past our snapshot.
         ``txn`` has append()'s idempotency semantics: a duplicate
         (app_id, txn_version) makes this a no-op — the marker rides in
-        the SAME commit as the data, so replays are all-or-nothing."""
+        the SAME commit as the data, so replays are all-or-nothing.
+
+        ``expected_version`` closes the READ-MODIFY-WRITE window: a
+        caller that scanned version v and derived ``df`` from it passes
+        v, and the overwrite raises if the table has advanced — without
+        it, this method's own fresh snapshot would happily REMOVE a
+        concurrent writer's just-committed files and replace them with
+        data derived from the older read (lost update, no error; the
+        r12 streaming review's finding against cdc_upsert_sink). The
+        txn no-op check still consults the LATEST snapshot, so an
+        idempotent replay whose first attempt already committed returns
+        cleanly instead of tripping the version gate."""
         snap = self._snapshot()
         if txn is not None and snap.txns.get(txn[0], -1) >= txn[1]:
             return snap.version
+        if expected_version is not None and snap.version != expected_version:
+            raise ConcurrentWriteError(
+                f"table advanced to v{snap.version} past the read snapshot "
+                f"v{expected_version}; re-read and retry"
+            )
         actions = (
             [{"meta": {"schema": df.schema.json()}}]
             + [{"remove": {"path": p}} for p in snap.files]

@@ -77,9 +77,18 @@ def _events_raw_schema(sf_dir: str) -> tuple[T.StructType, str]:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8-shaped file stream over the events table (one file = one replay;
-    in production this is the Kafka topic, same downstream code)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    in production this is the Kafka topic, same downstream code).
+
+    The ``nanosAsLong`` legacy flag is session-scoped and the stream
+    reads it lazily, so it must stay set for the stream's lifetime —
+    but it is now set ONLY when the footer probe actually reports
+    nanos (r12 streaming review: the unconditional set leaked into
+    every OTHER parquet read of the session, silently turning any
+    nanos timestamp column into a long even for micros-era testdata
+    where the flag does nothing but lie in wait)."""
     schema, ts_expr = _events_raw_schema(sf_dir)
+    if isinstance(schema["ts"].dataType, T.LongType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(schema)
         .format("parquet")
@@ -259,15 +268,25 @@ def cdc_upsert_sink(
     into the current table state, then committed as one idempotent
     overwrite commit (replays skip via the txn marker). The batch twin of
     a MERGE-writing structured stream; at warehouse scale the overwrite
-    becomes file-level replacement of only the touched key ranges."""
+    becomes file-level replacement of only the touched key ranges.
+
+    The read-modify-write is version-gated: the merge reads a PINNED
+    snapshot version and passes it as ``expected_version``, so a
+    concurrent writer landing between the scan and the commit raises
+    ``ConcurrentWriteError`` (failing the batch; the retry re-reads and
+    re-merges) instead of being silently overwritten with state derived
+    from the stale read (r12 streaming review). A malformed change row
+    (NULL/unknown op) also fails the batch loudly — a poison message
+    must be fixed or filtered upstream, never silently dropped."""
     from ..operators.merge import apply_cdc
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        current = table.scan()
+        v = table.latest_version()
+        current = table.scan(version=v)
         merged = apply_cdc(current, batch_df, keys, op_col=op_col, seq_col=seq_col)
         # txn marker rides in the same commit as the data: a replayed
         # batch_id no-ops, a crash mid-write leaves the old version live
-        table.overwrite(merged, txn=(app_id, batch_id))
+        table.overwrite(merged, txn=(app_id, batch_id), expected_version=v)
 
     return sink
 

@@ -93,3 +93,18 @@ def test_rewrite_idempotent_and_conservative(sql):
     lowered = sql.lower()
     if not any(tok in lowered for tok in ("listagg", "to_char", "getdate", "sysdate")):
         assert once == sql.strip().rstrip(";")
+
+
+def test_rebuild_timestamp_null_part_yields_null(spark):
+    """A NULL date or time part must yield NULL (the reference's `||`
+    propagates NULL) — the old concat_ws SKIPPED the null, handing
+    to_timestamp a bare date that ANSI mode rejects at runtime (r12
+    functions review)."""
+    from data_engineering_spark.functions.scalar import rebuild_timestamp
+
+    df = spark.createDataFrame(
+        [("20240101", "10:30:00"), ("20240101", None), (None, "10:30:00")],
+        "d string, t string",
+    )
+    got = [r[0] for r in df.select(rebuild_timestamp("d", "t")).collect()]
+    assert got[0] is not None and got[1] is None and got[2] is None

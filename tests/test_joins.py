@@ -250,3 +250,29 @@ def test_incremental_agg_merge_min_max(spark):
     assert got == full == {1: (21.0, 1.0, 6.0), 2: (21.0, 1.0, 6.0)}
     with pytest.raises(ValueError, match="unsupported merge fns"):
         incremental_agg_merge(summ(df), summ(df), ["k"], merge_fns={"s": "avg"})
+
+
+def test_last_wins_merge_deterministic_on_order_ties(spark):
+    """Two rows tying on order_col must resolve identically on every run
+    and layout — the bare max_by(col, order_col) left tie resolution to
+    shuffle merge order (r12 aggregation review); the struct key pins it
+    to the max value."""
+    from data_engineering_spark.operators.aggregations import last_wins_merge
+
+    rows = [(1, 10, "b"), (1, 10, "a"), (1, 5, "z"), (2, 7, "q")]
+    df = spark.createDataFrame(rows, "k long, ord long, name string")
+    expected = {1: "b", 2: "q"}  # tie at ord=10 resolves to max value
+    for layout in (df, df.repartition(7), df.coalesce(1), df.orderBy(F.col("name").desc())):
+        got = {r.k: r.name for r in last_wins_merge(layout, "k", "ord", ["name"]).collect()}
+        assert got == expected
+
+
+def test_incremental_agg_merge_rejects_unknown_measure(spark):
+    """A typo'd merge_fns column must raise, not silently SUM-merge the
+    real column (r12 aggregation review)."""
+    import pytest
+    from data_engineering_spark.operators.aggregations import incremental_agg_merge
+
+    df = spark.createDataFrame([(1, 2.0)], "k long, lo double")
+    with pytest.raises(ValueError, match="non-measure"):
+        incremental_agg_merge(df, df, ["k"], merge_fns={"low": "min"})

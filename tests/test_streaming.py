@@ -667,3 +667,23 @@ def test_streaming_percolate_matches_batch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{alerts_dir}/batch_id={last}").count() == want.count()
     for b, n in before_others.items():
         assert spark.read.parquet(f"{alerts_dir}/batch_id={b}").count() == n
+
+
+def test_events_stream_scopes_nanos_conf_to_nanos_data(spark, sf_dir):
+    """events_stream must not mutate session parquet semantics unless the
+    footer probe actually reports nanos (r12 streaming review: the
+    unconditional nanosAsLong set leaked into every other parquet read
+    of the session)."""
+    import pyarrow.parquet as pq
+
+    spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    events_stream(spark, sf_dir)
+    is_nanos = (
+        getattr(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type, "unit", None)
+        == "ns"
+    )
+    got = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    if is_nanos:
+        assert got == "true"  # the stream genuinely needs it for its lifetime
+    else:
+        assert got is None  # micros-era data: session semantics untouched

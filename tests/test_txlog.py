@@ -515,3 +515,49 @@ def test_file_stats_statless_row_group_poisons_column_bounds(monkeypatch, spark)
     stats = txlog._file_stats("ignored")["columns"]
     assert "s" not in stats
     assert stats["ok"] == {"min": 1, "max": 5, "nulls": 10}
+
+
+def test_overwrite_expected_version_gates_lost_update(spark, table, tmp_path):
+    """The read-modify-write window (r12 streaming review): a caller that
+    scanned version v and derived its overwrite from it must FAIL if
+    another writer landed in between — overwrite's own fresh snapshot
+    would otherwise remove the concurrent commit's files and replace
+    them with data derived from the stale read (lost update, no error)."""
+    writer2 = LakeTable(spark, str(tmp_path / "tbl"))
+    v = table.latest_version()
+    derived = table.scan(version=v).filter("id < 50")
+    writer2.append(_r(spark, 100, 110).coalesce(1))  # concurrent commit
+    with pytest.raises(ConcurrentWriteError, match="read snapshot"):
+        table.overwrite(derived, expected_version=v)
+    # the concurrent writer's rows survived
+    assert table.scan().count() == 110
+    # retry after re-read succeeds
+    v2 = table.latest_version()
+    table.overwrite(table.scan(version=v2).filter("id < 50"), expected_version=v2)
+    assert table.scan().count() == 50
+    # idempotent replay: a txn whose first attempt committed no-ops
+    # cleanly even though the version gate is stale
+    v3 = table.latest_version()
+    table.overwrite(_r(spark, 0, 5).coalesce(1), txn=("app", 7), expected_version=v3)
+    assert (
+        table.overwrite(_r(spark, 0, 5).coalesce(1), txn=("app", 7), expected_version=v3)
+        == table.latest_version()
+    )
+
+
+def test_cdc_upsert_sink_version_gated(spark, tmp_path):
+    """cdc_upsert_sink pins its scan version and passes it through —
+    end-to-end: one batch applies; a replay of the same batch_id no-ops."""
+    from data_engineering_spark.streaming.streams import cdc_upsert_sink
+
+    t = LakeTable(spark, str(tmp_path / "cdc_tbl"))
+    t.create(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    sink = cdc_upsert_sink(t, ["k"], app_id="cdcapp")
+    batch = spark.createDataFrame(
+        [(2, "B", "U", 1), (3, "c", "I", 2), (1, None, "D", 3)],
+        "k long, v string, op string, seq long",
+    )
+    sink(batch, 0)
+    assert {r.k: r.v for r in t.scan().collect()} == {2: "B", 3: "c"}
+    sink(batch, 0)  # replay no-ops via the txn marker
+    assert t.scan().count() == 2
