@@ -1947,9 +1947,9 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
                 'MERGED' AS c_mktsegment
          FROM customer WHERE c_custkey % 10 = 0
          UNION ALL
-         SELECT c_custkey + 1000000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+         SELECT -c_custkey, 'NEW#' || CAST(c_custkey AS VARCHAR),
                 0.0, 'INSERTED'
-         FROM customer WHERE c_custkey % 100 = 0)
+         FROM customer WHERE c_custkey % 100 = 0 AND c_custkey <> 0)
        SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
               CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
                    ELSE t.c_name END AS c_name,
@@ -1964,7 +1964,11 @@ def q_m1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/merge.py:merge_upsert). Source mutates every 10th
     customer (+100 balance, segment MERGED — addition, not
     multiplication, so float results are bit-identical across engines)
-    and inserts a new key per 100th."""
+    and inserts a new key per 100th — as the NEGATED custkey, disjoint
+    from the real key space at any SF (the old +1000000 offset collided
+    with genuine keys at the 100x synthetic, where merge_upsert's
+    duplicate-source guard caught it; key 0 excluded, it negates to
+    itself)."""
     from .operators.merge import merge_upsert
 
     tgt = _t(spark, sf_dir, "customer").select(
@@ -1975,8 +1979,8 @@ def q_m1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
         .withColumn("c_mktsegment", F.lit("MERGED"))
         .unionByName(
-            tgt.filter(F.col("c_custkey") % 100 == 0).select(
-                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            tgt.filter((F.col("c_custkey") % 100 == 0) & (F.col("c_custkey") != 0)).select(
+                (-F.col("c_custkey")).alias("c_custkey"),
                 F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")).alias(
                     "c_name"
                 ),
@@ -2078,8 +2082,8 @@ def q_m2_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 'SEG_' || CAST(c_custkey % 3 AS VARCHAR) AS segment
          FROM customer WHERE c_custkey % 4 = 0
          UNION ALL
-         SELECT c_custkey + 1000000, 'NEWSEG'
-         FROM customer WHERE c_custkey % 50 = 0),
+         SELECT -c_custkey, 'NEWSEG'
+         FROM customer WHERE c_custkey % 50 = 0 AND c_custkey <> 0),
        changed AS (
          SELECT u.cust_key, u.segment FROM upd u
          JOIN dim d ON u.cust_key = d.cust_key AND d.is_current
@@ -2110,7 +2114,17 @@ def q_m3_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     it differs — null-safe comparison), every 50th key is brand new;
     changed keys close their current row at the batch date and open a
     new one. History, closure, pass-through, and insert arms all
-    verify against the oracle's set reconstruction."""
+    verify against the oracle's set reconstruction.
+
+    Brand-new keys are NEGATED custkeys — disjoint from the real key
+    space at ANY scale factor by construction (key 0, its own
+    negation, is excluded). The old ``+ 1000000``
+    offset collided with genuine keys at the 100x synthetic (key-shifted
+    replication reaches 1.5M), where scd2_apply's r12 duplicate-key
+    guard caught it: updates carried key 1000300 twice (copy-shifted
+    real key AND 300+1M), and the pre-guard operator had been silently
+    opening TWO simultaneous is_current rows there — exactly the
+    corruption class the guard exists for."""
     from .operators.merge import scd2_apply
 
     cust = _t(spark, sf_dir, "customer")
@@ -2127,8 +2141,8 @@ def q_m3_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment"
         ),
     ).unionByName(
-        cust.filter(F.col("c_custkey") % 50 == 0).select(
-            (F.col("c_custkey") + 1000000).alias("cust_key"),
+        cust.filter((F.col("c_custkey") % 50 == 0) & (F.col("c_custkey") != 0)).select(
+            (-F.col("c_custkey")).alias("cust_key"),
             F.lit("NEWSEG").alias("segment"),
         )
     )
