@@ -101,12 +101,15 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      the window (r11 verdict #5). One deliberate slot converts the
 #      permanent ERR into a clean rows-only row; it returns to the tail
 #      in r13.
-#   3. 36 of the 42-row r6 cohort (oldest stamps), in registration
-#      order, EXCEPT funnel_conversion is swapped in over
-#      nl_query_scalar: it predates the FLOATS.md integer-micro
+#   3. 31 of the 40-row r6 cohort (oldest stamps), in registration
+#      order, EXCEPT funnel_conversion is swapped in ahead of the
+#      nl_query/mm rows: it predates the FLOATS.md integer-micro
 #      discipline and the r11 verdict (#6) asks for its re-proof under
 #      the driver-faithful gate this round (mm_image_dedup, the other
-#      pre-FLOATS row, makes the cut in registration order).
+#      pre-FLOATS row, makes the cut in registration order). The 9
+#      leftovers are enumerated in the ROUND-13 note below — the r12
+#      end-of-round review caught this ledger's first draft claiming
+#      36-of-42 while the list held 31.
 # ROUND-13 ROTATION NOTE: lead with any round-13 additions/changes,
 # then the r6 leftovers (mm_pixel_features, mm_resize_images,
 # nl_query_range, nl_query_distinct, nl_query_cardinality,

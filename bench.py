@@ -493,11 +493,18 @@ def main() -> None:
     # and the FINAL line is a compact variant guaranteed to fit — all
     # metric/value/sf fields plus as many per-query timings as fit in the
     # tail, slowest first (the ones worth reading), with a drop count.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+    # The canonical cross-round artifact BENCH_FULL.json holds sf0.1
+    # numbers ONLY: an sf0.01 probe run used to overwrite it in place,
+    # and a `git add -A` committed the 10x-smaller numbers as if they
+    # were the round's headline (r12 end-of-round review — every
+    # cross-round ratio computed from that file would have been a
+    # phantom ~3x improvement). Non-canonical SFs write a suffixed file.
+    full_name = "BENCH_FULL.json" if sf == "0.1" else f"BENCH_FULL_sf{sf}.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name), "w") as f:
         json.dump(result, f)
     print(json.dumps(result))
     compact = dict(result)
-    compact["full"] = "BENCH_FULL.json"  # set BEFORE the length check so
+    compact["full"] = full_name  # set BEFORE the length check so
     # the 1600-char bound below is the bound actually enforced
     kept: dict[str, float] = {}
     slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))

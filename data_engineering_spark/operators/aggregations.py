@@ -62,6 +62,16 @@ def last_wins_merge(
     produce — output nondeterministic BETWEEN RUNS, the forbidden class
     (FLOATS.md; r12 aggregation review). With the struct key, ties
     resolve to the max value — arbitrary but pinned.
+
+    NULL-order semantics changed WITH that fix, deliberately: bare
+    ``max_by`` ignores rows whose ordering value is NULL (an
+    all-NULL-order group yielded NULL even though rows exist), while a
+    struct containing a NULL field is itself non-null, so every row now
+    participates — NULL order sorts below any real order (struct field
+    comparison, nulls first), and an all-NULL-order group returns the
+    deterministic max value instead of NULL. Rows that exist should
+    surface A value; "we don't know the order" is not "there is no
+    data" (pinned in tests/test_joins.py).
     """
     aggs: list[Column] = [
         F.max_by(F.col(c), F.struct(F.col(order_col), F.col(c))).alias(c)

@@ -351,17 +351,6 @@ def dsir_weights(
     the curated set and is small by definition."""
     feats = _hashed_ngram_stream(corpus, text_col, id_col, buckets)
     q = feats.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
-    # The corpus total rides as a single-partition window over the
-    # ≤`buckets`-row count table (trivial exchange) rather than a
-    # separate .agg() branch, which would duplicate the corpus-scale
-    # aggregation subtree in the plan. The TARGET total rides as a
-    # 1-row broadcast cross join computed on the target-count table
-    # BEFORE the left join (the unigram_nll pattern): target-only
-    # buckets still count toward P, and — the r11 review's edge case —
-    # P stays the true target mass even when the corpus and target
-    # bucket sets are DISJOINT (the old max-over-joined-rows form
-    # collapsed P to 0 there, and to 0.0-instead-of-NULL on an empty
-    # target, both diverging from the oracle's independent total).
     w = Window.partitionBy()
     # ONE pass over the target stream, ZERO eager side effects: the two
     # ≤`buckets`-row count tables FULL-outer join on b — both arrive

@@ -196,8 +196,16 @@ def scd2_apply(
     multi-row feeds first (apply_cdc latest-wins)."""
     attrs = [c for c in updates.columns if c != key]
     cols = dim.columns
-    cur = dim.filter(F.col("is_current"))
-    hist = dim.filter(~F.col("is_current"))
+    # NULL is_current classifies as NOT current (history pass-through):
+    # plain `filter(is_current)` + `filter(~is_current)` both exclude
+    # NULL under three-valued logic, so such a row landed in NEITHER
+    # frame and silently VANISHED from the output — rows deleted from
+    # the dimension with no error (r12 end-of-round review, the same
+    # NULL-hole class as the valid_from sentinel). A row whose
+    # currency is unknown must never be closed or replaced, but it must
+    # also never be dropped.
+    cur = dim.filter(F.col("is_current").eqNullSafe(F.lit(True)))
+    hist = dim.filter(~F.col("is_current").eqNullSafe(F.lit(True)))
 
     u_flag: F.Column = F.lit(True)
     if validate_update_keys:

@@ -90,7 +90,15 @@ _LATTICE_NN_CAP = 10**13
 # dedupes persists by canonicalized plan): re-reading a path whose
 # files changed mid-session reuses the stale prep — rewrite-in-place
 # corpora should pass cache=False.
-_PREP_CACHE_CAP = 4
+# Cap 8, not the original 4: the registry now serves FOUR operator
+# families (lattice preps, ngram_sh, verbatim_starts, tfidf_tf — the
+# r12 persist-routing consolidations), and a composite pipeline that
+# builds one of each plus spares before executing could otherwise
+# evict a prep an un-executed plan still references — the documented
+# unpersist trap below (r12 end-of-round review). 8 slots of
+# ≤corpus-projection size keeps the trap unreachable for any realistic
+# composition while still bounding session growth.
+_PREP_CACHE_CAP = 8
 _PREP_CACHE: list[tuple[int | None, DataFrame, tuple, DataFrame]] = []
 # One lock for every registry mutation: concurrent lattice consumers
 # (overlapping streaming foreachBatch threads both call

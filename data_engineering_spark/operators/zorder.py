@@ -46,11 +46,17 @@ def zvalue(
     centroids), and a vectorized NumPy ``searchsorted`` assigns buckets
     inside the scan stage with NO shuffle at all.
 
-    Method parity (r11 warehouse review #6): NULLs rank to bucket 0 in
-    BOTH methods (the window path's nulls-first default; the approx
-    bucketizer used to let NaN searchsort into the TOP bucket, so
-    switching methods silently relocated every null row across the
-    z-range and re-clustered the files), and the approx path REQUIRES
+    Method parity (r11 warehouse review #6): NULLs rank to bucket 0 and
+    genuine NaN values to the TOP bucket in BOTH methods — matching the
+    window path's ordering semantics, where ``orderBy`` sorts NULL
+    first and NaN last. Spark→pandas conversion collapses NULL and NaN
+    of a double column into indistinguishable NaN inside the UDF, so
+    the null mask is computed SPARK-SIDE (``isNull`` before the Arrow
+    hop) and passed as a second argument — without it the approx path
+    either sent both to the top bucket (pre-r12: every null row
+    relocated across the z-range on a method switch) or both to 0 (the
+    first r12 fix, which re-introduced the same parity bug for real
+    NaN — r12 end-of-round review). The approx path also REQUIRES
     numeric columns — ``approxQuantile`` is numeric-only, so a string
     column raises here with the method to use instead of failing deep
     in py4j. Approx rank resolution is capped at 12 bits (#7): the
@@ -85,20 +91,25 @@ def zvalue(
                     "method='window' for non-numeric z-order columns"
                 )
         probes = [i / (1 << bits) for i in range(1, 1 << bits)]
+        top = (1 << bits) - 1
 
         def bucketizer(cuts: "np.ndarray"):
             @pandas_udf(T.LongType())
-            def bucket(v: pd.Series) -> pd.Series:
+            def bucket(v: pd.Series, isnull: pd.Series) -> pd.Series:
                 arr = v.to_numpy(dtype="float64", na_value=np.nan)
                 out = np.searchsorted(cuts, arr, side="right")
-                out[np.isnan(arr)] = 0  # nulls-first, matching the window path
+                nan_mask = np.isnan(arr)
+                out[nan_mask] = top  # real NaN sorts LAST (window parity)
+                out[isnull.to_numpy(dtype="bool")] = 0  # NULL sorts first
                 return pd.Series(out)
 
             return bucket
 
         for c in cols:
             cuts = np.array(df.approxQuantile(c, probes, 1.0 / (1 << (bits + 2))))
-            ranked = ranked.withColumn(f"__rk_{c}", bucketizer(cuts)(F.col(c)))
+            ranked = ranked.withColumn(
+                f"__rk_{c}", bucketizer(cuts)(F.col(c), F.col(c).isNull())
+            )
             rank_cols.append(F.col(f"__rk_{c}"))
     else:
         from pyspark.sql import Window

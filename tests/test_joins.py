@@ -276,3 +276,17 @@ def test_incremental_agg_merge_rejects_unknown_measure(spark):
     df = spark.createDataFrame([(1, 2.0)], "k long, lo double")
     with pytest.raises(ValueError, match="non-measure"):
         incremental_agg_merge(df, df, ["k"], merge_fns={"low": "min"})
+
+
+def test_last_wins_merge_null_order_rows_participate(spark):
+    """Documented NULL-order contract: rows with NULL order_col sort
+    below any real order (struct-field comparison, nulls first), and an
+    all-NULL-order group returns the deterministic max value rather
+    than NULL — rows that exist surface a value."""
+    from data_engineering_spark.operators.aggregations import last_wins_merge
+
+    rows = [(1, None, "only_null_a"), (1, None, "only_null_b"),
+            (2, None, "nullish"), (2, 5, "real")]
+    df = spark.createDataFrame(rows, "k long, ord long, name string")
+    got = {r.k: r.name for r in last_wins_merge(df, "k", "ord", ["name"]).collect()}
+    assert got == {1: "only_null_b", 2: "real"}

@@ -207,3 +207,25 @@ def test_scd2_plans_exactly_one_updates_join(spark):
     assert cur == {1: "A2", 2: "b", 3: "c"}
     hist_k1 = sorted((r.attr, str(r.valid_to)) for r in rows if r.k == 1 and not r.is_current)
     assert hist_k1 == [("a", "2024-06-01"), ("old", "2024-01-01")]
+
+
+def test_scd2_null_is_current_rows_survive_as_history(spark):
+    """A dim row with NULL is_current used to land in NEITHER the
+    current nor the history frame (three-valued logic) and silently
+    vanish from the output (r12 end-of-round review). It classifies as
+    not-current: preserved untouched, never closed or replaced."""
+    import datetime as dt
+
+    dim = _dim(
+        spark,
+        [
+            (1, "a", dt.date(2024, 1, 1), dt.date(9999, 12, 31), True),
+            (2, "limbo", dt.date(2024, 1, 1), dt.date(9999, 12, 31), None),
+        ],
+    )
+    upd = spark.createDataFrame([(1, "A2"), (2, "B2")], "k long, attr string")
+    out = scd2_apply(dim, upd, "k", ["attr"], "2024-06-01").collect()
+    limbo = [r for r in out if r.k == 2 and r.attr == "limbo"]
+    assert len(limbo) == 1 and limbo[0].is_current is None  # untouched
+    # the update for key 2 found no CURRENT row → inserts as brand-new
+    assert any(r.k == 2 and r.attr == "B2" and r.is_current for r in out)

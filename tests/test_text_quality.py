@@ -1,13 +1,16 @@
-"""quality_micro's O(1) boundary-empty correction must be byte-identical
-to the full ``array_remove(tokens, '')`` strip for ALL inputs.
+"""quality_micro's guard-free form (arithmetic zero-guard via
+``den = greatest(400n, 1)``) must be byte-identical to the r11
+when-guarded strip form for ALL inputs.
 
-The r11 review fix stripped empties with an array pass whose re-inlined
-copies regressed corpus_prepare 1.85x; the r12 form subtracts the (at
-most two, boundary-only) empties via element_at probes. This test pins
-the structural claim that makes the O(1) form valid: ``tokens()`` =
-``split(trim(lower), '\\s+')`` can produce '' only at positions 1 and
--1 (trim strips only ASCII space; the regex collapses interior runs),
-so count-of-empties == lead + trail and any-empty == lead|trail.
+The r11 blank-doc fix regressed corpus_prepare 1.85x — not from the
+``array_remove`` strip itself but from its ``when(n==0)`` guard, whose
+conditional execution disqualified the whole key from codegen
+subexpression elimination in multi-evaluation consumers. The r12 form
+keeps the strip and removes the CONDITIONAL: the floored denominator
+makes the blank case ``(2e6*0 + 1) div 2 = 0`` arithmetically. These
+tests pin the equivalence against the guarded reference form on
+adversarial whitespace shapes and randomized strings, plus the
+production contract (blank docs score 0 and fail keep).
 """
 
 from __future__ import annotations

@@ -84,26 +84,29 @@ def test_zorder_approx_matches_window_pruning(spark, tmp_path):
     assert t.scan(filters=[("a", ">=", 90)]).count() == df.filter("a >= 90").count()
 
 
-def test_zvalue_nulls_rank_to_bucket_zero_in_both_methods(spark):
-    """Method parity (r11 warehouse review #6): approx's searchsorted
-    used to send NaN to the TOP bucket while the window path's
-    nulls-first percent_rank sends NULL to 0 — switching methods
-    silently relocated null rows across the z-range."""
-    import pandas as pd
-
-    rows = [(float(i), i * 10.0) for i in range(1, 200)] + [(None, 5.0), (None, None)]
-    df = spark.createDataFrame(rows, "x double, y double")
+def test_zvalue_nulls_and_nan_rank_identically_in_both_methods(spark):
+    """Method parity (r11 warehouse review #6 + r12 end-of-round
+    review): NULL ranks to bucket 0 and genuine NaN to the TOP bucket
+    in BOTH methods — the window path's orderBy semantics (NULL first,
+    NaN last). The pre-r12 approx path sent BOTH to the top bucket; the
+    first r12 fix sent both to 0 — each a silent cross-method
+    relocation of the affected rows across the z-range."""
+    rows = [(float(i),) for i in range(1, 200)] + [(None,), (float("nan"),)]
+    df = spark.createDataFrame(rows, "x double")
     for method in ("window", "approx"):
-        out = zvalue(df, ["x", "y"], bits=4, method=method)
-        nulls = out.filter(F.col("x").isNull())
-        zmin = out.agg(F.min("__zval__")).first()[0]
-        for r in nulls.collect():
-            # a null x contributes rank 0 → its interleaved bits are 0,
-            # so the z-value is bounded by y's contribution alone and
-            # the all-null row IS the global minimum
-            assert r["__zval__"] <= zmin + (1 << 62), method
-        allnull = out.filter(F.col("x").isNull() & F.col("y").isNull()).first()
-        assert allnull["__zval__"] == 0, method
+        out = zvalue(df, ["x"], bits=4, method=method).select(
+            "x", "__zval__"
+        )
+        got = out.collect()
+        null_z = [r["__zval__"] for r in got if r["x"] is None]
+        import math
+
+        nan_z = [r["__zval__"] for r in got
+                 if r["x"] is not None and math.isnan(r["x"])]
+        finite_max = max(r["__zval__"] for r in got
+                         if r["x"] is not None and not math.isnan(r["x"]))
+        assert null_z == [0], (method, null_z)
+        assert len(nan_z) == 1 and nan_z[0] >= finite_max, (method, nan_z, finite_max)
 
 
 def test_zvalue_approx_rejects_non_numeric_and_caps_bits(spark):

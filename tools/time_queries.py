@@ -34,13 +34,31 @@ from data_engineering_spark import (  # noqa: E402,F401
 from data_engineering_spark.session import get_spark  # noqa: E402
 
 
+# bench.py's TRAINER_SINGLE_RUN protocol, mirrored: these queries
+# memoize their trained vocab, so a best-of-N would time the ~1 s memo
+# replay of their own first run instead of the trainer (r12 end-of-round
+# review) — one cold run with the memo cleared.
+TRAINER_SINGLE_RUN = {"nlp_bpe_vocab_16x64"}
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    run_all = "--all" in sys.argv
+    argv = sys.argv[1:]
+    run_all = "--all" in argv
     out_path = None
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]  # don't let the filename parse as a query name
+    args = [a for a in argv if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # plan-shape warmup at the smallest driver SF when it exists;
+    # otherwise warm on the bench tree itself (one extra full run) — the
+    # unconditional hardcoded path silently skipped warmup on machines
+    # without /root/testdata, leaving codegen compile in the first
+    # timed run (r12 end-of-round review)
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     names = list(registry.QUERIES) if run_all else args
     runs = 1 if run_all else 2
 
@@ -74,15 +92,20 @@ def main() -> None:
             print(f"?? unknown query {name}", file=sys.stderr)
             continue
         try:
-            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         except Exception:  # noqa: BLE001 — warmup best-effort
             pass
         spark.catalog.clearCache()
+        if name in TRAINER_SINGLE_RUN:
+            from data_engineering_spark.operators.text import _BPE_VOCAB_MEMO
+
+            _BPE_VOCAB_MEMO.clear()
+            n_runs = 1
+        else:
+            n_runs = runs
         try:
             best = float("inf")
-            for _ in range(runs):
+            for _ in range(n_runs):
                 t0 = time.time()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
