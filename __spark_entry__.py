@@ -110,8 +110,13 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      leftovers are enumerated in the ROUND-13 note below — the r12
 #      end-of-round review caught this ledger's first draft claiming
 #      36-of-42 while the list held 31.
-# ROUND-13 ROTATION NOTE: lead with any round-13 additions/changes,
-# then the r6 leftovers (mm_pixel_features, mm_resize_images,
+# ROUND-13 ROTATION NOTE: lead with any round-13 additions/changes —
+# two r12 late-round changed shapes already queued: mm_sample_frames
+# (explode_outer: NULL-duration videos survive as a classified
+# NULL-frame row instead of vanishing) and mm_audio_features
+# (decode_wav raises on a fmt/data chunk whose declared size overruns
+# the payload instead of silently decoding truncated audio), both
+# locally re-proven at both SFs — then the r6 leftovers (mm_pixel_features, mm_resize_images,
 # nl_query_range, nl_query_distinct, nl_query_cardinality,
 # nl_query_scalar, text_winnow_fingerprints, search_query_string,
 # search_inverted_index), then the r8 cohort in

@@ -259,12 +259,21 @@ def sample_frames(df: DataFrame, every_ms: int = 5000) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per sampled
     timestamp (real decoder would slice the container at these points —
     here the frame payload is a deterministic digest). Uses sequence +
-    explode: the fan-out happens distributed, proportional to duration."""
+    explode: the fan-out happens distributed, proportional to duration.
+
+    ``explode_outer``, not ``explode``: a video row with NULL
+    duration_ms produces a NULL sequence, and plain explode silently
+    DROPPED the row — the three-valued-logic vanish class (r12 review;
+    same family as scd2's NULL is_current). Such a row now survives as
+    one classified (frame_ts_ms NULL, frame_digest NULL) row: visible
+    to downstream audits instead of disappearing."""
     frames = (
         df.filter(F.col("kind") == "video")
         .withColumn(
             "frame_ts_ms",
-            F.explode(F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))),
+            F.explode_outer(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
+            ),
         )
         .select(
             "media_id",
@@ -359,6 +368,16 @@ def decode_wav(content: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         size = struct.unpack_from("<I", content, pos + 4)[0]
+        if cid in (b"fmt ", b"data") and pos + 8 + size > len(content):
+            # a declared size overrunning the payload would silently
+            # TRUNCATE body (Python slice semantics) — a corrupted data
+            # chunk decoding to silently-shorter audio, features quietly
+            # computed over the wrong extent (r12 review). Unknown
+            # chunks may still be lazily truncated: they are skipped.
+            raise ValueError(
+                f"truncated WAV: {cid!r} chunk declares {size} bytes, "
+                f"{len(content) - pos - 8} remain"
+            )
         body = content[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             if len(body) < 16:

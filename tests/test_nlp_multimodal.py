@@ -561,3 +561,45 @@ def test_lttb_downsample_spark_contract(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="k must be >= 3"):
         lttb_downsample(ev, k=2)
+
+
+def test_sample_frames_null_duration_survives_classified(spark):
+    """A video row with NULL duration used to vanish from the frame
+    stream entirely (explode over a NULL sequence) — it now survives as
+    one classified NULL-frame row (r12 review)."""
+    from data_engineering_spark.operators.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rows = [
+        (1, "video", b"payload-a", "video/mp4", None, None, 10000),
+        (2, "video", b"payload-b", "video/mp4", None, None, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(df, every_ms=5000).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 2 and all(r.frame_digest for r in by_id[1])
+    assert len(by_id[2]) == 1
+    assert by_id[2][0].frame_ts_ms is None and by_id[2][0].frame_digest is None
+
+
+def test_decode_wav_rejects_overrunning_chunk_size(spark):
+    """A fmt/data chunk whose declared size overruns the payload must
+    raise, not silently decode truncated audio (r12 review)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from data_engineering_spark.operators.multimodal import decode_wav, encode_wav
+
+    wav = bytearray(encode_wav(np.arange(100, dtype="<i2")))
+    # corrupt the data chunk's declared size (bytes 40:44 in the
+    # canonical layout) to claim more than the payload holds
+    assert wav[36:40] == b"data"
+    wav[40:44] = struct.pack("<I", 10_000)
+    with pytest.raises(ValueError, match="declares"):
+        decode_wav(bytes(wav))
+    # untouched payload still round-trips
+    sr, x = decode_wav(encode_wav(np.arange(100, dtype="<i2")))
+    assert sr == 8000 and len(x) == 100
