@@ -220,14 +220,26 @@ class SplitSentences:
                     yield i, s
 
 
+_SPLIT_VIEW_SEQ = __import__("itertools").count()
+
+
 def split_sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Lateral-join the SplitSentences UDTF against a document table."""
+    """Lateral-join the SplitSentences UDTF against a document table.
+
+    The input registers under a PER-CALL view name: with the old fixed
+    name, a second call replaced the view while the first call's
+    DataFrame could still be un-analyzed (temp-view resolution is
+    deferred to analysis), silently rebinding the first result to the
+    SECOND input (r12 nlp review). The view leaks by design — dropping
+    it would break the returned lazy plan; it is one catalog entry per
+    call, name-spaced and session-scoped."""
     spark = df.sparkSession
     spark.udtf.register("split_sentences_udtf", SplitSentences)
-    df.createOrReplaceTempView("__split_sentences_in")
+    view = f"__split_sentences_in_{next(_SPLIT_VIEW_SEQ)}"
+    df.createOrReplaceTempView(view)
     return spark.sql(
         f"""SELECT d.{id_col}, s.sent_no, s.sentence
-            FROM __split_sentences_in d, LATERAL split_sentences_udtf(d.{text_col}) s"""
+            FROM {view} d, LATERAL split_sentences_udtf(d.{text_col}) s"""
     )
 
 

@@ -603,3 +603,20 @@ def test_decode_wav_rejects_overrunning_chunk_size(spark):
     # untouched payload still round-trips
     sr, x = decode_wav(encode_wav(np.arange(100, dtype="<i2")))
     assert sr == 8000 and len(x) == 100
+
+
+def test_split_sentences_interleaved_calls_stay_bound(spark):
+    """Two split_sentences calls whose ACTIONS run after both plans are
+    built must each see their own input — the old fixed temp-view name
+    let the second registration rebind the first (un-analyzed) plan to
+    the wrong table (r12 nlp review)."""
+    from data_engineering_spark.operators.nlp import split_sentences
+
+    a = spark.createDataFrame([(1, "alpha one. alpha two.")], "doc_id long, text string")
+    b = spark.createDataFrame([(9, "beta only.")], "doc_id long, text string")
+    out_a = split_sentences(a)  # plan built, NOT yet executed
+    out_b = split_sentences(b)  # would have clobbered the shared view
+    got_a = {r.sentence for r in out_a.collect()}
+    got_b = {r.sentence for r in out_b.collect()}
+    assert got_a == {"alpha one", "alpha two"}
+    assert got_b == {"beta only"}
