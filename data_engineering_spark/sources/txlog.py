@@ -565,11 +565,28 @@ class LakeTable:
 
     def compact(self, target_partitions: int = 1) -> int:
         """Rewrite the current live set into ``target_partitions`` files
-        in one remove+add commit. Old versions still time-travel."""
+        (per partition value on a partitioned table) in one remove+add
+        commit. Old versions still time-travel.
+
+        The partition LAYOUT survives compaction (the _rewrite_where
+        pattern): re-staging unpartitioned silently stripped every
+        file's partition tuple from the log, so a later
+        replace_partitions could no longer match its victims inside the
+        compacted files — the "replaced" partition kept both old and
+        new rows (r12 txlog re-pass; the duplicate-row class the r10
+        victim-rendering fix closed for a different cause)."""
         snap = self._snapshot()
+        if not snap.files:
+            return snap.version
         live = self._df_for(snap)
+        part_key_sets = {
+            tuple(sorted(snap.files[p].get("partition", {}))) for p in snap.files
+        }
+        partition_by = (
+            list(next(iter(part_key_sets))) if len(part_key_sets) == 1 else None
+        ) or None
         actions = [{"remove": {"path": p}} for p in snap.files] + self._stage(
-            live.repartition(target_partitions)
+            live.repartition(target_partitions), partition_by
         )
         if not self._try_commit(snap.version + 1, actions):
             raise ConcurrentWriteError(
@@ -672,13 +689,39 @@ class LakeTable:
     def restore(self, version: int) -> int:
         """RESTORE: make an old snapshot current again via one commit
         (remove the live set, re-add the target version's files — data
-        never moves, only log pointers)."""
+        never moves, only log pointers).
+
+        Raises BEFORE committing when any target file was vacuumed:
+        the commit itself cannot know, so an unchecked restore to a
+        vacuumed version produced a live set whose files are gone —
+        every subsequent scan failing with path-not-found on a
+        'successfully restored' table (r12 txlog re-pass). Add-actions
+        are re-emitted in the canonical shape (partition tuple as a
+        sibling of stats, not nested inside it — the nested form only
+        round-tripped by accident of dict(stats) copying it along)."""
         target = self._snapshot(version)
+        missing = sorted(
+            p
+            for p in target.files
+            if not os.path.exists(os.path.join(self.path, p))
+        )
+        if missing:
+            raise FileNotFoundError(
+                f"restore: {len(missing)} data file(s) of v{version} no longer "
+                f"exist (vacuumed) — e.g. {missing[:3]}; that version is not "
+                "restorable"
+            )
         snap = self._snapshot()
+        adds = []
+        for p, s in sorted(target.files.items()):
+            add = {"path": p, "stats": {k: v for k, v in s.items() if k != "partition"}}
+            if "partition" in s:
+                add["partition"] = s["partition"]
+            adds.append({"add": add})
         actions = (
             [{"meta": {"schema": target.schema_json}}]
             + [{"remove": {"path": p}} for p in snap.files]
-            + [{"add": {"path": p, "stats": s}} for p, s in sorted(target.files.items())]
+            + adds
         )
         if not self._try_commit(snap.version + 1, actions):
             raise ConcurrentWriteError(

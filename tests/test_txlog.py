@@ -561,3 +561,39 @@ def test_cdc_upsert_sink_version_gated(spark, tmp_path):
     assert {r.k: r.v for r in t.scan().collect()} == {2: "B", 3: "c"}
     sink(batch, 0)  # replay no-ops via the txn marker
     assert t.scan().count() == 2
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    """Compaction must keep every file's partition tuple in the log —
+    the unpartitioned re-stage stripped them, so a later
+    replace_partitions could not match victims inside compacted files
+    and the 'replaced' partition kept BOTH old and new rows (r12 txlog
+    re-pass)."""
+    t = LakeTable(spark, str(tmp_path / "pt"))
+    df = spark.createDataFrame(
+        [(1, "d1", "old"), (2, "d1", "old"), (3, "d2", "keep")],
+        "id long, day string, v string",
+    )
+    t.create(df, partition_by=["day"])
+    t.compact(target_partitions=1)
+    assert all("partition" in st for st in t.files().values())
+    newer = spark.createDataFrame([(9, "d1", "new")], "id long, day string, v string")
+    t.replace_partitions(newer, ["day"])
+    got = {(r.id, r.v) for r in t.scan().collect()}
+    assert got == {(9, "new"), (3, "keep")}  # no duplicate d1 rows
+
+
+def test_restore_to_vacuumed_version_raises(spark, tmp_path):
+    """Restoring a version whose files were vacuumed must raise up
+    front, not commit a live set whose files are gone (r12 txlog
+    re-pass)."""
+    t = LakeTable(spark, str(tmp_path / "rv"))
+    t.create(_r(spark, 0, 10).coalesce(1))
+    t.overwrite(_r(spark, 100, 110).coalesce(1))
+    t.overwrite(_r(spark, 200, 210).coalesce(1))
+    t.vacuum(retain_versions=1)
+    with pytest.raises(FileNotFoundError, match="not .*restorable|no longer"):
+        t.restore(0)
+    # a retained version still restores, with partition-free adds intact
+    v = t.restore(t.latest_version())
+    assert v == t.latest_version() and t.scan().count() == 10
