@@ -169,6 +169,8 @@ HEADLINE = [
     # round-11 additions
     "st_streaming_embed_dedup_capped",
     "nlp_bpe_apply_16x64",
+    # round-12 additions
+    "lake_cdf_scan",
 ]
 
 # Known-bimodal rows (r10 verdict: two timing modes across sessions from

@@ -1797,6 +1797,67 @@ def q_lake_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_cdf_scan",
+    """WITH base AS (
+         SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+         FROM orders),
+       removed AS (
+         SELECT o_orderkey, 'removed' AS change, price AS old_price,
+                CAST(NULL AS DOUBLE) AS new_price
+         FROM base WHERE o_orderstatus = 'F' AND o_orderkey % 5 = 0),
+       changed AS (
+         SELECT o_orderkey, 'changed' AS change, price AS old_price,
+                round(round(price * 1.05 * 100) / 100, 2) AS new_price
+         FROM base
+         WHERE o_orderstatus = 'O' AND o_orderkey % 9 = 0
+           AND round(round(price * 1.05 * 100) / 100, 2) <> price),
+       added AS (
+         SELECT -o_orderkey AS o_orderkey, 'added' AS change,
+                CAST(NULL AS DOUBLE) AS old_price, price AS new_price
+         FROM base WHERE o_orderkey % 17 = 0 AND o_orderkey <> 0)
+       SELECT * FROM removed UNION ALL SELECT * FROM changed
+       UNION ALL SELECT * FROM added""",
+)
+def q_lake_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level change-data-feed between two table versions through the
+    FILE-IDENTITY-PRUNED path (sources/txlog.py:version_changes — the
+    100 TB shape lake_snapshot_diff's docstring promises): files shared
+    by both snapshots hold bit-identical rows and are never scanned, so
+    the diff cost is bounded by the REWRITTEN-file fraction, not 2x the
+    table. Same DML surface as the full-scan diff (DELETE / UPDATE /
+    APPEND on a logged orders copy; new keys minted as negated
+    orderkeys — disjoint from the live keyspace at any SF), so the hash
+    match proves the pruned implementation emits the identical change
+    set the oracle reconstructs from the raw table. The pruning itself
+    (shared files skipped, all four base files pruned in the
+    single-rewrite case) is asserted in tests/test_txlog.py via the
+    instance's last_cdf_files observability counters."""
+    from .sources.txlog import LakeTable
+
+    base = _scratch_lake_dir("lake_cdf_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+    t = LakeTable(spark, base)
+    t.create(orders.repartitionByRange(4, "o_orderkey"))
+    t.delete_where("o_orderstatus = 'F' AND o_orderkey % 5 = 0")
+    t.update_where(
+        "o_orderstatus = 'O' AND o_orderkey % 9 = 0",
+        {"price": "round(round(price * 1.05 * 100) / 100, 2)"},
+    )
+    t.append(
+        orders.filter((F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") != 0)).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_orderstatus",
+            "price",
+        )
+    )
+    return t.version_changes(0, None, ["o_orderkey"], ["price"]).select(
+        "o_orderkey", "change", "old_price", "new_price"
+    )
+
+
+@query(
     "graph_pagerank_events",
     """WITH ev AS (
          SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,

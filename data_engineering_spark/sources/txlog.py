@@ -838,6 +838,78 @@ class LakeTable:
             )
         return df
 
+    def version_changes(
+        self,
+        v_old: int,
+        v_new: int | None,
+        key_cols: list[str],
+        value_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Row-level change feed between two versions (Delta's
+        ``table_changes``) with FILE-IDENTITY pruning — the 100 TB shape
+        ``lake_snapshot_diff``'s docstring promises: a file present in
+        BOTH snapshots holds bit-identical rows on both sides, so it
+        cannot contribute a change; only files rewritten, added, or
+        removed between the versions are scanned. At a daily churn of
+        0.1% of files, the diff reads ~0.2% of the table instead of 2×
+        all of it. Sound under the diff's own key contract (``key_cols``
+        unique per version): a key whose row lives in a shared file is
+        identical on both sides AND cannot appear in any other file, so
+        dropping shared files never drops a change.
+
+        Emits one row per key that differs: (keys..., change ∈
+        added|removed|changed, old_<v>/new_<v> per value column). Keys
+        equal on both sides drop out. The file sets the scan touched are
+        recorded on the instance (``last_cdf_files``) for pruning
+        observability/tests."""
+        from pyspark.sql import functions as F
+
+        s0 = self._snapshot(v_old)
+        s1 = self._snapshot(v_new)
+        shared = s0.files.keys() & s1.files.keys()
+        old_paths = [p for p in sorted(s0.files) if p not in shared]
+        new_paths = [p for p in sorted(s1.files) if p not in shared]
+        self.last_cdf_files = {
+            "old_scanned": len(old_paths),
+            "new_scanned": len(new_paths),
+            "shared_pruned": len(shared),
+        }
+        if value_cols is None:
+            schema = T.StructType.fromJson(json.loads(s1.schema_json))
+            value_cols = [f.name for f in schema.fields if f.name not in key_cols]
+        old = self._df_for(s0, old_paths).select(
+            *key_cols, *[F.col(c).alias(f"old_{c}") for c in value_cols]
+        )
+        new = self._df_for(s1, new_paths).select(
+            *key_cols, *[F.col(c).alias(f"new_{c}") for c in value_cols]
+        )
+        # presence via marker literals, never a nullable value column
+        # (the scd2 sentinel lesson — an old row whose every value is
+        # legitimately NULL must still count as present)
+        old = old.withColumn("__o__", F.lit(True))
+        new = new.withColumn("__n__", F.lit(True))
+        joined = old.join(new, on=key_cols, how="full_outer")
+        old_present = F.col("__o__").isNotNull()
+        new_present = F.col("__n__").isNotNull()
+        differs = F.lit(False)
+        for c in value_cols:
+            differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        change = (
+            F.when(old_present & ~new_present, F.lit("removed"))
+            .when(~old_present & new_present, F.lit("added"))
+            .when(differs, F.lit("changed"))
+        )
+        return (
+            joined.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(
+                *key_cols,
+                "change",
+                *[f"old_{c}" for c in value_cols],
+                *[f"new_{c}" for c in value_cols],
+            )
+        )
+
     def files(self, version: int | None = None) -> dict[str, dict[str, Any]]:
         return dict(self._snapshot(version).files)
 

@@ -597,3 +597,34 @@ def test_restore_to_vacuumed_version_raises(spark, tmp_path):
     # a retained version still restores, with partition-free adds intact
     v = t.restore(t.latest_version())
     assert v == t.latest_version() and t.scan().count() == 10
+
+
+def test_version_changes_prunes_shared_files_and_matches_full_diff(spark, tmp_path):
+    """The CDF path must (a) emit exactly the full-scan diff's change
+    set and (b) never scan files shared by both snapshots — at real
+    churn rates that pruning is the difference between reading the
+    rewritten fraction and reading the table twice."""
+    t = LakeTable(spark, str(tmp_path / "cdf"))
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+    t.create(df.repartitionByRange(8, "id"))
+    # touch a narrow key range: only 1-2 of the 8 files rewrite
+    t.update_where("id >= 0 AND id < 30", {"v": "v + 100.0"},
+                   prune_filters=[("id", "<", 30)])
+    t.delete_where("id >= 390", prune_filters=[("id", ">=", 390)])
+    changes = t.version_changes(0, None, ["id"], ["v"])
+    got = {(r.id, r.change) for r in changes.collect()}
+    expect = {(i, "changed") for i in range(30)} | {(i, "removed") for i in range(390, 400)}
+    assert got == expect
+    # pruning observability: most of the 8 base files are shared
+    stats = t.last_cdf_files
+    assert stats["shared_pruned"] >= 5, stats
+    assert stats["old_scanned"] <= 3 and stats["new_scanned"] <= 3, stats
+    # a key whose values are all NULL still counts present (marker
+    # literals, not nullable value columns)
+    t2 = LakeTable(spark, str(tmp_path / "cdf2"))
+    t2.create(spark.createDataFrame([(1, None)], "id long, v double").coalesce(1))
+    t2.delete_where("id = 1")
+    rows = t2.version_changes(0, None, ["id"], ["v"]).collect()
+    assert len(rows) == 1 and rows[0].change == "removed" and rows[0].old_v is None
