@@ -171,6 +171,7 @@ HEADLINE = [
     "nlp_bpe_apply_16x64",
     # round-12 additions
     "lake_cdf_scan",
+    "lake_zorder_optimize",
 ]
 
 # Known-bimodal rows (r10 verdict: two timing modes across sessions from

@@ -1858,6 +1858,34 @@ def q_lake_cdf_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_zorder_optimize",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+       FROM orders WHERE o_custkey < 200""",
+)
+def q_lake_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY on a LIVE logged table
+    (sources/txlog.py:optimize_zorder): orders land fragmented (a
+    create + an append, interleaved key ranges per file), one atomic
+    commit re-clusters the live set on (o_custkey, o_totalprice), and
+    the post-OPTIMIZE scan must return the IDENTICAL row set the oracle
+    reads from the raw table — the rewrite is layout-only. The pruning
+    payoff and time-travel invariants are asserted in tests/
+    test_txlog.py (this hash row proves the rewrite loses/duplicates
+    nothing; the plan payoff is file-level, invisible to row hashes)."""
+    from .sources.txlog import LakeTable
+
+    base = _scratch_lake_dir("lake_zopt_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+    )
+    t = LakeTable(spark, base)
+    t.create(orders.filter(F.col("o_orderkey") % 2 == 0).repartition(4))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1).repartition(4))
+    t.optimize_zorder(["o_custkey", "price"], target_files=8)
+    return t.scan(filters=[("o_custkey", "<", 200)])
+
+
+@query(
     "graph_pagerank_events",
     """WITH ev AS (
          SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,

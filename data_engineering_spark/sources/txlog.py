@@ -594,6 +594,55 @@ class LakeTable:
             )
         return snap.version + 1
 
+    def optimize_zorder(
+        self,
+        cols: list[str],
+        target_files: int = 8,
+        bits: int = 12,
+        method: str = "approx",
+    ) -> int:
+        """OPTIMIZE ZORDER BY (Delta's layout rewrite): re-cluster the
+        live set on the Morton key of ``cols`` into ``target_files``
+        contiguous z-ranges, committed as ONE remove+add — readers see
+        the re-layout atomically and old versions still time-travel
+        (data files are immutable; only the live set changes). After
+        the rewrite, the per-file min/max stats the log harvests prune
+        on EVERY z-ordered column (operators/zorder.py describes the
+        geometry; tests assert the prune improvement on a post-OPTIMIZE
+        scan).
+
+        Hive-partitioned tables are REJECTED rather than silently
+        flattened: z-ordering across partition boundaries would strip
+        the partition tuples from the log — the replace_partitions
+        duplicate-row hazard compact() just closed. Partitioning and
+        global z-order are alternative layouts; z-order within
+        partitions is a per-partition rewrite (run per partition via
+        replace_partitions if needed)."""
+        from ..operators.zorder import zorder_layout
+
+        snap = self._snapshot()
+        if not snap.files:
+            return snap.version
+        if any("partition" in st for st in snap.files.values()):
+            raise ValueError(
+                "optimize_zorder: table is hive-partitioned — a global "
+                "z-order would strip partition tuples from the log "
+                "(replace_partitions victims would stop matching); "
+                "z-order within partitions instead"
+            )
+        live = self._df_for(snap)
+        clustered = zorder_layout(
+            live, cols, num_files=target_files, bits=bits, method=method
+        )
+        actions = [{"remove": {"path": p}} for p in snap.files] + self._stage(
+            clustered
+        )
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConcurrentWriteError(
+                f"table advanced past v{snap.version}; re-read and retry"
+            )
+        return snap.version + 1
+
     def delete_where(
         self,
         condition: str,

@@ -628,3 +628,39 @@ def test_version_changes_prunes_shared_files_and_matches_full_diff(spark, tmp_pa
     t2.delete_where("id = 1")
     rows = t2.version_changes(0, None, ["id"], ["v"]).collect()
     assert len(rows) == 1 and rows[0].change == "removed" and rows[0].old_v is None
+
+
+def test_optimize_zorder_improves_pruning_atomically(spark, tmp_path):
+    """OPTIMIZE ZORDER BY: one commit re-clusters the live set so file
+    stats prune on BOTH z-ordered columns; old versions still time-
+    travel; partitioned tables are rejected (the compact() partition-
+    stripping hazard, prevented rather than repeated)."""
+    t = LakeTable(spark, str(tmp_path / "zopt"))
+    # interleaved layout: every file spans the full range of both cols,
+    # so pre-OPTIMIZE stats prune nothing
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        ((F.col("id") * 7) % 100).cast("double").alias("y"),
+    )
+    t.create(df.repartition(8))
+    kept_before_x, total = t.pruned_files([("x", "<", 10.0)])
+    v = t.optimize_zorder(["x", "y"], target_files=8)
+    kept_x, total_x = t.pruned_files([("x", "<", 10.0)])
+    kept_y, total_y = t.pruned_files([("y", ">=", 90.0)])
+    assert kept_before_x == total  # nothing pruned pre-OPTIMIZE
+    assert kept_x < total_x and kept_y < total_y  # both columns prune now
+    # row set unchanged, atomically; time travel intact
+    assert t.scan().count() == 4000
+    assert t.scan(version=v - 1).count() == 4000
+    assert {r.id for r in t.scan(filters=[("x", "<", 1.0)]).collect()} == {
+        r.id for r in t.scan(version=v - 1, filters=[("x", "<", 1.0)]).collect()
+    }
+    # partitioned tables refuse a global z-order
+    tp = LakeTable(spark, str(tmp_path / "zopt_p"))
+    tp.create(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], "id long, day string, v double"),
+        partition_by=["day"],
+    )
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        tp.optimize_zorder(["v"])
