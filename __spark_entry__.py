@@ -111,11 +111,12 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      end-of-round review caught this ledger's first draft claiming
 #      36-of-42 while the list held 31.
 # ROUND-13 ROTATION NOTE: lead with any round-13 additions/changes —
-# two never-proven r12 late additions (lake_cdf_scan — the
-# file-identity-pruned row-level change feed — and
-# lake_zorder_optimize — OPTIMIZE ZORDER BY on a live logged table;
-# both locally green at both SFs, never driver-swept) and two r12
-# late-round changed shapes
+# three never-proven r12 late additions (lake_cdf_scan — the
+# file-identity-pruned row-level change feed; lake_zorder_optimize —
+# OPTIMIZE ZORDER BY on a live logged table; lake_incremental_mv —
+# CDF-driven incremental MV maintenance with signed integer-cent
+# deltas; all locally green at both SFs, never driver-swept) and two
+# r12 late-round changed shapes
 # already queued: mm_sample_frames
 # (explode_outer: NULL-duration videos survive as a classified
 # NULL-frame row instead of vanishing) and mm_audio_features

@@ -172,6 +172,7 @@ HEADLINE = [
     # round-12 additions
     "lake_cdf_scan",
     "lake_zorder_optimize",
+    "lake_incremental_mv",
 ]
 
 # Known-bimodal rows (r10 verdict: two timing modes across sessions from

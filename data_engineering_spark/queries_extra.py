@@ -1886,6 +1886,100 @@ def q_lake_zorder_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_incremental_mv",
+    """WITH base AS (
+         SELECT o_orderkey, o_custkey,
+                CAST(round(round(o_totalprice, 2) * 100) AS BIGINT) AS cents,
+                o_orderstatus
+         FROM orders),
+       after AS (
+         -- the same DML algebra the lake applies: DELETE, UPDATE, APPEND
+         SELECT o_orderkey, o_custkey,
+                CASE WHEN o_orderstatus = 'O' AND o_orderkey % 9 = 0
+                     THEN CAST((cents * 105 + 50) // 100 AS BIGINT)
+                     ELSE cents END AS cents
+         FROM base
+         WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 5 = 0)
+         UNION ALL
+         SELECT -o_orderkey, o_custkey, cents
+         FROM base WHERE o_orderkey % 17 = 0 AND o_orderkey <> 0)
+       SELECT o_custkey,
+              CAST(count(*) AS BIGINT) AS n_orders,
+              CAST(sum(cents) AS BIGINT) AS sum_cents
+       FROM after GROUP BY o_custkey""",
+)
+def q_lake_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance driven by the table's
+    OWN change feed — the full at-scale ETL loop composed from three
+    r12 pieces: the summary is built once at v0, the table advances
+    through DELETE/UPDATE/APPEND, and the refresh consumes ONLY
+    version_changes(v0, latest) (file-identity-pruned CDF) as SIGNED
+    deltas merged through incremental_agg_merge — removed/changed-old
+    rows contribute (-1, -cents), added/changed-new rows (+1, +cents) —
+    so the refresh cost is bounded by the churn, never the table. The
+    oracle recomputes the post-DML summary from the raw table, so the
+    hash match proves delta algebra == full recompute. Measures are
+    exact integer cents (order-free sums; a double SUM here would be
+    accumulation-order nondeterministic cross-engine). Groups whose
+    count reaches 0 drop (integer cents guarantee their sum is exactly
+    0 too)."""
+    from .operators.aggregations import incremental_agg_merge
+    from .sources.txlog import LakeTable
+
+    base = _scratch_lake_dir("lake_imv_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.round("o_totalprice", 2) * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    t = LakeTable(spark, base)
+    t.create(orders.repartitionByRange(4, "o_orderkey"))
+    t.delete_where("o_orderstatus = 'F' AND o_orderkey % 5 = 0")
+    t.update_where(
+        "o_orderstatus = 'O' AND o_orderkey % 9 = 0",
+        # +5% half-up on the integer cents grid — PURE int64 arithmetic
+        # ((cents*105 + 50) div 100): the first draft chained double
+        # rounds (cents/100*1.05 -> round(,2) -> *100) and flipped one
+        # cent vs DuckDB at a within-ulp boundary at sf0.1 — the exact
+        # FLOATS.md class; prices are positive so half-up == the div
+        {"cents": "cast((cents * 105 + 50) div 100 as bigint)"},
+    )
+    t.append(
+        orders.filter((F.col("o_orderkey") % 17 == 0) & (F.col("o_orderkey") != 0)).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            "o_custkey",
+            "cents",
+            "o_orderstatus",
+        )
+    )
+    summary0 = (
+        t.scan(version=0)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    ch = t.version_changes(0, None, ["o_orderkey"], ["o_custkey", "cents"])
+    minus = ch.filter(F.col("change").isin("removed", "changed")).select(
+        F.col("old_o_custkey").alias("o_custkey"),
+        F.lit(-1).cast("long").alias("n_orders"),
+        (-F.col("old_cents")).cast("long").alias("sum_cents"),
+    )
+    plus = ch.filter(F.col("change").isin("added", "changed")).select(
+        F.col("new_o_custkey").alias("o_custkey"),
+        F.lit(1).cast("long").alias("n_orders"),
+        F.col("new_cents").cast("long").alias("sum_cents"),
+    )
+    deltas = minus.unionByName(plus)
+    merged = incremental_agg_merge(summary0, deltas, ["o_custkey"])
+    return merged.filter(F.col("n_orders") > 0).select(
+        "o_custkey", "n_orders", "sum_cents"
+    )
+
+
+@query(
     "graph_pagerank_events",
     """WITH ev AS (
          SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS u,
