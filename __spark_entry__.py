@@ -101,7 +101,10 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      the window (r11 verdict #5). One deliberate slot converts the
 #      permanent ERR into a clean rows-only row; it returns to the tail
 #      in r13.
-#   3. 31 of the 40-row r6 cohort (oldest stamps), in registration
+#   2.5 the three r12 late lake additions (CDF, OPTIMIZE ZORDER,
+#      CDF-driven incremental MV), never driver-proven — they displace
+#      the three unchanged TPC-H r6 rows (q4/q6/q14) to r13.
+#   3. 28 of the 40-row r6 cohort (oldest stamps), in registration
 #      order, EXCEPT funnel_conversion is swapped in ahead of the
 #      nl_query/mm rows: it predates the FLOATS.md integer-micro
 #      discipline and the r11 verdict (#6) asks for its re-proof under
@@ -111,12 +114,10 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #      end-of-round review caught this ledger's first draft claiming
 #      36-of-42 while the list held 31.
 # ROUND-13 ROTATION NOTE: lead with any round-13 additions/changes —
-# three never-proven r12 late additions (lake_cdf_scan — the
-# file-identity-pruned row-level change feed; lake_zorder_optimize —
-# OPTIMIZE ZORDER BY on a live logged table; lake_incremental_mv —
-# CDF-driven incremental MV maintenance with signed integer-cent
-# deltas; all locally green at both SFs, never driver-swept) and two
-# r12 late-round changed shapes
+# the r12 leftovers (tpch_q4_order_priority, tpch_q6_forecast_revenue,
+# tpch_q14_promo_revenue — displaced by the three late lake additions,
+# which took window slots under the never-proven-outranks-staleness
+# rule) and two r12 late-round changed shapes
 # already queued: mm_sample_frames
 # (explode_outer: NULL-duration videos survive as a classified
 # NULL-frame row instead of vanishing) and mm_audio_features
@@ -155,6 +156,12 @@ registry.finalize_order(
         "f10_timestamp_rebuild",
         # tier 2 — the one waived rows-only slot (supersedes the r1 ERR)
         "mm_extract_features",
+        # tier 2.5 — r12 late additions, never driver-proven (the
+        # standing rule: never-proven outranks stale re-proofs; these
+        # displace the three unchanged TPC-H r6 rows to r13)
+        "lake_cdf_scan",
+        "lake_zorder_optimize",
+        "lake_incremental_mv",
         # tier 3 — r6 cohort (oldest stamps), registration order, with
         # funnel_conversion swapped in over nl_query_scalar (float
         # re-check, r11 verdict #6)
@@ -183,9 +190,6 @@ registry.finalize_order(
         "u3_intersect",
         "u4_except",
         "f8_case_like_normalizer",
-        "tpch_q4_order_priority",
-        "tpch_q6_forecast_revenue",
-        "tpch_q14_promo_revenue",
         "prof_heavy_hitters",
         "mm_image_dedup",
         "funnel_conversion",
