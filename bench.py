@@ -502,8 +502,25 @@ def main() -> None:
     # and a `git add -A` committed the 10x-smaller numbers as if they
     # were the round's headline (r12 end-of-round review — every
     # cross-round ratio computed from that file would have been a
-    # phantom ~3x improvement). Non-canonical SFs write a suffixed file.
-    full_name = "BENCH_FULL.json" if sf == "0.1" else f"BENCH_FULL_sf{sf}.json"
+    # phantom ~3x improvement). Non-canonical SFs write a suffixed file,
+    # and the SF gate is NUMERIC (r12 advice: the string gate let an
+    # equivalent spelling like sf0.10 through). Even at the canonical
+    # SF, the sealed name is only written when SPARK_GRAFT_BENCH_SEAL=1:
+    # the driver's own post-seal bench run used to rewrite the committed
+    # artifact in place (r12 verdict #4 — commit 6d99042 cites 237.6 s,
+    # the tree then held the driver session's 244.3 s), erasing the
+    # sealed evidence. Unsealed runs land in the gitignored
+    # BENCH_FULL_run.json instead, so a driver run leaves git clean.
+    try:
+        canonical_sf = float(sf) == 0.1
+    except ValueError:
+        canonical_sf = False
+    if not canonical_sf:
+        full_name = f"BENCH_FULL_sf{sf}.json"
+    elif os.environ.get("SPARK_GRAFT_BENCH_SEAL") == "1":
+        full_name = "BENCH_FULL.json"
+    else:
+        full_name = "BENCH_FULL_run.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), full_name), "w") as f:
         json.dump(result, f)
     print(json.dumps(result))
