@@ -221,21 +221,30 @@ class SplitSentences:
 
 
 _SPLIT_VIEW_SEQ = __import__("itertools").count()
+# Ring size bounds the catalog footprint (r12 advice: the unbounded
+# per-call names grew one catalog entry per micro-batch in a long-lived
+# streaming foreachBatch caller). 16 slots is plenty of interleaving
+# headroom: reuse is safe because ``spark.sql`` analyzes EAGERLY —
+# Dataset.ofRows asserts analysis before this function returns, and
+# analysis INLINES the temp view's plan into the returned DataFrame, so
+# replacing the view 16 calls later cannot rebind an earlier result
+# (pinned by tests/test_nlp.py::test_split_sentences_view_ring).
+_SPLIT_VIEW_RING = 16
 
 
 def split_sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Lateral-join the SplitSentences UDTF against a document table.
 
-    The input registers under a PER-CALL view name: with the old fixed
+    The input registers under a RING of view names: with the old fixed
     name, a second call replaced the view while the first call's
-    DataFrame could still be un-analyzed (temp-view resolution is
-    deferred to analysis), silently rebinding the first result to the
-    SECOND input (r12 nlp review). The view leaks by design — dropping
-    it would break the returned lazy plan; it is one catalog entry per
-    call, name-spaced and session-scoped."""
+    DataFrame could still be un-analyzed, silently rebinding the first
+    result to the SECOND input (r12 nlp review); the r12 fix's
+    per-call names then leaked one catalog entry per call (r12 advice).
+    The ring gives both: distinct names across any plausible
+    interleaving window, bounded catalog growth for long-lived callers."""
     spark = df.sparkSession
     spark.udtf.register("split_sentences_udtf", SplitSentences)
-    view = f"__split_sentences_in_{next(_SPLIT_VIEW_SEQ)}"
+    view = f"__split_sentences_in_{next(_SPLIT_VIEW_SEQ) % _SPLIT_VIEW_RING}"
     df.createOrReplaceTempView(view)
     return spark.sql(
         f"""SELECT d.{id_col}, s.sent_no, s.sentence

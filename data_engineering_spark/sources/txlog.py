@@ -582,9 +582,20 @@ class LakeTable:
         part_key_sets = {
             tuple(sorted(snap.files[p].get("partition", {}))) for p in snap.files
         }
-        partition_by = (
-            list(next(iter(part_key_sets))) if len(part_key_sets) == 1 else None
-        ) or None
+        if len(part_key_sets) > 1:
+            # a mixed layout (e.g. partitioned create + unpartitioned
+            # append) must not silently flatten: re-staging with
+            # partition_by=None strips every partition tuple from the
+            # log, re-opening the replace_partitions duplicate-row
+            # hazard this method's docstring claims closed (r12 advice).
+            # Mirrors optimize_zorder's loud rejection.
+            raise ValueError(
+                "compact: live files carry differing partition key sets "
+                f"{sorted(part_key_sets)} — compacting would strip "
+                "partition tuples; re-stage each layout group separately "
+                "(replace_partitions per layout) before compacting"
+            )
+        partition_by = list(next(iter(part_key_sets))) or None
         actions = [{"remove": {"path": p}} for p in snap.files] + self._stage(
             live.repartition(target_partitions), partition_by
         )
@@ -744,7 +755,15 @@ class LakeTable:
         the commit itself cannot know, so an unchecked restore to a
         vacuumed version produced a live set whose files are gone —
         every subsequent scan failing with path-not-found on a
-        'successfully restored' table (r12 txlog re-pass). Add-actions
+        'successfully restored' table (r12 txlog re-pass). The check is
+        check-then-commit (TOCTOU): a vacuum running CONCURRENTLY in the
+        window between the existence scan and ``_try_commit`` can still
+        strand the restored live set — acceptable under this log's
+        single-writer local-filesystem design (vacuum is a maintenance
+        op the single writer runs, never alongside a restore), and the
+        ``os.path.exists`` probe is driver-local by the same design; a
+        remote table dir would need a filesystem-API probe instead
+        (r12 advice, documented rather than locked). Add-actions
         are re-emitted in the canonical shape (partition tuple as a
         sibling of stats, not nested inside it — the nested form only
         round-tripped by accident of dict(stats) copying it along)."""
@@ -923,15 +942,49 @@ class LakeTable:
             "new_scanned": len(new_paths),
             "shared_pruned": len(shared),
         }
+        new_schema = T.StructType.fromJson(json.loads(s1.schema_json))
+        old_schema = T.StructType.fromJson(json.loads(s0.schema_json))
         if value_cols is None:
-            schema = T.StructType.fromJson(json.loads(s1.schema_json))
-            value_cols = [f.name for f in schema.fields if f.name not in key_cols]
-        old = self._df_for(s0, old_paths).select(
-            *key_cols, *[F.col(c).alias(f"old_{c}") for c in value_cols]
-        )
-        new = self._df_for(s1, new_paths).select(
-            *key_cols, *[F.col(c).alias(f"new_{c}") for c in value_cols]
-        )
+            value_cols = [f.name for f in new_schema.fields if f.name not in key_cols]
+        # Schema evolution across the version range (r12 advice): a
+        # column appended-in after v_old exists only in the new schema —
+        # selecting it from the old snapshot raised AnalysisException.
+        # The CDF semantics of a widened column are "old side is NULL"
+        # (every pre-widening row gains the column as NULL), so a side
+        # that lacks a value column projects a typed NULL literal,
+        # sourcing the type from whichever schema carries the column.
+        # Keys must exist on BOTH sides — a key column missing from one
+        # schema would silently join every row of that side on NULL.
+        types = {f.name: f.dataType for f in new_schema.fields}
+        for f in old_schema.fields:
+            types.setdefault(f.name, f.dataType)
+        for side_name, fields in (("v_old", old_schema), ("v_new", new_schema)):
+            missing_keys = [k for k in key_cols if k not in {f.name for f in fields}]
+            if missing_keys:
+                raise ValueError(
+                    f"version_changes: key column(s) {missing_keys} absent from "
+                    f"{side_name}'s schema — a change feed needs keys stable "
+                    "across the version range"
+                )
+        unknown = [c for c in value_cols if c not in types]
+        if unknown:
+            raise ValueError(
+                f"version_changes: value column(s) {unknown} exist in neither "
+                "snapshot's schema"
+            )
+
+        def _side(snap_schema: T.StructType, df: DataFrame, prefix: str) -> DataFrame:
+            have = {f.name for f in snap_schema.fields}
+            proj = [
+                (F.col(c) if c in have else F.lit(None).cast(types[c])).alias(
+                    f"{prefix}{c}"
+                )
+                for c in value_cols
+            ]
+            return df.select(*key_cols, *proj)
+
+        old = _side(old_schema, self._df_for(s0, old_paths), "old_")
+        new = _side(new_schema, self._df_for(s1, new_paths), "new_")
         # presence via marker literals, never a nullable value column
         # (the scd2 sentinel lesson — an old row whose every value is
         # legitimately NULL must still count as present)

@@ -620,3 +620,22 @@ def test_split_sentences_interleaved_calls_stay_bound(spark):
     got_b = {r.sentence for r in out_b.collect()}
     assert got_a == {"alpha one", "alpha two"}
     assert got_b == {"beta only"}
+
+
+def test_split_sentences_view_ring(spark):
+    """The per-call view names are a bounded RING (r12 advice: a
+    long-lived foreachBatch caller grew one catalog entry per
+    micro-batch). Wrapping the ring must neither grow the catalog nor
+    rebind an earlier result: spark.sql analyzes eagerly, inlining the
+    view's plan before split_sentences returns."""
+    from data_engineering_spark.operators.nlp import _SPLIT_VIEW_RING, split_sentences
+
+    first_in = spark.createDataFrame([(1, "keep me.")], "doc_id long, text string")
+    first = split_sentences(first_in)  # NOT executed until after the wrap
+    for i in range(_SPLIT_VIEW_RING + 3):  # wraps the ring past first's slot
+        df = spark.createDataFrame([(i, f"filler {i}.")], "doc_id long, text string")
+        assert split_sentences(df).count() == 1
+    assert {r.sentence for r in first.collect()} == {"keep me"}
+    names = [t.name for t in spark.catalog.listTables()
+             if t.name.startswith("__split_sentences_in_")]
+    assert len(names) <= _SPLIT_VIEW_RING

@@ -664,3 +664,60 @@ def test_optimize_zorder_improves_pruning_atomically(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="hive-partitioned"):
         tp.optimize_zorder(["v"])
+
+
+def test_compact_rejects_mixed_partition_layouts(spark, tmp_path):
+    """A partitioned create followed by an UNPARTITIONED append leaves
+    two partition key sets in the live files; compacting that silently
+    flattened the layout (partition_by fell back to None), stripping
+    every partition tuple — the replace_partitions duplicate-row hazard
+    again (r12 advice). compact() must refuse loudly, mirroring
+    optimize_zorder."""
+    t = LakeTable(spark, str(tmp_path / "mix"))
+    t.create(
+        spark.createDataFrame([(1, "d1", "a"), (2, "d2", "b")],
+                              "id long, day string, v string"),
+        partition_by=["day"],
+    )
+    # append WITHOUT the partition layout → second key set in the log
+    t.append(spark.createDataFrame([(3, "d1", "c")],
+                                   "id long, day string, v string"))
+    with pytest.raises(ValueError, match="differing partition key sets"):
+        t.compact()
+    # uniformly-partitioned and uniformly-unpartitioned tables still compact
+    tp = LakeTable(spark, str(tmp_path / "uni"))
+    tp.create(spark.range(10).coalesce(2))
+    tp.append(spark.range(10, 20).coalesce(2))
+    tp.compact()
+    assert tp.scan().count() == 20
+
+
+def test_version_changes_across_widened_schema(spark, tmp_path):
+    """CDF over a version range in which the schema WIDENED: default
+    value_cols come from the new schema, and the old side projects the
+    new column as a typed NULL instead of raising AnalysisException
+    (r12 advice). A pre-widening key that gains a value is 'changed'
+    with old_<col> NULL; keys in files shared by both snapshots stay
+    pruned (their new column reads NULL on both sides)."""
+    t = LakeTable(spark, str(tmp_path / "widen"))
+    t.create(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string").coalesce(1)
+    )
+    # widened append: new column w arrives with new rows only
+    t.append(
+        spark.createDataFrame([(3, "c", 7.5)], "id long, v string, w double").coalesce(1)
+    )
+    ch = t.version_changes(0, None, ["id"])
+    got = {r.id: (r.change, r.old_w, r.new_w) for r in ch.collect()}
+    # ids 1,2 live in a shared file → pruned, no change rows
+    assert got == {3: ("added", None, 7.5)}
+    # a REWRITE after widening surfaces old_w as NULL for changed keys
+    t.update_where("id = 1", {"v": "'A'"})
+    ch2 = t.version_changes(0, None, ["id"])
+    got2 = {r.id: (r.change, r.old_w, r.new_w) for r in ch2.collect()}
+    assert got2[1] == ("changed", None, None) and got2[3][0] == "added"
+    # value col in neither schema, and a key col absent from one side, raise
+    with pytest.raises(ValueError, match="neither snapshot"):
+        t.version_changes(0, None, ["id"], ["nope"])
+    with pytest.raises(ValueError, match="key column"):
+        t.version_changes(0, None, ["w", "id"])  # w absent from v0
