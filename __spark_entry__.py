@@ -36,165 +36,118 @@ from data_engineering_spark import queries_tpch_ps  # noqa: E402,F401
 from data_engineering_spark.session import prepare_session  # noqa: E402
 
 # The driver sweeps the FIRST 50 registered names per round, so order is a
-# verification-scheduling decision. Priority window (exactly 50, oracle-
-# backed except one explicit rows-only waiver — see below).
+# verification-scheduling decision. The window is exactly 50 slots and has
+# TWO machine-distinguishable parts (r12 verdict #2 — two hand-count
+# ledger slips in two rounds ended the hand-maintained queue):
 #
-# ROUND-12 WINDOW. Round-11 sweep state: 50/50 green (the capped
-# streaming-embed-dedup production config and the 1024-merge BPE apply
-# both proven; every one of the 206 oracled queries has a green stamp
-# across CORRECTNESS_r01-r11; oldest live stamp r6). Window priority,
-# by the standing rule (changed shapes count as unproven and outrank
-# staleness):
-#   1. The 18 round-12 changed shapes, all locally re-proven at sf0.01
-#      under the driver-faithful string gate before windowing:
-#      - the quality-key consumers (text_quality, dedup_keep_best,
-#        dedup_cluster_histogram, corpus_prepare, curate_token_budget):
-#        quality_micro's when(n==0) blank-doc guard became the
-#        arithmetic den=greatest(400n,1) — the conditional was
-#        disqualifying the key from codegen subexpression elimination,
-#        the actual cause of the r11 corpus_prepare 1.85x bench
-#        regression (same semantics, byte-identical on adversarial
-#        inputs — tests/test_text_quality.py);
-#      - the persisted-signature dedup relations
-#        (dedup_ngram_jaccard_portable, dedup_threshold_sweep,
-#        dedup_verbatim_spans, dedup_shared_passages): their per-call
-#        session-lifetime persists now route through the bounded
-#        lock-guarded memo registry (r11 advice);
-#      - j9_salted_join: both sides alias-qualified so shared-lineage
-#        self-joins resolve (r11 advice; new pytest);
-#      - nlp_bpe_vocab_16x64 / nlp_bpe_apply_16x64: the trained
-#        1024-merge table is session-memoized (driver-local rows), so
-#        the pair trains ONCE per sweep/bench session (r11 verdict #2);
-#      - curate_dsir_select: the target total rides a full-outer join
-#        of the two parameter-bounded count tables instead of a
-#        separate eager-localCheckpoint branch (one target pass, no
-#        plan-build side effect; disjoint/empty-target semantics pinned
-#        in tests/test_curation.py);
-#      - m1_merge_upsert / m2_cdc_apply / m3_scd2_dimension: the queued
-#        r11 warehouse-pack review landed (ROADMAP.md r12 lead item) —
-#        merge_upsert's duplicate guard anchored so empty-payload
-#        (key-only) merges keep it (#3), apply_cdc raises on NULL/
-#        unknown ops instead of silently dropping the row (#4), and
-#        scd2_apply rebuilt as ONE full-outer join + array-of-struct
-#        explode row generator with a presence flag (never the nullable
-#        valid_from sentinel, #2), a duplicate-update-key raise_error
-#        guard (#1), and exactly one planned join (#5, plan-asserted in
-#        tests/test_merge.py). lake_zorder_scan re-proven too (zvalue
-#        approx path: null-parity + numeric gate + 12-bit cap, #6/#7 —
-#        its registered query uses the window path, plan unchanged);
-#      - a5_last_wins_merge: max_by's order key is struct(order_col,
-#        col), so order ties resolve to the max value instead of
-#        shuffle merge order (between-runs nondeterminism, the
-#        forbidden class — r12 aggregation review);
-#      - f10_timestamp_rebuild: concat (NULL-propagating, = SQL ||)
-#        replaces concat_ws, whose null-SKIP handed ANSI to_timestamp
-#        an unparseable bare date — one NULL part crashed the query
-#        (r12 functions review; invisible to the f10 oracle, whose
-#        inputs derive non-null). nlp_tfidf_keywords' per-call persist
-#        also routed through the bounded memo registry — identical
-#        plan, locally re-proven, no window slot spent.
-#   2. mm_extract_features — the ONE rows-only waiver
-#      (finalize_order(rows_only_waivers=...)): its only driver record
-#      is the r1 canonicalizer crash, fixed in r2 by the to_json
-#      reshape and pytest-proven via the exact driver canon path, but
-#      never re-recorded because the guard kept rows-only names behind
-#      the window (r11 verdict #5). One deliberate slot converts the
-#      permanent ERR into a clean rows-only row; it returns to the tail
-#      in r13.
-#   2.5 the three r12 late lake additions (CDF, OPTIMIZE ZORDER,
-#      CDF-driven incremental MV), never driver-proven — they displace
-#      the three unchanged TPC-H r6 rows (q4/q6/q14) to r13.
-#   3. 28 of the 40-row r6 cohort (oldest stamps), in registration
-#      order, EXCEPT funnel_conversion is swapped in ahead of the
-#      nl_query/mm rows: it predates the FLOATS.md integer-micro
-#      discipline and the r11 verdict (#6) asks for its re-proof under
-#      the driver-faithful gate this round (mm_image_dedup, the other
-#      pre-FLOATS row, makes the cut in registration order). The 9
-#      leftovers are enumerated in the ROUND-13 note below — the r12
-#      end-of-round review caught this ledger's first draft claiming
-#      36-of-42 while the list held 31.
-# ROUND-13 ROTATION NOTE: lead with any round-13 additions/changes —
-# the r12 leftovers (tpch_q4_order_priority, tpch_q6_forecast_revenue,
-# tpch_q14_promo_revenue — displaced by the three late lake additions,
-# which took window slots under the never-proven-outranks-staleness
-# rule) and two r12 late-round changed shapes
-# already queued: mm_sample_frames
-# (explode_outer: NULL-duration videos survive as a classified
-# NULL-frame row instead of vanishing) and mm_audio_features
-# (decode_wav raises on a fmt/data chunk whose declared size overruns
-# the payload instead of silently decoding truncated audio), both
-# locally re-proven at both SFs — then the r6 leftovers (mm_pixel_features, mm_resize_images,
-# nl_query_range, nl_query_distinct, nl_query_cardinality,
-# nl_query_scalar, text_winnow_fingerprints, search_query_string,
-# search_inverted_index), then the r8 cohort in
-# registration order (a13_grouped_pivot, a14/a15 percentile rows,
-# lake_snapshot_diff, graph_pagerank_events, events_sessionize,
-# curate_domain_cap, ts_mad_outliers, corpus_overlap_kmv,
-# search_significant_terms, search_suggest, prof_value_correlation,
-# events_path_mining, st_streaming_dedup, st_percolate, ...), which the
-# r13 window can hold in full; then r9 in registration order.
+#   WINDOW_LEAD — hand-curated: this round's changed shapes (re-proof
+#   outranks staleness), never-driver-proven additions, and deliberate
+#   rows-only waiver slots. Every entry carries its justification below.
+#
+#   WINDOW_STALE — pure policy, NOT judgment: the remaining slots hold
+#   exactly the oldest-stamped oracled queries, ordered by (latest green
+#   stamp across CORRECTNESS_r*.json, original registration order),
+#   excluding WINDOW_LEAD. tests/test_rotation_ledger.py RECOMPUTES this
+#   list from the raw artifacts and fails if the committed list drifts —
+#   the o3_topk drop class (r12: the 13th r6 row fell out of the
+#   hand-enumerated r13 queue) can no longer happen silently.
+#
+# ROUND-13 WINDOW. Round-12 sweep state: 49 green + 1 clean rows-only
+# waiver (50/50 as planned); every one of the 209 oracled queries has a
+# green stamp across CORRECTNESS_r01-r12; oldest live stamp r6 (13 rows),
+# then r8 (41 rows). This window retires the whole r6 cohort — including
+# o3_topk, restored per r12 verdict #1 — and 29 of the 41 r8 rows; the
+# remaining 12 r8 rows lead ROUND-14's stale tail (the reconciliation
+# test recomputes them; no hand list to drop rows from).
+WINDOW_LEAD = [
+    # --- r13 changed shapes (r12 advice pack), locally re-proven at
+    # sf0.01 before windowing:
+    # nlp_split_sentences: per-call temp-view names became a bounded
+    # 16-slot ring (catalog growth capped for foreachBatch callers;
+    # eager spark.sql analysis makes slot reuse rebind-safe).
+    "nlp_split_sentences",
+    # lake_cdf_scan / lake_incremental_mv: version_changes() now handles
+    # schema-evolving version ranges (missing-side value columns project
+    # as typed NULLs; absent keys raise) — both consumers re-prove.
+    "lake_cdf_scan",
+    "lake_incremental_mv",
+    # --- r12 late-round changed shapes queued by the r12 rotation note:
+    # mm_sample_frames: explode_outer — NULL-duration videos survive as a
+    # classified NULL-frame row instead of vanishing (three-valued-logic
+    # vanish class). mm_audio_features: decode_wav raises on fmt/data
+    # chunks whose declared size overruns the payload instead of silently
+    # decoding truncated audio. Both re-proven at both SFs in r12.
+    "mm_sample_frames",
+    "mm_audio_features",
+    # --- never driver-proven (new in r13): the hash-exact oracle of the
+    # FULL bucketed embedding-dedup pipeline — banded LSH signatures,
+    # max_bucket purge, candidate join, lattice verify, canonical tail
+    # all re-derived in DuckDB (r12 verdict #3's preferred resolution
+    # for the 100 TB dedup scale path's missing correctness record).
+    "dedup_embedding_bucketed_portable",
+    # --- rows-only waiver slots (r12 verdict #3: the never-swept six,
+    # highest-value first): the production bucketed dedup config itself
+    # (threshold 0.9 — vacuous under an oracle on isotropic driver data,
+    # now anchored by the portable twin above) and the zero-shuffle
+    # Arrow SimHash kernel. Each records a clean no_oracle row with
+    # schema + row count. The remaining four (sim_pq_topk,
+    # curate_pack_ffd, ts_downsample_lttb, a17_percentiles_approx — all
+    # with oracled portable twins already green) queue for r14+.
+    "dedup_embedding_bucketed",
+    "dedup_simhash_arrow",
+]
+
+# Computed by the staleness policy; verified against CORRECTNESS_r*.json
+# by tests/test_rotation_ledger.py (do NOT hand-edit without re-running
+# it — the test IS the ledger).
+WINDOW_STALE = [
+    "o3_topk",  # r6
+    "tpch_q4_order_priority",  # r6
+    "tpch_q6_forecast_revenue",  # r6
+    "tpch_q14_promo_revenue",  # r6
+    "mm_pixel_features",  # r6
+    "mm_resize_images",  # r6
+    "nl_query_range",  # r6
+    "nl_query_distinct",  # r6
+    "nl_query_cardinality",  # r6
+    "nl_query_scalar",  # r6
+    "text_winnow_fingerprints",  # r6
+    "search_query_string",  # r6
+    "search_inverted_index",  # r6
+    "a13_grouped_pivot",  # r8
+    "a18_unpivot_long",  # r8
+    "w5_time_weighted_avg",  # r8
+    "prof_value_correlation",  # r8
+    "prof_drift_psi",  # r8
+    "curate_pack_ffd_portable",  # r8
+    "curate_mixture_temperature",  # r8
+    "curate_boilerplate_strip",  # r8
+    "curate_shard_shuffle",  # r8
+    "curate_word_dropout",  # r8
+    "curate_domain_cap",  # r8
+    "nlp_subword_tokenize",  # r8
+    "nlp_subword_doc_tokens",  # r8
+    "nl_query_having",  # r8
+    "nl_query_trend",  # r8
+    "nl_query_join",  # r8
+    "ts_anomaly_zscore",  # r8
+    "ts_downsample_lttb_portable",  # r8
+    "events_sessionize",  # r8
+    "ts_ses_smooth",  # r8
+    "ts_mad_outliers",  # r8
+    "lake_snapshot_diff",  # r8
+    "graph_pagerank_events",  # r8
+    "nlp_bpe_merges",  # r8
+    "events_path_mining",  # r8
+    "dedup_minhash_portable",  # r8
+    "st_streaming_dedup",  # r8
+    "dedup_minhash_canonical_portable",  # r8
+    "sim_lsh_topk",  # r8
+]
+
 registry.finalize_order(
-    [
-        # tier 1 — round-12 changed shapes (re-proof outranks staleness)
-        "text_quality",
-        "dedup_keep_best",
-        "dedup_cluster_histogram",
-        "corpus_prepare",
-        "curate_token_budget",
-        "dedup_ngram_jaccard_portable",
-        "dedup_threshold_sweep",
-        "dedup_verbatim_spans",
-        "dedup_shared_passages",
-        "j9_salted_join",
-        "nlp_bpe_vocab_16x64",
-        "nlp_bpe_apply_16x64",
-        "curate_dsir_select",
-        "m1_merge_upsert",
-        "m2_cdc_apply",
-        "m3_scd2_dimension",
-        "a5_last_wins_merge",
-        "f10_timestamp_rebuild",
-        # tier 2 — the one waived rows-only slot (supersedes the r1 ERR)
-        "mm_extract_features",
-        # tier 2.5 — r12 late additions, never driver-proven (the
-        # standing rule: never-proven outranks stale re-proofs; these
-        # displace the three unchanged TPC-H r6 rows to r13)
-        "lake_cdf_scan",
-        "lake_zorder_optimize",
-        "lake_incremental_mv",
-        # tier 3 — r6 cohort (oldest stamps), registration order, with
-        # funnel_conversion swapped in over nl_query_scalar (float
-        # re-check, r11 verdict #6)
-        "p6_like_filter",
-        "p7_date_string_filter",
-        "p8_retention_cutoff_filter",
-        "p9_boolean_compound_filter",
-        "p10_value_scrub",
-        "p12_concat_projection",
-        "j2_inner_join_filter",
-        "j3_semi_join",
-        "j4_broadcast_lookup_join",
-        "j5_anti_join",
-        "a1_listagg_distinct",
-        "a2_collect_list_sorted",
-        "a3_distinct_projection",
-        "a4_count_audit",
-        "a6_vector_assembly",
-        "a7_distinct_sorted_dates",
-        "a8_group_minmax",
-        "a9_rollup",
-        "a10_cube",
-        "a11_distinct_count",
-        "o1_limit_probe",
-        "u1_union_all",
-        "u3_intersect",
-        "u4_except",
-        "f8_case_like_normalizer",
-        "prof_heavy_hitters",
-        "mm_image_dedup",
-        "funnel_conversion",
-    ],
-    rows_only_waivers=frozenset({"mm_extract_features"}),
+    WINDOW_LEAD + WINDOW_STALE,
+    rows_only_waivers=frozenset({"dedup_embedding_bucketed", "dedup_simhash_arrow"}),
 )
 
 

@@ -1575,8 +1575,52 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     where banded LSH prunes hard; the exact `dedup_embedding` twin keeps
     the moderate 0.4 threshold as the oracle-checked all-pairs
     baseline — that regime is a similarity JOIN, not a dedup, and LSH
-    banding cannot serve it."""
+    banding cannot serve it. ``dedup_embedding_bucketed_portable`` is
+    the HASH-ORACLED twin of this exact pipeline (r12 verdict #3)."""
     return embedding_near_dedup_bucketed(_emb(spark, sf_dir), threshold=0.9, dim=64)
+
+
+@query(
+    "dedup_embedding_bucketed_portable",
+    f"""WITH verified AS ({_embed_dedup_twin_sql(threshold=0.4, max_bucket=256)}),
+        nbh AS (
+          SELECT id_a AS vec_id, id_b AS other_id FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified
+          UNION ALL SELECT vec_id, vec_id FROM embeddings)
+        SELECT vec_id,
+               CAST(min(other_id) AS BIGINT) AS canonical_id,
+               CAST(count(*) - 1 AS BIGINT) AS n_neighbors,
+               (min(other_id) < vec_id) AS is_dup
+        FROM nbh GROUP BY vec_id""",
+)
+def q_dedup_embedding_bucketed_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact oracle of the FULL bucketed-dedup pipeline — the 100 TB
+    dedup scale path's first driver-checkable record (r12 verdict #3:
+    ``dedup_embedding_bucketed``'s only correctness evidence was pytest
+    agreement with the exact form). Same production operator
+    (operators/similarity.py:embedding_near_dedup_bucketed — banded
+    hyperplane LSH candidates, max_bucket purge, exact integer-lattice
+    verify, canonical min-id tail); the DuckDB twin re-derives every
+    band signature from the repr-inlined seeded-LCG planes, the
+    HAVING-gated bucket purge, the banded candidate join, the lattice
+    admission, and the neighborhood canonicalization — candidate
+    GENERATION is hash-checked, not just surviving pairs
+    (st_streaming_embed_dedup's twin machinery, _embed_dedup_twin_sql).
+
+    Registered at threshold 0.4 with the capped production bucket gate
+    (max_bucket=256): at the production dedup threshold 0.9 the
+    driver's isotropic embeddings hold zero true near-dups and the
+    verified set is vacuous — 0.4 makes the admitted-pair tail
+    non-trivial while the banded∩verified contract being checked is
+    threshold-independent (same rationale as st_streaming_embed_dedup's
+    registration). Residual cross-engine risk, the accepted ulp class
+    lsh_buckets_pandas documents: band signatures come from a BLAS
+    matmul on the Spark side vs DuckDB's sequential fold — a plane dot
+    within a last-ulp of zero could flip a band; not observed at either
+    SF."""
+    return embedding_near_dedup_bucketed(
+        _emb(spark, sf_dir), threshold=0.4, dim=64, max_bucket=256
+    )
 
 
 

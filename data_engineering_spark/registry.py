@@ -18,6 +18,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# Recorded by finalize_order for the rotation-ledger reconciliation test
+# (tests/test_rotation_ledger.py): the exact priority window handed to the
+# driver, the rows-only waivers, and the ORIGINAL registration order (the
+# canonical staleness tie-break — finalize reorders QUERIES in place, so
+# the pre-reorder sequence must be captured to stay auditable).
+PRIORITY_WINDOW: list[str] = []
+ROWS_ONLY_WAIVERS: frozenset[str] = frozenset()
+ORIGINAL_ORDER: list[str] = []
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -52,6 +61,13 @@ def finalize_order(
     missing = [n for n in priority if n not in QUERIES]
     if missing:
         raise KeyError(f"finalize_order: unknown queries {missing}")
+    dupes = sorted({n for n in priority if priority.count(n) > 1})
+    if dupes:
+        raise ValueError(f"finalize_order: duplicate priority entries {dupes}")
+    ORIGINAL_ORDER[:] = list(QUERIES)
+    PRIORITY_WINDOW[:] = list(priority)
+    global ROWS_ONLY_WAIVERS
+    ROWS_ONLY_WAIVERS = frozenset(rows_only_waivers)
     weak = [n for n in priority if n not in ORACLE and n not in rows_only_waivers]
     if weak:
         raise ValueError(f"finalize_order: rows-only queries in priority window {weak}")
