@@ -69,6 +69,11 @@ WINDOW_LEAD = [
     # lake_cdf_scan / lake_incremental_mv: version_changes() now handles
     # schema-evolving version ranges (missing-side value columns project
     # as typed NULLs; absent keys raise) — both consumers re-prove.
+    # (The r13 txlog re-pass also made _rewrite_where re-stage each
+    # partition-layout group separately and _stage drop zero-row part
+    # files — row-result-identical for every registered query; the whole
+    # lake/merge family was locally re-proven at sf0.01 AND sf0.1 with
+    # no extra slots spent, the nlp_tfidf_keywords r12 precedent.)
     "lake_cdf_scan",
     "lake_incremental_mv",
     # --- r12 late-round changed shapes queued by the r12 rotation note:

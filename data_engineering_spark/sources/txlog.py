@@ -308,6 +308,10 @@ class LakeTable:
             tmp = os.path.join(self.log_dir, f".cp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 json.dump(cp, fh)
+                fh.flush()
+                os.fsync(fh.fileno())  # same durability bar as commits: a
+                # power loss after the rename must not publish a truncated
+                # checkpoint — _snapshot would raise on every later read
             os.replace(tmp, os.path.join(self.log_dir, f"checkpoint-{version}.json"))
         return True
 
@@ -359,6 +363,13 @@ class LakeTable:
                 name = f"part-{uuid.uuid4().hex}.parquet"
                 os.replace(os.path.join(dirpath, f), os.path.join(self.path, name))
                 add = {"path": name, "stats": _file_stats(os.path.join(self.path, name))}
+                if add["stats"]["rows"] == 0:
+                    # zero-row part files (an empty write, or a rewrite
+                    # that deleted a whole group) are dead log weight:
+                    # every snapshot would carry and every scan would
+                    # list a file that can never contribute a row
+                    os.remove(os.path.join(self.path, name))
+                    continue
                 if part_vals:
                     add["partition"] = part_vals
                 adds.append({"add": add})
@@ -698,48 +709,54 @@ class LakeTable:
         )
         if not candidates:
             return snap.version
-        touched = self._df_for(snap, candidates)
         cond = F.expr(condition)
-        if update_set is None:
-            rewritten = touched.filter(~cond)
-        else:
+        logged = {
+            f.name: f.dataType
+            for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
+        }
+        if update_set is not None:
             # SQL UPDATE casts the SET expression to the column's declared
             # type. Without the cast, an expression like v * 1.1 on a long
             # column writes DOUBLE-typed files while the log schema still
             # says long — and every later schema-enforced read of those
             # files breaks. Unknown columns are rejected for the same
             # reason (withColumn would append one the schema doesn't have).
-            logged = {
-                f.name: f.dataType
-                for f in T.StructType.fromJson(json.loads(snap.schema_json)).fields
-            }
             unknown = sorted(set(update_set) - set(logged))
             if unknown:
                 raise KeyError(
                     f"update_where: columns {unknown} not in table schema "
                     f"{sorted(logged)}"
                 )
-            rewritten = touched
+
+        def _apply(touched: DataFrame) -> DataFrame:
+            if update_set is None:
+                return touched.filter(~cond)
+            out = touched
             for col, expr in update_set.items():
-                rewritten = rewritten.withColumn(
+                out = out.withColumn(
                     col,
                     F.when(cond, F.expr(expr).cast(logged[col])).otherwise(
                         F.col(col)
                     ),
                 )
-        # preserve partition metadata: if every candidate is partitioned
-        # on the same columns, re-stage partitioned so the rewritten
-        # files keep exact partition pruning (one Spark write, Hive
-        # staging splits the values)
-        part_key_sets = {
-            tuple(sorted(snap.files[p].get("partition", {}))) for p in candidates
-        }
-        partition_by = (
-            list(next(iter(part_key_sets))) if len(part_key_sets) == 1 else None
-        ) or None
-        actions = [{"remove": {"path": p}} for p in candidates] + self._stage(
-            rewritten, partition_by
-        )
+            return out
+
+        # Preserve partition metadata PER LAYOUT GROUP: candidates are
+        # rewritten and re-staged with their own partition key set, so a
+        # mixed-layout live set (partitioned create + unpartitioned
+        # append) keeps every file's layout — the single-partition_by
+        # fallback silently flattened the minority group, stripping its
+        # partition tuples from the log (the compact()/optimize_zorder
+        # hazard, r13 txlog re-pass). Almost always one group = one
+        # Spark write, exactly the old plan.
+        groups: dict[tuple, list[str]] = {}
+        for p in candidates:
+            key = tuple(sorted(snap.files[p].get("partition", {})))
+            groups.setdefault(key, []).append(p)
+        adds: list[dict[str, Any]] = []
+        for keys, files in sorted(groups.items()):
+            adds += self._stage(_apply(self._df_for(snap, files)), list(keys) or None)
+        actions = [{"remove": {"path": p}} for p in candidates] + adds
         if not self._try_commit(snap.version + 1, actions):
             raise ConcurrentWriteError(
                 f"table advanced past v{snap.version}; re-read and retry"

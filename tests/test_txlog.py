@@ -721,3 +721,37 @@ def test_version_changes_across_widened_schema(spark, tmp_path):
         t.version_changes(0, None, ["id"], ["nope"])
     with pytest.raises(ValueError, match="key column"):
         t.version_changes(0, None, ["w", "id"])  # w absent from v0
+
+
+def test_rewrite_where_preserves_mixed_partition_layouts(spark, tmp_path):
+    """delete_where/update_where on a MIXED-layout live set must re-stage
+    each layout group with its own partition key set — the old single
+    partition_by fallback flattened every candidate to unpartitioned,
+    silently stripping partition tuples (the compact() hazard, r13 txlog
+    re-pass)."""
+    t = LakeTable(spark, str(tmp_path / "mixrw"))
+    t.create(
+        spark.createDataFrame(
+            [(1, "d1", 10.0), (2, "d2", 20.0)], "id long, day string, v double"
+        ),
+        partition_by=["day"],
+    )
+    t.append(
+        spark.createDataFrame([(3, "d1", 30.0)], "id long, day string, v double")
+    )  # unpartitioned file → second layout group
+    t.update_where("v >= 10.0", {"v": "v + 1.0"})  # touches every file
+    # each rewritten file keeps its own layout
+    layouts = {tuple(sorted(st.get("partition", {}))) for st in t.files().values()}
+    assert layouts == {(), ("day",)}, layouts
+    assert {(r.id, r.v) for r in t.scan().collect()} == {
+        (1, 11.0), (2, 21.0), (3, 31.0)
+    }
+    # partitioned group still replaceable without duplicates
+    t.delete_where("id = 3")  # clears the unpartitioned group
+    layouts = {tuple(sorted(st.get("partition", {}))) for st in t.files().values()}
+    assert layouts == {("day",)}, layouts
+    t.replace_partitions(
+        spark.createDataFrame([(9, "d1", 99.0)], "id long, day string, v double"),
+        ["day"],
+    )
+    assert {(r.id, r.v) for r in t.scan().collect()} == {(9, 99.0), (2, 21.0)}
