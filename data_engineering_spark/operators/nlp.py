@@ -340,6 +340,14 @@ def subword_encode_words(
     def enc(ws: pd.Series) -> pd.Series:
         out = []
         for word in ws:
+            if not isinstance(word, str):
+                # NULL-safe by construction (the pair_dot precedent,
+                # r10 advice): a NULL word segments to an empty token
+                # list instead of crashing the Arrow worker with
+                # len(None) — robustness must not depend on upstream
+                # tokenizers never emitting NULL
+                out.append([])
+                continue
             toks: list[str] = []
             p, n = 0, len(word)
             while p < n:

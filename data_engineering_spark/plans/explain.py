@@ -54,7 +54,8 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)  # one explain round-trip, not two
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def broadcast_hint_count(df: DataFrame) -> int:

@@ -639,3 +639,16 @@ def test_split_sentences_view_ring(spark):
     names = [t.name for t in spark.catalog.listTables()
              if t.name.startswith("__split_sentences_in_")]
     assert len(names) <= _SPLIT_VIEW_RING
+
+
+def test_subword_encode_words_null_word_is_empty_not_crash(spark):
+    """A NULL word must segment to an empty token list instead of
+    crashing the Arrow worker (len(None)) — the null-safe-by-
+    construction class (r13 nlp full pass)."""
+    from data_engineering_spark.operators.nlp import subword_encode_words
+
+    words = spark.createDataFrame([("hello",), (None,)], "word string")
+    got = {r.word: r.subtokens for r in
+           subword_encode_words(words, ["hel", "lo"]).collect()}
+    assert got[None] == []
+    assert "".join(got["hello"]) == "hello"
