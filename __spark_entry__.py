@@ -56,8 +56,8 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # waiver (50/50 as planned); every one of the 209 oracled queries has a
 # green stamp across CORRECTNESS_r01-r12; oldest live stamp r6 (13 rows),
 # then r8 (41 rows). This window retires the whole r6 cohort — including
-# o3_topk, restored per r12 verdict #1 — and 29 of the 41 r8 rows; the
-# remaining 12 r8 rows lead ROUND-14's stale tail (the reconciliation
+# o3_topk, restored per r12 verdict #1 — and 28 of the 41 r8 rows; the
+# remaining 13 r8 rows lead ROUND-14's stale tail (the reconciliation
 # test recomputes them; no hand list to drop rows from).
 WINDOW_LEAD = [
     # --- r13 changed shapes (r12 advice pack), locally re-proven at
@@ -90,6 +90,12 @@ WINDOW_LEAD = [
     # all re-derived in DuckDB (r12 verdict #3's preferred resolution
     # for the 100 TB dedup scale path's missing correctness record).
     "dedup_embedding_bucketed_portable",
+    # --- never driver-proven (new in r13): merge-on-read DELETE via
+    # deletion vectors — sparse row positions committed to the log, zero
+    # file rewrites, DV-aware scan through a broadcast anti-join on
+    # (basename, parquet row_index); oracle = complementary WHERE on the
+    # raw table (proven at sf0.001/0.01/0.1 pre-window).
+    "lake_dv_delete_scan",
     # --- rows-only waiver slots (r12 verdict #3: the never-swept six,
     # highest-value first): the production bucketed dedup config itself
     # (threshold 0.9 — vacuous under an oracle on isotropic driver data,
@@ -147,7 +153,6 @@ WINDOW_STALE = [
     "dedup_minhash_portable",  # r8
     "st_streaming_dedup",  # r8
     "dedup_minhash_canonical_portable",  # r8
-    "sim_lsh_topk",  # r8
 ]
 
 registry.finalize_order(

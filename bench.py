@@ -181,7 +181,14 @@ HEADLINE = [
 # prof_drift_psi joined in r12: the r11 bench recorded 1.02 s on
 # UNTOUCHED code (r10: 0.52 s) while three isolated r12 re-times gave
 # 0.52-0.70 s — warm-state noise, so the min needs the third sample.
-BIMODAL = {"dedup_simhash_arrow", "search_hybrid_rrf", "prof_drift_psi"}
+BIMODAL = {
+    "dedup_simhash_arrow",
+    "search_hybrid_rrf",
+    "prof_drift_psi",
+    # drifted 0.39→0.50 in r12 and re-timed 0.45/0.518 isolated with
+    # identical plans — promoted per the r12 verdict's watch rule
+    "ts_mad_outliers",
+}
 
 # The 16x64 BPE pair shares one trained vocab per session via the
 # driver-local merge-row memo (r11 verdict #2: the bench used to spend

@@ -602,6 +602,49 @@ def q_lake_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "lake_dv_delete_scan",
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+              round(sum(o_totalprice), 2) AS total_price
+       FROM orders
+       WHERE o_orderkey % 97 <> 11
+       GROUP BY o_orderstatus""",
+)
+def q_lake_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (sources/txlog.py:
+    delete_where_dv — the Delta DV design): a sparse ~1% of orders
+    (o_orderkey % 97 = 11, spread across every file) is deleted as
+    committed ROW POSITIONS — zero data files move, and the scan
+    applies each file's vector through a broadcast anti-join on
+    (basename, parquet row_index). The oracle recomputes from the raw
+    table with the complementary WHERE, so the hash match proves the
+    position capture AND the DV-aware read end-to-end. This is the
+    100 TB delete shape: a 0.001% GDPR-style erasure costs one commit,
+    not a file-rewrite pass (``lake_delete_scan`` stays the
+    copy-on-write twin for DENSE deletes)."""
+    from .sources.txlog import LakeTable
+
+    base = _scratch_lake_dir("lake_dv_")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    t = LakeTable(spark, base)
+    t.create(orders.repartitionByRange(4, "o_orderdate"))
+    n_files = len(t.files())
+    t.delete_where_dv("o_orderkey % 97 = 11")
+    # merge-on-read invariant, asserted in the query itself: the live
+    # file set is untouched — only vectors landed
+    assert len(t.files()) == n_files and t.deletion_vectors()
+    return (
+        t.scan()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
     "lake_zorder_scan",
     """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
               round(sum(o_totalprice), 2) AS total_price

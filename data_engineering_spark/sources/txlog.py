@@ -194,6 +194,7 @@ class _Snapshot:
     files: dict[str, dict[str, Any]] = field(default_factory=dict)  # path → stats
     schema_json: str | None = None
     txns: dict[str, int] = field(default_factory=dict)  # app_id → last version
+    dvs: dict[str, list[int]] = field(default_factory=dict)  # path → deleted row positions
 
 
 class LakeTable:
@@ -246,6 +247,7 @@ class LakeTable:
                 snap.files = cp["files"]
                 snap.schema_json = cp.get("schema")
                 snap.txns = cp.get("txns", {})
+                snap.dvs = cp.get("dvs", {})
                 start = cps[-1] + 1
         for v in range(start, version + 1):
             with open(self._version_path(v)) as fh:
@@ -257,8 +259,16 @@ class LakeTable:
                     if "partition" in a:
                         entry["partition"] = a["partition"]
                     snap.files[a["path"]] = entry
+                    snap.dvs.pop(a["path"], None)  # new file identity: no DV
                 elif "remove" in action:
                     snap.files.pop(action["remove"]["path"], None)
+                    snap.dvs.pop(action["remove"]["path"], None)
+                elif "dv" in action:
+                    # deletion vector: REPLACES the file's deleted-position
+                    # set (writers commit the cumulative union, so replay
+                    # is order-free within one file's history)
+                    d = action["dv"]
+                    snap.dvs[d["path"]] = d["rows"]
                 elif "meta" in action:
                     snap.schema_json = action["meta"]["schema"]
                 elif "txn" in action:
@@ -304,7 +314,12 @@ class LakeTable:
             os.unlink(tmp)
         if version > 0 and version % self.checkpoint_every == 0:
             snap = self._snapshot(version)
-            cp = {"files": snap.files, "schema": snap.schema_json, "txns": snap.txns}
+            cp = {
+                "files": snap.files,
+                "schema": snap.schema_json,
+                "txns": snap.txns,
+                "dvs": snap.dvs,
+            }
             tmp = os.path.join(self.log_dir, f".cp-{uuid.uuid4().hex}")
             with open(tmp, "w") as fh:
                 json.dump(cp, fh)
@@ -679,6 +694,78 @@ class LakeTable:
         storage — the rewrite set, not the table, is the write cost."""
         return self._rewrite_where(condition, prune_filters, update_set=None)
 
+    def delete_where_dv(
+        self,
+        condition: str,
+        prune_filters: list[tuple[str, str, Any]] | None = None,
+        max_rows_per_commit: int = 1_000_000,
+    ) -> int:
+        """Merge-on-read DELETE via deletion vectors (Delta's DV design,
+        public docs/spec): instead of rewriting every candidate file
+        without its matching rows (``delete_where``'s copy-on-write),
+        commit the matching ROW POSITIONS per file — one log action, no
+        data movement. At 100 TB this is the difference between a
+        GDPR-style 0.001% delete costing a full file-rewrite pass and
+        costing one commit; readers pay a broadcast anti-join only on
+        files that carry DVs (see ``_df_for``).
+
+        Semantics: DVs accumulate (the committed vector is the union of
+        the file's current DV and the new hits); a file whose vector
+        would cover EVERY row is removed from the live set outright —
+        the log never carries fully-dead files. Old versions still
+        time-travel (the DV rides the log, data files are immutable),
+        and ``compact()``/``optimize_zorder``/copy-on-write DML
+        naturally materialize DVs away: they read DV-aware and the
+        rewritten files start vector-free.
+
+        ``max_rows_per_commit`` bounds the driver transfer — positions
+        are collected to build the vector, which is the right shape for
+        SPARSE deletes only. A predicate matching more rows than the
+        cap raises with a pointer to ``delete_where``: a dense delete
+        should rewrite files, not build a DV rivaling the data."""
+        from pyspark.sql import functions as F
+
+        snap = self._snapshot()
+        if not snap.files:
+            return snap.version
+        scols = self._string_cols(snap)
+        candidates = sorted(
+            p
+            for p in snap.files
+            if not (
+                prune_filters and _maybe_skip(snap.files[p], prune_filters, scols)
+            )
+        )
+        if not candidates:
+            return snap.version
+        live = self._df_for(snap, candidates, with_location=True)
+        hits = live.filter(F.expr(condition)).select("__file__", "__pos__")
+        rows = hits.limit(max_rows_per_commit + 1).collect()
+        if len(rows) > max_rows_per_commit:
+            raise ValueError(
+                f"delete_where_dv: predicate matches more than "
+                f"{max_rows_per_commit} rows — deletion vectors are for "
+                "sparse deletes; use delete_where (copy-on-write rewrite) "
+                "or raise max_rows_per_commit explicitly"
+            )
+        per_file: dict[str, set[int]] = {}
+        for r in rows:
+            per_file.setdefault(r["__file__"], set()).add(int(r["__pos__"]))
+        if not per_file:
+            return snap.version
+        actions: list[dict[str, Any]] = []
+        for p in sorted(per_file):
+            merged = sorted(set(snap.dvs.get(p, [])) | per_file[p])
+            if len(merged) >= snap.files[p]["rows"]:
+                actions.append({"remove": {"path": p}})
+            else:
+                actions.append({"dv": {"path": p, "rows": merged}})
+        if not self._try_commit(snap.version + 1, actions):
+            raise ConcurrentWriteError(
+                f"table advanced past v{snap.version}; re-read and retry"
+            )
+        return snap.version + 1
+
     def update_where(
         self,
         condition: str,
@@ -807,6 +894,14 @@ class LakeTable:
             [{"meta": {"schema": target.schema_json}}]
             + [{"remove": {"path": p}} for p in snap.files]
             + adds
+            # the add replay clears DVs (new file identity), so the
+            # target version's vectors are re-emitted AFTER the adds —
+            # without this, a restore would resurrect DV-deleted rows
+            + [
+                {"dv": {"path": p, "rows": v}}
+                for p, v in sorted(target.dvs.items())
+                if p in target.files
+            ]
         )
         if not self._try_commit(snap.version + 1, actions):
             raise ConcurrentWriteError(
@@ -816,7 +911,12 @@ class LakeTable:
 
     # ------------------------------------------------------------------ read
 
-    def _df_for(self, snap: _Snapshot, paths: list[str] | None = None) -> DataFrame:
+    def _df_for(
+        self,
+        snap: _Snapshot,
+        paths: list[str] | None = None,
+        with_location: bool = False,
+    ) -> DataFrame:
         """Build the DataFrame for a set of logged files.
 
         Partitioned files don't carry their partition columns in the
@@ -826,66 +926,116 @@ class LakeTable:
         ``input_file_name()`` — NOT one scan per partition VALUE: a
         1000-partition table would otherwise plan a 1000-way union whose
         analysis alone dwarfs the query. The lookup is file-count-sized,
-        the same thing the log already holds in memory."""
+        the same thing the log already holds in memory.
+
+        DELETION VECTORS are always applied: a file carrying a DV reads
+        through a broadcast left-anti join on (file basename, parquet
+        ``_metadata.row_index``) against its deleted-position set, so
+        merge-on-read deletes cost only the files that HAVE deletions —
+        clean files scan exactly as before (no per-row location columns,
+        no join). ``with_location=True`` additionally keeps
+        ``(__file__, __pos__)`` on every row — the hook DV writers use
+        to turn a predicate into positions (metadata columns must be
+        bound at the scan, before any join, which is why this lives
+        here and not in a caller)."""
         from pyspark.sql import functions as F
 
         sel = sorted(snap.files) if paths is None else paths
         schema = T.StructType.fromJson(json.loads(snap.schema_json))
+        loc_fields = [
+            T.StructField("__file__", T.StringType(), True),
+            T.StructField("__pos__", T.LongType(), True),
+        ]
         if not sel:
-            return self.spark.createDataFrame([], schema)
+            out_schema = (
+                T.StructType(schema.fields + loc_fields) if with_location else schema
+            )
+            return self.spark.createDataFrame([], out_schema)
         groups: dict[tuple, list[str]] = {}
         for p in sel:
             part = snap.files[p].get("partition", {})
             groups.setdefault(tuple(sorted(part)), []).append(p)
         types = {f.name: f.dataType for f in schema.fields}
         cols = [f.name for f in schema.fields]
+        out_cols = cols + (["__file__", "__pos__"] if with_location else [])
         outs = []
         for keys, files in sorted(groups.items()):
-            full = [os.path.join(self.path, p) for p in files]
-            if not keys:
-                outs.append(self.spark.read.schema(schema).parquet(*full).select(*cols))
-                continue
-            sub_schema = T.StructType([f for f in schema.fields if f.name not in keys])
-            df = (
-                self.spark.read.schema(sub_schema)
-                .parquet(*full)
-                .withColumn(
-                    "__file__", F.element_at(F.split(F.input_file_name(), "/"), -1)
-                )
-            )
-            lk_schema = T.StructType(
-                [T.StructField("__file__", T.StringType(), False)]
-                + [T.StructField(k, T.StringType(), True) for k in keys]
-            )
             # The data side joins on the BASENAME of input_file_name(), so
-            # the lookup must key on basenames too (correct even if a
-            # future layout nests logged paths under partition dirs) — and
-            # basenames must be unique or the inner broadcast join would
-            # silently duplicate/drop rows. _stage guarantees uuid names;
-            # fail loudly if that invariant ever breaks.
+            # the lookups (partition values AND deletion vectors) key on
+            # basenames too — and basenames must be unique or the joins
+            # would silently duplicate/drop rows. _stage guarantees uuid
+            # names; fail loudly if that invariant ever breaks.
             basenames = [os.path.basename(p) for p in files]
             if len(set(basenames)) != len(basenames):
                 raise RuntimeError(
                     "txlog: duplicate data-file basenames in one snapshot "
-                    "group — the partition-value recovery join requires "
+                    "group — the partition-value/DV recovery joins require "
                     "unique basenames (see _stage)"
                 )
-            lk = self.spark.createDataFrame(
-                [
-                    tuple(
-                        [os.path.basename(p)]
-                        + [snap.files[p]["partition"].get(k) for k in keys]
+
+            def _read(flist: list[str], needs_loc: bool, keys=keys) -> DataFrame:
+                full = [os.path.join(self.path, p) for p in flist]
+                body = (
+                    schema
+                    if not keys
+                    else T.StructType([f for f in schema.fields if f.name not in keys])
+                )
+                df = self.spark.read.schema(body).parquet(*full)
+                if needs_loc or keys:
+                    df = df.withColumn(
+                        "__file__",
+                        F.element_at(F.split(F.input_file_name(), "/"), -1),
                     )
-                    for p in files
-                ],
-                lk_schema,
-            )
-            df = df.join(F.broadcast(lk), "__file__").drop("__file__")
-            for k in keys:
-                # add-actions store unescaped values; null is stored as
-                # JSON null (see _stage), so no sentinel decoding here
-                df = df.withColumn(k, F.col(k).cast(types[k]))
-            outs.append(df.select(*cols))
+                if needs_loc:
+                    # parquet row index: stable position within the file,
+                    # the identity DV positions are recorded against
+                    df = df.withColumn("__pos__", F.col("_metadata.row_index"))
+                if keys:
+                    lk_schema = T.StructType(
+                        [T.StructField("__file__", T.StringType(), False)]
+                        + [T.StructField(k, T.StringType(), True) for k in keys]
+                    )
+                    lk = self.spark.createDataFrame(
+                        [
+                            tuple(
+                                [os.path.basename(p)]
+                                + [snap.files[p]["partition"].get(k) for k in keys]
+                            )
+                            for p in flist
+                        ],
+                        lk_schema,
+                    )
+                    df = df.join(F.broadcast(lk), "__file__")
+                    for k in keys:
+                        # add-actions store unescaped values; null is stored
+                        # as JSON null (see _stage), so no sentinel decoding
+                        df = df.withColumn(k, F.col(k).cast(types[k]))
+                want = cols + (["__file__", "__pos__"] if needs_loc else [])
+                return df.select(*want)
+
+            dv_files = [p for p in files if snap.dvs.get(p)]
+            clean = [p for p in files if not snap.dvs.get(p)]
+            if clean:
+                outs.append(_read(clean, with_location))
+            if dv_files:
+                pairs = [
+                    (os.path.basename(p), int(pos))
+                    for p in dv_files
+                    for pos in snap.dvs[p]
+                ]
+                dv_lk = self.spark.createDataFrame(
+                    pairs,
+                    T.StructType(
+                        [
+                            T.StructField("__file__", T.StringType(), False),
+                            T.StructField("__pos__", T.LongType(), False),
+                        ]
+                    ),
+                )
+                d = _read(dv_files, True).join(
+                    F.broadcast(dv_lk), ["__file__", "__pos__"], "left_anti"
+                )
+                outs.append(d.select(*out_cols))
         out = outs[0]
         for o in outs[1:]:
             out = out.unionByName(o)
@@ -951,7 +1101,14 @@ class LakeTable:
 
         s0 = self._snapshot(v_old)
         s1 = self._snapshot(v_new)
-        shared = s0.files.keys() & s1.files.keys()
+        # a file present in BOTH snapshots is only prunable when its
+        # deletion vector is ALSO unchanged — same path + different DV
+        # means different live rows (merge-on-read deletes)
+        shared = {
+            p
+            for p in s0.files.keys() & s1.files.keys()
+            if s0.dvs.get(p) == s1.dvs.get(p)
+        }
         old_paths = [p for p in sorted(s0.files) if p not in shared]
         new_paths = [p for p in sorted(s1.files) if p not in shared]
         self.last_cdf_files = {
@@ -1031,6 +1188,11 @@ class LakeTable:
 
     def files(self, version: int | None = None) -> dict[str, dict[str, Any]]:
         return dict(self._snapshot(version).files)
+
+    def deletion_vectors(self, version: int | None = None) -> dict[str, list[int]]:
+        """path → sorted deleted row positions (merge-on-read state) —
+        the observability hook DV tests assert on."""
+        return {p: list(v) for p, v in self._snapshot(version).dvs.items()}
 
     def pruned_files(
         self, filters: list[tuple[str, str, Any]], version: int | None = None

@@ -755,3 +755,107 @@ def test_rewrite_where_preserves_mixed_partition_layouts(spark, tmp_path):
         ["day"],
     )
     assert {(r.id, r.v) for r in t.scan().collect()} == {(9, 99.0), (2, 21.0)}
+
+
+def test_dv_delete_basic_and_cumulative(spark, tmp_path):
+    """Merge-on-read DELETE: positions commit to the log, no data file
+    moves; vectors accumulate across commits; time travel sees the
+    pre-delete rows; filters/pruned scans compose."""
+    t = LakeTable(spark, str(tmp_path / "dv"))
+    t.create(spark.range(0, 100).select(F.col("id"), (F.col("id") % 10).alias("m")).coalesce(2))
+    files_before = set(t.files())
+    v1 = t.delete_where_dv("id < 5")
+    assert set(t.files()) == files_before  # no rewrite
+    assert t.scan().count() == 95
+    assert {r.id for r in t.scan(filters=[("id", "<", 7)]).collect()} == {5, 6}
+    # cumulative second DV on the same files
+    t.delete_where_dv("m = 9")
+    assert t.scan().count() == 85
+    dvs = t.deletion_vectors()
+    assert sum(len(v) for v in dvs.values()) == 15
+    assert all(v == sorted(v) for v in dvs.values())
+    # time travel: v0 full, v1 sees only the first delete
+    assert t.scan(version=0).count() == 100
+    assert t.scan(version=v1).count() == 95
+    # no-match predicate commits nothing
+    v = t.latest_version()
+    assert t.delete_where_dv("id = -1") == v
+
+
+def test_dv_full_file_coverage_removes_file(spark, tmp_path):
+    """A DV covering every row of a file removes the file from the live
+    set instead of carrying a fully-dead vector."""
+    t = LakeTable(spark, str(tmp_path / "dvfull"))
+    t.create(spark.range(0, 10).coalesce(1))
+    t.append(spark.range(10, 20).coalesce(1))
+    t.delete_where_dv("id >= 10")
+    assert t.scan().count() == 10
+    assert len(t.files()) == 1 and not t.deletion_vectors()
+
+
+def test_dv_sparse_cap_raises(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "dvcap"))
+    t.create(spark.range(0, 50).coalesce(1))
+    with pytest.raises(ValueError, match="sparse"):
+        t.delete_where_dv("id >= 0", max_rows_per_commit=10)
+
+
+def test_dv_interacts_with_rewrite_compact_restore_cdf(spark, tmp_path):
+    """DV-aware composition: copy-on-write DML and compaction read
+    through the vectors and clear them; restore re-establishes the
+    target version's vectors; CDF treats a same-path file with a
+    changed DV as rewritten (NOT prunable) and emits the removals."""
+    t = LakeTable(spark, str(tmp_path / "dvmix"))
+    t.create(
+        spark.range(0, 40).select(F.col("id"), (F.col("id") * 2).alias("v")).coalesce(2)
+    )
+    v_dv = t.delete_where_dv("id IN (1, 3, 5)")
+    # CDF across the DV commit: rows removed, shared files NOT pruned away
+    ch = {(r.id, r.change) for r in t.version_changes(0, None, ["id"]).collect()}
+    assert ch == {(1, "removed"), (3, "removed"), (5, "removed")}
+    # copy-on-write update reads DV-aware and clears vectors on rewrite
+    t.update_where("id = 7", {"v": "999"})
+    assert not t.deletion_vectors()
+    got = {r.id: r.v for r in t.scan().collect()}
+    assert got[7] == 999 and 1 not in got and len(got) == 37
+    # restore back to the DV version resurrects vectors, not deleted rows
+    t.restore(v_dv)
+    assert t.scan().count() == 37
+    assert sum(len(v) for v in t.deletion_vectors().values()) == 3
+    # compact materializes DVs away
+    t.compact()
+    assert not t.deletion_vectors() and t.scan().count() == 37
+    assert {r.id for r in t.scan().collect()} == set(range(40)) - {1, 3, 5}
+
+
+def test_dv_on_partitioned_table(spark, tmp_path):
+    """DVs compose with hive-partitioned layouts: the position read and
+    the partition-value re-attach share the basename join machinery."""
+    t = LakeTable(spark, str(tmp_path / "dvpart"))
+    t.create(
+        spark.createDataFrame(
+            [(i, "d1" if i < 5 else "d2", float(i)) for i in range(10)],
+            "id long, day string, v double",
+        ),
+        partition_by=["day"],
+    )
+    t.delete_where_dv("id IN (2, 7)")
+    got = {(r.id, r.day) for r in t.scan().collect()}
+    assert len(got) == 8 and (2, "d1") not in got and (7, "d2") not in got
+    # partition pruning still composes with the DV read
+    assert {r.id for r in t.scan(filters=[("day", "=", "d1")]).collect()} == {0, 1, 3, 4}
+
+
+def test_dv_survives_checkpoint_replay(spark, tmp_path):
+    """Vectors round-trip through log checkpoints: a reader whose replay
+    starts at a checkpoint must see the same DV state as a full replay."""
+    t = LakeTable(spark, str(tmp_path / "dvcp"), checkpoint_every=3)
+    t.create(spark.range(0, 30).coalesce(1))
+    t.delete_where_dv("id = 0")   # v1
+    t.delete_where_dv("id = 1")   # v2
+    t.append(spark.range(30, 31).coalesce(1))  # v3 → checkpoint written
+    t.delete_where_dv("id = 2")   # v4
+    assert os.path.exists(os.path.join(str(tmp_path / "dvcp"), "_txlog", "checkpoint-3.json"))
+    fresh = LakeTable(spark, str(tmp_path / "dvcp"))
+    assert fresh.scan().count() == 28
+    assert sum(len(v) for v in fresh.deletion_vectors().values()) == 3
