@@ -173,6 +173,9 @@ HEADLINE = [
     "lake_cdf_scan",
     "lake_zorder_optimize",
     "lake_incremental_mv",
+    # round-13 additions
+    "lake_dv_delete_scan",
+    "dedup_embedding_bucketed_portable",
 ]
 
 # Known-bimodal rows (r10 verdict: two timing modes across sessions from
@@ -209,6 +212,10 @@ TRAINER_SINGLE_RUN = {"nlp_bpe_vocab_16x64"}
 # but totaled separately so the production trend stays readable.
 VERIFICATION_VARIANTS = {
     "dedup_simhash_portable",
+    # hash-oracle anchor of the bucketed embedding dedup (threshold 0.4
+    # so the verified pair set is non-vacuous on isotropic driver data);
+    # the production config is the rows-only dedup_embedding_bucketed
+    "dedup_embedding_bucketed_portable",
     "dedup_minhash_portable",
     "dedup_minhash_canonical_portable",
     # 4-batch incremental replay of the minhash ingest under portable

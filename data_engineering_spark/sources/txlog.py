@@ -1217,6 +1217,7 @@ class LakeTable:
                     "version": v,
                     "n_add": kinds.count("add"),
                     "n_remove": kinds.count("remove"),
+                    "n_dv": kinds.count("dv"),
                     "schema_change": "meta" in kinds,
                 }
             )
