@@ -73,7 +73,11 @@ WINDOW_LEAD = [
     # partition-layout group separately and _stage drop zero-row part
     # files — row-result-identical for every registered query; the whole
     # lake/merge family was locally re-proven at sf0.01 AND sf0.1 with
-    # no extra slots spent, the nlp_tfidf_keywords r12 precedent.)
+    # no extra slots spent, the nlp_tfidf_keywords r12 precedent. Same
+    # treatment for the r13 similarity re-pass's lsh_buckets_pandas
+    # null-safety hardening: byte-identical signatures for valid rows —
+    # pytest-pinned — and st_streaming_embed_dedup/_capped plus the
+    # windowed bucketed pair re-proven at both SFs.)
     "lake_cdf_scan",
     "lake_incremental_mv",
     # --- r12 late-round changed shapes queued by the r12 rotation note:

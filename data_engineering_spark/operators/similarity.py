@@ -638,12 +638,44 @@ def lsh_buckets_pandas(vec: Column, dim: int, planes: int, bands: int) -> Column
 
     @F.pandas_udf("array<long>")
     def _buckets(vs: pd.Series) -> pd.Series:
-        if not len(vs):
+        n = len(vs)
+        if not n:
             return pd.Series([], dtype="object")
-        X = np.stack(vs.to_numpy()).astype("float64")
-        signs = (X @ H.T) >= 0  # n × bands*planes
-        vals = (signs.reshape(len(X), bands, planes) * weights).sum(axis=2)
-        return pd.Series(list(vals))
+        # NULL-SAFE BY CONSTRUCTION (the pair_dot_pandas_long pattern,
+        # r10 advice): this kernel signs RAW micro-batches in the
+        # streaming ingest (incremental_dedup._embedding_batch_views has
+        # no null pre-filter — the nn > 0 admission gate sits DOWNSTREAM
+        # of candidate generation), so a malformed embedding-service row
+        # (NULL vector, ragged length) must map to a NULL signature —
+        # posexplode then drops it from every band — instead of
+        # crash-looping the Arrow worker in np.stack/astype.
+        out: list = [None] * n
+        idx = np.flatnonzero(vs.notna().to_numpy())
+        if len(idx):
+            try:
+                X = np.stack(vs.iloc[idx].to_numpy()).astype("float64")
+                if X.ndim != 2 or X.shape[1] != H.shape[1]:
+                    raise ValueError("degenerate batch")
+                signs = (X @ H.T) >= 0  # n × bands*planes
+                vals = (signs.reshape(len(X), bands, planes) * weights).sum(axis=2)
+                for i, v in zip(idx, vals):
+                    out[i] = v.tolist()
+            except (TypeError, ValueError):
+                # ragged/mixed batch: salvage row by row — the one-matmul
+                # kernel stays the hot path for clean batches
+                for i in idx:
+                    try:
+                        x = np.asarray(vs.iat[i], dtype="float64")
+                        if x.ndim == 1 and x.shape[0] == H.shape[1]:
+                            signs = (x @ H.T) >= 0
+                            out[i] = (
+                                (signs.reshape(bands, planes) * weights)
+                                .sum(axis=1)
+                                .tolist()
+                            )
+                    except (TypeError, ValueError):
+                        pass
+        return pd.Series(out, dtype="object")
 
     return _buckets(vec)
 

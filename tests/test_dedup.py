@@ -1205,3 +1205,39 @@ def test_embedding_store_migrates_pre_lattice_schema(spark):
     )
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 3)}
+
+
+def test_lsh_buckets_pandas_null_and_ragged_rows_drop_cleanly(spark):
+    """The banded-signature kernel signs RAW streaming micro-batches, so
+    a NULL or ragged embedding must yield a NULL signature (posexplode
+    drops it from every band) instead of crash-looping the Arrow worker
+    — the pair_dot null-safety class (r13 similarity re-pass). Valid
+    rows in the same batch keep byte-identical signatures."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_spark.operators.similarity import lsh_buckets_pandas
+
+    clean = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [-1.0] * 8)], "vec_id long, v array<double>"
+    )
+    dirty = spark.createDataFrame(
+        [(1, [1.0] * 8), (7, None), (8, [2.0, 3.0]), (2, [-1.0] * 8)],
+        "vec_id long, v array<double>",
+    )
+
+    def sigs(df):
+        return {
+            r.vec_id: r.bks
+            for r in df.select(
+                "vec_id", lsh_buckets_pandas(F.col("v"), 8, 4, 2).alias("bks")
+            ).collect()
+        }
+
+    got_clean, got_dirty = sigs(clean), sigs(dirty)
+    assert got_dirty[1] == got_clean[1] and got_dirty[2] == got_clean[2]
+    assert got_dirty[7] is None and got_dirty[8] is None
+    # posexplode semantics: the malformed rows vanish from the bands
+    exploded = dirty.select(
+        "vec_id", F.posexplode(lsh_buckets_pandas(F.col("v"), 8, 4, 2))
+    )
+    assert {r.vec_id for r in exploded.collect()} == {1, 2}
