@@ -401,7 +401,7 @@ def minhash_near_dedup(
       broadcast is provably tiny), larger or unknowable inputs get the
       hint. ``"shuffle_hash"`` / ``"none"`` force either way.
     """
-    from pyspark import StorageLevel
+    from .similarity import _memoized_persist
 
     small_corpus: bool | None = None  # resolved lazily, probed at most once
 
@@ -427,10 +427,16 @@ def minhash_near_dedup(
     shingle_fp = (
         shingle_hashes_portable if signature_impl == "portable" else shingle_hashes
     )
-    sh = (
-        _spread(df)
-        .select(F.col(id_col), shingle_fp(text_col, n).alias("shset"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # Both persists below route through the bounded memo registry (the
+    # r11/r12 policy every other shared-prep persist already follows):
+    # a raw per-call persist is never unpersisted — the returned pairs
+    # depend on it — so repeated invocations in a long-lived session
+    # accumulate dead cache entries. The registry caps live entries
+    # (LRU-unpersisting evictees) and re-serves the shingle relation to
+    # a same-plan re-run.
+    sh_plan = _spread(df).select(F.col(id_col), shingle_fp(text_col, n).alias("shset"))
+    sh = _memoized_persist(
+        sh_plan, ("minhash_sh", id_col, text_col, n, signature_impl == "portable"), sh_plan
     )
     buckets = minhash_band_buckets(
         sh, id_col=id_col, num_hashes=num_hashes, bands=bands,
@@ -448,7 +454,7 @@ def minhash_near_dedup(
         buckets = buckets.join(small, ["band", "bh"])
     left = buckets.alias("a")
     right = buckets.alias("b")
-    cand = (
+    cand_plan = (
         left.join(
             right,
             (F.col("a.band") == F.col("b.band"))
@@ -457,7 +463,11 @@ def minhash_near_dedup(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand = _memoized_persist(
+        cand_plan,
+        ("minhash_cand", id_col, num_hashes, bands, n, signature_impl, max_bucket),
+        cand_plan,
     )
     return jaccard_verify_pairs(
         cand, sh, id_col=id_col, threshold=threshold, hint_verify=hint_verify
@@ -763,10 +773,14 @@ def simhash_near_dedup(
         # the cap needs bucket counts AND the join — without a persist
         # the (CPU-heavy) signature build executes once per consumer.
         # The persisted relation is 16 bytes/doc, storage-trivial even
-        # at corpus scale (measured: 30× sweep 9.4 s → 4.8 s).
-        from pyspark import StorageLevel
+        # at corpus scale (measured: 30× sweep 9.4 s → 4.8 s). Routed
+        # through the bounded memo registry (never unpersisted per-call
+        # otherwise — the r11/r12 shared-prep policy).
+        from .similarity import _memoized_persist
 
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        sig = _memoized_persist(
+            sig, ("simhash_sig", id_col, text_col, signature_impl), sig
+        )
     bands = sig.select(
         id_col,
         "simhash",

@@ -1426,22 +1426,22 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: top-revenue supplier via a derived revenue table used
     twice (rows + scalar max). The revenue agg is computed once and
     persisted for both uses — no second lineitem scan; supplier
-    broadcasts."""
-    from pyspark import StorageLevel
+    broadcasts. The persist routes through the bounded memo registry:
+    a raw per-call persist here is never released (the returned frame
+    depends on it), so repeated q15 runs in one session would pile up
+    dead cache entries."""
+    from data_engineering_spark.operators.similarity import _memoized_persist
 
     l = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
-    revenue = (
-        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
-            )
+    revenue_plan = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    revenue = _memoized_persist(revenue_plan, ("tpch_q15_revenue",), revenue_plan)
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     s = _t(spark, sf_dir, "supplier")
     return (
