@@ -100,6 +100,14 @@ WINDOW_LEAD = [
     # (basename, parquet row_index); oracle = complementary WHERE on the
     # raw table (proven at sf0.001/0.01/0.1 pre-window).
     "lake_dv_delete_scan",
+    # --- never driver-proven (new in r13): the mergeable-sketch rollup
+    # pack (operators/sketches.py — native DataSketches HLL sketch-table
+    # build/merge with bound-checked estimates, and count-min frequency
+    # bounds). Never-proven outranks staleness, so these take the two
+    # tail slots of the stale cohort (both displaced rows are r8 stamps
+    # that lead the r14 policy tail automatically).
+    "sketch_distinct_rollup",
+    "sketch_freq_cms",
     # --- rows-only waiver slots (r12 verdict #3: the never-swept six,
     # highest-value first): the production bucketed dedup config itself
     # (threshold 0.9 — vacuous under an oracle on isotropic driver data,
@@ -155,8 +163,6 @@ WINDOW_STALE = [
     "nlp_bpe_merges",  # r8
     "events_path_mining",  # r8
     "dedup_minhash_portable",  # r8
-    "st_streaming_dedup",  # r8
-    "dedup_minhash_canonical_portable",  # r8
 ]
 
 registry.finalize_order(

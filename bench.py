@@ -176,6 +176,8 @@ HEADLINE = [
     # round-13 additions
     "lake_dv_delete_scan",
     "dedup_embedding_bucketed_portable",
+    "sketch_distinct_rollup",
+    "sketch_freq_cms",
 ]
 
 # Known-bimodal rows (r10 verdict: two timing modes across sessions from

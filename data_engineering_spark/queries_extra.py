@@ -2780,3 +2780,114 @@ def q_nlp_classifier_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = classifier_margins(docs, w, buckets=64)
     labeled = docs.select("doc_id", "lang", _cls_label().cast("long").alias("y"))
     return confusion_by_group(scored, labeled, "lang")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch rollups (operators/sketches.py) — pre-aggregated
+# distinct counts and frequency bounds, the 100 TB sketch-table pattern.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_distinct_rollup",
+    """SELECT event_type,
+              CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+              CAST(count(*) AS BIGINT) AS n_rows,
+              CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+              CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events,
+              TRUE AS users_est_ok,
+              TRUE AS events_est_ok,
+              TRUE AS merge_matches_direct
+       FROM events GROUP BY event_type""",
+)
+def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count rollup FROM A SKETCH TABLE: build per-(event_type,
+    day) HLL sketches of user_id and event_id (operators/sketches.py:
+    hll_rollup — the table you'd persist once at 100 TB), then answer the
+    per-event_type question by MERGING the daily sketches
+    (hll_rollup_estimate) — never rescanning raw rows. The oracle pins
+    the exact ground truth (n_days / n_rows / exact distincts roll up
+    exactly); the sketch's own outputs ship as proof obligations the
+    driver hash-checks: ``users_est_ok`` / ``events_est_ok`` bound the
+    merged estimates within 5 % of exact (lgk=12 ⇒ rse ≈ 1.6 %, so 5 %
+    is ≈3σ), ``merge_matches_direct`` pins the sketch ALGEBRA — merging
+    30 daily sketches lands within 2 % of one direct whole-range sketch
+    (register-wise max union; on most inputs they are byte-identical).
+    All booleans are deterministic: DataSketches HLL state is a pure
+    function of the value SET (register = max over hashes), so the
+    estimate is partitioning- and order-invariant (pytest-asserted).
+
+    Scale shape: two groupBys with native JVM sketch partials (the daily
+    build shuffles one ~2 KB register block per cell; the merge shuffles
+    cells, not rows) + one domain-sized broadcast join against the exact
+    side — which exists here only because the oracle needs ground truth;
+    production keeps just the sketch path. Reference has no sketch layer
+    (nearest analog: full-scan COUNT DISTINCT in its SQL dialect);
+    beyond-reference, same family as q_corpus_overlap_kmv's KMV."""
+    from .operators.sketches import hll_rollup, hll_rollup_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_rollup(
+        ev,
+        [F.col("event_type"), F.to_date("ts").alias("day")],
+        {"user_hll": "user_id", "event_hll": "event_id"},
+        lgk=12,
+    )
+    merged = hll_rollup_estimate(
+        daily, ["event_type"], ["user_hll", "event_hll"]
+    ).withColumnRenamed("n_cells", "n_days")
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+        .cast("long")
+        .alias("users_direct"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+        F.countDistinct("event_id").cast("long").alias("exact_events"),
+    )
+
+    def est_ok(est: str, exact: str):
+        return F.abs(F.col(est) - F.col(exact)) <= F.greatest(
+            F.col(exact) * F.lit(0.05), F.lit(2.0)
+        )
+
+    return merged.join(direct, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_rows",
+        "exact_users",
+        "exact_events",
+        est_ok("user_hll_est", "exact_users").alias("users_est_ok"),
+        est_ok("event_hll_est", "exact_events").alias("events_est_ok"),
+        (
+            F.abs(F.col("user_hll_est") - F.col("users_direct"))
+            <= F.greatest(F.col("users_direct") * F.lit(0.02), F.lit(2.0))
+        ).alias("merge_matches_direct"),
+    )
+
+
+@query(
+    "sketch_freq_cms",
+    """SELECT event_type,
+              CAST(count(*) AS BIGINT) AS exact_n,
+              TRUE AS cms_lower_ok,
+              TRUE AS cms_upper_ok
+       FROM events WHERE event_type IS NOT NULL GROUP BY event_type""",
+)
+def q_sketch_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency bounds over the event_type domain
+    (operators/sketches.py:cms_frequency_bounds): ONE distributed native
+    ``count_min_sketch`` aggregate (map-side cell merges; a ~112 KB
+    serialized sketch reaches the driver), probed per value through
+    Spark's public CountMinSketch Java API. The hash-checked outputs are
+    the sketch's contractual guarantees — ``cms_lower_ok`` (estimates
+    NEVER undercount; structural, not probabilistic) and
+    ``cms_upper_ok`` (overcount ≤ ⌈ε·N⌉ at ε=0.001) — against exact
+    counts the oracle also derives. Fixed seed ⇒ the sketch is a pure
+    function of the multiset, partitioning-invariant (pytest).
+    The raw cms_est column stays unregistered: DuckDB has no CMS, and
+    the bound booleans are the engine-portable statement of its value."""
+    from .operators.sketches import cms_frequency_bounds
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_frequency_bounds(
+        ev, "event_type", eps=0.001, confidence=0.99, seed=42
+    ).select("event_type", "exact_n", "cms_lower_ok", "cms_upper_ok")

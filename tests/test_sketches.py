@@ -1,0 +1,134 @@
+"""Mergeable-sketch operators (operators/sketches.py): HLL sketch-table
+build/merge and count-min frequency bounds.
+
+The properties that make a sketch table VALID at 100 TB are exactly the
+ones tested here: (1) merge algebra — answering from merged fine-grain
+sketches equals answering from a direct coarse sketch; (2) partition
+invariance — the estimate is a pure function of the value set, not of
+how Spark happened to split the data; (3) persistence — the sketch
+column survives a parquet round-trip and merges identically after
+re-read (the "build once, query forever" contract); (4) the CMS
+one-sided guarantee (never undercounts) and ε-bound.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_spark.catalog import load_table
+from data_engineering_spark.operators.sketches import (
+    cms_frequency_bounds,
+    hll_rollup,
+    hll_rollup_estimate,
+)
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _daily(ev):
+    return hll_rollup(
+        ev,
+        [F.col("event_type"), F.to_date("ts").alias("day")],
+        {"user_hll": "user_id"},
+        lgk=12,
+    )
+
+
+def test_hll_merged_rollup_tracks_exact(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    merged = hll_rollup_estimate(_daily(ev), ["event_type"], ["user_hll"])
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    rows = merged.join(exact, "event_type").collect()
+    assert rows
+    for r in rows:
+        # lgk=12 ⇒ rse ≈ 1.6 %; 5 % (and an absolute slack of 2 for tiny
+        # groups) is the same 3σ bound the registered query ships
+        assert abs(r["user_hll_est"] - r["exact"]) <= max(0.05 * r["exact"], 2), r
+
+
+def test_hll_merge_is_partition_invariant(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    a = hll_rollup_estimate(_daily(ev.repartition(1)), ["event_type"], ["user_hll"])
+    b = hll_rollup_estimate(_daily(ev.repartition(13)), ["event_type"], ["user_hll"])
+    ra = {r["event_type"]: r["user_hll_est"] for r in a.collect()}
+    rb = {r["event_type"]: r["user_hll_est"] for r in b.collect()}
+    assert ra == rb
+
+
+def test_hll_sketch_table_survives_parquet_round_trip(spark, sf_dir, tmp_path):
+    ev = _events(spark, sf_dir)
+    table = _daily(ev)
+    path = os.path.join(str(tmp_path), "sketch_table")
+    table.write.parquet(path)
+    reread = spark.read.parquet(path)
+    direct = {
+        r["event_type"]: r["user_hll_est"]
+        for r in hll_rollup_estimate(table, ["event_type"], ["user_hll"]).collect()
+    }
+    from_disk = {
+        r["event_type"]: r["user_hll_est"]
+        for r in hll_rollup_estimate(reread, ["event_type"], ["user_hll"]).collect()
+    }
+    assert direct == from_disk
+
+
+def test_hll_range_merge_equals_direct_range_sketch(spark, sf_dir):
+    """The sketch-table USE CASE: a date-range distinct count answered by
+    merging only that range's cells must match a direct sketch built over
+    the same range's raw rows."""
+    ev = _events(spark, sf_dir)
+    days = [r["day"] for r in ev.select(F.to_date("ts").alias("day")).distinct().orderBy("day").collect()]
+    cut = days[len(days) // 2]
+    table = _daily(ev)
+    merged = (
+        table.filter(F.col("day") <= F.lit(cut))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("user_hll")).cast("long").alias("est"))
+        .collect()[0]["est"]
+    )
+    direct = (
+        ev.filter(F.to_date("ts") <= F.lit(cut))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+            .cast("long")
+            .alias("est")
+        )
+        .collect()[0]["est"]
+    )
+    assert merged == direct
+
+
+def test_cms_bounds_hold_and_estimates_deterministic(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    out = cms_frequency_bounds(ev, "event_type", eps=0.001, confidence=0.99, seed=42)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert r["cms_lower_ok"] is True, r
+        assert r["cms_upper_ok"] is True, r
+    # pure function of the multiset: a different partitioning yields the
+    # same estimates cell-for-cell
+    again = {
+        r["event_type"]: r["cms_est"]
+        for r in cms_frequency_bounds(
+            ev.repartition(13), "event_type", eps=0.001, confidence=0.99, seed=42
+        ).collect()
+    }
+    first = {r["event_type"]: r["cms_est"] for r in rows}
+    assert first == again
+
+
+def test_cms_excludes_null_keys(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), ("b",)], schema="k string"
+    )
+    rows = cms_frequency_bounds(df, "k", eps=0.01, confidence=0.99, seed=7).collect()
+    keys = {r["k"] for r in rows}
+    assert keys == {"a", "b"}
+    by = {r["k"]: r for r in rows}
+    assert by["a"]["exact_n"] == 2 and by["a"]["cms_lower_ok"]
