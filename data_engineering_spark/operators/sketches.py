@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hll_rollup",
     "hll_rollup_estimate",
+    "hll_rollup_upsert",
     "cms_frequency_bounds",
 ]
 
@@ -94,6 +95,39 @@ def hll_rollup_estimate(
     aggs.append(F.count(F.lit(1)).cast("long").alias("n_cells"))
     aggs.append(F.sum("n_rows").cast("long").alias("n_rows"))
     return sketch_df.groupBy(*group_keys).agg(*aggs)
+
+
+def hll_rollup_upsert(
+    existing: DataFrame,
+    new_rows: DataFrame,
+    keys: list[str],
+    sketch_cols: dict[str, str],
+    lgk: int = 12,
+) -> DataFrame:
+    """Incrementally maintain a sketch table from an append batch: sketch
+    the NEW raw rows at the same grain, then cell-wise HLL-union them
+    into the existing table — the daily-ingest loop that keeps a sketch
+    table current without ever rescanning history (union = register max,
+    so upserting a batch is EXACTLY equal to rebuilding from all raw
+    rows — pytest-asserted, not approximately-equal).
+
+    APPEND-ONLY by construction: HLL registers cannot forget, so
+    deletes/updates to history require rebuilding the affected cells
+    from raw data (the same contract every production HLL column has;
+    route deletions through a cell-level rebuild keyed by the CDF's
+    changed-file pruning if the raw table is a logged lake table).
+
+    ``keys`` must name plain columns here (the grain is already
+    materialized in the existing table); ``n_rows`` adds exactly.
+    Scale shape: sketching the batch costs one batch-sized groupBy;
+    the merge shuffles only the CELLS of the union of key sets."""
+    batch = hll_rollup(new_rows, [F.col(k) for k in keys], sketch_cols, lgk)
+    both = existing.select(*keys, *sketch_cols, "n_rows").unionByName(
+        batch.select(*keys, *sketch_cols, "n_rows")
+    )
+    aggs = [F.hll_union_agg(c).alias(c) for c in sketch_cols]
+    aggs.append(F.sum("n_rows").cast("long").alias("n_rows"))
+    return both.groupBy(*keys).agg(*aggs)
 
 
 def cms_frequency_bounds(

@@ -103,6 +103,30 @@ def test_hll_range_merge_equals_direct_range_sketch(spark, sf_dir):
     assert merged == direct
 
 
+def test_hll_upsert_equals_rebuild(spark, sf_dir):
+    """The incremental-maintenance contract: sketching an append batch
+    and cell-wise unioning it into the existing table must equal a full
+    rebuild from all raw rows — exactly, because union is register max."""
+    from data_engineering_spark.operators.sketches import hll_rollup_upsert
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    days = sorted(r["day"] for r in ev.select("day").distinct().collect())
+    cut = days[len(days) * 2 // 3]
+    old, batch = ev.filter(F.col("day") <= F.lit(cut)), ev.filter(F.col("day") > F.lit(cut))
+    table = hll_rollup(old, ["event_type", "day"], {"user_hll": "user_id"})
+    upserted = hll_rollup_upsert(table, batch, ["event_type", "day"], {"user_hll": "user_id"})
+    rebuilt = hll_rollup(ev, ["event_type", "day"], {"user_hll": "user_id"})
+
+    def roll(t):
+        return {
+            r["event_type"]: (r["user_hll_est"], r["n_rows"])
+            for r in hll_rollup_estimate(t, ["event_type"], ["user_hll"]).collect()
+        }
+
+    assert roll(upserted) == roll(rebuilt)
+    assert upserted.count() == rebuilt.count()  # same cell set
+
+
 def test_cms_bounds_hold_and_estimates_deterministic(spark, sf_dir):
     ev = _events(spark, sf_dir)
     out = cms_frequency_bounds(ev, "event_type", eps=0.001, confidence=0.99, seed=42)
