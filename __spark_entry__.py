@@ -56,9 +56,12 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # waiver (50/50 as planned); every one of the 209 oracled queries has a
 # green stamp across CORRECTNESS_r01-r12; oldest live stamp r6 (13 rows),
 # then r8 (41 rows). This window retires the whole r6 cohort — including
-# o3_topk, restored per r12 verdict #1 — and 28 of the 41 r8 rows; the
-# remaining 13 r8 rows lead ROUND-14's stale tail (the reconciliation
-# test recomputes them; no hand list to drop rows from).
+# o3_topk, restored per r12 verdict #1 — and 26 of the 41 r8 rows (the
+# sketch-pack LEAD additions displaced two); the remaining 15 r8 rows
+# lead ROUND-14's stale tail (the reconciliation test recomputes them;
+# no hand list to drop rows from — and these COUNTS are prose, the r13
+# end-of-round review caught the first draft still hand-miscounting
+# them: the LIST is the ledger, the numbers here are commentary).
 WINDOW_LEAD = [
     # --- r13 changed shapes (r12 advice pack), locally re-proven at
     # sf0.01 before windowing:

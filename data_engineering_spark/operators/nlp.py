@@ -223,12 +223,18 @@ class SplitSentences:
 _SPLIT_VIEW_SEQ = __import__("itertools").count()
 # Ring size bounds the catalog footprint (r12 advice: the unbounded
 # per-call names grew one catalog entry per micro-batch in a long-lived
-# streaming foreachBatch caller). 16 slots is plenty of interleaving
-# headroom: reuse is safe because ``spark.sql`` analyzes EAGERLY —
-# Dataset.ofRows asserts analysis before this function returns, and
-# analysis INLINES the temp view's plan into the returned DataFrame, so
-# replacing the view 16 calls later cannot rebind an earlier result
-# (pinned by tests/test_nlp.py::test_split_sentences_view_ring).
+# streaming foreachBatch caller). Slot names are THREAD-SCOPED (r13
+# end-of-round review): within one thread, reuse after 16 calls is safe
+# because ``spark.sql`` analyzes EAGERLY — Dataset.ofRows asserts
+# analysis before this function returns, and analysis INLINES the temp
+# view's plan into the returned DataFrame, so a later call cannot
+# rebind an earlier result (pinned by test_split_sentences_view_ring).
+# But ACROSS threads (two streaming queries' foreachBatch workers) a
+# shared counter could wrap the ring while a stalled thread sits
+# between createOrReplaceTempView and its spark.sql analysis — the
+# silent-rebind class again, merely improbable. The thread ident in the
+# name makes cross-thread clobbering structurally impossible; catalog
+# growth stays bounded at 16 × live threads.
 _SPLIT_VIEW_RING = 16
 
 
@@ -240,11 +246,18 @@ def split_sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     DataFrame could still be un-analyzed, silently rebinding the first
     result to the SECOND input (r12 nlp review); the r12 fix's
     per-call names then leaked one catalog entry per call (r12 advice).
-    The ring gives both: distinct names across any plausible
-    interleaving window, bounded catalog growth for long-lived callers."""
+    The THREAD-SCOPED ring gives all three: cross-thread clobbering is
+    structurally impossible (the ident is in the name), within-thread
+    reuse is rebind-safe (eager analysis), and catalog growth is
+    bounded at ring × live threads for long-lived callers."""
+    import threading
+
     spark = df.sparkSession
     spark.udtf.register("split_sentences_udtf", SplitSentences)
-    view = f"__split_sentences_in_{next(_SPLIT_VIEW_SEQ) % _SPLIT_VIEW_RING}"
+    view = (
+        f"__split_sentences_in_{threading.get_ident()}_"
+        f"{next(_SPLIT_VIEW_SEQ) % _SPLIT_VIEW_RING}"
+    )
     df.createOrReplaceTempView(view)
     return spark.sql(
         f"""SELECT d.{id_col}, s.sent_no, s.sentence

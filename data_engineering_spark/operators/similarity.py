@@ -90,15 +90,19 @@ _LATTICE_NN_CAP = 10**13
 # dedupes persists by canonicalized plan): re-reading a path whose
 # files changed mid-session reuses the stale prep — rewrite-in-place
 # corpora should pass cache=False.
-# Cap 8, not the original 4: the registry now serves FOUR operator
-# families (lattice preps, ngram_sh, verbatim_starts, tfidf_tf — the
-# r12 persist-routing consolidations), and a composite pipeline that
-# builds one of each plus spares before executing could otherwise
-# evict a prep an un-executed plan still references — the documented
-# unpersist trap below (r12 end-of-round review). 8 slots of
-# ≤corpus-projection size keeps the trap unreachable for any realistic
-# composition while still bounding session growth.
-_PREP_CACHE_CAP = 8
+# Cap 16 (was 8, originally 4): the registry now serves EIGHT operator
+# families — lattice preps, ngram_sh, verbatim_starts, tfidf_tf (the
+# r12 persist-routing consolidations) plus minhash_sh, minhash_cand,
+# simhash_sig, tpch_q15_revenue (the r13 sweep that retired the last
+# raw persists; one minhash_near_dedup call alone occupies 2 slots) —
+# and the cap must stay ≥ the live-family count or a composite sweep
+# that builds every prep before executing would LRU-unpersist a prep
+# an un-executed returned plan still references, re-inlining the
+# interpreted quantize/shingle tree per pair (the documented 4.5×
+# unpersist trap below; r13 end-of-round review resized this when the
+# family count grew past the old cap's rationale). 16 slots of
+# ≤corpus-projection size still bounds session growth.
+_PREP_CACHE_CAP = 16
 _PREP_CACHE: list[tuple[int | None, DataFrame, tuple, DataFrame]] = []
 # One lock for every registry mutation: concurrent lattice consumers
 # (overlapping streaming foreachBatch threads both call

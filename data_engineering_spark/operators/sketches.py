@@ -157,8 +157,23 @@ def cms_frequency_bounds(
     public ``org.apache.spark.util.sketch.CountMinSketch`` Java API
     (there is no SQL-level estimator function to keep it distributed).
     NULLs are excluded: the native aggregate skips them, so a NULL key
-    would probe a sketch that never counted it."""
+    would probe a sketch that never counted it.
+
+    Key types: string or integral (the two families both the native
+    aggregate and ``estimateCount`` hash consistently — integrals widen
+    to long on BOTH the build and probe side). Anything else raises
+    up front rather than probing with a mismatched hash."""
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
+    key_type = df.schema[col].dataType
+    if not isinstance(
+        key_type, (T.StringType, T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"cms_frequency_bounds: unsupported key type {key_type.simpleString()} "
+            f"for column {col!r} — count-min supports string/integral keys"
+        )
     src = df.filter(F.col(col).isNotNull())
     row = src.agg(
         F.count_min_sketch(
@@ -195,8 +210,15 @@ def cms_frequency_bounds(
                 est <= int(r["exact_n"]) + slack,
             )
         )
-    return spark.createDataFrame(
-        out_rows,
-        schema=f"{col} string, exact_n long, cms_est long, "
-        "cms_lower_ok boolean, cms_upper_ok boolean",
+    # the key column keeps ITS OWN type (an int enum used to crash the
+    # hardcoded-string schema here — end-of-round review)
+    out_schema = T.StructType(
+        [
+            T.StructField(col, key_type),
+            T.StructField("exact_n", T.LongType()),
+            T.StructField("cms_est", T.LongType()),
+            T.StructField("cms_lower_ok", T.BooleanType()),
+            T.StructField("cms_upper_ok", T.BooleanType()),
+        ]
     )
+    return spark.createDataFrame(out_rows, schema=out_schema)

@@ -631,9 +631,19 @@ def q_lake_dv_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.create(orders.repartitionByRange(4, "o_orderdate"))
     n_files = len(t.files())
     t.delete_where_dv("o_orderkey % 97 = 11")
-    # merge-on-read invariant, asserted in the query itself: the live
-    # file set is untouched — only vectors landed
-    assert len(t.files()) == n_files and t.deletion_vectors()
+    # merge-on-read invariant, enforced in the query itself (a raise,
+    # not assert — the oracle's complementary WHERE matches either way,
+    # so this check is the ONLY thing distinguishing merge-on-read from
+    # a copy-on-write regression, and asserts vanish under python -O)
+    if len(t.files()) != n_files:
+        raise RuntimeError(
+            f"lake_dv_delete_scan: expected zero file rewrites, file count "
+            f"moved {n_files} -> {len(t.files())} (copy-on-write regression)"
+        )
+    if not t.deletion_vectors():
+        raise RuntimeError(
+            "lake_dv_delete_scan: delete_where_dv committed no deletion vectors"
+        )
     return (
         t.scan()
         .groupBy("o_orderstatus")
@@ -2798,7 +2808,7 @@ def q_nlp_classifier_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               TRUE AS users_est_ok,
               TRUE AS events_est_ok,
               TRUE AS merge_matches_direct
-       FROM events GROUP BY event_type""",
+       FROM events WHERE event_type IS NOT NULL GROUP BY event_type""",
 )
 def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-count rollup FROM A SKETCH TABLE: build per-(event_type,
@@ -2826,7 +2836,12 @@ def q_sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond-reference, same family as q_corpus_overlap_kmv's KMV."""
     from .operators.sketches import hll_rollup, hll_rollup_estimate
 
-    ev = _t(spark, sf_dir, "events")
+    # NULL event_type symmetry with the oracle's WHERE (end-of-round
+    # review): both engines' GROUP BYs would keep a NULL group, but the
+    # merged-vs-direct equi-join below would silently DROP Spark's
+    # (NULL != NULL), so the row set must exclude it explicitly on both
+    # sides. Latent on the shipped data (zero NULL event_type rows).
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     daily = hll_rollup(
         ev,
         [F.col("event_type"), F.to_date("ts").alias("day")],

@@ -147,6 +147,29 @@ def test_cms_bounds_hold_and_estimates_deterministic(spark, sf_dir):
     assert first == again
 
 
+def test_cms_integral_key_column(spark):
+    """Non-string enum keys (the docstring's status-code case) keep
+    their own type in the result schema and probe the sketch through
+    the same widen-to-long hash the build side used."""
+    df = spark.createDataFrame(
+        [(200,), (200,), (404,), (500,), (200,)], schema="status long"
+    )
+    rows = cms_frequency_bounds(df, "status", eps=0.01, confidence=0.99, seed=7)
+    assert dict(rows.dtypes)["status"] == "bigint"
+    by = {r["status"]: r for r in rows.collect()}
+    assert by[200]["exact_n"] == 3
+    for r in by.values():
+        assert r["cms_lower_ok"] and r["cms_upper_ok"], r
+
+
+def test_cms_rejects_unsupported_key_type(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1.5,), (2.5,)], schema="x double")
+    with _pytest.raises(ValueError, match="unsupported key type"):
+        cms_frequency_bounds(df, "x")
+
+
 def test_cms_excludes_null_keys(spark):
     df = spark.createDataFrame(
         [("a",), ("a",), (None,), ("b",)], schema="k string"
