@@ -129,7 +129,15 @@ def apply_cdc(
     A malformed op (NULL or outside I/U/D) raises instead of vanishing:
     three-valued logic made a NULL-op row fail BOTH the ``!= 'D'`` and
     ``== 'D'`` filters, so the latest change for a key could silently
-    disappear from the merge (r11 warehouse review #4)."""
+    disappear from the merge (r11 warehouse review #4).
+
+    Determinism contract (r13 cycle-2 note): latest-wins is total only
+    when ``(keys, seq_col, op_col)`` is unique in the feed — two changes
+    sharing key+seq+op but differing in payload tie in the window and
+    the survivor is engine-/run-dependent (every CDC consumer shares
+    this; real feeds carry a unique per-key sequence). The downstream
+    ``merge_upsert`` guard cannot catch it either: latest-wins has
+    already collapsed the feed to one row per key."""
     from pyspark.sql import Window
 
     payload = [c for c in target.columns if c not in keys]
