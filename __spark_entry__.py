@@ -56,12 +56,12 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 # waiver (50/50 as planned); every one of the 209 oracled queries has a
 # green stamp across CORRECTNESS_r01-r12; oldest live stamp r6 (13 rows),
 # then r8 (41 rows). This window retires the whole r6 cohort — including
-# o3_topk, restored per r12 verdict #1 — and 26 of the 41 r8 rows (the
-# sketch-pack LEAD additions displaced two); the remaining 15 r8 rows
-# lead ROUND-14's stale tail (the reconciliation test recomputes them;
-# no hand list to drop rows from — and these COUNTS are prose, the r13
-# end-of-round review caught the first draft still hand-miscounting
-# them: the LIST is the ledger, the numbers here are commentary).
+# o3_topk, restored per r12 verdict #1 — and 25 of the 41 r8 rows (the
+# three sketch-pack LEAD additions displaced three); the remaining 16
+# r8 rows lead ROUND-14's stale tail (the reconciliation test
+# recomputes them; no hand list to drop rows from — and these COUNTS
+# are prose, the r13 end-of-round review caught the first draft
+# hand-miscounting them: the LIST is the ledger, numbers commentary).
 WINDOW_LEAD = [
     # --- r13 changed shapes (r12 advice pack), locally re-proven at
     # sf0.01 before windowing:
@@ -105,12 +105,14 @@ WINDOW_LEAD = [
     "lake_dv_delete_scan",
     # --- never driver-proven (new in r13): the mergeable-sketch rollup
     # pack (operators/sketches.py — native DataSketches HLL sketch-table
-    # build/merge with bound-checked estimates, and count-min frequency
-    # bounds). Never-proven outranks staleness, so these take the two
-    # tail slots of the stale cohort (both displaced rows are r8 stamps
-    # that lead the r14 policy tail automatically).
+    # build/merge with bound-checked estimates, count-min frequency
+    # bounds, and integer histogram sketches whose quantile reads are
+    # hash-exact). Never-proven outranks staleness, so these take the
+    # three tail slots of the stale cohort (the displaced rows are r8
+    # stamps that lead the r14 policy tail automatically).
     "sketch_distinct_rollup",
     "sketch_freq_cms",
+    "sketch_histogram_quantiles",
     # --- rows-only waiver slots (r12 verdict #3: the never-swept six,
     # highest-value first): the production bucketed dedup config itself
     # (threshold 0.9 — vacuous under an oracle on isotropic driver data,
@@ -165,7 +167,6 @@ WINDOW_STALE = [
     "graph_pagerank_events",  # r8
     "nlp_bpe_merges",  # r8
     "events_path_mining",  # r8
-    "dedup_minhash_portable",  # r8
 ]
 
 registry.finalize_order(

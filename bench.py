@@ -178,6 +178,7 @@ HEADLINE = [
     "dedup_embedding_bucketed_portable",
     "sketch_distinct_rollup",
     "sketch_freq_cms",
+    "sketch_histogram_quantiles",
 ]
 
 # Known-bimodal rows (r10 verdict: two timing modes across sessions from

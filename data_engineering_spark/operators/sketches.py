@@ -45,6 +45,8 @@ __all__ = [
     "hll_rollup_estimate",
     "hll_rollup_upsert",
     "cms_frequency_bounds",
+    "hist_rollup",
+    "hist_quantiles",
 ]
 
 
@@ -128,6 +130,81 @@ def hll_rollup_upsert(
     aggs = [F.hll_union_agg(c).alias(c) for c in sketch_cols]
     aggs.append(F.sum("n_rows").cast("long").alias("n_rows"))
     return both.groupBy(*keys).agg(*aggs)
+
+
+def hist_rollup(
+    df: DataFrame,
+    keys: list[Column | str],
+    value_col: Column | str,
+    bin_width: int,
+) -> DataFrame:
+    """Mergeable HISTOGRAM sketch table: per (key-tuple, bin) exact
+    counts of an integer measure binned at ``bin_width`` — the third
+    sketch family, and the one with the STRONGEST oracle story: unlike
+    HLL/CMS the state is plain integers, so build, merge, and every
+    quantile read are bit-reproducible in any engine (hash-exact, no
+    probabilistic bounds needed). Error is a deterministic resolution
+    bound — a quantile from the merged histogram is exact to its bin's
+    lower edge (≤ bin_width below the true order statistic), which is
+    the dashboard-grade contract pre-binned percentile stores run on.
+
+    ``value_col`` must be integer-valued (cents, micros, bytes — the
+    repo's standard exact-measure discipline); the bin index is
+    ``floor(v / bin_width)`` via one IEEE double division + floor,
+    identical in Spark and DuckDB for |v| < 2^52 (handles negatives,
+    unlike truncating integer div which rounds toward zero).
+
+    Merge algebra: bin counts ADD — re-aggregating daily cells to any
+    range is exact, and unlike HLL the histogram also SUBTRACTS, so
+    CDF-driven maintenance can apply deletes as negative deltas.
+    Scale shape: one groupBy whose cell count is bounded by
+    |keys-domain| × (value range / bin_width), never the row count."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    bin_idx = F.floor(v.cast("double") / F.lit(float(bin_width))).cast("long")
+    return df.groupBy(*keys, bin_idx.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def hist_quantiles(
+    hist_df: DataFrame,
+    group_keys: list[str],
+    bin_width: int,
+    qs: list[int],
+) -> DataFrame:
+    """Answer quantiles FROM the histogram table: merge cells up to
+    ``group_keys`` (bin counts add), cumulative-sum over ascending bins,
+    and for each q in ``qs`` (percent, integers — the grid keeps every
+    comparison integer-exact) emit the LOWER EDGE of the first bin whose
+    cumulative count reaches ⌈q% · n⌉ — the standard histogram-quantile
+    estimator, deterministic by construction: ``cum · 100 ≥ n · q`` is
+    a pure int64 comparison, never a float threshold. Columns:
+    ``p<q>_lo`` per q, plus exact ``n``. One cell-sized shuffle + one
+    window over the merged bins; rows never re-scan."""
+    merged = hist_df.groupBy(*group_keys, "bin").agg(F.sum("cnt").alias("cnt"))
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(*group_keys)
+    w = wk.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    c = merged.select(
+        *group_keys,
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wk).alias("total"),
+    )
+    aggs = [F.min("total").cast("long").alias("n")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") * 100 >= F.col("total") * F.lit(int(q)),
+                    F.col("bin") * F.lit(int(bin_width)),
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}_lo")
+        )
+    return c.groupBy(*group_keys).agg(*aggs)
 
 
 def cms_frequency_bounds(

@@ -2906,3 +2906,53 @@ def q_sketch_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_frequency_bounds(
         ev, "event_type", eps=0.001, confidence=0.99, seed=42
     ).select("event_type", "exact_n", "cms_lower_ok", "cms_upper_ok")
+
+
+@query(
+    "sketch_histogram_quantiles",
+    """WITH v AS (
+         SELECT event_type,
+                CAST(floor(CAST(round(value * 100) AS BIGINT) / 250.0) AS BIGINT) AS bin
+         FROM events WHERE event_type IS NOT NULL),
+       m AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+             FROM v GROUP BY 1, 2),
+       c AS (SELECT event_type, bin, cnt,
+                    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                    sum(cnt) OVER (PARTITION BY event_type) AS total
+             FROM m)
+       SELECT event_type, CAST(min(total) AS BIGINT) AS n,
+              CAST(min(CASE WHEN cum * 100 >= total * 50 THEN bin * 250 END) AS BIGINT) AS p50_lo,
+              CAST(min(CASE WHEN cum * 100 >= total * 90 THEN bin * 250 END) AS BIGINT) AS p90_lo,
+              CAST(min(CASE WHEN cum * 100 >= total * 99 THEN bin * 250 END) AS BIGINT) AS p99_lo
+       FROM c GROUP BY event_type""",
+)
+def q_sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles FROM a mergeable histogram sketch table
+    (operators/sketches.py:hist_rollup / hist_quantiles): per
+    (event_type, day) exact bin counts of the cent-integer value at
+    bin width 250, merged across days per type, p50/p90/p99 read off
+    the merged cumulative histogram as bin lower edges. The third
+    sketch family's distinguishing property: the state is plain
+    integers, so unlike HLL/CMS the ORACLE IS HASH-EXACT end to end —
+    DuckDB replays the identical floor(v/250.0) binning (one IEEE
+    division + floor, exact for |cents| < 2^52), integer cumulative
+    sums, and the integer threshold ``cum·100 ≥ n·q`` (never a float
+    quantile) — while the answer's error bound (≤ one bin width below
+    the true order statistic) is deterministic resolution, not
+    probability. The daily grain on the Spark side exercises the
+    build-then-merge table flow; merging daily cells equals direct
+    binning because bin counts add exactly.
+
+    Scale shape: one groupBy whose cell count is bounded by types ×
+    days × (value range / 250) — never rows; the quantile read
+    shuffles cells only. At 100 TB this is the pre-binned percentile
+    store behind latency/price dashboards; exact `percentile` (the
+    `ts_mad_outliers` baseline) buffers each group instead."""
+    from .operators.sketches import hist_quantiles, hist_rollup
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = hist_rollup(
+        ev, [F.col("event_type"), F.to_date("ts").alias("day")], cents, 250
+    )
+    return hist_quantiles(daily, ["event_type"], 250, [50, 90, 99])

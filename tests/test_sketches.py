@@ -197,6 +197,54 @@ def test_cms_bounds_hold_and_estimates_deterministic(spark, sf_dir):
     assert first == again
 
 
+def test_hist_merge_equals_direct_and_quantiles_bracket_truth(spark, sf_dir):
+    """Bin counts add exactly, so quantiles from merged daily cells must
+    equal a direct single-grain histogram; and each p<q>_lo must bracket
+    the true order statistic within one bin width (the deterministic
+    resolution contract)."""
+    from data_engineering_spark.operators.sketches import hist_quantiles, hist_rollup
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = hist_rollup(ev, [F.col("event_type"), F.to_date("ts").alias("day")], cents, 250)
+    direct = hist_rollup(ev, [F.col("event_type")], cents, 250)
+    from_daily = {
+        r["event_type"]: (r["p50_lo"], r["p90_lo"], r["p99_lo"], r["n"])
+        for r in hist_quantiles(daily, ["event_type"], 250, [50, 90, 99]).collect()
+    }
+    from_direct = {
+        r["event_type"]: (r["p50_lo"], r["p90_lo"], r["p99_lo"], r["n"])
+        for r in hist_quantiles(direct, ["event_type"], 250, [50, 90, 99]).collect()
+    }
+    assert from_daily == from_direct
+    # the estimator's exact contract: p90_lo is the lower edge of the
+    # bin holding the ceil(0.9 n)-th smallest value
+    import math
+
+    vals: dict[str, list[int]] = {}
+    for r in ev.select("event_type", cents.alias("vc")).collect():
+        vals.setdefault(r["event_type"], []).append(r["vc"])
+    for et, (_, p90_lo, _, n) in from_daily.items():
+        vs = sorted(vals[et])
+        assert n == len(vs)
+        kth = vs[math.ceil(0.9 * n) - 1]
+        assert p90_lo <= kth < p90_lo + 250, (et, p90_lo, kth)
+
+
+def test_hist_negative_values_floor_bin(spark):
+    """floor(v / width) must bin negatives toward -inf (matching SQL
+    floor division), not truncate toward zero."""
+    from data_engineering_spark.operators.sketches import hist_quantiles, hist_rollup
+
+    df = spark.createDataFrame([(-501,), (-250,), (-1,), (0,), (249,)], "v long")
+    h = hist_rollup(df.withColumn("k", F.lit("a")), ["k"], "v", 250)
+    bins = {r["bin"]: r["cnt"] for r in h.collect()}
+    assert bins == {-3: 1, -1: 2, 0: 2}
+    q = hist_quantiles(h, ["k"], 250, [50]).collect()[0]
+    # n=5, cum>=3 first reached in bin -1 → lower edge -250
+    assert q["p50_lo"] == -250 and q["n"] == 5
+
+
 def test_cms_integral_key_column(spark):
     """Non-string enum keys (the docstring's status-code case) keep
     their own type in the result schema and probe the sketch through
