@@ -52,126 +52,100 @@ from data_engineering_spark.session import prepare_session  # noqa: E402
 #   the o3_topk drop class (r12: the 13th r6 row fell out of the
 #   hand-enumerated r13 queue) can no longer happen silently.
 #
-# ROUND-13 WINDOW. Round-12 sweep state: 49 green + 1 clean rows-only
-# waiver (50/50 as planned); every one of the 209 oracled queries has a
-# green stamp across CORRECTNESS_r01-r12; oldest live stamp r6 (13 rows),
-# then r8 (41 rows). This window retires the whole r6 cohort — including
-# o3_topk, restored per r12 verdict #1 — and 25 of the 41 r8 rows (the
-# three sketch-pack LEAD additions displaced three); the remaining 16
-# r8 rows lead ROUND-14's stale tail (the reconciliation test
-# recomputes them; no hand list to drop rows from — and these COUNTS
-# are prose, the r13 end-of-round review caught the first draft
-# hand-miscounting them: the LIST is the ledger, numbers commentary).
+# The round this committed window TARGETS: it was computed from stamps
+# in CORRECTNESS_r{<WINDOW_ROUND}.json, and the driver's WINDOW_ROUND
+# sweep executes it. tests/test_rotation_ledger.py bounds its stamp
+# recomputation to rounds < WINDOW_ROUND, so the suite is green both on
+# the sealed tree and after the driver's own artifact lands (r13
+# verdict "what's wrong" #1: the unbounded glob turned the suite red
+# the moment CORRECTNESS_r13.json was committed); "rotation due" is a
+# non-failing skip signal in the same test file.
+WINDOW_ROUND = 14
+
+# ROUND-14 WINDOW. Round-13 sweep state: 48 green + 2 clean rows-only
+# waivers (50/50 as planned); every one of the 214 oracled queries has
+# a green stamp across CORRECTNESS_r01-r13; oldest live stamp r8 (16
+# rows), then r9 (30 rows). r14 is an OPTIMIZATION round (no new query
+# shapes), so LEAD carries only the last four never-swept rows-only
+# waivers (r13 verdict "missing" #2 — this finishes the
+# every-registered-query-has-a-driver-row record), and the 46 stale
+# slots retire the whole r8 AND r9 cohorts exactly (oldest live stamp
+# becomes r10). Optimization-touched queries keep their registered
+# results bit-identical (verified locally against the oracle at
+# sf0.001/sf0.01 before sealing), so staleness order is unchanged.
 WINDOW_LEAD = [
-    # --- r13 changed shapes (r12 advice pack), locally re-proven at
-    # sf0.01 before windowing:
-    # nlp_split_sentences: per-call temp-view names became a bounded
-    # 16-slot ring (catalog growth capped for foreachBatch callers;
-    # eager spark.sql analysis makes slot reuse rebind-safe).
-    "nlp_split_sentences",
-    # lake_cdf_scan / lake_incremental_mv: version_changes() now handles
-    # schema-evolving version ranges (missing-side value columns project
-    # as typed NULLs; absent keys raise) — both consumers re-prove.
-    # (The r13 txlog re-pass also made _rewrite_where re-stage each
-    # partition-layout group separately and _stage drop zero-row part
-    # files — row-result-identical for every registered query; the whole
-    # lake/merge family was locally re-proven at sf0.01 AND sf0.1 with
-    # no extra slots spent, the nlp_tfidf_keywords r12 precedent. Same
-    # treatment for the r13 similarity re-pass's lsh_buckets_pandas
-    # null-safety hardening: byte-identical signatures for valid rows —
-    # pytest-pinned — and st_streaming_embed_dedup/_capped plus the
-    # windowed bucketed pair re-proven at both SFs.)
-    "lake_cdf_scan",
-    "lake_incremental_mv",
-    # --- r12 late-round changed shapes queued by the r12 rotation note:
-    # mm_sample_frames: explode_outer — NULL-duration videos survive as a
-    # classified NULL-frame row instead of vanishing (three-valued-logic
-    # vanish class). mm_audio_features: decode_wav raises on fmt/data
-    # chunks whose declared size overruns the payload instead of silently
-    # decoding truncated audio. Both re-proven at both SFs in r12.
-    "mm_sample_frames",
-    "mm_audio_features",
-    # --- never driver-proven (new in r13): the hash-exact oracle of the
-    # FULL bucketed embedding-dedup pipeline — banded LSH signatures,
-    # max_bucket purge, candidate join, lattice verify, canonical tail
-    # all re-derived in DuckDB (r12 verdict #3's preferred resolution
-    # for the 100 TB dedup scale path's missing correctness record).
-    "dedup_embedding_bucketed_portable",
-    # --- never driver-proven (new in r13): merge-on-read DELETE via
-    # deletion vectors — sparse row positions committed to the log, zero
-    # file rewrites, DV-aware scan through a broadcast anti-join on
-    # (basename, parquet row_index); oracle = complementary WHERE on the
-    # raw table (proven at sf0.001/0.01/0.1 pre-window).
-    "lake_dv_delete_scan",
-    # --- never driver-proven (new in r13): the mergeable-sketch rollup
-    # pack (operators/sketches.py — native DataSketches HLL sketch-table
-    # build/merge with bound-checked estimates, count-min frequency
-    # bounds, and integer histogram sketches whose quantile reads are
-    # hash-exact). Never-proven outranks staleness, so these take the
-    # three tail slots of the stale cohort (the displaced rows are r8
-    # stamps that lead the r14 policy tail automatically).
-    "sketch_distinct_rollup",
-    "sketch_freq_cms",
-    "sketch_histogram_quantiles",
-    # --- rows-only waiver slots (r12 verdict #3: the never-swept six,
-    # highest-value first): the production bucketed dedup config itself
-    # (threshold 0.9 — vacuous under an oracle on isotropic driver data,
-    # now anchored by the portable twin above) and the zero-shuffle
-    # Arrow SimHash kernel. Each records a clean no_oracle row with
-    # schema + row count. The remaining four (sim_pq_topk,
-    # curate_pack_ffd, ts_downsample_lttb, a17_percentiles_approx — all
-    # with oracled portable twins already green) queue for r14+.
-    "dedup_embedding_bucketed",
-    "dedup_simhash_arrow",
+    # --- rows-only waiver slots (r13 verdict "missing" #2: the last
+    # four never-swept registered queries, each with an oracled
+    # portable twin already green — these record a clean no_oracle row
+    # with schema + row count, completing the registry's driver record):
+    # PQ ADC scoring with Lloyd-refined codebooks (twin:
+    # sim_pq_topk_portable, windowed below)
+    "sim_pq_topk",
+    # partition-namespaced FFD packing (twin: curate_pack_ffd_portable)
+    "curate_pack_ffd",
+    # numpy-kernel LTTB (twin: ts_downsample_lttb_portable)
+    "ts_downsample_lttb",
+    # approx_percentile sketch read (exact twin: a15_percentiles)
+    "a17_percentiles_approx",
 ]
 
 # Computed by the staleness policy; verified against CORRECTNESS_r*.json
 # by tests/test_rotation_ledger.py (do NOT hand-edit without re-running
 # it — the test IS the ledger).
 WINDOW_STALE = [
-    "o3_topk",  # r6
-    "tpch_q4_order_priority",  # r6
-    "tpch_q6_forecast_revenue",  # r6
-    "tpch_q14_promo_revenue",  # r6
-    "mm_pixel_features",  # r6
-    "mm_resize_images",  # r6
-    "nl_query_range",  # r6
-    "nl_query_distinct",  # r6
-    "nl_query_cardinality",  # r6
-    "nl_query_scalar",  # r6
-    "text_winnow_fingerprints",  # r6
-    "search_query_string",  # r6
-    "search_inverted_index",  # r6
-    "a13_grouped_pivot",  # r8
-    "a18_unpivot_long",  # r8
-    "w5_time_weighted_avg",  # r8
-    "prof_value_correlation",  # r8
-    "prof_drift_psi",  # r8
-    "curate_pack_ffd_portable",  # r8
-    "curate_mixture_temperature",  # r8
-    "curate_boilerplate_strip",  # r8
-    "curate_shard_shuffle",  # r8
-    "curate_word_dropout",  # r8
-    "curate_domain_cap",  # r8
-    "nlp_subword_tokenize",  # r8
-    "nlp_subword_doc_tokens",  # r8
-    "nl_query_having",  # r8
-    "nl_query_trend",  # r8
-    "nl_query_join",  # r8
-    "ts_anomaly_zscore",  # r8
-    "ts_downsample_lttb_portable",  # r8
-    "events_sessionize",  # r8
-    "ts_ses_smooth",  # r8
-    "ts_mad_outliers",  # r8
-    "lake_snapshot_diff",  # r8
-    "graph_pagerank_events",  # r8
-    "nlp_bpe_merges",  # r8
-    "events_path_mining",  # r8
+    "dedup_minhash_portable",  # r8
+    "st_streaming_dedup",  # r8
+    "dedup_minhash_canonical_portable",  # r8
+    "sim_lsh_topk",  # r8
+    "sim_ivf_topk",  # r8
+    "sim_pq_topk_portable",  # r8
+    "search_significant_terms",  # r8
+    "search_more_like_this",  # r8
+    "search_percolate",  # r8
+    "search_highlight",  # r8
+    "sim_kmeans_refine",  # r8
+    "sim_contrastive_batches",  # r8
+    "st_percolate",  # r8
+    "sim_filtered_knn",  # r8
+    "sim_int8_quantize",  # r8
+    "corpus_overlap_kmv",  # r8
+    "w2_moving_avg",  # r9
+    "w3_lag_delta",  # r9
+    "f17_json_extract",  # r9
+    "s2_dialect_sql_etl",  # r9
+    "tpch_q18_large_orders",  # r9
+    "tpch_q19_disjunctive_revenue",  # r9
+    "tpch_q15_top_supplier",  # r9
+    "tpch_q20_part_suppliers",  # r9
+    "a15_percentiles",  # r9
+    "j7_cross_join",  # r9
+    "a16_nested_doc_assembly",  # r9
+    "a14_grouping_sets",  # r9
+    "explode_top_tokens",  # r9
+    "tpch_q7_volume_shipping",  # r9
+    "tpch_q8_market_share",  # r9
+    "tpch_q12_late_shipments",  # r9
+    "tpch_q13_order_distribution",  # r9
+    "tpch_q17_small_quantity_revenue",  # r9
+    "tpch_q21_waiting_suppliers",  # r9
+    "tpch_q22_global_sales_opportunity",  # r9
+    "prof_orders_profile",  # r9
+    "skew_top_keys",  # r9
+    "j8_range_join",  # r9
+    "mv_incremental_refresh",  # r9
+    "curate_mixture_waterfill",  # r9
+    "nlp_bpe_merges_batched",  # r9
+    "nlp_bpe_apply",  # r9
+    "nlp_bpe_fertility",  # r9
+    "search_suggest",  # r9
+    "sim_knn_classify",  # r9
 ]
 
 registry.finalize_order(
     WINDOW_LEAD + WINDOW_STALE,
-    rows_only_waivers=frozenset({"dedup_embedding_bucketed", "dedup_simhash_arrow"}),
+    rows_only_waivers=frozenset(
+        {"sim_pq_topk", "curate_pack_ffd", "ts_downsample_lttb", "a17_percentiles_approx"}
+    ),
 )
 
 

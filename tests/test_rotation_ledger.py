@@ -21,14 +21,24 @@ import re
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _stamps() -> dict[str, int]:
+def _stamps(before_round: int | None = None) -> dict[str, int]:
     """Latest driver-green round per query: an oracled row counts when
     rows/schema/hash all match with no error; a rows-only waiver row
     counts when it recorded a clean ``no_oracle`` with a row count (the
-    mm_extract_features precedent — its r1 ERR row does NOT count)."""
+    mm_extract_features precedent — its r1 ERR row does NOT count).
+
+    ``before_round`` bounds the recomputation to artifacts from rounds
+    strictly below it — the committed window targets WINDOW_ROUND and
+    was computed from stamps < WINDOW_ROUND, so the reconciliation must
+    use the same horizon. An unbounded glob turned the whole suite red
+    the moment the driver's own artifact landed (r13 verdict "what's
+    wrong" #1); rotation-due is now the separate non-failing signal in
+    ``test_rotation_due_signal``."""
     stamps: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         for name, v in json.load(open(f)).items():
             green = (
                 v.get("rows_match") is True
@@ -78,7 +88,7 @@ def test_stale_tail_matches_recomputed_staleness_policy():
     comment. A dropped row (the o3_topk class), a stale row displaced by
     hand, or a fresher row jumping the queue all fail here."""
     e, registry = _entry()
-    stamps = _stamps()
+    stamps = _stamps(before_round=e.WINDOW_ROUND)
     orig = registry.ORIGINAL_ORDER
     assert orig, "finalize_order must record ORIGINAL_ORDER"
     lead = set(e.WINDOW_LEAD)
@@ -105,7 +115,7 @@ def test_lead_slots_are_changed_or_unproven_not_staleness_jumpers():
     OLDEST live stamp class while claiming a lead slot — those belong to
     the policy tail where the reconciliation test tracks them."""
     e, registry = _entry()
-    stamps = _stamps()
+    stamps = _stamps(before_round=e.WINDOW_ROUND)
     # unstamped (never-proven) queries are EXACTLY what LEAD is for —
     # the floor applies only to queries that already carry a stamp
     stamped = [stamps[n] for n in registry.ORACLE if n in stamps]
@@ -122,13 +132,37 @@ def test_lead_slots_are_changed_or_unproven_not_staleness_jumpers():
     )
 
 
+def test_rotation_due_signal():
+    """NON-FAILING rotation reminder (r13 verdict "next round" #2): when
+    a CORRECTNESS artifact from WINDOW_ROUND or later exists on disk,
+    the committed window has been executed and the NEXT round's window
+    is due — surface that as a skip-with-message, never a failure, so
+    the suite is green on the sealed tree AND after the driver's
+    artifact lands. The reconciliation tests above stay pinned to the
+    window's own horizon (< WINDOW_ROUND)."""
+    import pytest
+
+    e, _ = _entry()
+    executed = sorted(
+        int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if int(re.search(r"r(\d+)", os.path.basename(f)).group(1)) >= e.WINDOW_ROUND
+    )
+    if executed:
+        pytest.skip(
+            f"rotation due: CORRECTNESS_r{executed[-1]:02d}.json exists — commit the "
+            f"r{executed[-1] + 1} window (recompute WINDOW_STALE from stamps "
+            f"< {executed[-1] + 1} and bump WINDOW_ROUND)"
+        )
+
+
 def test_every_oracled_query_has_ever_been_proven_or_is_windowed():
     """No oracled query may exist without either a green stamp or a slot
     in the current window — a newly added query that misses the window
     would otherwise wait invisibly (never-proven outranks staleness, per
     the standing rule)."""
     e, registry = _entry()
-    stamps = _stamps()
+    stamps = _stamps(before_round=e.WINDOW_ROUND)
     window = set(registry.PRIORITY_WINDOW)
     orphans = [
         n for n in registry.ORACLE if n not in stamps and n not in window
