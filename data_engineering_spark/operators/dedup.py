@@ -349,6 +349,7 @@ def minhash_near_dedup(
     max_bucket: int | None | str = "auto",
     verify_join: str = "auto",
     signature_impl: str = "arrow",
+    cache: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-dedup → (id_a, id_b, jaccard) pairs.
 
@@ -400,8 +401,21 @@ def minhash_near_dedup(
       ``_SMALL_CORPUS_BYTES`` leave the join to AQE (any runtime
       broadcast is provably tiny), larger or unknowable inputs get the
       hint. ``"shuffle_hash"`` / ``"none"`` force either way.
+    - ``cache=False`` bypasses the session memo registry for the two
+      shared-prep persists (per-call persist, never re-served): the
+      registry serves a SAME-PLAN re-run from cache, which is wrong for
+      callers re-reading a path whose files were rewritten in place
+      mid-session (the ``lattice_unit_prep`` rewrite-in-place caveat,
+      r13 advice).
     """
-    from .similarity import _memoized_persist
+    from .similarity import _memoized_persist as _memo_registry
+
+    def _memoized_persist(src, params, out):
+        if cache:
+            return _memo_registry(src, params, out)
+        from pyspark import StorageLevel
+
+        return out.persist(StorageLevel.MEMORY_AND_DISK)
 
     small_corpus: bool | None = None  # resolved lazily, probed at most once
 
@@ -737,6 +751,7 @@ def simhash_near_dedup(
     max_hamming: int = 3,
     signature_impl: str = "expr",
     max_bucket: int | None | str = "auto",
+    cache: bool = True,
 ) -> DataFrame:
     """SimHash near-dedup: block on 16-bit sub-bands (pigeonhole: hamming ≤ 3
     ⇒ at least one of 4 bands identical), verify with bit_count(a XOR b).
@@ -775,12 +790,19 @@ def simhash_near_dedup(
         # The persisted relation is 16 bytes/doc, storage-trivial even
         # at corpus scale (measured: 30× sweep 9.4 s → 4.8 s). Routed
         # through the bounded memo registry (never unpersisted per-call
-        # otherwise — the r11/r12 shared-prep policy).
-        from .similarity import _memoized_persist
+        # otherwise — the r11/r12 shared-prep policy). ``cache=False``
+        # takes a per-call persist instead — the rewrite-in-place
+        # caller's opt-out (r13 advice; see minhash_near_dedup).
+        if cache:
+            from .similarity import _memoized_persist
 
-        sig = _memoized_persist(
-            sig, ("simhash_sig", id_col, text_col, signature_impl), sig
-        )
+            sig = _memoized_persist(
+                sig, ("simhash_sig", id_col, text_col, signature_impl), sig
+            )
+        else:
+            from pyspark import StorageLevel
+
+            sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sig.select(
         id_col,
         "simhash",

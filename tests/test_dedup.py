@@ -1241,3 +1241,32 @@ def test_lsh_buckets_pandas_null_and_ragged_rows_drop_cleanly(spark):
         "vec_id", F.posexplode(lsh_buckets_pandas(F.col("v"), 8, 4, 2))
     )
     assert {r.vec_id for r in exploded.collect()} == {1, 2}
+
+
+def test_near_dedup_cache_optout_bypasses_registry(spark, planted):
+    """minhash/simhash_near_dedup(cache=False) must not register their
+    shared-prep persists in the session memo registry (the r13 advice's
+    rewrite-in-place caller: a same-plan re-run over rewritten files
+    must re-read fresh), while producing the same pairs as the default
+    cached path."""
+    from data_engineering_spark.operators import similarity as sim
+
+    want_mh = {
+        (r.id_a, r.id_b) for r in minhash_near_dedup(planted, threshold=0.5).collect()
+    }
+    want_sh = {
+        (r.id_a, r.id_b) for r in simhash_near_dedup(planted).collect()
+    }
+    before = [id(e[3]) for e in sim._PREP_CACHE]
+    got_mh = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dedup(planted, threshold=0.5, cache=False).collect()
+    }
+    got_sh = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_dedup(planted, cache=False).collect()
+    }
+    assert got_mh == want_mh
+    assert got_sh == want_sh
+    # no new registry entries from the cache=False calls
+    assert [id(e[3]) for e in sim._PREP_CACHE] == before
