@@ -2366,6 +2366,7 @@ def q_nlp_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (6 chained replaces inside the scan stage) and the usage stats are
     one token-keyed partial agg. The DuckDB twin replays train AND
     apply bit-for-bit."""
+    from .operators.dedup import _spread
     from .operators.text import _bpe_seg0, phrase_merge_rounds_batched
 
     docs = _t(spark, sf_dir, "documents")
@@ -2380,7 +2381,10 @@ def q_nlp_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     toks = F.split(F.trim(seg), "  ")
     return (
-        docs.select("doc_id", F.explode(toks).alias("token"))
+        # _spread: the apply projection is CPU-bound per row; an
+        # under-split bench corpus would run it on one core (no-op on a
+        # well-split scan)
+        _spread(docs).select("doc_id", F.explode(toks).alias("token"))
         .filter(F.col("token").contains("_"))
         .groupBy("token")
         .agg(
@@ -2444,8 +2448,13 @@ def q_nlp_bpe_apply_16x64(spark: SparkSession, sf_dir: str) -> DataFrame:
             table, seg, lambda acc, x: F.replace(acc, x["s"], x["r"])
         )
     toks = F.split(F.trim(seg), "  ")
+    from .operators.dedup import _spread
+
     return (
-        docs.select("doc_id", F.explode(toks).alias("token"))
+        # _spread: the 1024-replace fold is CPU-bound per row; an
+        # under-split bench corpus would run it on one core (no-op on a
+        # well-split scan)
+        _spread(docs).select("doc_id", F.explode(toks).alias("token"))
         .filter(F.col("token").contains("_"))
         .groupBy("token")
         .agg(
@@ -2512,6 +2521,7 @@ def q_nlp_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces + two size() counts inside the scan) and a |langs|-row
     partial agg. The compression ratio is a pure-integer micro
     (`micro_ratio` pattern) — no float anywhere in the output."""
+    from .operators.dedup import _spread
     from .operators.text import _bpe_seg0, phrase_merge_rounds_batched, tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -2525,7 +2535,9 @@ def q_nlp_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             seg, F.lit(f" {m.left_tok}  {m.right_tok} "), F.lit(f" {m.merged} ")
         )
     per = (
-        docs.select(
+        # _spread: per-row replace chain + two size() counts — same
+        # under-split rationale as nlp_bpe_apply
+        _spread(docs).select(
             "lang",
             F.size(tokens("text")).cast("long").alias("tb"),
             F.size(F.split(F.trim(seg), "  ")).cast("long").alias("ta"),

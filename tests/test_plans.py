@@ -320,11 +320,14 @@ def test_shuffle_budgets(spark, sf_dir):
         "nlp_bpe_merges_batched": 0,
         # training runs eagerly at build; the returned plan is one
         # 6-replace projection + explode + the count_distinct pair
-        # ((token, doc) partial agg, then token-keyed final)
-        "nlp_bpe_apply": 2,
+        # ((token, doc) partial agg, then token-keyed final), plus the
+        # _spread round-robin exchange (r14: fan the CPU-bound apply
+        # projection out of an under-split scan; no-op ≥ cores tasks)
+        "nlp_bpe_apply": 3,
         # training eager at build; ONE lang partial agg on the applied
-        # projection (before/after sizes inside the scan)
-        "nlp_bpe_fertility": 1,
+        # projection (before/after sizes inside the scan) + the _spread
+        # exchange (r14, same rationale as nlp_bpe_apply)
+        "nlp_bpe_fertility": 2,
         # keep_best's fingerprint exchange + the <=|sizes|-row histogram
         "dedup_cluster_histogram": 2,
         # (gram, doc)-distinct df agg, shared-gram join back, per-doc
