@@ -83,10 +83,22 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     # replays) bypass that estimate, so Spark injects default-sized blooms
     # (~1 MB buffer per aggregation task) at ANY data size — ~10 such
     # builds OOM'd a vanilla 1 GB driver heap alongside the replay's
-    # caches (r10 driver-sim finding). Cap the sizing so a misfired
-    # injection costs ~100 KB; pruning power at a genuine 10 GB+
-    # application side is the cluster profile's concern, where these two
-    # knobs should be raised with the heap.
+    # caches (r10 driver-sim finding). r14 measured the throughput side
+    # of the same misfire: the 4-batch replay plans carry ~80 injected
+    # bloom_filter_agg scalar subqueries (plans/r14/
+    # st_streaming_dedup_after.txt), each an extra aggregation pass over
+    # a batch-sized cached relation, costing ~15% of the replay
+    # (19.4 s → 16.5 s with injection off; same on the capped embed
+    # replay). Injection is therefore OFF by default here — every place
+    # a selective pre-filter pays at scale, this repo builds it
+    # explicitly (semi-joins / broadcast key filters, guide §3.2) — and
+    # env-togglable for a cluster profile whose scans have real size
+    # estimates: SPARK_GRAFT_RUNTIME_BLOOM=1 re-enables, with the sizing
+    # caps below still bounding a misfired build to ~100 KB.
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "true" if os.environ.get("SPARK_GRAFT_RUNTIME_BLOOM") == "1" else "false",
+    )
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "100000")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "4194304")
     return spark

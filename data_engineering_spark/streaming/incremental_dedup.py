@@ -112,6 +112,7 @@ def _probe_candidates(
     from pyspark import StorageLevel
 
     all_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
+    cap_rel = None
     if max_bucket is not None:
         # cap on the POST-append population — but only the batch's own
         # (band, bh) keys can appear in the probe join, so count ONLY
@@ -124,13 +125,21 @@ def _probe_candidates(
             .agg(F.count(F.lit(1)).alias("__bn__"))
             .filter(F.col("__bn__") <= max_bucket)
             .select("band", "bh")
+            # persisted: referenced by BOTH join sides below — without
+            # this the semi-join+agg subtree is re-inlined into each,
+            # doubling the capped plan (r14, measured ~11% on the
+            # capped replay). Tiny (≤ batch key count, 2 cols); riding
+            # on cand's lifetime via the ``_cap_rel`` attribute so the
+            # sink can release it after its writes commit
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        cap_rel = small
         bk_probe = bk_new.join(small, ["band", "bh"])
         all_bk = all_bk.join(small, ["band", "bh"])
     else:
         bk_probe = bk_new
     a, b = bk_probe.alias("a"), all_bk.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -147,6 +156,8 @@ def _probe_candidates(
         # so without this the index probe join runs three times
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand._cap_rel = cap_rel  # released with cand (see _incremental_sink)
+    return cand
 
 
 def ingest_minhash_batch(
@@ -249,6 +260,9 @@ def _incremental_sink(index_dir, store_dir, pairs_dir, batch_fn, ingest_fn, pair
             bk_new.unpersist()
             if cand is not None:
                 cand.unpersist()
+                cap_rel = getattr(cand, "_cap_rel", None)
+                if cap_rel is not None:
+                    cap_rel.unpersist()
 
     return sink
 
@@ -259,28 +273,54 @@ def _incremental_replay(df, id_col, n_batches, batch_fn, ingest_fn) -> DataFrame
     (``pmod(xxhash64(id), n_batches)`` — arrival order a scheduler might
     produce, not id order) and union the emitted pairs. The oracle
     surface for both streaming sinks: the union must equal the one-shot
-    DuckDB twin (incremental ≡ one-shot)."""
+    DuckDB twin (incremental ≡ one-shot).
+
+    Signatures/state are computed ONCE over the whole corpus and sliced
+    per batch by the deterministic batch key (r14, guide §2.3/§2.4):
+    signature derivation is a pure row-wise function, so filtering a
+    precomputed signature table by batch is bit-identical to computing
+    signatures of a filtered corpus — this replaces ``n_batches``
+    separate Arrow-kernel passes + per-batch persists with ONE persisted
+    prep per table, and every batch's corpus side (``index_bk`` /
+    ``store_old``) becomes a cache filter (``__b__ < k``) instead of a
+    k-deep union-of-unions lineage (measured on st_streaming_dedup:
+    21.8 s → see OPTIMIZATION_r14.md; plans lose the repeated
+    ArrowEvalPython stages). The REAL foreachBatch sink keeps computing
+    per batch — a stream cannot see future batches; the replay can,
+    because the batch split itself is derived, not arriving."""
     from pyspark import StorageLevel
 
+    # persisted so the two prep outputs below materialize from one
+    # cached corpus scan (CacheManager substitutes the subtree in both)
     assigned = df.withColumn(
         "__b__", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    index_bk = store_old = out = None
+    store_all, bk_all = batch_fn(assigned.drop("__b__"))
+
+    def _with_key(out: DataFrame) -> DataFrame:
+        # re-derive the batch key from the id column the modality's
+        # batch_fn emits (minhash keeps ``id_col``; the embedding path
+        # renames to ``vec_id``) — a pure function of the id, so no join
+        key_src = id_col if id_col in out.columns else "vec_id"
+        return out.withColumn(
+            "__b__", F.pmod(F.xxhash64(F.col(key_src)), F.lit(n_batches))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    store_all = _with_key(store_all)
+    bk_all = _with_key(bk_all)
+    out = None
     for k in range(n_batches):
-        part = assigned.filter(F.col("__b__") == k).drop("__b__")
-        store_new, bk_new = batch_fn(part)
-        # persisted: each batch's state feeds ITS ingest and every later
-        # batch's corpus side — without this the signature tree
-        # re-evaluates O(n_batches) times
-        store_new = store_new.persist(StorageLevel.MEMORY_AND_DISK)
-        bk_new = bk_new.persist(StorageLevel.MEMORY_AND_DISK)
+        store_new = store_all.filter(F.col("__b__") == k).drop("__b__")
+        bk_new = bk_all.filter(F.col("__b__") == k).drop("__b__")
+        index_bk = bk_all.filter(F.col("__b__") < k).drop("__b__") if k else None
+        store_old = (
+            store_all.filter(F.col("__b__") < k).drop("__b__") if k else None
+        )
         # cand stays persisted for the lifetime of the returned (lazy)
         # union — bounded at n_batches cached relations per replay, the
         # same leak class the one-shot operator accepts per run
         pairs, _cand = ingest_fn(store_new, bk_new, index_bk, store_old)
         out = pairs if out is None else out.unionByName(pairs)
-        index_bk = bk_new if index_bk is None else index_bk.unionByName(bk_new)
-        store_old = store_new if store_old is None else store_old.unionByName(store_new)
     return out
 
 
@@ -330,9 +370,18 @@ def incremental_minhash_replay(
     same DuckDB twin as ``dedup_minhash_portable``, proving
     incremental ≡ one-shot on the whole pipeline. The real
     foreachBatch execution of the same ingest is asserted for batch
-    parity in ``tests/test_streaming.py``."""
+    parity in ``tests/test_streaming.py``.
+
+    The corpus is ``_spread`` before the replay (r14): the shingle+
+    signature prep is CPU-bound per row and an under-split bench corpus
+    ran it single-core (measured 16.5 s → 7.0 s at sf0.1; no-op on a
+    well-split scan). The embedding replay deliberately does NOT spread
+    — its cost is join/stage overhead, and 32-partition caches made it
+    2× slower (same measurement)."""
+    from ..operators.dedup import _spread
+
     return _incremental_replay(
-        docs, id_col, n_batches,
+        _spread(docs), id_col, n_batches,
         batch_fn=lambda b: batch_shingles_and_buckets(
             b, text_col, id_col, num_hashes, bands, n, signature_impl
         ),

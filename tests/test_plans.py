@@ -435,18 +435,23 @@ def test_partition_pruning_reads_one_partition(spark, sf_dir, tmp_path):
 def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
     """At warehouse scale a selective dim-side filter should seed a
     runtime bloom filter that prunes the fact scan before the shuffle
-    (Spark's runtime.bloomFilter, on by default in our session). The
-    size thresholds that gate it never trip at test SF, so this test
-    emulates scale by lowering them — asserting our declarative plans
-    stay injection-eligible (a hand-rolled pre-shuffle or UDF filter
-    would silently forfeit this)."""
+    (Spark's runtime.bloomFilter — OFF by default in our session since
+    r14 because it misfires on cached batch-sized relations, but
+    re-enablable for a cluster profile via SPARK_GRAFT_RUNTIME_BLOOM).
+    The size thresholds that gate it never trip at test SF, so this test
+    emulates that cluster profile by enabling injection and lowering the
+    thresholds — asserting our declarative plans stay injection-eligible
+    (a hand-rolled pre-shuffle or UDF filter would silently forfeit
+    this)."""
     old = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": None,
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
         "spark.sql.autoBroadcastJoinThreshold": None,
     }
     for k in old:
         old[k] = spark.conf.get(k)
     try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
         )
