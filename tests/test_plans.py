@@ -578,9 +578,14 @@ def test_runtime_bloom_filter_prunes_fact_scan_at_scale(spark, sf_dir):
 
     baseline = {(r.o_orderpriority, r.q) for r in shape().collect()}
     old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_bloom = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
     try:
         # broadcast off: give the bloom filter a shuffle join to prune
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the session default is now OFF (r14: the automatic injection
+        # misfires on cached batch-sized relations — see session.py);
+        # this test models the CLUSTER profile, so it opts in explicitly
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         spark.conf.set(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             "0",
@@ -591,6 +596,7 @@ def test_runtime_bloom_filter_prunes_fact_scan_at_scale(spark, sf_dir):
         assert baseline == {(r.o_orderpriority, r.q) for r in shape().collect()}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", old_bloom)
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
