@@ -60,6 +60,10 @@ def hashed_features(
     the bucket is the portable md5-60bit hash mod ``buckets`` (DuckDB
     re-derives it bit-for-bit), plus one BIAS feature (bucket −1,
     cnt 1) per document so the learned hyperplane has an offset."""
+    # deliberately NOT _spread (r14, measured): the 64-bucket explode+md5
+    # is light enough that the round-robin exchange of the raw text costs
+    # more than the single-core hashing saves (0.88 s vs 0.60 s isolated
+    # A/B at sf0.1); at 100 TB the scan is already well-split
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
@@ -75,6 +79,25 @@ def hashed_features(
         F.lit(1).cast("long").alias("cnt"),
     )
     return feat.unionByName(bias)
+
+
+def _feats_prepared(
+    docs: DataFrame, buckets: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Hashed features routed through the session-lifetime plan-keyed
+    memo registry (r14): every classifier query both TRAINS (3
+    iterations over the features) and SCORES (another full feature
+    pass), so an unshared prep tokenized + md5-hashed the corpus twice
+    per query. The registry dedupes on (docs plan, params) exactly like
+    the minhash/simhash shared preps; a session-level clearCache()
+    (bench/driver harness) invalidates entries, so every timed run
+    still computes from parquet."""
+    from .similarity import _memoized_persist
+
+    raw = hashed_features(docs, buckets, id_col, text_col)
+    return _memoized_persist(
+        docs, ("cls_feats", buckets, id_col, text_col), raw
+    )
 
 
 def train_perceptron(
@@ -95,9 +118,9 @@ def train_perceptron(
     start at zero, so iteration 1's update is the class-conditional
     token-count difference — deterministic from the data alone."""
     spark = docs.sparkSession
-    feats = hashed_features(docs, buckets, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # registry-managed persist (r14): shared with classifier_margins so
+    # a train-then-score query computes the features once, not twice
+    feats = _feats_prepared(docs, buckets, id_col, text_col)
     labels = docs.select(
         F.col(id_col).alias("doc_id"), label.cast("long").alias("y")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -145,7 +168,9 @@ def train_perceptron(
             if not upd:
                 break
     finally:
-        feats.unpersist()
+        # feats is registry-owned (LRU-bounded, session lifetime) — an
+        # unpersist here would strand the entry other consumers in the
+        # same query (classifier_margins) are about to hit
         labels.unpersist()
     return sorted(w.items()), errors
 
@@ -164,23 +189,24 @@ def classifier_margins(
     whose every feature bucket carries zero weight (pruned from the
     nonzero table) scores margin 0, not a dropped row."""
     spark = docs.sparkSession
-    feats = hashed_features(docs, buckets, id_col, text_col)
+    feats = _feats_prepared(docs, buckets, id_col, text_col)
+    # Keep the BIAS bucket in the weight table even when its trained
+    # weight pruned to zero (r14): every document carries exactly one
+    # bias feature row, so the broadcast inner join then reaches EVERY
+    # doc and the "total over all docs" contract holds from the
+    # aggregate alone — the old corpus-keyed docs LEFT JOIN (a
+    # SortMergeJoin + two Exchanges re-scanning the corpus) existed
+    # only to re-attach docs whose every bucket pruned away. A zero
+    # bias weight contributes 0 to the margin, so values are identical.
+    wmap = {int(b): int(v) for b, v in weights}
+    wmap.setdefault(BIAS_BUCKET, 0)
     w_df = spark.createDataFrame(
-        [(int(b), int(v)) for b, v in weights] or [(BIAS_BUCKET, 0)],
-        "bucket long, wt long",
-    )
-    scored = (
-        feats.join(F.broadcast(w_df), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("cnt") * F.col("wt")).alias("m"))
+        sorted(wmap.items()), "bucket long, wt long"
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(scored, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("m"), F.lit(0)).cast("long").alias("margin"),
-        )
+        feats.join(F.broadcast(w_df), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("wt")).cast("long").alias("margin"))
         .withColumn("pred", F.col("margin") > 0)
     )
 

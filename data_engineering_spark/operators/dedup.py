@@ -1088,7 +1088,12 @@ def positional_grams(
         acc = F.slice(hs, 1, m)
         for j in range(1, gram):
             acc = F.zip_with(acc, F.slice(hs, j + 1, m), lambda a, b: F.xxhash64(a, b))
-    return df.select(
+    # _spread (r14): the gram-1 zip_with chain + posexplode is CPU-bound
+    # per row and the bench corpus scans as ONE task — without the fan-
+    # out the whole positional-gram stage (and the persist both span
+    # extractors share) materializes single-core. No-op on a well-split
+    # 100 TB scan. Values are row-local, so the result is unchanged.
+    return _spread(df).select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_toks"),
         F.posexplode(acc).alias("s0", "g"),
@@ -1223,6 +1228,16 @@ def canonical_assignment(
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                     "label"
                 ),
+                # changed ⇔ a neighbor label undercut ours — computed in
+                # the SAME projection (r14), so the convergence check is
+                # a cheap filter-count over the checkpointed labels
+                # instead of a full old⋈new labels join (one label-keyed
+                # shuffle per round removed; at corpus scale that join
+                # was itself corpus-sized)
+                (
+                    F.col("nbr_label").isNotNull()
+                    & (F.col("nbr_label") < F.col("label"))
+                ).alias("_chg"),
             )
         )
         # Each round references the previous labels twice (carry +
@@ -1231,13 +1246,8 @@ def canonical_assignment(
         new_labels = (
             new_labels.checkpoint() if reliable_checkpoints else new_labels.localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.select("src", "label")
         if changed == 0:
             break
     else:

@@ -1307,8 +1307,11 @@ def contrastive_batches(
     pair work ≈ N·batch_size, linear in N (the round-7 300× probe
     caught the fixed-bucket form going quadratic: 122 s for 150 k
     vectors; the derived form is ~8 s). Pass ``batch_buckets`` to pin
-    the count explicitly. ONE batch-keyed exchange, one anchor-keyed
-    partial agg, plus a metadata-cheap corpus count for the derivation."""
+    the count explicitly. Distances are evaluated on same-label pairs
+    only (r14 — negatives are a pure count; see the inline comment);
+    exchanges: the (batch, label)-keyed pair join, the anchor-keyed
+    partial aggs, and batch-grained count joins, plus a metadata-cheap
+    corpus count for the derivation."""
     if batch_buckets is None:
         # one bounded driver-side count — a column-less scan job, not a
         # footer read (parquet aggregate pushdown is off by default),
@@ -1332,16 +1335,44 @@ def contrastive_batches(
             % n_buckets
         ).alias("batch"),
     )
+    # r14 (guide §1.2 "don't compute things you throw away"): the lattice
+    # distance is only ever CONSUMED for same-label (positive) pairs —
+    # negatives are a pure count. The old single join formed every
+    # in-batch pair and evaluated the interpreted 64-element
+    # zip_with/aggregate fold on all of them; with L labels that is ~L×
+    # more distance work than the result uses. Restructured:
+    #   * positives: pair only on (batch, label) — the distance fold now
+    #     runs on the same-label fraction alone;
+    #   * negatives: per-(batch, label) counts; an anchor with label l in
+    #     batch b has tot(b) − cnt(b, l) different-label batchmates.
+    # Row-for-row identical: an anchor emits iff it has ≥1 batchmate
+    # (tot ≥ 2), positives are NULL iff cnt(b, l) = 1, and the (d,
+    # other_id) min is unchanged. The count relations are
+    # (batch[, label])-grained — corpus_size/batch_size rows, so they
+    # broadcast at bench scale but must NOT carry a broadcast hint (at
+    # 100 TB they are millions of rows); the planner/AQE picks, and a
+    # shuffle join on the batch key is scale-correct either way.
+    cnt = pts.groupBy("batch", label_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = cnt.groupBy("batch").agg(F.sum("_cnt").alias("_tot"))
+    base = (
+        pts.join(cnt, ["batch", label_col])
+        .join(tot, "batch")
+        .filter(F.col("_tot") >= 2)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            (F.col("_tot") - F.col("_cnt")).cast("long").alias("n_negatives"),
+        )
+    )
     a = pts.select(
         F.col("batch"),
+        F.col(label_col),
         F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("anchor_label"),
         F.col("q").alias("aq"),
     )
     b = pts.select(
         F.col("batch"),
+        F.col(label_col),
         F.col(id_col).alias("other_id"),
-        F.col(label_col).alias("other_label"),
         F.col("q").alias("bq"),
     )
     d = F.aggregate(
@@ -1349,22 +1380,20 @@ def contrastive_batches(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    pairs = (
-        a.join(b, "batch")
+    pos = (
+        a.join(b, ["batch", label_col])
         .filter(F.col("anchor_id") != F.col("other_id"))
-        .select(
-            "anchor_id",
-            "other_id",
-            (F.col("anchor_label") == F.col("other_label")).alias("same"),
-            d.alias("d"),
+        .select("anchor_id", "other_id", d.alias("d"))
+        .groupBy("anchor_id")
+        .agg(
+            F.min_by("other_id", F.struct(F.col("d"), F.col("other_id"))).alias(
+                "positive_id"
+            ),
+            F.min("d").alias("positive_dist"),
         )
     )
-    return pairs.groupBy("anchor_id").agg(
-        F.min_by(
-            "other_id", F.when(F.col("same"), F.struct(F.col("d"), F.col("other_id")))
-        ).alias("positive_id"),
-        F.min(F.when(F.col("same"), F.col("d"))).alias("positive_dist"),
-        F.sum((~F.col("same")).cast("long")).cast("long").alias("n_negatives"),
+    return base.join(pos, "anchor_id", "left").select(
+        "anchor_id", "positive_id", "positive_dist", "n_negatives"
     )
 
 

@@ -105,8 +105,14 @@ def zvalue(
 
             return bucket
 
-        for c in cols:
-            cuts = np.array(df.approxQuantile(c, probes, 1.0 / (1 << (bits + 2))))
+        # ONE multi-column approxQuantile pass (r14): the per-column loop
+        # scanned the live set once per z-order column; the list form
+        # computes every column's GK sketch in a single scan job. Same
+        # per-column cutoffs, and the z-order result is layout-only
+        # anyway (row set unchanged by construction).
+        all_cuts = df.approxQuantile(list(cols), probes, 1.0 / (1 << (bits + 2)))
+        for c, col_cuts in zip(cols, all_cuts):
+            cuts = np.array(col_cuts)
             ranked = ranked.withColumn(
                 f"__rk_{c}", bucketizer(cuts)(F.col(c), F.col(c).isNull())
             )

@@ -254,8 +254,12 @@ def test_shuffle_budgets(spark, sf_dir):
         # broadcast-literal refined centroids (the per-iteration
         # (cluster, dim) agg runs eagerly during centroid training)
         "sim_kmeans_refine": 0,
-        # ONE batch-keyed exchange; pairing quadratic only within a batch
-        "sim_contrastive_batches": 1,
+        # r14: distances on same-label pairs only — the (batch, label)
+        # pair join (2 exchanges), the anchor-keyed final join's agg, and
+        # the batch-grained negative-count joins; all batch/anchor-
+        # bounded, and the quadratic fold now runs on the same-label
+        # fraction alone (6.1 -> 1.5 s at sf0.1)
+        "sim_contrastive_batches": 5,
         # per-token md5 coin inside the scan — pure projection
         "curate_word_dropout": 0,
         # visible plan is post-checkpoint (prefix_sum pins the lineage);
@@ -331,8 +335,10 @@ def test_shuffle_budgets(spark, sf_dir):
         # keep_best's fingerprint exchange + the <=|sizes|-row histogram
         "dedup_cluster_histogram": 2,
         # (gram, doc)-distinct df agg, shared-gram join back, per-doc
-        # interval-merge window, island agg
-        "dedup_verbatim_spans": 6,
+        # interval-merge window, island agg; +1 r14: positional_grams
+        # _spread-fans the gram stage out of the under-split bench scan
+        # (no-op at scale)
+        "dedup_verbatim_spans": 7,
         # state computed eagerly at build (one corpus exchange); the
         # returned frame is a |langs|-row driver literal
         "curate_mixture_waterfill": 0,
@@ -355,9 +361,12 @@ def test_shuffle_budgets(spark, sf_dir):
         "nlp_classifier_bias_audit": 4,
         # benchmark gram set broadcasts (LEFT SEMI); the bench-side
         # distinct + the per-doc interval-merge window are the only
-        # exchanges — NO corpus gram-df aggregate (cross-corpus is
-        # lighter than within-corpus span dedup)
-        "curate_decontaminate_spans": 2,
+        # corpus-scaling exchanges — NO corpus gram-df aggregate
+        # (cross-corpus is lighter than within-corpus span dedup).
+        # +2 r14: positional_grams _spread-fans BOTH sides out of the
+        # under-split bench scan (no-op repartitions at scale; 3.2 ->
+        # 1.3 s at sf0.1)
+        "curate_decontaminate_spans": 4,
     }
     for name, budget in budgets.items():
         n = shuffle_count(QUERIES[name](spark, sf_dir))
