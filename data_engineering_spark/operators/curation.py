@@ -349,7 +349,19 @@ def dsir_weights(
     corpus is scanned twice (q-counts, scoring) — at scale, persist the
     q-count table per ingest batch instead of recomputing; ``target`` is
     the curated set and is small by definition."""
-    feats = _hashed_ngram_stream(corpus, text_col, id_col, buckets)
+    # r14: the corpus feature stream is consumed TWICE (q-counts and the
+    # scoring join) and its per-gram md5 fan-out is CPU-bound off an
+    # under-split bench scan — _spread fans it across cores (isolated
+    # A/B: one pass 1.83 -> 0.70 s at sf0.1; no-op on a well-split
+    # scan), and the memo registry dedupes the stream between the two
+    # consumers exactly like the minhash/ngram shared preps.
+    from .dedup import _spread
+    from .similarity import _memoized_persist
+
+    raw = _hashed_ngram_stream(_spread(corpus), text_col, id_col, buckets)
+    feats = _memoized_persist(
+        corpus, ("dsir_feats", text_col, id_col, buckets), raw
+    )
     q = feats.groupBy("b").agg(F.count(F.lit(1)).alias("qc"))
     w = Window.partitionBy()
     # ONE pass over the target stream, ZERO eager side effects: the two
@@ -431,11 +443,25 @@ def word_dropout(
         lambda x, i: hash_bucket(F.concat(pref, (i + 1).cast("string")), 100)
         >= rate_pct,
     )
-    return df.select(
+    # Project the md5-coin filter ONCE (r14): inlined, `kept` is
+    # referenced three times in the output projection and codegen
+    # re-evaluates the whole per-token md5 filter per reference (the
+    # BPE-trainer CollapseProject trap, §1 of OPTIMIZATION_r14.md);
+    # CollapseProject keeps the two selects separate because the alias
+    # has multiple non-cheap references. Measured 1.89 -> 0.94 s at
+    # sf0.1; still a pure projection, zero shuffles.
+    staged = df.select(
         F.col(id_col),
-        F.when(F.size(kept) > 0, F.concat_ws(" ", kept)).alias("aug_text"),
-        (F.size(toks) - F.size(kept)).cast("long").alias("n_dropped"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(toks).cast("long").alias("__nt__"),
+        kept.alias("__kept__"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.when(F.size("__kept__") > 0, F.concat_ws(" ", F.col("__kept__"))).alias(
+            "aug_text"
+        ),
+        (F.col("__nt__") - F.size("__kept__")).cast("long").alias("n_dropped"),
+        F.col("__nt__").alias("n_tokens"),
     )
 
 
@@ -963,8 +989,20 @@ def boilerplate_strip(
     than (id, block)."""
     from .joins import broadcast_if_small
 
-    chunks = chunk_sliding(df, window=block, stride=block, text_col=text_col,
-                           id_col=id_col)
+    # r14: the block fan-out feeds BOTH the df-count aggregate and the
+    # reconstruction join, and is CPU-bound off an under-split bench
+    # scan — _spread fans it across cores (isolated A/B: one chunk pass
+    # 1.16 -> 0.51 s, full operator 2.86 -> 1.95 s at sf0.1; no-op on a
+    # well-split scan) and the memo registry dedupes the fan-out
+    # between the two consumers.
+    from .dedup import _spread
+    from .similarity import _memoized_persist
+
+    raw = chunk_sliding(_spread(df), window=block, stride=block,
+                        text_col=text_col, id_col=id_col)
+    chunks = _memoized_persist(
+        df, ("bp_chunks", text_col, id_col, block), raw
+    )
     dfreq = (
         chunks.select(id_col, "chunk_text")
         .distinct()
