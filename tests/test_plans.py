@@ -230,8 +230,10 @@ def test_shuffle_budgets(spark, sf_dir):
         # plus the pid-sum agg over #partitions rows
         "curate_token_budget": 0,
         # (doc, block) distinct + block-df agg + doc-keyed rebuild; the
-        # df-thresholded boilerplate set joins back as a broadcast
-        "curate_boilerplate_strip": 3,
+        # df-thresholded boilerplate set joins back as a broadcast.
+        # +1 r14: the chunk fan-out _spread-fans out of the under-split
+        # bench scan (no-op at scale; 3.0 -> 1.8 s at sf0.1)
+        "curate_boilerplate_strip": 4,
         # corpus-scaling: bucket-count agg + doc-keyed score agg; plus the
         # target's bucket agg and two single-partition totals windows over
         # the ≤4096-row (parameter-bounded) count tables
