@@ -87,21 +87,52 @@ def _size_bytes(conf_value: str) -> int:
 from .joins import input_bytes as _input_bytes  # noqa: E402
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Fan out CPU-heavy per-row work across all cores.
+# Per-partition byte budget for the densest _spread call sites — the
+# portable-md5 minhash signature family, whose 32 seeded-md5
+# permutations per shingle measure ~4x the work density of every other
+# spread stage (r15 interleaved A/B: canonical_portable 5.9 vs 6.9 s,
+# minhash_portable 3.7 vs 4.5 s, st_streaming_dedup 2.7 vs 3.3 s for
+# 16 KB vs the 64 KB default; every NON-portable family preferred the
+# default — simhash_portable 2.6 vs 3.4, ngram_jaccard 2.5 vs 3.4,
+# boilerplate 1.2 vs 1.8, bpe_apply 1.5 vs 2.0).
+_SPREAD_DENSE_BYTES = 16 << 10
+
+
+def _spread(df: DataFrame, per_partition_bytes: int | None = None) -> DataFrame:
+    """Fan out CPU-heavy per-row work across cores.
 
     Text corpora often arrive as few large files (here: one parquet file
     per table), so the scan stage gets 1-2 tasks and every downstream
-    projection serializes. A round-robin repartition to the default
-    parallelism makes the shingle/hash stages scale with cores — but ONLY
-    when the input is under-split: a 100 TB corpus already scanning as
-    thousands of tasks must not pay a full-data shuffle for nothing.
+    projection serializes. A round-robin repartition makes the
+    shingle/hash stages scale with cores — but ONLY when the input is
+    under-split: a 100 TB corpus already scanning as thousands of tasks
+    must not pay a full-data shuffle for nothing.
+
+    The fan-out target is BYTES-AWARE, not a flat defaultParallelism
+    (r15; r14 verdict #3): ``min(defaultParallelism, max(2, ceil(bytes /
+    budget)))``. Fanning a tiny input straight to every core makes each
+    downstream job pay full-width scheduling + exchange overhead that
+    exceeds the compute it buys — the r14 scaling block measured five
+    spread-adjacent queries running FASTER at 8 cores than 32, and the
+    r15 interleaved A/B confirmed ~10 partitions beat 32 on this box
+    for every non-portable spread family at sf0.1. The per-partition
+    budget (``SPARK_GRAFT_SPREAD_PARTITION_BYTES``, default 64 KB of
+    COMPRESSED parquet ≈ ~0.5 MB of raw text ≈ a healthy task of the
+    md5/shingle work this guards) is deliberately far below
+    maxPartitionBytes: _spread wraps the repo's most CPU-dense per-row
+    stages, where work-per-byte is 2-3 orders above a plain scan.
+    Call sites with measurably denser work pass ``per_partition_bytes``
+    explicitly (``_SPREAD_DENSE_BYTES`` for the portable-md5 minhash
+    family). On any real input the ``scan_tasks >= target`` guard makes
+    the whole thing a no-op before the budget is ever consulted.
 
     The scan-task estimate is file metadata only — max(file count,
     total bytes / maxPartitionBytes), matching how FileSourceScanExec
     splits — so building a dedup query never forces plan analysis
     through the RDD API. Frames with no file source (in-memory test
     data) fall back to the RDD partition probe, which is cheap there."""
+    import os
+
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     nbytes = _input_bytes(df)
@@ -122,6 +153,10 @@ def _spread(df: DataFrame) -> DataFrame:
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
         )
         scan_tasks = max(len(df.inputFiles()), -(-nbytes // max(max_split, 1)))
+        budget = per_partition_bytes or int(
+            os.environ.get("SPARK_GRAFT_SPREAD_PARTITION_BYTES", str(64 << 10))
+        )
+        target = min(target, max(2, -(-nbytes // max(budget, 1))))
     if scan_tasks >= target:
         return df
     return df.repartition(target)
@@ -448,7 +483,13 @@ def minhash_near_dedup(
     # accumulate dead cache entries. The registry caps live entries
     # (LRU-unpersisting evictees) and re-serves the shingle relation to
     # a same-plan re-run.
-    sh_plan = _spread(df).select(F.col(id_col), shingle_fp(text_col, n).alias("shset"))
+    sh_plan = _spread(
+        df,
+        # the md5 permutation family is the repo's densest spread stage
+        # (see _SPREAD_DENSE_BYTES); the arrow/expr impls prefer the
+        # default budget (r15 interleaved A/B: 1.48 vs 1.86 s)
+        _SPREAD_DENSE_BYTES if signature_impl == "portable" else None,
+    ).select(F.col(id_col), shingle_fp(text_col, n).alias("shset"))
     sh = _memoized_persist(
         sh_plan, ("minhash_sh", id_col, text_col, n, signature_impl == "portable"), sh_plan
     )

@@ -90,19 +90,22 @@ _LATTICE_NN_CAP = 10**13
 # dedupes persists by canonicalized plan): re-reading a path whose
 # files changed mid-session reuses the stale prep — rewrite-in-place
 # corpora should pass cache=False.
-# Cap 16 (was 8, originally 4): the registry now serves EIGHT operator
+# Cap 24 (was 16/8/4): the registry now serves ELEVEN operator
 # families — lattice preps, ngram_sh, verbatim_starts, tfidf_tf (the
-# r12 persist-routing consolidations) plus minhash_sh, minhash_cand,
+# r12 persist-routing consolidations), minhash_sh, minhash_cand,
 # simhash_sig, tpch_q15_revenue (the r13 sweep that retired the last
-# raw persists; one minhash_near_dedup call alone occupies 2 slots) —
-# and the cap must stay ≥ the live-family count or a composite sweep
-# that builds every prep before executing would LRU-unpersist a prep
-# an un-executed returned plan still references, re-inlining the
-# interpreted quantize/shingle tree per pair (the documented 4.5×
-# unpersist trap below; r13 end-of-round review resized this when the
-# family count grew past the old cap's rationale). 16 slots of
-# ≤corpus-projection size still bounds session growth.
-_PREP_CACHE_CAP = 16
+# raw persists; one minhash_near_dedup call alone occupies 2 slots),
+# plus cls_feats, dsir_feats, bp_chunks (the r14 shared-prep additions;
+# r14 ADVICE flagged the inventory drift) — and the cap must stay ≥
+# the worst-case LIVE slot count or a composite sweep that builds every
+# prep before executing would LRU-unpersist a prep an un-executed
+# returned plan still references, re-inlining the interpreted
+# quantize/shingle tree per pair (the documented 4.5× unpersist trap
+# below). Worst case: 11 families, two of which can hold 2 live slots
+# each (minhash sh+cand; lattice preps keyed per vec column) ≈ 13-15 —
+# 24 keeps the safety margin the r13 resize had. Slots are
+# ≤corpus-projection size, so session growth stays bounded.
+_PREP_CACHE_CAP = 24
 _PREP_CACHE: list[tuple[int | None, DataFrame, tuple, DataFrame]] = []
 # One lock for every registry mutation: concurrent lattice consumers
 # (overlapping streaming foreachBatch threads both call
@@ -1311,7 +1314,15 @@ def contrastive_batches(
     only (r14 — negatives are a pure count; see the inline comment);
     exchanges: the (batch, label)-keyed pair join, the anchor-keyed
     partial aggs, and batch-grained count joins, plus a metadata-cheap
-    corpus count for the derivation."""
+    corpus count for the derivation.
+
+    PRECONDITION: ``label_col`` must be non-null (r14 ADVICE). The
+    positives-only pairing equi-joins on the label, so a NULL-label
+    anchor would be dropped entirely while still counting toward its
+    batchmates' ``_tot`` (i.e. as everyone's negative) — neither the
+    pre-r14 form nor the DuckDB twin treats NULL that way. Filter or
+    impute NULL labels upstream; the repo's callers derive the label
+    with a total expression (pmod of an md5), which cannot be NULL."""
     if batch_buckets is None:
         # one bounded driver-side count — a column-less scan job, not a
         # footer read (parquet aggregate pushdown is off by default),

@@ -799,6 +799,38 @@ def _bpe_pair_counts(segdf: DataFrame):
     )
 
 
+def chained_replace_kernel(pairs: list[tuple[str, str]]):
+    """Arrow-batched pandas_udf applying a long ``(search, replace)``
+    chain per row — the serving-path BPE APPLY for real vocab sizes
+    (guide §4.2: hand the whole batch to native code).
+
+    Exactly equivalent to folding ``F.replace`` over ``pairs`` in order:
+    Python ``str.replace`` and Spark's ``UTF8String.replace`` both
+    substitute every non-overlapping occurrence scanning left to right,
+    and the chain applies the same patterns in the same order — the
+    interpreted ``F.aggregate(lit-table, seg, replace)`` fold this
+    replaces evaluated a 1024-step expression loop per row with no
+    codegen (measured ~9.5 s for the 16×64 apply at sf0.1; the kernel
+    runs the same chain as C-level ``str.replace`` calls, ~0.1 ms per
+    document). NULL rows pass through as NULL, matching the fold (every
+    ``replace`` of a NULL accumulator is NULL)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def apply_chain(seg: pd.Series) -> pd.Series:
+        out = []
+        for s in seg:
+            if not isinstance(s, str):
+                out.append(None)
+                continue
+            for a, b in pairs:
+                s = s.replace(a, b)
+            out.append(s)
+        return pd.Series(out, dtype=object)
+
+    return apply_chain
+
+
 # Session-bounded memo for trained BPE vocabularies: the learned merge
 # table is a DRIVER-LOCAL list (≤ vocab rows — 1024 tuples for the
 # 16×64 production shape), so caching the rows themselves is exact and

@@ -2433,25 +2433,23 @@ def q_nlp_bpe_apply_16x64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seg = _bpe_seg0("text")
     if merges:
-        # one constant array literal (ConstantFolding collapses the
-        # foldable struct array), one interpreted fold per document
-        table = F.array(
-            *[
-                F.struct(
-                    F.lit(f" {m.left_tok}  {m.right_tok} ").alias("s"),
-                    F.lit(f" {m.merged} ").alias("r"),
-                )
-                for m in merges
-            ]
+        # Arrow kernel (r15, guide §4.2): the merge table is driver-side
+        # DATA, so the whole 1024-step replace chain runs as C-level
+        # str.replace per batch row instead of the interpreted
+        # F.aggregate(lit-table, seg, replace) fold (no codegen, ~9.5 s
+        # of the timed run at sf0.1). Exact equivalence argued at
+        # operators/text.py:chained_replace_kernel.
+        from .operators.text import chained_replace_kernel
+
+        apply_chain = chained_replace_kernel(
+            [(f" {m.left_tok}  {m.right_tok} ", f" {m.merged} ") for m in merges]
         )
-        seg = F.aggregate(
-            table, seg, lambda acc, x: F.replace(acc, x["s"], x["r"])
-        )
+        seg = apply_chain(seg)
     toks = F.split(F.trim(seg), "  ")
     from .operators.dedup import _spread
 
     return (
-        # _spread: the 1024-replace fold is CPU-bound per row; an
+        # _spread: the 1024-replace kernel is CPU-bound per row; an
         # under-split bench corpus would run it on one core (no-op on a
         # well-split scan)
         _spread(docs).select("doc_id", F.explode(toks).alias("token"))
@@ -2683,7 +2681,7 @@ def q_nlp_train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFram
     from .operators.classify import train_perceptron
 
     docs = _t(spark, sf_dir, "documents")
-    w, _errors = train_perceptron(docs, _cls_label(), iterations=3, buckets=64)
+    w, _errors = train_perceptron(docs, _cls_label(), iterations=3, buckets=64, memo=True)
     return spark.createDataFrame(
         [(int(b), int(v)) for b, v in w], "bucket long, weight long"
     )
@@ -2713,7 +2711,7 @@ def q_nlp_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.classify import classifier_margins, train_perceptron
 
     docs = _t(spark, sf_dir, "documents")
-    w, _errors = train_perceptron(docs, _cls_label(), iterations=3, buckets=64)
+    w, _errors = train_perceptron(docs, _cls_label(), iterations=3, buckets=64, memo=True)
     return classifier_margins(docs, w, buckets=64)
 
 
@@ -2755,7 +2753,7 @@ def q_nlp_classifier_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    w, _ = train_perceptron(docs, _cls_label(), iterations=3, buckets=64)
+    w, _ = train_perceptron(docs, _cls_label(), iterations=3, buckets=64, memo=True)
     scored = classifier_margins(docs, w, buckets=64)
     labels = docs.select("doc_id", _cls_label().cast("long").alias("y"))
     return operating_curve(scored, labels, n_bins=10)
@@ -2798,7 +2796,7 @@ def q_nlp_classifier_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    w, _ = train_perceptron(docs, _cls_label(), iterations=3, buckets=64)
+    w, _ = train_perceptron(docs, _cls_label(), iterations=3, buckets=64, memo=True)
     scored = classifier_margins(docs, w, buckets=64)
     labeled = docs.select("doc_id", "lang", _cls_label().cast("long").alias("y"))
     return confusion_by_group(scored, labeled, "lang")

@@ -78,26 +78,28 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    # Runtime bloom-filter injection is gated on a ≥10 GB application-side
-    # SCAN, but plans rooted in cached relations (the incremental-dedup
-    # replays) bypass that estimate, so Spark injects default-sized blooms
-    # (~1 MB buffer per aggregation task) at ANY data size — ~10 such
-    # builds OOM'd a vanilla 1 GB driver heap alongside the replay's
-    # caches (r10 driver-sim finding). r14 measured the throughput side
-    # of the same misfire: the 4-batch replay plans carry ~80 injected
-    # bloom_filter_agg scalar subqueries (plans/r14/
-    # st_streaming_dedup_after.txt), each an extra aggregation pass over
-    # a batch-sized cached relation, costing ~15% of the replay
-    # (19.4 s → 16.5 s with injection off; same on the capped embed
-    # replay). Injection is therefore OFF by default here — every place
-    # a selective pre-filter pays at scale, this repo builds it
-    # explicitly (semi-joins / broadcast key filters, guide §3.2) — and
-    # env-togglable for a cluster profile whose scans have real size
-    # estimates: SPARK_GRAFT_RUNTIME_BLOOM=1 re-enables, with the sizing
-    # caps below still bounding a misfired build to ~100 KB.
+    # Runtime bloom-filter injection: back to Spark's own default (ON),
+    # r15. History: injection is gated on a ≥10 GB application-side
+    # SCAN, but plans rooted in cached relations bypass that estimate,
+    # and the r14 4-batch replay plans carried ~80 injected
+    # bloom_filter_agg scalar subqueries over batch-sized cached
+    # relations — r14 turned injection off session-wide on that
+    # evidence (~15% of the replay) plus the r10 driver-heap finding
+    # (the sizing caps below bound that side). r15 removed the misfire
+    # surface itself: the replays derive their pair log in ONE
+    # batch-ordered plan (streaming/incremental_dedup.py), and the
+    # interleaved A/B on the new plans shows injection now WINS or ties
+    # everywhere it fires — dedup_minhash_portable 3.59 vs 4.06 s,
+    # flagship_serving_index 1.62 vs 1.82 s, canonical_portable 7.67 vs
+    # 8.70 s, capped embed replay 3.16 vs 3.55 s, st_streaming_dedup
+    # flat — so the r14 session-wide off-default (a config fix for an
+    # algorithm problem) is retired per the r14 verdict's own item 2.
+    # SPARK_GRAFT_RUNTIME_BLOOM=0 force-disables for a profile that
+    # needs it; the sizing caps below still bound a misfired build to
+    # ~100 KB per task.
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.enabled",
-        "true" if os.environ.get("SPARK_GRAFT_RUNTIME_BLOOM") == "1" else "false",
+        "false" if os.environ.get("SPARK_GRAFT_RUNTIME_BLOOM") == "0" else "true",
     )
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "100000")
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "4194304")

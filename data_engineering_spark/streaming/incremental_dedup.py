@@ -267,61 +267,107 @@ def _incremental_sink(index_dir, store_dir, pairs_dir, batch_fn, ingest_fn, pair
     return sink
 
 
-def _incremental_replay(df, id_col, n_batches, batch_fn, ingest_fn) -> DataFrame:
-    """Modality-independent batch replay: fold ``df`` through
-    ``ingest_fn`` in ``n_batches`` deterministic micro-batches
-    (``pmod(xxhash64(id), n_batches)`` — arrival order a scheduler might
-    produce, not id order) and union the emitted pairs. The oracle
-    surface for both streaming sinks: the union must equal the one-shot
-    DuckDB twin (incremental ≡ one-shot).
+def _incremental_replay(
+    df, id_col, n_batches, batch_fn, verify_fn, max_bucket=None
+) -> DataFrame:
+    """Modality-independent batch replay: the pair log of folding ``df``
+    through the incremental ingest in ``n_batches`` deterministic
+    micro-batches (``pmod(xxhash64(id), n_batches)`` — arrival order a
+    scheduler might produce, not id order). The oracle surface for both
+    streaming sinks: the log must equal the one-shot DuckDB twin
+    (incremental ≡ one-shot).
 
-    Signatures/state are computed ONCE over the whole corpus and sliced
-    per batch by the deterministic batch key (r14, guide §2.3/§2.4):
-    signature derivation is a pure row-wise function, so filtering a
-    precomputed signature table by batch is bit-identical to computing
-    signatures of a filtered corpus — this replaces ``n_batches``
-    separate Arrow-kernel passes + per-batch persists with ONE persisted
-    prep per table, and every batch's corpus side (``index_bk`` /
-    ``store_old``) becomes a cache filter (``__b__ < k``) instead of a
-    k-deep union-of-unions lineage (measured on st_streaming_dedup:
-    21.8 s → see OPTIMIZATION_r14.md; plans lose the repeated
-    ArrowEvalPython stages). The REAL foreachBatch sink keeps computing
-    per batch — a stream cannot see future batches; the replay can,
-    because the batch split itself is derived, not arriving."""
+    The whole replay pair log is derived in ONE batch-ordered plan (r15,
+    guide §2.4 — the r14 prep-once/slice-per-batch form still built
+    ``n_batches`` separate ingest subplans, each paying per-leg join and
+    stage overhead; 570 Exchanges in the capped embed plan). Why one
+    plan is exact, batch for batch:
+
+    - Per-batch candidate generation is new-side driven: at batch ``k``
+      the probe side is batch ``k``'s bucket rows and the build side is
+      every row with ``__b__ <= k``, so an unordered pair {x, y} with
+      batch keys ``bx <= by`` can appear in EXACTLY one batch's
+      candidate set — ``k = by``, the batch of its later-arriving member
+      (both orderings when ``bx == by``, collapsed by the distinct).
+      The union over k is therefore the single join
+      ``a x b ON (band, bh), b.__b__ <= a.__b__, a.id != b.id`` +
+      least/greatest + distinct.
+    - The cap gate is a pure function of (bucket, k): batch ``k`` admits
+      bucket g iff its POST-append population ``|{rows in g with
+      __b__ <= k}| <= max_bucket`` — a cumulative count over the batch
+      key, computed once with a (band, bh)-partitioned running sum and
+      applied at the later member's batch (``a.__b__``). This reproduces
+      the capped stream's prefix-faithful append-only log exactly
+      (pairs emitted before a bucket crossed the cap stay; asserted on a
+      planted over-cap hot bucket in tests/test_streaming.py).
+    - Verification (jaccard / lattice cosine) is a pure per-pair
+      function of the two members' signatures, so verifying the unioned
+      candidate set once equals unioning per-batch verifies.
+
+    The REAL foreachBatch sink keeps computing per batch — a stream
+    cannot see future batches; the replay can, because the batch split
+    itself is derived, not arriving. ``verify_fn(cand, store_all)``
+    binds the modality's verify; ``batch_fn`` its signature prep."""
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     # persisted so the two prep outputs below materialize from one
     # cached corpus scan (CacheManager substitutes the subtree in both)
-    assigned = df.withColumn(
-        "__b__", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_batches))
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    store_all, bk_all = batch_fn(src)
+    # the batch key is a pure function of the id column the modality's
+    # batch_fn emits (minhash keeps ``id_col``; the embedding path
+    # renames to ``vec_id``) — re-derived, no join
+    key = id_col if id_col in bk_all.columns else "vec_id"
+    bk_all = bk_all.withColumn(
+        "__b__", F.pmod(F.xxhash64(F.col(key)), F.lit(n_batches))
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    store_all, bk_all = batch_fn(assigned.drop("__b__"))
-
-    def _with_key(out: DataFrame) -> DataFrame:
-        # re-derive the batch key from the id column the modality's
-        # batch_fn emits (minhash keeps ``id_col``; the embedding path
-        # renames to ``vec_id``) — a pure function of the id, so no join
-        key_src = id_col if id_col in out.columns else "vec_id"
-        return out.withColumn(
-            "__b__", F.pmod(F.xxhash64(F.col(key_src)), F.lit(n_batches))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    store_all = _with_key(store_all)
-    bk_all = _with_key(bk_all)
-    out = None
-    for k in range(n_batches):
-        store_new = store_all.filter(F.col("__b__") == k).drop("__b__")
-        bk_new = bk_all.filter(F.col("__b__") == k).drop("__b__")
-        index_bk = bk_all.filter(F.col("__b__") < k).drop("__b__") if k else None
-        store_old = (
-            store_all.filter(F.col("__b__") < k).drop("__b__") if k else None
+    # persisted: the verify references the store on both pair sides
+    store_all = store_all.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = bk_all.alias("a"), bk_all.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("b.__b__") <= F.col("a.__b__"))
+        & (F.col(f"a.{key}") != F.col(f"b.{key}")),
+    )
+    if max_bucket is not None:
+        # admitted (bucket, batch) combinations under the post-append
+        # population cap; inner-joining on the LATER member's batch
+        # applies exactly the per-batch gate (see docstring)
+        admitted = (
+            bk_all.groupBy("band", "bh", "__b__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .withColumn(
+                "__pop__",
+                F.sum("__n__").over(Window.partitionBy("band", "bh").orderBy("__b__")),
+            )
+            .filter(F.col("__pop__") <= max_bucket)
+            .select(
+                F.col("band").alias("__gband__"),
+                F.col("bh").alias("__gbh__"),
+                F.col("__b__").alias("__gb__"),
+            )
         )
-        # cand stays persisted for the lifetime of the returned (lazy)
-        # union — bounded at n_batches cached relations per replay, the
-        # same leak class the one-shot operator accepts per run
-        pairs, _cand = ingest_fn(store_new, bk_new, index_bk, store_old)
-        out = pairs if out is None else out.unionByName(pairs)
-    return out
+        joined = joined.join(
+            admitted,
+            (F.col("a.band") == F.col("__gband__"))
+            & (F.col("a.bh") == F.col("__gbh__"))
+            & (F.col("a.__b__") == F.col("__gb__")),
+        )
+    # cand persists for the lifetime of the returned (lazy) plan — it
+    # feeds the verify and its id semi-reduction, the same bounded leak
+    # class the one-shot operator accepts per run
+    cand = (
+        joined.select(
+            F.least(F.col(f"a.{key}"), F.col(f"b.{key}")).alias("id_a"),
+            F.greatest(F.col(f"a.{key}"), F.col(f"b.{key}")).alias("id_b"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return verify_fn(cand, store_all)
 
 
 def incremental_minhash_sink(
@@ -378,16 +424,21 @@ def incremental_minhash_replay(
     well-split scan). The embedding replay deliberately does NOT spread
     — its cost is join/stage overhead, and 32-partition caches made it
     2× slower (same measurement)."""
-    from ..operators.dedup import _spread
+    from ..operators.dedup import _SPREAD_DENSE_BYTES, _spread, jaccard_verify_pairs
 
     return _incremental_replay(
-        _spread(docs), id_col, n_batches,
+        _spread(
+            docs,
+            _SPREAD_DENSE_BYTES if signature_impl == "portable" else None,
+        ),
+        id_col, n_batches,
         batch_fn=lambda b: batch_shingles_and_buckets(
             b, text_col, id_col, num_hashes, bands, n, signature_impl
         ),
-        ingest_fn=lambda sh, bk, ib, so: ingest_minhash_batch(
-            sh, bk, ib, so, id_col=id_col, threshold=threshold, max_bucket=max_bucket
+        verify_fn=lambda cand, sh: jaccard_verify_pairs(
+            cand, sh, id_col=id_col, threshold=threshold
         ),
+        max_bucket=max_bucket,
     )
 
 
@@ -464,12 +515,6 @@ def ingest_embedding_batch(
     admission excludes outright — the old NaN ≥ threshold flood (a
     cluster of zero vectors collides in EVERY band) is impossible by
     construction. The DuckDB twin mirrors the same integer admission."""
-    from ..operators.similarity import (
-        lattice_cosine_admit,
-        lattice_sim,
-        pair_dot_pandas_long,
-    )
-
     cand = _probe_candidates(bk_new, index_bk, "vec_id", max_bucket)
     # Store-schema migration (quantize-on-write landed in r10): a state
     # dir written by the pre-lattice sink holds raw (vec_id, v) doubles.
@@ -483,6 +528,22 @@ def ingest_embedding_batch(
 
         store_v = lattice_unit_prep(store_v, "vec_id", "v", "vec_id")
     all_v = v_new if store_v is None else store_v.unionByName(v_new)
+    return _verify_embedding_pairs(cand, all_v, threshold), cand
+
+
+def _verify_embedding_pairs(
+    cand: DataFrame, all_v: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs → lattice-verified ``(id_a,
+    id_b, sim)`` against the quantized store ``(vec_id, qv, nn)`` — the
+    embedding modality's per-pair verify (shared by the per-batch ingest
+    and the one-plan replay)."""
+    from ..operators.similarity import (
+        lattice_cosine_admit,
+        lattice_sim,
+        pair_dot_pandas_long,
+    )
+
     cand_ids = (
         cand.select(F.col("id_a").alias("vec_id"))
         .unionByName(cand.select(F.col("id_b").alias("vec_id")))
@@ -501,7 +562,7 @@ def ingest_embedding_batch(
     vb = v_c.select(
         F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nn").alias("nb")
     )
-    pairs = (
+    return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("d", pair_dot_pandas_long(F.col("qa"), F.col("qb")))
@@ -510,7 +571,6 @@ def ingest_embedding_batch(
             "id_a", "id_b", lattice_sim(F.col("d"), F.col("na"), F.col("nb")).alias("sim")
         )
     )
-    return pairs, cand
 
 
 def incremental_embedding_sink(
@@ -562,7 +622,6 @@ def incremental_embedding_replay(
         batch_fn=lambda b: batch_embedding_buckets(
             b, dim, id_col, vec_col, planes, bands
         ),
-        ingest_fn=lambda v, bk, ib, so: ingest_embedding_batch(
-            v, bk, ib, so, threshold=threshold, max_bucket=max_bucket
-        ),
+        verify_fn=lambda cand, v: _verify_embedding_pairs(cand, v, threshold),
+        max_bucket=max_bucket,
     )

@@ -38,7 +38,7 @@ from data_engineering_spark.session import get_spark  # noqa: E402
 # memoize their trained vocab, so a best-of-N would time the ~1 s memo
 # replay of their own first run instead of the trainer (r12 end-of-round
 # review) — one cold run with the memo cleared.
-TRAINER_SINGLE_RUN = {"nlp_bpe_vocab_16x64"}
+TRAINER_SINGLE_RUN = {"nlp_bpe_vocab_16x64", "nlp_train_quality_classifier"}
 
 
 def main() -> None:
@@ -97,9 +97,11 @@ def main() -> None:
             pass
         spark.catalog.clearCache()
         if name in TRAINER_SINGLE_RUN:
+            from data_engineering_spark.operators.classify import _WEIGHTS_MEMO
             from data_engineering_spark.operators.text import _BPE_VOCAB_MEMO
 
             _BPE_VOCAB_MEMO.clear()
+            _WEIGHTS_MEMO.clear()
             n_runs = 1
         else:
             n_runs = runs
