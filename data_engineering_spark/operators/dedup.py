@@ -97,6 +97,12 @@ from .joins import input_bytes as _input_bytes  # noqa: E402
 # boilerplate 1.2 vs 1.8, bpe_apply 1.5 vs 2.0).
 _SPREAD_DENSE_BYTES = 16 << 10
 
+# canonical_assignment's driver-side union-find gate: edge lists at or
+# under this row count (a few MB collected — the codebook-collect class)
+# resolve on the driver in one pass; larger pair logs keep the
+# distributed propagation loop.
+_CANONICAL_DRIVER_MAX_EDGES = 100_000
+
 
 def _spread(df: DataFrame, per_partition_bytes: int | None = None) -> DataFrame:
     """Fan out CPU-heavy per-row work across cores.
@@ -1230,8 +1236,11 @@ def canonical_assignment(
     shallow, so convergence usually lands well before ``max_rounds``);
     each round is two hash joins + a groupBy, all partitioned on doc id,
     plus a cheap changed-count action on the checkpointed labels.
-    Iterative ⇒ rows-only checked; semantics unit-tested on planted
-    chains.
+    Edge lists at or under ``_CANONICAL_DRIVER_MAX_EDGES`` rows resolve
+    driver-side instead (the same full-batch propagation over a bounded
+    collect — identical rounds, convergence check and truncation error;
+    one collect instead of 2 jobs per round). Iterative ⇒ rows-only
+    checked; semantics unit-tested on planted chains.
 
     ``reliable_checkpoints=True`` writes each round's labels to the
     cluster checkpoint dir (``spark.sparkContext.setCheckpointDir``) via
@@ -1255,6 +1264,77 @@ def canonical_assignment(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Size-gated driver-side resolve (r15, guide §1.2 — the distributed
+    # loop pays 2 fixed-cost actions PER ROUND, ~1.9 s of pure job
+    # overhead at bench scale): when the edge list is codebook-small
+    # (the same bounded-collect class as the BPE merge table and kmeans
+    # centroids — ≤100 k edges ≈ a few MB), collect it and run the SAME
+    # full-batch min-label propagation on the driver, round for round:
+    # identical updates (min over self + neighbors of the PREVIOUS
+    # round's labels), identical changed-count convergence check, and
+    # the identical non-convergence error when a chain outruns
+    # ``max_rounds``. The distributed loop only flows labels across
+    # edges whose BOTH endpoints are in ``ids`` (a neighbor outside
+    # ``ids`` has no label row to adopt or donate), so the collected
+    # edge set is semi-filtered to the ids-induced graph first. Docs in
+    # no pair keep their own label (the final left join's coalesce). A
+    # corpus whose pair log exceeds the gate (dup-heavy data at scale)
+    # takes the distributed loop below, unchanged.
+    n_edges = edges.count()
+    if n_edges <= _CANONICAL_DRIVER_MAX_EDGES:
+        spark = ids.sparkSession
+        half = edges.filter(F.col("src") < F.col("dst"))
+        ids_src = ids.select(F.col(id_col).alias("src"))
+        both_in = half.join(ids_src, "src", "left_semi").join(
+            ids.select(F.col(id_col).alias("dst")), "dst", "left_semi"
+        )
+        rows = both_in.select("src", "dst").collect()
+        edges.unpersist()
+        adj: dict = {}
+        for r in rows:
+            adj.setdefault(r.src, []).append(r.dst)
+            adj.setdefault(r.dst, []).append(r.src)
+        lbl = {u: u for u in adj}
+        for _ in range(max_rounds):
+            changed = 0
+            new = {}
+            for u, nbrs in adj.items():
+                m = lbl[u]
+                for v in nbrs:
+                    lv = lbl[v]
+                    if lv < m:
+                        m = lv
+                if m < lbl[u]:
+                    changed += 1
+                new[u] = m
+            lbl = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"canonical_assignment: label propagation did not converge in "
+                f"{max_rounds} rounds ({changed} labels still changing) — a "
+                "duplicate chain is longer than max_rounds; raise max_rounds"
+            )
+        mapping = [(x, c) for x, c in lbl.items() if c != x]
+        from pyspark.sql import types as T
+
+        id_t = ids.schema[id_col].dataType
+        lbl_df = spark.createDataFrame(
+            mapping,
+            T.StructType(
+                [T.StructField("src", id_t), T.StructField("__lbl__", id_t)]
+            ),
+        )
+        canon = F.coalesce(F.col("__lbl__"), F.col("src"))
+        return (
+            ids_src.join(F.broadcast(lbl_df), "src", "left")
+            .select(
+                F.col("src").alias(id_col),
+                canon.alias("canonical_id"),
+                (canon < F.col("src")).alias("is_dup"),
+            )
+        )
     labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
     for _ in range(max_rounds):
         neighbor_min = (

@@ -59,12 +59,15 @@ def zvalue(
     NaN — r12 end-of-round review). The approx path also REQUIRES
     numeric columns — ``approxQuantile`` is numeric-only, so a string
     column raises here with the method to use instead of failing deep
-    in py4j. Approx rank resolution is capped at 12 bits (#7): the
-    default bits=16 requested 65,535 quantile probes at relativeError
-    2^-18 — a quarter-million-entry GK sketch per partition, costlier
-    than the sort it replaces — while file-level pruning saturates far
-    below 4,096 distinct ranks per column (files ≪ 2^12; extra rank
-    bits only shuffle rows WITHIN a file's z-range)."""
+    in py4j. Approx rank resolution is capped at 8 bits (r11 #7 capped
+    the original 16 at 12; r15 re-measured): the GK sketch pass IS the
+    dominant cost of the approx path — at 12 bits (4,095 probes,
+    relativeError 2^-14) the one multi-column approxQuantile measured
+    1.6 s warm on the sf0.1 live set, ~70% of OPTIMIZE — while
+    file-level pruning saturates far below even 256 distinct ranks per
+    column (files ≪ 2^8; finer ranks only reorder rows WITHIN a file's
+    z-range, invisible to min/max stats). 255 probes at relativeError
+    2^-10 cut the sketch ~16× with identical pruning geometry."""
     n = len(cols)
     # The interleaved key must fit below bit 63: bit 63 is the sign bit
     # of a Spark long, and spilling a rank bit into it flips the sign of
@@ -77,7 +80,7 @@ def zvalue(
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql import types as T
 
-        bits = min(bits, 12)
+        bits = min(bits, 8)
         numeric = (
             T.ByteType, T.ShortType, T.IntegerType, T.LongType,
             T.FloatType, T.DoubleType, T.DecimalType,
@@ -93,30 +96,48 @@ def zvalue(
         probes = [i / (1 << bits) for i in range(1, 1 << bits)]
         top = (1 << bits) - 1
 
-        def bucketizer(cuts: "np.ndarray"):
-            @pandas_udf(T.LongType())
-            def bucket(v: pd.Series, isnull: pd.Series) -> pd.Series:
-                arr = v.to_numpy(dtype="float64", na_value=np.nan)
-                out = np.searchsorted(cuts, arr, side="right")
-                nan_mask = np.isnan(arr)
-                out[nan_mask] = top  # real NaN sorts LAST (window parity)
-                out[isnull.to_numpy(dtype="bool")] = 0  # NULL sorts first
-                return pd.Series(out)
-
-            return bucket
-
         # ONE multi-column approxQuantile pass (r14): the per-column loop
         # scanned the live set once per z-order column; the list form
         # computes every column's GK sketch in a single scan job. Same
         # per-column cutoffs, and the z-order result is layout-only
         # anyway (row set unchanged by construction).
         all_cuts = df.approxQuantile(list(cols), probes, 1.0 / (1 << (bits + 2)))
-        for c, col_cuts in zip(cols, all_cuts):
-            cuts = np.array(col_cuts)
-            ranked = ranked.withColumn(
-                f"__rk_{c}", bucketizer(cuts)(F.col(c), F.col(c).isNull())
-            )
-            rank_cols.append(F.col(f"__rk_{c}"))
+        cuts_arrs = [np.asarray(c) for c in all_cuts]
+
+        # ONE Arrow kernel bucketizes EVERY z-order column (r15): the
+        # per-column pandas_udf loop shipped the live set through one
+        # ArrowEvalPython hop per column, and zorder_layout's
+        # repartitionByRange evaluates this projection TWICE (the range
+        # sampling job + the real exchange), so each extra hop was paid
+        # double. Same searchsorted per column, same NULL-first /
+        # NaN-last parity (the null masks still come from Spark-side
+        # isNull — Arrow collapses NULL and NaN in a double column).
+        @pandas_udf(T.ArrayType(T.LongType()))
+        def bucket_all(*args: pd.Series) -> pd.Series:
+            outs = []
+            for i, cuts in enumerate(cuts_arrs):
+                v, isnull = args[2 * i], args[2 * i + 1]
+                arr = v.to_numpy(dtype="float64", na_value=np.nan)
+                out = np.searchsorted(cuts, arr, side="right")
+                out[np.isnan(arr)] = top  # real NaN sorts LAST (window parity)
+                out[isnull.to_numpy(dtype="bool")] = 0  # NULL sorts first
+                outs.append(out)
+            return pd.Series(np.stack(outs, axis=1).tolist())
+
+        kernel_args = []
+        for c in cols:
+            kernel_args += [F.col(c), F.col(c).isNull()]
+        ranked = ranked.withColumn("__rks__", bucket_all(*kernel_args))
+        rank_cols = [F.col("__rks__").getItem(i) for i in range(n)]
+        z = F.lit(0).cast("long")
+        for bit in range(bits):
+            for i, rc in enumerate(rank_cols):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(rc, bit).bitwiseAND(F.lit(1)), bit * n + i
+                    ).cast("long")
+                )
+        return ranked.withColumn("__zval__", z).drop("__rks__")
     else:
         from pyspark.sql import Window
 

@@ -112,8 +112,10 @@ def test_zvalue_nulls_and_nan_rank_identically_in_both_methods(spark):
 def test_zvalue_approx_rejects_non_numeric_and_caps_bits(spark):
     """approxQuantile is numeric-only — a string z-order column must
     raise HERE with the alternative named, not deep in py4j; and the
-    approx path caps rank resolution at 12 bits so the default bits=16
-    never requests a 65,535-probe GK sketch (r11 warehouse review #7)."""
+    approx path caps rank resolution at 8 bits (r15; was 12 since the
+    r11 warehouse review #7) so the default bits=16 never requests a
+    65,535-probe GK sketch — the sketch pass dominated OPTIMIZE at 12
+    bits while pruning saturates far below 256 ranks per column."""
     import pytest
 
     df = spark.createDataFrame([(1.0, "a")], "x double, s string")
@@ -121,5 +123,5 @@ def test_zvalue_approx_rejects_non_numeric_and_caps_bits(spark):
         zvalue(df, ["s"], method="approx")
     big = spark.createDataFrame([(float(i),) for i in range(500)], "x double")
     out = zvalue(big, ["x"], bits=16, method="approx")
-    # one column, 12 effective bits → every z-value < 2^12
-    assert out.agg(F.max("__zval__")).first()[0] < (1 << 12)
+    # one column, 8 effective bits → every z-value < 2^8
+    assert out.agg(F.max("__zval__")).first()[0] < (1 << 8)
